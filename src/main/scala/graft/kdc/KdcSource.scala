@@ -1,0 +1,56 @@
+package graft.kdc
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw Heimdal KDC logs → `Dataset[KdcLogRecord]`.
+  *
+  * The reference reads logs through a custom Hadoop `RecordReader` that
+  * seeks to split starts and reads one record past the split end
+  * (`/root/reference/.../KDCLogRecordReader.java:162-232`). Spark's text
+  * source splits at *line* granularity, so a multi-line session can be
+  * torn across two input splits; instead of reimplementing split
+  * alignment we restore per-file line order with one shuffle and fold
+  * whole files ([[Sessionizer.sessionizeByFile]]).
+  *
+  * Scale posture (100 TB): parallelism of the parse = number of log
+  * files, which for KDC logs (one file per host per day, log-rotated) is
+  * large; the shuffle moves each line exactly once; gzip/bzip2 handled
+  * natively by the text source. The known limit — a single file larger
+  * than one executor's partition budget — is the same operating envelope
+  * as the reference's splittable-bzip2 path, and would be addressed with
+  * split-aligned sessionization (read-past-split-end) as future work,
+  * SURVEY.md §7.4.
+  */
+object KdcSource {
+
+  /** Scale path: splittable read → repartition by file → in-order fold.
+    *
+    * `monotonically_increasing_id` is (partitionId << 33) + row-in-
+    * partition, and Spark's `FileSourceScanExec` assigns ascending
+    * partition ids in file-split order, so sorting by it within a file
+    * restores the original line order even when one file spans splits.
+    */
+  def records(spark: SparkSession, path: String): Dataset[KdcLogRecord] = {
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    spark.read.textFile(path)
+      .select(
+        input_file_name().as("file"),
+        monotonically_increasing_id().as("pos"),
+        $"value".as("line"))
+      .repartition(nParts, $"file")
+      .sortWithinPartitions($"file", $"pos")
+      .select($"file", $"line").as[(String, String)]
+      .mapPartitions(Sessionizer.sessionizeByFile)
+  }
+
+  /** Convenience for tests / small inputs: sessionize pre-collected lines
+    * of a single logical file, distributed. */
+  def fromLines(spark: SparkSession, lines: Seq[String]): Dataset[KdcLogRecord] = {
+    import spark.implicits._
+    // Single logical stream → one partition so ordering is preserved.
+    spark.createDataset(lines).coalesce(1)
+      .mapPartitions(Sessionizer.sessionize)
+  }
+}
