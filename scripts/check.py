@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against the sf_dir
+parquet tables, and compares: column names (sorted), row count, and
+values (rows sorted, hashed). Exit 1 on any mismatch.
+"""
+import json, sys, math, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style: repr at full precision; we rounded upstream
+        return repr(round(v, 9))
+    return repr(v)
+
+
+def table_digest(cols, rows):
+    """Sort columns by name, then rows; hash the whole thing."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    proj = [tuple(canon(r[i]) for i in order) for r in rows]
+    proj.sort()
+    h = hashlib.sha256()
+    for row in proj:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            want = con.execute(sql)
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(got_cols) != sorted(want_cols):
+            problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+        if len(got_rows) != len(want_rows):
+            problems.append(f"rows spark={len(got_rows)} oracle={len(want_rows)}")
+        if not problems:
+            if table_digest(got_cols, got_rows) != table_digest(want_cols, want_rows):
+                # find first differing row for the report
+                order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+                order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+                g = sorted(tuple(canon(r[i]) for i in order_g) for r in got_rows)
+                w = sorted(tuple(canon(r[i]) for i in order_w) for r in want_rows)
+                diff = next(((a, b) for a, b in zip(g, w) if a != b), None)
+                problems.append(f"hash mismatch; first diff: spark={diff[0]} oracle={diff[1]}"
+                                if diff else "hash mismatch (ordering?)")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok   {name} ({len(got_rows)} rows)")
+    print(f"{len(oracle) - failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

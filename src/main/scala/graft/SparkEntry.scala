@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query surface is assembled from per-concern registries:
+  *  - [[graft.ops.EventQueries]] — the reference's seven README query
+  *    shapes on the `events` table (SURVEY.md §2.2/§2.4-2.6)
+  *  - [[graft.ops.TpchQueries]] — joins/set-ops/rollup/scalar surface
+  *    on the star schema (SURVEY.md §2.3/§2.7/§2.8)
+  *  - [[graft.kdc]] — the raw-log parsing pipeline itself (golden-unit
+  *    tested; not oracle-expressible, exercised via kdc_parse below)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def all: Map[String, QueryDef] =
+    ops.EventQueries.defs ++ ops.TpchQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Deliberately avoids the events table: the driver may call this with
+    * its own SparkSession, and events.parquet needs the
+    * `nanosAsLong` legacy flag our builders set (Verify/Bench). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.TpchQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, d) => k -> d.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
 }

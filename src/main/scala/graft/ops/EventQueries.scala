@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's seven declared query shapes
+  * (`/root/reference/README.md:4-12`), re-targeted at the driver's
+  * `events` table so the DuckDB oracle can check them end-to-end
+  * (user_id ≈ client principal, event_type ≈ service, the `error`
+  * event type ≈ failed requests). The same shapes run against parsed
+  * KDC logs in [[graft.kdc.KdcQueries]]; here they are exercised at
+  * driver scale factors with hash-compared results.
+  *
+  * Scale notes: every aggregation is a single-shuffle
+  * partial→final HashAggregate; top-N plans as TakeOrderedAndProject
+  * (O(n) scan + bounded heap per partition — no global sort at 100 TB);
+  * timestamps reduce to min/max before leaving the scan stage.
+  */
+object EventQueries {
+
+  /** The events table is nanosecond-precision parquet, which Spark 4
+    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Our session builders set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, and this loader folds
+    * the long back to a microsecond timestamp (integral DIV — ns values
+    * ≈1.7e18 overflow double math). Truncation ns→µs→ms is consistently
+    * floor, so epoch-millis outputs agree with DuckDB's `epoch_ms` over
+    * the original nanos. */
+  private[ops] def events(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** README #1: number of authentications per user. */
+  def userAuthCount(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** README #2: first and last authentication per user (+count). */
+  def userFirstLast(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        unix_millis(min(col("ts")).cast("timestamp")).as("first_ms"),
+        unix_millis(max(col("ts")).cast("timestamp")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** README #3: number of requests per service (event_type). */
+  def serviceCount(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** README #4: first and last use of a service. */
+  def serviceFirstLast(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        unix_millis(min(col("ts")).cast("timestamp")).as("first_ms"),
+        unix_millis(max(col("ts")).cast("timestamp")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** README #5: top-N users by event count (deterministic tie-break). */
+  def topUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(desc("n_events"), col("user_id"))
+      .limit(10)
+
+  /** README #6: most common errors — `error` events bucketed by their
+    * JSON `props.k` code. Exercises JSON extraction in the scan stage. */
+  def commonErrors(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "error")
+      .withColumn("err_code", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("err_code"))
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy(desc("n_errors"), col("err_code"))
+
+  /** README #7: users who use at most 3 distinct services. */
+  def usersFewServices(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_services"))
+      .filter(col("n_services") <= 3)
+      .orderBy(col("user_id"))
+
+  /** Composite-key aggregation (the enctype-variant shape,
+    * `perl/kdcmapper-with-enctypes.pl:39-57`): per user × service. */
+  def userServiceMatrix(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Per-user running total of `value` in event-time order — windowed
+    * flavor of the first/last tracking; frame grows row-by-row so the
+    * float accumulation order is identical across engines. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Per-user top-3 services by use count — per-group top-N via
+    * row_number (README #5's grouped variant). */
+  def topServicesPerUser(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("n_events"), col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
+  /** Sessionization-adjacent: events per user per day (tumbling window
+    * as date_trunc) — the batch twin of the streaming windowed agg. */
+  def dailyUserActivity(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("day", date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("day"), col("user_id"))
+
+  val defs: Map[String, QueryDef] = Map(
+    "user_auth_count" -> QueryDef(userAuthCount, Some(
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
+    "user_first_last" -> QueryDef(userFirstLast, Some(
+      "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
+    "service_count" -> QueryDef(serviceCount, Some(
+      "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")),
+    "service_first_last" -> QueryDef(serviceFirstLast, Some(
+      "SELECT event_type, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")),
+    "top_users" -> QueryDef(topUsers, Some(
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10")),
+    "common_errors" -> QueryDef(commonErrors, Some(
+      "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS err_code, count(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n_errors DESC, err_code")),
+    "users_few_services" -> QueryDef(usersFewServices, Some(
+      "SELECT user_id, count(DISTINCT event_type) AS n_services FROM events GROUP BY user_id HAVING count(DISTINCT event_type) <= 3 ORDER BY user_id")),
+    "user_service_matrix" -> QueryDef(userServiceMatrix, Some(
+      s"SELECT user_id, event_type, count(*) AS n_events, ${graft.OracleSql.round("sum(value)", 2)} AS sum_value FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type")),
+    "running_total" -> QueryDef(runningTotal, Some(
+      s"SELECT user_id, event_id, ${graft.OracleSql.round("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value FROM events ORDER BY user_id, event_id")),
+    "top_services_per_user" -> QueryDef(topServicesPerUser, Some(
+      """SELECT user_id, event_type, n_events, rnk FROM (
+        |  SELECT user_id, event_type, count(*) AS n_events,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rnk
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+    "daily_user_activity" -> QueryDef(dailyUserActivity, Some(
+      "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY day, user_id")))
+}

@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the driver's TPC-H-ish star
+  * schema: multi-way equi-joins, broadcast dims, semi/anti joins,
+  * rollup, set operations, distinct aggregation, date/string scalar
+  * functions, global top-N. The reference has no joins (SURVEY.md
+  * §2.3) — this is the engine surface a user needs beyond it, each
+  * query DuckDB-oracle-checked.
+  *
+  * Scale posture per query is noted inline; the common rules: dimension
+  * tables (region/nation/customer/supplier/part at TPC-H proportions)
+  * are broadcast — fact-table scans never shuffle for them; aggregates
+  * reduce before joins where semantics allow; AQE handles skew/coalesce
+  * at runtime.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** TPC-H Q1 shape: pricing summary. One scan, one shuffle on a
+    * 6-value group key; all arithmetic codegen'd into the scan stage. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: revenue per order for one market segment.
+    * customer is a broadcast dim; lineitem⋈orders shuffles on orderkey
+    * only after the segment filter prunes orders. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H Q5 shape: revenue by region/nation where customer and
+    * supplier share a nation. All dims broadcast; single fact shuffle. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have placed an order. */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Global top-N: most expensive orders. TakeOrderedAndProject —
+    * bounded heap per partition, no global sort. Ordering on the raw
+    * parquet double (bit-identical across engines), rounded only in
+    * the projection. */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total_price"))
+      .limit(10)
+
+  /** ROLLUP: customer counts by region ⟶ nation with subtotals. */
+  def rollupCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** INTERSECT: nations having both customers and suppliers. */
+  def nationsWithBoth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def nationsCustomersOnly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** UNION ALL + conformed projection: one account-balance ledger over
+    * two entity kinds. */
+  def balanceLedger(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(lit("customer").as("kind"), col("c_custkey").as("entity_key"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .unionAll(t(s, dir, "supplier")
+        .select(lit("supplier").as("kind"), col("s_suppkey").as("entity_key"),
+          round(col("s_acctbal"), 2).as("acctbal")))
+      .orderBy(col("kind"), col("entity_key"))
+
+  /** Distinct aggregation: market-segment diversity per nation. */
+  def nationSegmentDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** Date bucketing: order volume per month. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("month"))
+
+  /** String scalar functions: brand stats with a derived prefix key. */
+  def partBrandStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("type_prefix", upper(substring(col("p_type"), 1, 6)))
+      .groupBy(col("p_brand"), col("type_prefix"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"))
+      .orderBy(col("p_brand"), col("type_prefix"))
+
+  /** Correlated-shape aggregation (TPC-H Q13 flavor): distribution of
+    * order counts per customer, including zero-order customers via a
+    * left outer join. */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
+
+  val defs: Map[String, QueryDef] = Map(
+    "pricing_summary" -> QueryDef(pricingSummary, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${R("sum(l_quantity)", 2)} AS sum_qty,
+        |  ${R("sum(l_extendedprice)", 2)} AS sum_base_price,
+        |  ${R("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+        |  ${R("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+        |  ${R("avg(l_quantity)", 2)} AS avg_qty,
+        |  ${R("avg(l_extendedprice)", 2)} AS avg_price,
+        |  ${R("avg(l_discount)", 4)} AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "shipping_priority" -> QueryDef(shippingPriority, Some(
+      s"""SELECT o_orderkey, o_orderpriority,
+        |  ${R("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin)),
+    "region_revenue" -> QueryDef(regionRevenue, Some(
+      s"""SELECT r_name, n_name,
+        |  ${R("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin)),
+    "customers_with_orders" -> QueryDef(customersWithOrders, Some(
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+    "customers_without_orders" -> QueryDef(customersWithoutOrders, Some(
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+    "top_orders" -> QueryDef(topOrders, Some(
+      s"SELECT o_orderkey, o_custkey, ${R("o_totalprice", 2)} AS total_price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+    "rollup_customers" -> QueryDef(rollupCustomers, Some(
+      s"""SELECT r_name, n_name, count(*) AS n_customers, ${R("sum(c_acctbal)", 2)} AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
+    "nations_with_both" -> QueryDef(nationsWithBoth, Some(
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey")),
+    "nations_customers_only" -> QueryDef(nationsCustomersOnly, Some(
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey")),
+    "balance_ledger" -> QueryDef(balanceLedger, Some(
+      s"""SELECT * FROM (
+        |  SELECT 'customer' AS kind, c_custkey AS entity_key, ${R("c_acctbal", 2)} AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS kind, s_suppkey AS entity_key, ${R("s_acctbal", 2)} AS acctbal FROM supplier)
+        |ORDER BY kind, entity_key""".stripMargin)),
+    "nation_segment_diversity" -> QueryDef(nationSegmentDiversity, Some(
+      "SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_customers FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
+    "orders_by_month" -> QueryDef(ordersByMonth, Some(
+      s"SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, count(*) AS n_orders, ${R("sum(o_totalprice)", 2)} AS total FROM orders GROUP BY 1 ORDER BY month")),
+    "part_brand_stats" -> QueryDef(partBrandStats, Some(
+      s"""SELECT p_brand, upper(substr(p_type, 1, 6)) AS type_prefix,
+        |  count(*) AS n_parts, ${R("avg(p_retailprice)", 2)} AS avg_price,
+        |  min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part GROUP BY 1, 2 ORDER BY p_brand, type_prefix""".stripMargin)),
+    "order_count_distribution" -> QueryDef(orderCountDistribution, Some(
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin)))
+}
