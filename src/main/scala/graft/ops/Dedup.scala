@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard (inverted-index join + exact
+  * verify), MinHash+LSH (shingle → minhash → band → bucket join),
+  * SimHash (bit-vote fingerprint → band join on 16-bit chunks).
+  *
+  * Scale posture (100 TB):
+  *  - Exact dedup is one shuffle on a 128-bit content hash — never on
+  *    the text itself (keys stay 16 bytes on the wire).
+  *  - Near-dup NEVER cross-joins. Candidate generation is an equi-join
+  *    on shared shingles / LSH band buckets, i.e. an inverted index;
+  *    cost is Σ bucket². The `maxBucket` guard drops degenerate buckets
+  *    (stopword-like shingles) that would go quadratic — standard
+  *    practice, and exact-dup collapse should run first so identical
+  *    docs don't flood one bucket.
+  *  - All shingle/minhash/simhash computation is Catalyst higher-order
+  *    functions over arrays (codegen'd, no UDFs); signatures are
+  *    fixed-width arrays of longs, columnar-friendly.
+  *  - ANSI-safe arithmetic: minhash multiplies keep operands < 2^31 so
+  *    a*x+b stays under 2^62.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups keyed by md5(text). */
+  def exactDupGroups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** Exact dedup keeping the lowest doc_id per distinct text. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** (doc_id, shingles) where shingles = distinct word 3-grams.
+    * Docs with fewer than 3 tokens are excluded (no shingle). */
+  private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(0, size(t) - 3),
+          |  i -> concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))
+          |)) AS shingles""".stripMargin)
+
+  /** Exact n-gram Jaccard near-dup pairs at `threshold`, generated via
+    * an inverted-index equi-join on shingles (no cross join), verified
+    * with exact set arithmetic. `maxBucket` caps the posting-list size
+    * of one shingle to avoid quadratic blowup on degenerate shingles. */
+  def jaccardPairs(s: SparkSession, dir: String,
+                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val bounded = posting
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = bounded.as("a").join(bounded.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Fixed hash family h_i(x) = (a_i·x + b_i) mod p over x ∈ [0, 2^31).
+    * Coefficients are deterministic (seed 42) so results are stable
+    * across runs and resumable at scale. */
+  private val P = 2147483647L // 2^31 - 1, prime
+  private[ops] val coeffs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(64)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+                  rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (doc_id, sig: array<bigint> of 64 minhashes). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val hashExprs = coeffs.map { case (a, b) =>
+      s"array_min(transform(hx, x -> ($a * x + $b) % $P))"
+    }.mkString("array(", ", ", ")")
+    shingled(s, dir)
+      .selectExpr("doc_id", s"transform(shingles, s -> pmod(xxhash64(s), $P)) AS hx")
+      .selectExpr("doc_id", s"$hashExprs AS sig")
+  }
+
+  /** MinHash-LSH near-dup pairs: 16 bands × 4 rows (with 64 hashes,
+    * P[candidate] ≈ 1-(1-j⁴)¹⁶ — ≥ 0.9999 at j=0.9, ~1e-4 at j=0.1),
+    * then exact-Jaccard verification of candidates at `threshold`.
+    *
+    * The band join shuffles 16 small (band, hash64) keys per doc —
+    * at 100 TB this is the standard sub-linear near-dup plan: no pair
+    * enumeration outside colliding buckets. */
+  def minhashLshPairs(s: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.selectExpr("doc_id",
+      """explode(transform(sequence(0, 15),
+        |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bh)
+        |)) AS bb""".stripMargin)
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled(s, dir)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over distinct word 3-gram shingles: bit i is the
+    * sign of the ±1 vote sum of each shingle-hash's bit i. (Shingles,
+    * not raw tokens: with a small vocabulary every document contains
+    * nearly every token, making token-level SimHash uninformative —
+    * empirically 9k false near-pairs on the 500-doc testdata.) Pure
+    * higher-order-function pipeline; the bit assembly sums distinct
+    * powers of two so the long stays ANSI-overflow-free. */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .selectExpr("doc_id",
+        "transform(shingles, t -> xxhash64(t)) AS th")
+      .selectExpr("doc_id",
+        """aggregate(sequence(0, 63), cast(0 AS BIGINT), (acc, i) ->
+          |  acc + IF(aggregate(th, 0, (v, h) -> v + IF((shiftright(h, i) & 1) = 1, 1, -1)) >= 0,
+          |           shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))
+          |) AS simhash""".stripMargin)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
+    * candidates from equality on any of the four 16-bit chunks
+    * (guaranteed complete for maxHamming ≤ 3; high-recall heuristic
+    * above that). */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(s, dir)
+    val chunks = sh.selectExpr("doc_id", "simhash",
+      """explode(transform(sequence(0, 3),
+        |  c -> struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS ch)
+        |)) AS cc""".stripMargin)
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_exact_groups" -> QueryDef(exactDupGroups, Some(
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash")),
+    "dedup_exact" -> QueryDef(exactDedup, Some(
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),
+    "dedup_jaccard_pairs" -> QueryDef((s, d) => jaccardPairs(s, d), Some(
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+        |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+        |       FROM tok WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jac
+        |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // Hash-family-dependent results: no SQL oracle (rows-only check);
+    // correctness established by DedupSpec against exact jaccardPairs.
+    "dedup_minhash_lsh" -> QueryDef((s, d) => minhashLshPairs(s, d)),
+    "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8)))
+}
