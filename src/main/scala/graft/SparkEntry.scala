@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def all: Map[String, QueryDef] =
-    ops.EventQueries.defs ++ ops.TpchQueries.defs ++ ops.Dedup.defs
+    ops.EventQueries.defs ++ ops.TpchQueries.defs ++ ops.Dedup.defs ++
+      ops.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with
