@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and random-
+  * hyperplane LSH (multi-table) as the sub-linear scale path.
+  *
+  * Scale posture (100 TB):
+  *  - Brute-force top-k broadcasts the (bounded) query set and makes
+  *    ONE pass over the corpus — no corpus shuffle for the similarity
+  *    computation; only the (|corpus|·|Q|) scored pairs shuffle into
+  *    the per-query top-k window, and that input could be cut further
+  *    with a per-partition pre-top-k. Never a corpus×corpus cross join.
+  *  - LSH: each vector hashes to `nTables` 8-bit sign-buckets; the
+  *    candidate join is an equi-join on (table, bucket) — inverted-
+  *    index shape, Σ bucket² cost, AQE-skew-splittable. Exact cosine
+  *    re-verifies candidates, so precision is 1; recall is the tunable
+  *    (tables × bits), measured in SimilaritySpec on planted clusters.
+  *  - All vector math is Catalyst higher-order functions on
+  *    `array<double>` (left-fold `aggregate`, codegen'd) — the fold
+  *    order matches DuckDB's list functions bit-for-bit, which is what
+  *    lets the brute-force query be oracle-checked exactly.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+
+  // -------------------------------------------------------- vector math
+
+  /** Left-fold dot product — same accumulation order as DuckDB's
+    * list_sum(list_transform(...)), hence bit-identical results. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  // ------------------------------------------------------- brute force
+
+  /** Exact cosine top-k: broadcast the query set, score the corpus in
+    * one pass, keep k per query. Queries here: vec_id < nQueries
+    * against the rest of the table. */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // --------------------------------------------------------------- LSH
+
+  /** Fixed random hyperplanes: `nTables` tables × `nBits` planes,
+    * dims entries each, seeded (42) for run-to-run determinism. */
+  private[ops] def hyperplanes(nTables: Int, nBits: Int, dims: Int): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nTables, nBits, dims)(rnd.nextGaussian())
+  }
+
+  /** (id, table, bucket) signature rows for a (id, v) DataFrame —
+    * bucket = sign-bit pattern of the hyperplane dot products. */
+  private[ops] def lshBuckets(df: DataFrame, idCol: String, nTables: Int = 8,
+                              nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val tables = hyperplanes(nTables, nBits, dims).zipWithIndex.map {
+      case (planes, t) =>
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          val plane = array(p.map(lit): _*)
+          when(dot(col("v"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    df.select(col(idCol), col("v"), explode(array(tables: _*)).as("tb"))
+      .select(col(idCol), col("v"), col("tb.tbl"), col("tb.bucket"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates from any shared (table,
+    * bucket), exact cosine on candidates only. Same output shape as
+    * [[bruteForceTopK]] (its recall benchmark). */
+  def lshTopK(s: SparkSession, dir: String,
+              nQueries: Int = 5, k: Int = 10,
+              nTables: Int = 8, nBits: Int = 8): DataFrame = {
+    val e = emb(s, dir)
+    lshTopKOn(
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("id"), col("v")),
+      e.filter(col("vec_id") >= nQueries).select(col("vec_id").as("id"), col("v")),
+      k, nTables, nBits)
+  }
+
+  /** Generic LSH top-k over (id, v) query/corpus frames. */
+  def lshTopKOn(queries: DataFrame, corpus: DataFrame, k: Int,
+                nTables: Int = 8, nBits: Int = 8): DataFrame = {
+    val dims = 64
+    val qb = lshBuckets(queries, "id", nTables, nBits, dims)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val cb = lshBuckets(corpus, "id", nTables, nBits, dims)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("tbl"), col("bucket"))
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    cand.withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs at cosine ≥ `threshold`, candidates
+    * from shared LSH buckets (corpus self-join on (table, bucket)),
+    * exact-verified. The embedding-cosine flavor of Dedup. */
+  def neardupPairs(s: SparkSession, dir: String,
+                   threshold: Double = 0.4, nTables: Int = 8, nBits: Int = 8): DataFrame =
+    neardupPairsOn(emb(s, dir).select(col("vec_id").as("id"), col("v")),
+      threshold, nTables, nBits)
+
+  def neardupPairsOn(vecs: DataFrame, threshold: Double,
+                     nTables: Int = 8, nBits: Int = 8): DataFrame = {
+    val b = lshBuckets(vecs, "id", nTables, nBits, 64)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-vector L2 norms (array-math smoke surface, oracle-checked). */
+  def vectorNorms(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(l2norm(col("v")), 6).as("norm"))
+      .orderBy(col("vec_id"))
+
+  /** Per-label norm stats — min/max are order-independent, so safe for
+    * exact cross-engine comparison (unlike a float mean). */
+  def labelNormStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("norm", l2norm(col("v")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+
+  // ------------------------------------------------------------ registry
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
+      |    (sqrt(list_sum(list_transform(q.v, x -> x * x))) * sqrt(list_sum(list_transform(c.v, x -> x * x))))""".stripMargin
+
+  private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
+
+  val defs: Map[String, QueryDef] = Map(
+    "ann_brute_topk" -> QueryDef((s, d) => bruteForceTopK(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+    "vector_norms" -> QueryDef(vectorNorms, Some(
+      s"""SELECT vec_id, label,
+         |  ${R("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin)),
+    "label_norm_stats" -> QueryDef(labelNormStats, Some(
+      s"""WITH n AS (SELECT label,
+         |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  ${R("min(norm)", 6)} AS min_norm, ${R("max(norm)", 6)} AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+    // Hyperplane-seed-dependent: rows-only; recall vs brute force is
+    // asserted in SimilaritySpec on planted clusters.
+    "ann_lsh_topk" -> QueryDef((s, d) => lshTopK(s, d)),
+    "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d)))
+}

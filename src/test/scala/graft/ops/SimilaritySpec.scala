@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH quality is validated on planted clusters (noisy copies of base
+  * vectors, pairwise cosine ≈ 0.99) — the regime LSH exists for; the
+  * driver testdata embeddings are near-random (max pair cosine 0.51),
+  * which exercises plumbing but not recall. */
+class SimilaritySpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 20 clusters × 6 members: base gaussian + 3% noise. */
+  lazy val clustered: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 20
+      base = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 6
+    } yield (c.toLong * 6 + m,
+      base.map(x => x + 0.03 * rnd.nextGaussian()).toSeq)
+    rows.toDF("id", "v")
+  }
+
+  test("brute-force top-k: k rows per query, descending sim") {
+    val df = Similarity.bruteForceTopK(spark, dir).collect()
+    assert(df.length == 50)
+    val perQuery = df.groupBy(_.getLong(0))
+    for ((_, rows) <- perQuery) {
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-1 recall ≈ 1 on planted clusters") {
+    val queries = clustered.filter(col("id") % 6 === 0)
+    val corpus = clustered.filter(col("id") % 6 =!= 0)
+    val lsh = Similarity.lshTopKOn(queries, corpus, k = 5)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each query's nearest neighbor must be a member of its own cluster
+    val hits = lsh.count { case (q, n) => n / 6 == q / 6 }
+    assert(lsh.size >= 19, s"only ${lsh.size} queries got any candidate")
+    assert(hits.toDouble / lsh.size >= 0.95, s"$hits/${lsh.size}")
+  }
+
+  test("LSH near-dup pairs find planted cluster pairs with precision 1") {
+    val pairs = Similarity.neardupPairsOn(clustered, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // precision: every reported pair is intra-cluster
+    assert(pairs.forall { case (a, b) => a / 6 == b / 6 })
+    // recall: 20 clusters × C(6,2)=15 pairs = 300 total
+    assert(pairs.length >= 270, s"recall too low: ${pairs.length}/300")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.fill(64)(0.5))).toDF("id", "v")
+    val c = df.select(Similarity.cosine(col("v"), col("v"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
