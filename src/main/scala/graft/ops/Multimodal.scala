@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns: opaque `binary` payloads +
+  * typed metadata, with decode / feature-extract / resize /
+  * frame-sample implemented as *batched* `mapPartitions` kernels over a
+  * typed Dataset — the Scala analog of `mapInPandas` (same contract:
+  * iterator-of-batches in, iterator-of-batches out, codec initialized
+  * once per partition, amortized across batches).
+  *
+  * The actual byte→pixels/samples decode is a STUB ([[StubCodec]]):
+  * image/audio libraries are not in this container, so the stub
+  * produces a deterministic fake signal derived from the bytes. The
+  * Spark-side plumbing — schema, encoders, batch shape, partitioning,
+  * feature extraction, explode of frame samples — is real and tested
+  * (MultimodalSpec), and a production codec drops in by replacing one
+  * trait implementation.
+  *
+  * Scale posture (100 TB of media):
+  *  - Binary payloads never shuffle: every operator reduces bytes →
+  *    small feature rows inside the scan stage; only features move.
+  *  - Batched iteration bounds peak memory to `batchSize` decoded
+  *    items per task regardless of partition size.
+  *  - The media table derives deterministically from `documents`
+  *    (text bytes as stand-in payload), so the inventory query is
+  *    still DuckDB-oracle-checkable.
+  */
+object Multimodal {
+
+  // ------------------------------------------------------------- schema
+
+  final case class MediaMeta(
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int, n_frames: Int, format: String)
+
+  final case class MediaRecord(
+      media_id: Long, kind: String, data: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      mean: Double, std: Double, histogram: Seq[Long])
+
+  final case class FrameSample(
+      media_id: Long, frame_idx: Int, offset_ms: Long, checksum: Long)
+
+  // -------------------------------------------------------------- codec
+
+  /** Decode boundary. Production: wrap an actual image/audio codec.
+    * Here: [[StubCodec]], a deterministic fake. */
+  trait MediaCodec extends Serializable {
+    def init(): Unit
+    def decode(rec: MediaRecord): Array[Double]
+  }
+
+  /** STUB — NOT a real decoder. Emits a deterministic pseudo-signal
+    * (splitmix64 stream seeded by the payload bytes) with the length
+    * implied by the metadata, standing in for pixels/samples until a
+    * real codec is wired in. Tracks `init()` calls so tests can assert
+    * once-per-partition initialization. */
+  final class StubCodec extends MediaCodec {
+    @transient private var initialized = false
+    override def init(): Unit = { initialized = true; StubCodec.initCount.incrementAndGet() }
+    override def decode(rec: MediaRecord): Array[Double] = {
+      require(initialized, "codec used before init()")
+      val n = math.min(rec.kind match {
+        case "image" => rec.meta.width * rec.meta.height
+        case "audio" => rec.meta.sample_rate / 100
+        case _       => rec.meta.n_frames * 16
+      }, 4096)
+      var state = rec.data.foldLeft(0x9e3779b97f4a7c15L)((a, b) => (a * 31) ^ b)
+      Array.fill(math.max(n, 1)) {
+        state += 0x9e3779b97f4a7c15L
+        var z = state
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) & 0xffffL).toDouble / 65535.0
+      }
+    }
+  }
+  object StubCodec {
+    val initCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  // ----------------------------------------------------------- builders
+
+  /** Deterministic media table from `documents`: payload = UTF-8 text
+    * bytes (opaque stand-in), kind by doc_id mod 3, metadata derived
+    * from payload length. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val meta = kind match {
+          case "image" => MediaMeta(64, math.max(bytes.length / 64, 1), 3, 0, 0, "fake-rgb")
+          case "audio" => MediaMeta(0, 0, 1, 16000, 0, "fake-pcm")
+          case _       => MediaMeta(32, 32, 3, 0, math.max(bytes.length / 100, 1), "fake-mp4")
+        }
+        MediaRecord(id, kind, bytes, meta)
+      }
+  }
+
+  /** Batched mapPartitions driver: init codec once per partition, feed
+    * it `batchSize` records at a time (the mapInPandas batch contract). */
+  private def inBatches[T, U](codec: MediaCodec, batchSize: Int)(
+      f: (MediaCodec, Seq[T]) => Iterator[U])(it: Iterator[T]): Iterator[U] = {
+    if (!it.hasNext) Iterator.empty
+    else {
+      codec.init()
+      it.grouped(batchSize).flatMap(batch => f(codec, batch))
+    }
+  }
+
+  // ---------------------------------------------------------- operators
+
+  /** Decode + feature-extract: mean/std/8-bin histogram of the decoded
+    * signal. Bytes in, 11 small columns out — nothing binary survives
+    * past the scan stage. */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(inBatches[MediaRecord, MediaFeatures](new StubCodec, batchSize) {
+      (codec, batch) =>
+        batch.iterator.map { rec =>
+          val sig = codec.decode(rec)
+          val mean = sig.sum / sig.length
+          val std = math.sqrt(sig.map(x => (x - mean) * (x - mean)).sum / sig.length)
+          val hist = Array.ofDim[Long](8)
+          sig.foreach(x => hist(math.min((x * 8).toInt, 7)) += 1)
+          MediaFeatures(rec.media_id, rec.kind, rec.data.length, mean, std, hist.toSeq)
+        }
+    })
+  }
+
+  /** Fake resize: re-derive metadata + content checksum at target dims.
+    * Real codec would emit resized bytes; the stub emits the plumbing
+    * columns (id, old/new dims, checksum). */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .map { rec =>
+        val checksum = rec.data.foldLeft(17L)((a, b) => a * 31 + b)
+        (rec.media_id, rec.meta.width, rec.meta.height, w, h, checksum)
+      }
+      .toDF("media_id", "src_w", "src_h", "dst_w", "dst_h", "checksum")
+  }
+
+  /** Frame sampling for videos: every `stride`-th frame up to `maxFrames`,
+    * one output row per sampled frame (Generator-shaped: flatMap). */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2,
+                   maxFrames: Int = 8, batchSize: Int = 64): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .mapPartitions(inBatches[MediaRecord, FrameSample](new StubCodec, batchSize) {
+        (codec, batch) =>
+          batch.iterator.flatMap { rec =>
+            val sig = codec.decode(rec)
+            val idxs = (0 until rec.meta.n_frames by stride).take(maxFrames)
+            idxs.map { i =>
+              val v = sig(i % sig.length)
+              FrameSample(rec.media_id, i, i * 40L, (v * 1e9).toLong)
+            }
+          }
+      })
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def featureQuery(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(s, dir))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"))
+      .orderBy(col("media_id"))
+
+  def frameQuery(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir)).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Inventory roll-up — derivable from documents with plain SQL, so
+    * this one anchors the multimodal table to the DuckDB oracle. */
+  def inventoryQuery(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).toDF()
+      .select(col("media_id"), col("kind"), length(col("data")).as("n_bytes"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("kind"))
+
+  val defs: Map[String, QueryDef] = Map(
+    "media_inventory" -> QueryDef(inventoryQuery, Some(
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n_media, sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
+    // Stub-codec outputs: rows-only; shape/determinism in MultimodalSpec.
+    "media_features" -> QueryDef(featureQuery),
+    "media_frame_samples" -> QueryDef(frameQuery))
+}
