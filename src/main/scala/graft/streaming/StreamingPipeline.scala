@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.kdc.LogLine
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the batch pipeline (SURVEY.md
+  * §2.10 — an engine extension; the reference is batch-only MapReduce).
+  *
+  * Three shapes:
+  *  1. watermarked tumbling-window per-user activity (the streaming
+  *     twin of EventQueries.dailyUserActivity),
+  *  2. stateful running first/last/count per user via
+  *     flatMapGroupsWithState (the streaming twin of the UserTime job,
+  *     with the same corrected min/max semantics),
+  *  3. stateless KDC line extraction (the streaming twin of the Perl
+  *     mapper's `u:` branch, `/root/reference/perl/kdcmapper.pl:38-41`
+  *     — AS successes are recognizable from a single line, so the
+  *     extract is stateless and the count is a windowed agg).
+  *
+  * Scale posture: state is per-key O(1) (three longs), watermark bounds
+  * the window state store; at 100 TB/day this runs with shuffle
+  * partitions sized to the key cardinality and RocksDB state store —
+  * no unbounded buffering anywhere.
+  */
+object StreamingPipeline {
+
+  /** events schema as the streaming source sees it (ns timestamps read
+    * as long under nanosAsLong, converted here like the batch path). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table (driver parquet laid out as a
+    * directory; pathGlobFilter selects the events file). */
+  def readEvents(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** 1. Tumbling daily per-user counts with a 1-hour watermark. */
+  def dailyUserActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("n_events"))
+
+  final case class UserTimes(first_ms: Long, last_ms: Long, n: Long)
+  final case class UserTimesOut(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
+
+  /** 2. Running first/last/count per user — emits the updated triple on
+    * every batch that touches the user (Update-mode semantics), state is
+    * three longs per key. */
+  def userFirstLast(events: DataFrame): Dataset[UserTimesOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTimes, UserTimesOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserTimes]) =>
+          var st = state.getOption.getOrElse(UserTimes(Long.MaxValue, Long.MinValue, 0L))
+          var touched = false
+          rows.foreach { case (_, ms) =>
+            st = UserTimes(math.min(st.first_ms, ms), math.max(st.last_ms, ms), st.n + 1)
+            touched = true
+          }
+          if (touched) {
+            state.update(st)
+            Iterator.single(UserTimesOut(user, st.first_ms, st.last_ms, st.n))
+          } else Iterator.empty
+      }
+  }
+
+  /** 3. Streaming KDC auth extraction: classify raw lines, keep
+    * preauth-success events, parse principal + timestamp — stateless,
+    * then aggregate per user. Realm parameterized (the Perl original
+    * hardcodes it). */
+  def authEvents(lines: DataFrame, realm: Option[String] = None): DataFrame = {
+    val principalRe = """([^\s@]+)@([-.A-Za-z0-9]+)"""
+    val tsRe = """^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"""
+    val base = lines
+      .filter(col("value").contains("Pre-authentication succeeded"))
+      .select(
+        regexp_extract(col("value"), tsRe, 1).as("ts_str"),
+        regexp_extract(col("value"), s"succeeded -- $principalRe", 1).as("client"),
+        regexp_extract(col("value"), s"succeeded -- $principalRe", 2).as("crealm"))
+      .filter(col("ts_str") =!= "" && col("client") =!= "")
+      .withColumn("ts", to_timestamp(col("ts_str"), "yyyy-MM-dd'T'HH:mm:ss"))
+    realm.fold(base)(r => base.filter(col("crealm") === r))
+  }
+
+  def streamingUserAuthCounts(s: SparkSession, logDir: String,
+                              realm: Option[String] = None): DataFrame =
+    authEvents(s.readStream.text(logDir), realm)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("client"))
+      .agg(count(lit(1)).as("n_auth"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("client"), col("n_auth"))
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming results must converge to the batch answers — each suite
+  * runs the stream over the same files the batch queries read and
+  * compares against the batch aggregation. */
+class StreamingPipelineSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming daily activity converges to the batch result") {
+    val q = StreamingPipeline.dailyUserActivity(
+        StreamingPipeline.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("daily_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // append mode only emits closed windows; check emitted ⊆ batch and
+    // substantial coverage (all but the last open window)
+    val got = spark.table("daily_out")
+      .select("day", "user_id", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.EventQueries.dailyUserActivity(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(batch), s"streaming emitted rows not in batch: ${got -- batch}")
+    assert(got.size >= batch.size - 50, s"closed-window coverage too low: ${got.size}/${batch.size}")
+  }
+
+  test("stateful first/last/count converges to the batch user_first_last") {
+    import spark.implicits._
+    val q = StreamingPipeline.userFirstLast(
+        StreamingPipeline.readEvents(spark, dir))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ufl_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // last update per user is the converged state
+    val got = spark.table("ufl_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), (r.getAs[Long]("first_ms"), r.getAs[Long]("last_ms"), r.getAs[Long]("n"))))
+      .groupBy(_._1)
+      .map { case (u, rows) => (u, rows.map(_._2).maxBy(_._3)) }
+    val batch = graft.ops.EventQueries.userFirstLast(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch)
+  }
+
+  test("streaming KDC auth counts match the Perl-mapper semantics") {
+    import spark.implicits._
+    val logDir = "target/scratch/streamlogs"
+    val lines = Seq(
+      "2015-11-22T15:25:20 ENC-TS Pre-authentication succeeded -- cg2v@SQUILL.DEMENTIA.ORG using aes256",
+      "2015-11-22T16:00:00 ENC-TS Pre-authentication succeeded -- alice@SQUILL.DEMENTIA.ORG",
+      "2015-11-23T08:00:00 ENC-TS Pre-authentication succeeded -- alice@SQUILL.DEMENTIA.ORG",
+      "2015-11-22T15:25:20 AS-REQ cg2v@SQUILL.DEMENTIA.ORG from IPv4:127.0.0.1 for krbtgt/X@Y",
+      "2015-11-22T15:25:20 sending 752 bytes to IPv4:127.0.0.1",
+      "2015-11-22T17:00:00 ENC-TS Pre-authentication succeeded -- bob@OTHER.ORG")
+    new java.io.File(logDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$logDir/kdc.log"),
+      lines.mkString("\n").getBytes)
+    val q = StreamingPipeline.streamingUserAuthCounts(
+        spark, logDir, realm = Some("SQUILL.DEMENTIA.ORG"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("auth_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("auth_out").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("2015-11-22", "cg2v") -> 1L,
+      ("2015-11-22", "alice") -> 1L,
+      ("2015-11-23", "alice") -> 1L))
+  }
+}
