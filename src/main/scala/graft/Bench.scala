@@ -25,8 +25,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch the fact table once (scheduler + codegen spin-up)
-    Tables(spark, sfDir, "lineitem").count()
+    // warmup: one untimed pass of every query at the smallest scale
+    // factor, so JIT/codegen steady-state is reached before timing
+    // (cold first-query penalty measured at ~2-7 s otherwise)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -138,10 +138,19 @@ object KdcQueries {
     * zero-extra-pass `observe`: metrics come back on the listener bus
     * with the action that runs `recs`. */
   def withCounters(recs: Dataset[KdcLogRecord]): Dataset[KdcLogRecord] =
-    recs.observe("kdc_counters",
-      count(lit(1)).as("records"),
-      count(when(!col("valid"), 1)).as("invalid"),
-      count(when(col("referral"), 1)).as("referrals"),
-      count(when(col("error").isNotNull, 1)).as("errorsfound"),
-      count(when(col("error_class") === ErrorClass.BAD_PASSWORD, 1)).as("badpassword"))
+    recs.observe("kdc_counters", counterExprs.head, counterExprs.tail: _*)
+
+  /** Same counters bound to an [[org.apache.spark.sql.Observation]],
+    * whose `get` blocks until the next action delivers the metrics —
+    * the ergonomic path for callers that want the numbers back. */
+  def withCounters(recs: Dataset[KdcLogRecord],
+                   obs: org.apache.spark.sql.Observation): Dataset[KdcLogRecord] =
+    recs.observe(obs, counterExprs.head, counterExprs.tail: _*)
+
+  private def counterExprs = Seq(
+    count(lit(1)).as("records"),
+    count(when(!col("valid"), 1)).as("invalid"),
+    count(when(col("referral"), 1)).as("referrals"),
+    count(when(col("error").isNotNull, 1)).as("errorsfound"),
+    count(when(col("error_class") === ErrorClass.BAD_PASSWORD, 1)).as("badpassword"))
 }

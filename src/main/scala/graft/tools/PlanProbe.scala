@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    graft.Tables(spark, dir, "lineitem").count() // warmup
+    for (name <- args) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+      if (sys.env.contains("EXPLAIN")) df.explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -101,6 +101,24 @@ class SessionizerSpec extends AnyFunSuite {
     assert(!r.success)
   }
 
+  test("preauth after error re-raises success (reference quirk)") {
+    // setErrorIfUnset forces success=false, but a later preauth line
+    // sets it back to true (KDCLogRecordReader.java:270-271 runs per
+    // line, unconditionally). Error string/class stay first-wins.
+    val r = one(Seq(header(),
+      "2015-11-22T15:25:20 Failed to decrypt PA-DATA -- cg2v@EXAMPLE.ORG",
+      "2015-11-22T15:25:20 ENC-TS Pre-authentication succeeded -- cg2v@EXAMPLE.ORG",
+      sending))
+    assert(r.success && r.error_class == ErrorClass.BAD_PASSWORD)
+  }
+
+  test("TGS→AS header overwrite keeps TGS-granted success (reference quirk)") {
+    // the second header overwrites fields in place without resetting
+    // success (the `continue` at KDCLogRecordReader.java:265)
+    val r = one(Seq(header(rt = "TGS-REQ"), header(rt = "AS-REQ"), sending))
+    assert(r.req_type == ReqType.AUTH && r.success)
+  }
+
   test("referral answer sets referral=true without error") {
     val r = one(Seq(header(rt = "TGS-REQ"),
       "2015-11-22T15:25:20 Returning a referral to realm OTHER.ORG for server krbtgt/OTHER.ORG@EXAMPLE.ORG",
