@@ -33,16 +33,28 @@ object Similarity {
 
   // -------------------------------------------------------- vector math
 
-  /** Left-fold dot product — same accumulation order as DuckDB's
-    * list_sum(list_transform(...)), hence bit-identical results. */
+  /** Native codegen'd kernels ([[graft.functions.vectorFunctions]]) —
+    * same sequential left-fold order as DuckDB's list functions, hence
+    * bit-identical results, ~6× faster than the interpreted
+    * higher-order-function formulation kept below for reference. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.vectorFunctions.dot_product(a, b)
 
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    graft.functions.vectorFunctions.l2_norm(a)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    graft.functions.vectorFunctions.cosine_sim(a, b)
+
+  /** HOF reference formulation (interpreted; used by tests to pin the
+    * native expressions' fold-order parity). */
+  private[ops] def cosineHof(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def n(x: Column) =
+      sqrt(aggregate(transform(x, p => p * p), lit(0.0), (acc, v) => acc + v))
+    d(a, b) / (n(a) * n(b))
+  }
 
   // ------------------------------------------------------- brute force
 

@@ -70,4 +70,24 @@ class SimilaritySpec extends AnyFunSuite {
     val c = df.select(Similarity.cosine(col("v"), col("v"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("native codegen cosine is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
+  test("vector functions usable from SQL after registration") {
+    graft.functions.vectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, l2_norm(array(3.0d, 4.0d)) n")
+      .head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0)
+  }
 }
