@@ -139,7 +139,108 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("day"), col("user_id"))
 
+  /** Gap-based sessionization: a new session starts after a >6h idle
+    * gap. Two stacked windows (lag → boundary flag → running sum) and
+    * one aggregation — the standard Spark sessionization plan; all
+    * session arithmetic in epoch-millis bigints so the oracle compare
+    * is exact. */
+  def eventSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // windows order by (ms, event_id) — the exact ordering the oracle
+    // uses, so sub-millisecond timestamp ties can't diverge
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gapMs = 6L * 3600 * 1000
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** CUBE over event dimensions with subtotals on both axes. */
+  def eventCube(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("day_of_week", date_format(col("ts"), "EEEE"))
+      .cube(col("event_type"), col("day_of_week"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_of_week"))
+
+  /** Exact interpolated percentiles of `value` per event type. */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 4).as("p25"),
+        round(element_at(col("p"), 2), 4).as("p50"),
+        round(element_at(col("p"), 3), 4).as("p75"))
+      .orderBy(col("event_type"))
+
+  /** HLL sketch cardinality — the 100 TB path for README #7-style
+    * distinct counts (single pass, mergeable, no distinct shuffle).
+    * Sketch values are engine-specific → rows-only check; the spec
+    * asserts ≤5% relative error against the exact count. */
+  def approxUserCardinality(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Salted variant of the flagship per-user first/last/count — same
+    * answer as userFirstLast through a skew-proof two-stage plan
+    * (checked by the same oracle SQL as user_first_last). */
+  def userFirstLastSalted(s: SparkSession, dir: String): DataFrame =
+    SkewUtils.saltedUserTimes(
+        events(s, dir).withColumn("ms", unix_millis(col("ts"))).select("user_id", "ms"),
+        "user_id", "ms")
+      .select(col("user_id"), col("first_ts").as("first_ms"),
+        col("last_ts").as("last_ms"), col("n").as("n_events"))
+      .orderBy(col("user_id"))
+
   val defs: Map[String, QueryDef] = Map(
+    "event_sessions" -> QueryDef(eventSessions, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 21600000 THEN 1 ELSE 0 END AS is_new
+        |  FROM base),
+        |numbered AS (
+        |  SELECT user_id, ms,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ms) AS start_ms, max(ms) AS end_ms,
+        |       max(ms) - min(ms) AS duration_ms
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)),
+    "event_cube" -> QueryDef(eventCube, Some(
+      """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
+        |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
+        |ORDER BY event_type NULLS FIRST, day_of_week NULLS FIRST""".stripMargin)),
+    "value_percentiles" -> QueryDef(valuePercentiles, Some(
+      s"""SELECT event_type,
+         |  ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,
+         |  ${graft.OracleSql.round("quantile_cont(value, 0.5)", 4)} AS p50,
+         |  ${graft.OracleSql.round("quantile_cont(value, 0.75)", 4)} AS p75
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "approx_user_cardinality" -> QueryDef(approxUserCardinality),
+    "user_first_last_salted" -> QueryDef(userFirstLastSalted, Some(
+      "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "user_auth_count" -> QueryDef(userAuthCount, Some(
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "user_first_last" -> QueryDef(userFirstLast, Some(

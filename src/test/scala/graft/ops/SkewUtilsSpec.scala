@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewUtilsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted count equals plain groupBy count, incl. a skewed key") {
+    import spark.implicits._
+    // heavy hitter: one key with 10k rows, tail keys with a few
+    val rows = Seq.tabulate(10000)(i => ("krbtgt", i.toLong)) ++
+      Seq.tabulate(50)(i => (s"svc_$i", i.toLong))
+    val df = rows.toDF("key", "x")
+    val salted = SkewUtils.saltedCount(df, "key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = df.groupBy("key").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    assert(salted("krbtgt") == 10000L)
+  }
+
+  test("salted user-times equals plain min/max/count on real events") {
+    val ev = EventQueries.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts"))).select("user_id", "ms")
+    val salted = SkewUtils.saltedUserTimes(ev, "user_id", "ms").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val plain = ev.groupBy("user_id")
+      .agg(min("ms"), max("ms"), count(lit(1))).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(salted == plain)
+  }
+
+  test("approx cardinality within 5% of exact") {
+    val approx = EventQueries.approxUserCardinality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = EventQueries.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+}
