@@ -171,9 +171,23 @@ object TpchQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_orders"))
 
+  /** GROUPING SETS with disjoint sets (neither rollup nor cube):
+    * order counts by status alone and by priority alone, one pass. */
+  def orderGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
   val defs: Map[String, QueryDef] = Map(
+    "order_grouping_sets" -> QueryDef(orderGroupingSets, Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
     "pricing_summary" -> QueryDef(pricingSummary, Some(
       s"""SELECT l_returnflag, l_linestatus,
         |  ${R("sum(l_quantity)", 2)} AS sum_qty,
