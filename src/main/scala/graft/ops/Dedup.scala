@@ -79,7 +79,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBucket)
       .select(col("g"))
+    // persist: the self-join below would otherwise re-derive the
+    // shingling+explode lineage for both sides (2× the dominant cost)
     val bounded = posting.join(broadcast(hot), Seq("g"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = bounded.as("a").join(bounded.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -131,6 +134,7 @@ object Dedup {
         |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bh)
         |)) AS bb""".stripMargin)
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -161,17 +165,12 @@ object Dedup {
     shingled(s, dir)
       .selectExpr("doc_id",
         "transform(shingles, t -> xxhash64(t)) AS th")
-      .selectExpr("doc_id",
-        // single pass over the feature hashes, accumulating all 64 bit
-        // votes as one int array. The per-bit-fold alternative (outer
-        // loop over bits, inner fold over hashes) re-traverses the hash
-        // array 64× and measured 463 s vs 17 s for this at sf0.1 —
-        // lambda-eval count dominates, not allocation.
-        """aggregate(th,
-          |  transform(sequence(0, 63), i -> 0),
-          |  (acc, h) -> zip_with(acc, transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)), (x, y) -> x + y),
-          |  acc -> aggregate(transform(sequence(0, 63), i -> IF(element_at(acc, i + 1) >= 0, shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)
-          |) AS simhash""".stripMargin)
+      // native codegen'd kernel (graft.functions.SimHash64) — the HOF
+      // formulations measured 17 s (single-pass zip_with) / 463 s
+      // (per-bit folds) at sf0.1 vs ~2 s for the generated loop;
+      // identical bit semantics pinned in DedupSpec
+      .select(col("doc_id"),
+        graft.functions.textFunctions.simhash64(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
     * candidates from equality on any of the four 16-bit chunks
@@ -184,6 +183,9 @@ object Dedup {
         |  c -> struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS ch)
         |)) AS cc""".stripMargin)
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
+      // persist: the self-join would re-derive shingle+simhash lineage
+      // for both sides; signatures are 4 small rows per doc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id"))

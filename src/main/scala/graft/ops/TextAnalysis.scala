@@ -139,20 +139,23 @@ object TextAnalysis {
 
   // --------------------------------------------------------- fingerprint
 
-  /** Winnowing fingerprints (MOSS-style): xxhash64 over token 5-grams,
-    * then the distinct minima of every sliding window of 4 k-gram
-    * hashes. Robust to local edits; two documents sharing any retained
-    * window agree on that fingerprint. Output is one row per document
-    * with the fingerprint count and sketch min/max for spot checks. */
-  def fingerprints(s: SparkSession, dir: String): DataFrame =
+  /** Winnowing fingerprints (MOSS-style): k-gram hashes (polynomial
+    * combination of 5 consecutive token xxhash64s, via the native
+    * [[graft.functions.WinnowFingerprints]] kernel — the per-position
+    * slice+concat HOF formulation was ~10× slower), then the distinct
+    * minima of every sliding window of 4. Robust to local edits; two
+    * documents sharing any retained window agree on that fingerprint.
+    * Output is one row per document with the fingerprint count and
+    * sketch min/max for spot checks. */
+  private def withFps(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 5)
-      .selectExpr("doc_id",
-        "transform(sequence(0, size(t) - 5), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 5)))) AS kh")
-      .filter(size(col("kh")) >= 4)
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(0, size(kh) - 4), j -> array_min(slice(kh, j + 1, 4)))) AS fps")
+      .selectExpr("doc_id", "transform(split(text, ' '), x -> xxhash64(x)) AS th")
+      .select(col("doc_id"),
+        graft.functions.textFunctions.winnow_fingerprints(col("th"), 5, 4).as("fps"))
+      .filter(size(col("fps")) > 0)
+
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    withFps(s, dir)
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
       .orderBy(col("doc_id"))
@@ -161,14 +164,8 @@ object TextAnalysis {
     * the fingerprint flavor of near-dup detection (inverted-index join,
     * same scale posture as Dedup.jaccardPairs). */
   def fingerprintPairs(s: SparkSession, dir: String, minShared: Int = 2): DataFrame = {
-    val fp = docs(s, dir)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 5)
-      .selectExpr("doc_id",
-        "transform(sequence(0, size(t) - 5), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 5)))) AS kh")
-      .filter(size(col("kh")) >= 4)
-      .selectExpr("doc_id",
-        "explode(array_distinct(transform(sequence(0, size(kh) - 4), j -> array_min(slice(kh, j + 1, 4))))) AS fp")
+    val fp = withFps(s, dir)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -43,6 +43,20 @@ class DedupSpec extends AnyFunSuite {
     assert(a.map(_.getSeq[Long](1)).toSeq == b.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("native simhash64 is bit-identical to the HOF bit-vote formulation") {
+    val th = Dedup.shingled(spark, dir)
+      .selectExpr("doc_id", "transform(shingles, t -> xxhash64(t)) AS th")
+    val both = th.selectExpr("doc_id",
+        """aggregate(th,
+          |  transform(sequence(0, 63), i -> 0),
+          |  (acc, h) -> zip_with(acc, transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)), (x, y) -> x + y),
+          |  acc -> aggregate(transform(sequence(0, 63), i -> IF(element_at(acc, i + 1) >= 0, shiftleft(cast(1 AS BIGINT), i), cast(0 AS BIGINT))), cast(0 AS BIGINT), (a, b) -> a + b)
+          |) AS hof""".stripMargin)
+      .join(Dedup.simhashes(spark, dir), "doc_id")
+    assert(both.filter(org.apache.spark.sql.functions.col("hof") =!=
+      org.apache.spark.sql.functions.col("simhash")).count() == 0)
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val exact = pairSet(Dedup.jaccardPairs(spark, dir, threshold = 0.9))
     val sim = Dedup.simhashPairs(spark, dir, maxHamming = 8)
