@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into cells; queries probe only the
+  * `nprobe` nearest cells and run exact cosine inside them.
+  *
+  * Training is mini-Lloyd over DataFrames: assignment is an argmin
+  * over broadcast centroid literals (codegen'd [[graft.functions.DotProduct]]
+  * distances), the update step is an element-wise mean via
+  * posexplode → groupBy(cell, dim) — the only driver-side collect is
+  * the k×dims centroid matrix (bounded, not data).
+  *
+  * Scale posture (100 TB): the index pass is one scan + one small
+  * shuffle per Lloyd iteration (train on a sample in practice);
+  * querying scans only ~nprobe/k of the corpus per query batch —
+  * the standard sub-linear ANN layout when LSH's data-independent
+  * buckets under-perform on clustered embeddings. Candidates are
+  * exactly re-scored, so like the LSH path precision is 1; recall is
+  * measured in IvfSpec on planted clusters.
+  */
+object Ivf {
+
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def sqDistTo(cent: Array[Double]): Column = {
+    // |v - c|² = |v|² - 2·v·c + |c|²; |v|² is rank-invariant per row,
+    // so argmin over cells only needs -2·v·c + |c|²
+    val c = array(cent.map(lit): _*)
+    val c2 = cent.map(x => x * x).sum
+    lit(-2.0) * graft.functions.vectorFunctions.dot_product(col("v"), c) + lit(c2)
+  }
+
+  /** Nearest-cell id over the model's centroids (codegen'd dots). */
+  private def cellOf(model: IvfModel): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (cent, i) =>
+      struct(sqDistTo(cent).as("d"), lit(i).as("cid"))
+    }
+    element_at(sort_array(array(scored: _*)), 1).getField("cid")
+  }
+
+  /** `nprobe` nearest cell ids, as an array column. */
+  private def probeCells(model: IvfModel, nprobe: Int): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (cent, i) =>
+      struct(sqDistTo(cent).as("d"), lit(i).as("cid"))
+    }
+    slice(transform(sort_array(array(scored: _*)), s => s.getField("cid")), 1, nprobe)
+  }
+
+  /** Mini-Lloyd training. `vecs`: (id, v: array<double>). Seeded by
+    * taking every ⌈n/k⌉-th vector (by id order) as initial centroids —
+    * deterministic given the data. */
+  def train(vecs: DataFrame, k: Int = 16, iters: Int = 3): IvfModel = {
+    val n = vecs.count()
+    val stride = math.max(n / k, 1L)
+    val init = vecs
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))) - 1)
+      .filter(col("rn") % stride === 0)
+      .orderBy(col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var model = IvfModel(init)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cid", cellOf(model))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      // empty cells keep their previous centroid
+      model = IvfModel(model.centroids.zipWithIndex.map { case (old, i) =>
+        updated.get(i).map(_.toArray).getOrElse(old)
+      })
+    }
+    model
+  }
+
+  /** IVF top-k: probe `nprobe` cells, exact cosine inside them. Same
+    * output shape as Similarity.bruteForceTopK / lshTopKOn. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, model: IvfModel,
+              k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val indexed = corpus.withColumn("cid", cellOf(model))
+    val probes = queries
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(probeCells(model, nprobe)).as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    indexed
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", graft.functions.vectorFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Driver-table query: train on the embeddings, probe with the
+    * first five vectors (same protocol as ann_brute_topk/ann_lsh_topk
+    * so outputs are directly comparable). */
+  def ivfQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = train(e, k = 16, iters = 3)
+    ivfTopK(e.filter(col("id") < 5), e.filter(col("id") >= 5), model)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // centroid training is float-order sensitive → rows-only check
+    // (always nQueries × k rows); recall asserted in IvfSpec
+    "ann_ivf_topk" -> QueryDef(ivfQuery))
+}

@@ -81,6 +81,22 @@ class KdcGoldenSpec extends AnyFunSuite {
     assert(m("badpassword") == 1L)
   }
 
+  test("custom record delimiter is a one-option built-in (SURVEY S5)") {
+    // The reference vendors a 500-LoC CustomLineReader for
+    // textinputformat.record.delimiter; Spark's text source does it
+    // with option("lineSep", …) — including CRLF normalization.
+    val dir = "target/scratch/delim"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/recs.txt"),
+      "rec one%%rec two%%rec three".getBytes)
+    val recs = spark.read.option("lineSep", "%%").text(s"$dir/recs.txt")
+      .collect().map(_.getString(0))
+    assert(recs.toSeq == Seq("rec one", "rec two", "rec three"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crlf.log"),
+      "a\r\nb\r\nc".getBytes)
+    assert(spark.read.text(s"$dir/crlf.log").count() == 3)
+  }
+
   test("KdcSource.records shuffle-by-file path agrees with fromLines") {
     val dir = "target/scratch/goldenlogs"
     new java.io.File(dir).mkdirs()
