@@ -45,6 +45,29 @@ object KdcSource {
       .mapPartitions(Sessionizer.sessionizeByFile)
   }
 
+  /** Scale path #2: split-aligned session reading via
+    * [[KdcSessionInputFormat]] — NO shuffle at all; parallelism =
+    * #splits, so a single multi-GB log file fans out across tasks.
+    * Each record arriving from the input format is one complete
+    * session blob, folded independently. Default path for few-huge-
+    * files layouts; [[records]] (shuffle-by-file) remains simplest for
+    * many-file fleets. `maxSplitBytes` exists for tests that force
+    * split boundaries into awkward byte positions. */
+  def recordsAligned(spark: SparkSession, path: String,
+                     maxSplitBytes: Option[Long] = None): Dataset[KdcLogRecord] = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    maxSplitBytes.foreach(b =>
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", b))
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path, classOf[KdcSessionInputFormat],
+      classOf[org.apache.hadoop.io.LongWritable],
+      classOf[org.apache.hadoop.io.Text], conf)
+    spark.createDataset(rdd.map(_._2.toString))
+      .flatMap(blob => Sessionizer.sessionize(blob.linesIterator))
+  }
+
   /** Convenience for tests / small inputs: sessionize pre-collected lines
     * of a single logical file, distributed. */
   def fromLines(spark: SparkSession, lines: Seq[String]): Dataset[KdcLogRecord] = {
