@@ -87,49 +87,31 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- lang-id
 
-  /** Tiny character-trigram profiles (top distinctive trigrams drawn
-    * from common function words of each language). Deliberately small:
-    * the operator shape (profile intersection scoring, argmax via
-    * sort_array on (score, lang) structs) is the point — a production
-    * profile set drops in as data, not code. */
-  val trigramProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "he ", " th", "ing", "and", " an", "ion", " of", "of ", " to", "to ", "ed ", " is", "is "),
-    "de" -> Seq("der", "er ", " de", "ein", " ei", "und", " un", "sch", "ich", "die", "ie ", "cht", "en ", "ung"),
-    "fr" -> Seq("es ", " de", "de ", "le ", " le", "ent", "que", " qu", "ue ", "les", "la ", " la", "ion", "des"),
-    "es" -> Seq(" de", "de ", "la ", " la", "que", " qu", "ue ", "el ", " el", "los", "ión", "ción", "ado", "es "))
-
-  /** Distinctive function words per language (word-level evidence —
-    * trigram profiles alone misfire on unnatural text such as keyword
-    * lists, where incidental character sequences dominate). */
-  val functionWords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "an", "of", "and", "is", "to", "in", "it", "that"),
-    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "den", "von", "mit"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"),
-    "es" -> Seq("el", "la", "los", "las", "y", "es", "que", "una", "en", "por"))
+  /** Profiles live in [[graft.functions.LangProfiles]] (shared with
+    * the native scoring kernel); re-exported here for callers. */
+  def trigramProfiles: Map[String, Seq[String]] = graft.functions.LangProfiles.trigrams
+  def functionWords: Map[String, Seq[String]] = graft.functions.LangProfiles.functionWords
 
   /** Predict language by combined trigram-profile overlap + function
-    * word hits; `score` is the (0..2)-normalized sum of both fractions.
-    * Ties break lexicographically (deterministic). No evidence ⇒ 'und'. */
+    * word hits (scored in one pass by the native
+    * [[graft.functions.LangScores]] kernel — the HOF formulation
+    * materialized a trigram array per document and intersected it per
+    * profile, ~8× slower); `score` is the (0..1) mean of both
+    * fractions. Ties break lexicographically (deterministic).
+    * No evidence ⇒ 'und'. */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val tg = expr(
-      s"array_distinct(transform(sequence(1, greatest(length($textCol) - 2, 0)), i -> substring($textCol, i, 3)))")
-    val toks = expr(s"array_distinct(split(lower($textCol), ' '))")
-    val scored = trigramProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
-      val profArr = array(prof.map(lit): _*)
-      val words = array(functionWords(lang).map(lit): _*)
-      struct(
-        ((size(array_intersect(tg, profArr)).cast("double") / prof.size) +
-          (size(array_intersect(toks, words)).cast("double") / functionWords(lang).size))
-          .divide(2.0).as("score"),
-        lit(lang).as("lang"))
+    val scored = graft.functions.LangProfiles.langs.zipWithIndex.map {
+      case (lang, i) =>
+        struct(element_at(col("__ls"), i + 1).as("score"), lit(lang).as("lang"))
     }
     // argmax = last element of the sorted (score, lang) structs;
     // struct ordering is field-order, so score first, lang tie-break.
-    df.withColumn("best", element_at(sort_array(array(scored: _*)), -1))
+    df.withColumn("__ls", graft.functions.langFunctions.lang_scores(col(textCol)))
+      .withColumn("best", element_at(sort_array(array(scored: _*)), -1))
       .withColumn("pred_lang",
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")))
       .withColumn("lang_score", round(col("best.score"), 4))
-      .drop("best")
+      .drop("best", "__ls")
   }
 
   def langIdQuery(s: SparkSession, dir: String): DataFrame =
