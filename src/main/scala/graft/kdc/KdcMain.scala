@@ -8,13 +8,19 @@ import org.apache.spark.sql.SparkSession
   * `user \t firstts \t lastts \t count` per `UserTimeRec.java:128-130`,
   * with the corrected min/max semantics — SURVEY.md §2.4).
   *
-  * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm]
+  * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm] [--aligned]
+  *
+  * `--aligned` selects the zero-shuffle split-aligned source
+  * ([[KdcSource.recordsAligned]]) — best for few huge files; default
+  * is shuffle-by-file ([[KdcSource.records]]) — simplest for fleets.
   */
 object KdcMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: KdcMain <input> <outdir> [realm]")
-    val Array(in, out) = args.take(2)
-    val realm = args.lift(2)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val aligned = flags.contains("--aligned")
+    require(positional.length >= 2, "usage: KdcMain <input> <outdir> [realm] [--aligned]")
+    val Array(in, out) = positional.take(2)
+    val realm = positional.lift(2)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("kdc-user-time")
@@ -24,7 +30,9 @@ object KdcMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val recs = KdcQueries.withCounters(KdcSource.records(spark, in))
+    val source = if (aligned) KdcSource.recordsAligned(spark, in)
+                 else KdcSource.records(spark, in)
+    val recs = KdcQueries.withCounters(source)
     KdcQueries.userAuthStats(recs, realm)
       .select("client", "first_ts", "last_ts", "n_auth")
       .write.option("sep", "\t").mode("overwrite").csv(out)

@@ -109,4 +109,14 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_auth"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("client"), col("n_auth"))
+
+  /** 4. Streaming exact dedup: drop re-deliveries of the same content
+    * hash arriving within the watermark horizon — the streaming twin
+    * of [[graft.ops.Dedup.exactDedup]]. State per distinct key is one
+    * entry, expired by the watermark (bounded state at 100 TB/day;
+    * dropDuplicates without a watermark would grow forever). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 }

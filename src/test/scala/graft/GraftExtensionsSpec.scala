@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions-configured session exposes graft functions in SQL") {
+    // getOrCreate returns an existing default session and would skip
+    // extension injection — detach any session other suites created
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       l2_norm(array(3.0d, 4.0d)) AS n,
+          |       simhash64(array(CAST(5 AS BIGINT))) AS sh,
+          |       size(winnow_fingerprints(transform(sequence(1, 12), i -> CAST(i AS BIGINT)))) AS nf,
+          |       lang_scores('the quick fox is in the barn')[1] > 0 AS en_hit
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == 5.0)
+      assert(r.getLong(2) == 5L) // single hash: its bits win every vote... plus zero-vote bits set
+      assert(r.getInt(3) > 0)
+      assert(r.getBoolean(4))
+    } finally {
+      // keep the shared SparkContext alive for other suites; just
+      // detach this session so later getOrCreate calls start clean
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

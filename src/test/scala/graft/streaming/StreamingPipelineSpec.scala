@@ -54,6 +54,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // simulate at-least-once delivery: the same events file twice
+    val dir2 = "target/scratch/dupstream"
+    new java.io.File(dir2).mkdirs()
+    for (i <- 1 to 2) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$dir2/events_$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val src = spark.readStream
+      .schema(StreamingPipeline.eventsSchema)
+      .parquet(dir2)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val q = StreamingPipeline.dedupedEvents(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dedup_out").count()
+    val distinct = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(got == distinct, s"doubled input must dedup to $distinct, got $got")
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
