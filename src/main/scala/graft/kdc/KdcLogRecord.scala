@@ -56,4 +56,9 @@ case class KdcLogRecord(
     client_ip: String = null,
     success: Boolean = false,
     referral: Boolean = false,
-    error: String = null)
+    error: String = null,
+    // enctype negotiation (the Perl variant's surface,
+    // `perl/kdcmapper-with-enctypes.pl:39-57,78-81`):
+    preauth_enctype: String = null,     // "using X" on the preauth line
+    supported_enctypes: String = null,  // raw CSV before " using"
+    used_enctype: String = null)        // the "X/Y" pair after it

@@ -118,19 +118,32 @@ object KdcQueries {
       .orderBy(col(grp), col("rank"))
   }
 
-  /** The enctype composite aggregation of the Perl variant
-    * (`perl/kdcmapper-with-enctypes.pl:39-57,78-81`): given records
-    * extended with an `enctypes` CSV column, per user/enctype counts.
-    * Kept for surface parity; the driver tables have no enctype column
-    * so this is exercised by unit fixtures only. */
-  def userEnctypeStats(recsWithEnctypes: DataFrame): DataFrame = {
-    val ets = split(col("enctypes"), ",\\s*")
-    recsWithEnctypes
-      .withColumn("first_et", element_at(ets, 1))
-      .withColumn("last_et", element_at(ets, -1))
-      .groupBy(col("client"), col("first_et"), col("last_et"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("client", "first_et", "last_et")
+  /** Per user × preauth-enctype auth counts — the `u:<user>/<et>` keys
+    * of the enctype Perl variant (`perl/kdcmapper-with-enctypes.pl:39-44`;
+    * UNK when the preauth line carries no `using` suffix, as there). */
+  def userEnctypeStats(recs: Dataset[KdcLogRecord], realm: Option[String] = None): DataFrame =
+    successfulAuths(recs, realm)
+      .groupBy(col("client"),
+        coalesce(col("preauth_enctype"), lit("UNK")).as("enctype"))
+      .agg(count(lit(1)).as("n_auth"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .orderBy("client", "enctype")
+
+  /** Per service × enctype-negotiation triple
+    * `firstSupported/lastSupported/used` — the `s:<svc>/<ets>` keys
+    * (`perl/kdcmapper-with-enctypes.pl:46-57,78-81`; UNK when no
+    * enctype line was seen, matching the Perl default). */
+  def serviceEnctypeStats(recs: Dataset[KdcLogRecord], realm: Option[String] = None): DataFrame = {
+    val ets = filter(split(col("supported_enctypes"), ",\\s*"), x => x =!= "")
+    serviceUses(recs, realm)
+      .withColumn("enctype_key",
+        when(col("supported_enctypes").isNull, lit("UNK"))
+          .otherwise(concat_ws("/",
+            element_at(ets, 1), element_at(ets, -1), col("used_enctype"))))
+      .groupBy(col("service"), col("enctype_key"))
+      .agg(count(lit(1)).as("n_req"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .orderBy("service", "enctype_key")
   }
 
   /** Side-channel counters of the reference mapper

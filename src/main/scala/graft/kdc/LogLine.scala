@@ -27,8 +27,14 @@ object LineEvent {
   case object Sending extends LineEvent
 
   /** `Pre-authentication succeeded` — the only way an AS-REQ succeeds
-    * (`KDCLogRecordReader.java:55,270-271`). */
-  case object PreauthOk extends LineEvent
+    * (`KDCLogRecordReader.java:55,270-271`); the optional `using <et>`
+    * suffix carries the preauth enctype
+    * (`perl/kdcmapper-with-enctypes.pl:39`). */
+  final case class PreauthOk(enctype: Option[String]) extends LineEvent
+
+  /** `Client supported enctypes: <csv> using <X/Y>`
+    * (`perl/kdcmapper-with-enctypes.pl:78-81`). */
+  final case class Enctypes(supported: String, used: String) extends LineEvent
 
   /** A line matching the error taxonomy; `errorClass` is an
     * [[ErrorClass]] constant (`KDCLogRecordReader.java:272-297`). */
@@ -68,6 +74,10 @@ object LogLine {
   // Matcher.find() (a syslog prefix before the timestamp still matches).
   private val HeaderRe =
     s"""($Ts)\\s+((?:AS|TGS)-REQ)\\s+($Atom)@($Realm)\\s+from\\s+($Ip)\\s+for\\s+($Atom)@($Realm)""".r.unanchored
+  private val PreauthEtRe =
+    """Pre-authentication succeeded --\s+\S+@\S+\s+using\s+(\S+)""".r.unanchored
+  private val EnctypesRe =
+    """Client supported enctypes: (.*) using (\S+)""".r.unanchored
   private val SendingRe = s"""$Ts\\s+sending\\s+\\d+\\s+bytes\\s+to\\s+(?:$Ip)""".r.unanchored
   private val NoVerifyTgsRe = s"""($Ts)\\s+(Failed to verify AP-REQ:.*)""".r.unanchored
   private val FailedVerifyRe = s"""($Ts)\\s+(Failed to verify (?:checksum|authenticator).*)""".r.unanchored
@@ -99,7 +109,8 @@ object LogLine {
       }
       Header(ts, rt, client, crealm, ip, service, srealm)
     case SendingRe() => Sending
-    case _ if line.contains("Pre-authentication succeeded") => PreauthOk
+    case _ if line.contains("Pre-authentication succeeded") =>
+      PreauthOk(PreauthEtRe.findFirstMatchIn(line).map(_.group(1)))
     case _ if line.contains("Failed to decrypt PA-DATA --") =>
       Err(ErrorClass.BAD_PASSWORD, line)
     case _ if BadNameNeedles.exists(line.contains) =>
@@ -114,6 +125,7 @@ object LogLine {
     case _ if line.contains("Failed building TGS-REP") =>
       Err(ErrorClass.UNKNOWN, line)
     case _ if line.contains("eturning a referral to realm") => ReferralAnswer
+    case EnctypesRe(supported, used) => Enctypes(supported, used)
     case NoVerifyTgsRe(ts, msg)   => TsErr(ts, msg)
     case FailedVerifyRe(ts, msg)  => TsErr(ts, msg)
     case _ => Noise

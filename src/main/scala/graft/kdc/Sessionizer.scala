@@ -45,6 +45,9 @@ object Sessionizer {
     var success = false
     var referral = false
     var error: String = _
+    var preauthEt: String = _
+    var supportedEts: String = _
+    var usedEt: String = _
 
     def setErrorIfUnset(msg: String, cls: String): Unit = {
       if (error == null) { error = msg; errorClass = cls }
@@ -53,7 +56,7 @@ object Sessionizer {
 
     def result: KdcLogRecord = KdcLogRecord(
       valid, ts, reqType, errorClass, client, crealm, service, srealm,
-      clientIp, success, referral, error)
+      clientIp, success, referral, error, preauthEt, supportedEts, usedEt)
   }
 
   /** One logical file's lines, in order → its records, in order. */
@@ -75,7 +78,12 @@ object Sessionizer {
               b.clientIp = h.ip
               b.valid = true
             case LineEvent.Sending      => nextRec = b.result
-            case LineEvent.PreauthOk    => b.success = true
+            case LineEvent.PreauthOk(et) =>
+              b.success = true
+              et.foreach(b.preauthEt = _)
+            case LineEvent.Enctypes(supported, used) =>
+              b.supportedEts = supported
+              b.usedEt = used
             case LineEvent.Err(c, raw)  => b.setErrorIfUnset(raw, c)
             case LineEvent.TsErr(t, m)  =>
               b.ts = t

@@ -40,7 +40,21 @@ class SessionizerSpec extends AnyFunSuite {
       client = "cg2v", crealm = "SQUILL.DEMENTIA.ORG",
       service = "krbtgt/SQUILL.DEMENTIA.ORG", srealm = "SQUILL.DEMENTIA.ORG",
       client_ip = "IPv4:127.0.0.1", success = true, referral = false,
-      error = null))
+      error = null,
+      preauth_enctype = "aes256-cts-hmac-sha1-96",
+      supported_enctypes = "aes256-cts-hmac-sha1-96, aes128-cts-hmac-sha1-96, des3-cbc-sha1, arcfour-hmac-md5, 25, 26, des-cbc-crc, des-cbc-md5, des-cbc-md4,",
+      used_enctype = "aes256-cts-hmac-sha1-96/aes256-cts-hmac-sha1-96"))
+  }
+
+  test("enctype fields: preauth 'using', supported first/last, used pair") {
+    val r = one(happyAsReq)
+    assert(r.preauth_enctype == "aes256-cts-hmac-sha1-96")
+    assert(r.used_enctype == "aes256-cts-hmac-sha1-96/aes256-cts-hmac-sha1-96")
+    // preauth line without 'using' leaves the enctype unset (Perl: UNK)
+    val r2 = one(Seq(header(),
+      "2015-11-22T15:25:20 ENC-TS Pre-authentication succeeded -- cg2v@EXAMPLE.ORG",
+      sending))
+    assert(r2.success && r2.preauth_enctype == null)
   }
 
   test("AS-REQ without preauth line is not successful (missing preauth)") {
