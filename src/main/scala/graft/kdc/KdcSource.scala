@@ -26,19 +26,27 @@ object KdcSource {
 
   /** Scale path: splittable read → repartition by file → in-order fold.
     *
-    * `monotonically_increasing_id` is (partitionId << 33) + row-in-
-    * partition, and Spark's `FileSourceScanExec` assigns ascending
-    * partition ids in file-split order, so sorting by it within a file
-    * restores the original line order even when one file spans splits.
+    * Line order within a file is restored by sorting on TRUE byte
+    * offsets from the Hadoop text reader. (A `monotonically_increasing_id`
+    * ordering is NOT safe here: Spark packs file splits into partitions
+    * sorted by size, so chunks of a file larger than
+    * `maxPartitionBytes` can be visited out of offset order — that
+    * would silently interleave sessions. Offsets are immune to split
+    * packing.)
     */
   def records(spark: SparkSession, path: String): Dataset[KdcLogRecord] = {
     import spark.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
     val nParts = spark.sessionState.conf.numShufflePartitions
-    spark.read.textFile(path)
-      .select(
-        input_file_name().as("file"),
-        monotonically_increasing_id().as("pos"),
-        $"value".as("line"))
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, iter) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        iter.map { case (off, text) => (file, off.get(), text.toString) }
+      }
+    spark.createDataset(rdd).toDF("file", "pos", "line")
       .repartition(nParts, $"file")
       .sortWithinPartitions($"file", $"pos")
       .select($"file", $"line").as[(String, String)]

@@ -71,6 +71,29 @@ class KdcAlignedSpec extends AnyFunSuite {
     assert(n == Sessionizer.sessionize(lines.iterator).size)
   }
 
+  test("shuffle-by-file path survives multi-split files (true offsets)") {
+    // force many splits of one file through the Hadoop reader; the
+    // sort must use true byte offsets — split packing by size would
+    // corrupt a monotonic-id ordering
+    val old = spark.sparkContext.hadoopConfiguration
+      .get("mapreduce.input.fileinputformat.split.maxsize")
+    spark.sparkContext.hadoopConfiguration
+      .setLong("mapreduce.input.fileinputformat.split.maxsize", 2048)
+    try {
+      val expected = Sessionizer.sessionize(lines.iterator).toList
+      val got = KdcSource.records(spark, s"$dir/big.log").collect()
+      assert(got.length == expected.length)
+      assert(got.groupBy(identity).view.mapValues(_.length).toMap ==
+        expected.groupBy(identity).view.mapValues(_.length).toMap)
+    } finally {
+      if (old == null)
+        spark.sparkContext.hadoopConfiguration
+          .unset("mapreduce.input.fileinputformat.split.maxsize")
+      else spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.input.fileinputformat.split.maxsize", old)
+    }
+  }
+
   test("aligned path agrees with the shuffle-by-file path end to end") {
     val a = KdcQueries.userAuthStats(
       KdcSource.recordsAligned(spark, s"$dir/big.log", Some(4096))).collect()
