@@ -25,6 +25,11 @@ object AsofJoin {
     * @param left  (key, ts, leftCols…)
     * @param right (key, ts, rightCols…) — its non-key/ts columns are
     *              emitted with values from the matched as-of row.
+    *              MUST be unique per (key, ts): with duplicates the
+    *              window's ordering among equal (ts, side) rows is not
+    *              deterministic, so which payload wins would vary
+    *              run-to-run (callers dedupe first, as
+    *              [[purchaseAfterClick]] does).
     */
   def asofBackward(left: DataFrame, right: DataFrame,
                    key: String, ts: String): DataFrame = {

@@ -119,4 +119,28 @@ object StreamingPipeline {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** 5. Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding hour. Watermarks on BOTH sides +
+    * the time-range predicate bound the join state (rows older than
+    * watermark + interval are evicted) — the streaming sibling of
+    * [[graft.ops.AsofJoin]], keeping every qualifying click rather
+    * than only the latest. */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+  }
 }

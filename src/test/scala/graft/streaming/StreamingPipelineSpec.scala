@@ -79,6 +79,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == distinct, s"doubled input must dedup to $distinct, got $got")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val q = StreamingPipeline.purchasesWithRecentClicks(
+        StreamingPipeline.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("ssj_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    // append mode may hold back pairs near the unflushed watermark tail
+    assert(got.subsetOf(batch), s"extra pairs: ${got -- batch}")
+    assert(got.size >= (batch.size * 0.95).toInt, s"${got.size}/${batch.size}")
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
