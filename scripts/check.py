@@ -19,8 +19,11 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style: repr at full precision; we rounded upstream
-        return repr(round(v, 9))
+        # FULL precision: every float the queries emit is either
+        # Spark-round-emulated or derived from identical integer inputs
+        # on both engines, so bit-equality is the contract — rounding
+        # here would mask divergence the driver's hash would catch
+        return repr(v)
     return repr(v)
 
 
