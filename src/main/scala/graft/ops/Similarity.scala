@@ -148,7 +148,10 @@ object Similarity {
 
   def neardupPairsOn(vecs: DataFrame, threshold: Double,
                      nTables: Int = 8, nBits: Int = 8): DataFrame = {
+    // persist: the self-join would re-derive all 64 hyperplane dot
+    // products on both sides (same pattern as Dedup's band joins)
     val b = lshBuckets(vecs, "id", nTables, nBits, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
