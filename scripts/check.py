@@ -5,7 +5,10 @@ Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB against the sf_dir
-parquet tables, and compares: column names (sorted), row count, and
+parquet tables, and compares: column names (sorted), ARROW TYPES per
+column (sorted by name — this is what the driver's type-aware hash
+sees: a DuckDB HUGEINT sum surfaces as decimal128(38,0) while Spark
+emits int64, and the two must NOT be treated equal), row count, and
 values (rows sorted, hashed). Exit 1 on any mismatch.
 """
 import json, sys, math, hashlib
@@ -39,6 +42,18 @@ def table_digest(cols, rows):
     return h.hexdigest()
 
 
+def arrow_types(rel):
+    """{column -> arrow type string} for a DuckDB relation result."""
+    tbl = rel.arrow()
+    return {f.name: str(f.type) for f in tbl.schema}, tbl
+
+
+def rows_of(tbl):
+    cols = tbl.column_names
+    pyl = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return cols, list(zip(*pyl)) if pyl else (cols, [])
+
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -49,13 +64,11 @@ def main(outdir, sfdir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            got_types, got_tbl = arrow_types(con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+            got_cols, got_rows = rows_of(got_tbl)
+            want_types, want_tbl = arrow_types(con.execute(sql))
+            want_cols, want_rows = rows_of(want_tbl)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
@@ -63,6 +76,10 @@ def main(outdir, sfdir):
         problems = []
         if sorted(got_cols) != sorted(want_cols):
             problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+        elif got_types != want_types:
+            diffs = {c: (got_types[c], want_types[c])
+                     for c in got_types if got_types[c] != want_types.get(c)}
+            problems.append(f"types spark-vs-oracle {diffs}")
         if len(got_rows) != len(want_rows):
             problems.append(f"rows spark={len(got_rows)} oracle={len(want_rows)}")
         if not problems:

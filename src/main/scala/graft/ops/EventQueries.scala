@@ -125,7 +125,7 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(desc("n_events"), col("event_type"))
-    counts.withColumn("rnk", row_number().over(w))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("user_id"), col("rnk"))
   }
@@ -257,8 +257,8 @@ object EventQueries {
         |  FROM base),
         |numbered AS (
         |  SELECT user_id, ms,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ms) AS start_ms, max(ms) AS end_ms,

@@ -102,7 +102,7 @@ object Ivf {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"), col("rnk"))
+        round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -196,7 +196,7 @@ object Multimodal {
   val defs: Map[String, QueryDef] = Map(
     "media_inventory" -> QueryDef(inventoryQuery, Some(
       """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  count(*) AS n_media, sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+        |  count(*) AS n_media, CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
     // Stub-codec outputs: rows-only; shape/determinism in MultimodalSpec.
     "media_features" -> QueryDef(featureQuery),

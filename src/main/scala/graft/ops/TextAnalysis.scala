@@ -32,9 +32,9 @@ object TextAnalysis {
       .withColumn("t", split(col("text"), " "))
       .select(
         col("doc_id"),
-        size(col("t")).as("n_tokens"),
-        size(array_distinct(col("t"))).as("n_distinct"),
-        length(col("text")).as("n_chars_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars_text"),
         (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"))
       .orderBy(col("doc_id"))
 
@@ -46,7 +46,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit("""[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"""), lit(0)))
-          .as("n_bpe_tokens"))
+          .cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------- quality
@@ -69,7 +69,9 @@ object TextAnalysis {
       .withColumn("quality_score",
         round(col("ttr") * 0.5 + col("stop_ratio") * 0.2 +
           least(col("mean_token_len") / 10.0, lit(1.0)) * 0.3, 4))
-      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stop").cast("long").as("n_stop"),
         round(col("stop_ratio"), 4).as("stop_ratio"),
         round(col("ttr"), 4).as("ttr"),
         round(col("mean_token_len"), 4).as("mean_token_len"),

@@ -37,7 +37,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.length == 50)
     val perQuery = df.groupBy(_.getLong(0))
     for ((_, rows) <- perQuery) {
-      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }

@@ -47,7 +47,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("quality components are consistent") {
     val row = TextAnalysis.qualityScores(spark, dir)
       .filter("doc_id = 0").head()
-    val nTokens = row.getAs[Int]("n_tokens")
+    val nTokens = row.getAs[Long]("n_tokens")
     val ttr = row.getAs[Double]("ttr")
     assert(nTokens > 0 && ttr > 0 && ttr <= 1.0)
     val score = row.getAs[Double]("quality_score")
