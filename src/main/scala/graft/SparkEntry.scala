@@ -9,15 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    shapes on the `events` table (SURVEY.md §2.2/§2.4-2.6)
   *  - [[graft.ops.TpchQueries]] — joins/set-ops/rollup/scalar surface
   *    on the star schema (SURVEY.md §2.3/§2.7/§2.8)
-  *  - [[graft.kdc]] — the raw-log parsing pipeline itself (golden-unit
-  *    tested; not oracle-expressible, exercised via kdc_parse below)
+  *  - [[graft.kdc.KdcParseQueries]] — the raw-log parsing pipeline
+  *    itself, driven over an embedded fixture with literal VALUES
+  *    oracles (`kdc_parse_user_stats` / `kdc_parse_service_stats` /
+  *    `kdc_parse_errors`), on top of its golden/property ScalaTests
   */
 object SparkEntry {
 
   def all: Map[String, QueryDef] =
     ops.EventQueries.defs ++ ops.TpchQueries.defs ++ ops.Dedup.defs ++
       ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs ++
-      ops.AsofJoin.defs ++ ops.Ivf.defs
+      ops.AsofJoin.defs ++ ops.Ivf.defs ++ kdc.KdcParseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with

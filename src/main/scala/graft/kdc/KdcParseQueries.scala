@@ -1,0 +1,150 @@
+package graft.kdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryDef
+
+/** Driver-checked entries for the raw-log parse pipeline — the
+  * reference's central kernel (`KDCLogRecordReader.java:209-324` +
+  * `UserTimeRunner.java:34-48`) exercised end-to-end through the
+  * driver's CORRECTNESS gate, not only through ScalaTest.
+  *
+  * The input is a deterministic embedded fixture (not the sfDir tables —
+  * the raw-log format has no parquet representation), materialized to a
+  * temp dir on each call; the oracles are literal `VALUES` relations of
+  * the hand-computed expected output, so DuckDB verifies rows, schema
+  * and hash exactly like every other oracle-checked query.
+  *
+  * The fixture covers: repeat AS-REQ successes per user, all six error
+  * classes plus the implicit MISSING_PREAUTH bucket
+  * (`UserTimeMapper.java:36-41`), TGS sessions incl. a referral answer
+  * (excluded from service stats, `perl/kdcmapper.pl:42-52`), a
+  * header-overwrite session (`KDCLogRecordReader.java:265`), and a
+  * trailing partial session that must be dropped
+  * (`KDCLogRecordReader.java:317-320`).
+  *
+  * Two queries deliberately take different parse paths so BOTH sources
+  * get a driver row: `kdc_parse_user_stats`/`kdc_parse_errors` go
+  * through [[KdcSource.records]] (shuffle-by-file), while
+  * `kdc_parse_service_stats` goes through [[KdcSource.recordsAligned]]
+  * with 256-byte max splits — forcing split boundaries into the middle
+  * of sessions and lines, which the aligned input format must repair.
+  */
+object KdcParseQueries {
+
+  private val Realm = "SQUILL.DEMENTIA.ORG"
+
+  private def asHeader(ts: String, user: String, ip: String) =
+    s"$ts AS-REQ $user@$Realm from IPv4:$ip for krbtgt/$Realm@$Realm"
+  private def tgsHeader(ts: String, user: String, ip: String, svc: String) =
+    s"$ts TGS-REQ $user@$Realm from IPv4:$ip for $svc@$Realm"
+  private def preauthOk(ts: String, user: String) =
+    s"$ts ENC-TS Pre-authentication succeeded -- $user@$Realm using aes256-cts-hmac-sha1-96"
+  private def sending(ts: String, ip: String) =
+    s"$ts sending 752 bytes to IPv4:$ip"
+
+  /** AS-REQ traffic: cg2v ×2 ok, alice ok/BAD_PASSWORD/ok(next day),
+    * mallory BAD_NAME, expired UNUSABLE_NAME, nopre MISSING_PREAUTH. */
+  private[kdc] val host1Log: String = Seq(
+    asHeader("2015-11-22T15:25:20", "cg2v", "127.0.0.1"),
+    "2015-11-22T15:25:20 Client sent patypes: ENC-TS, REQ-ENC-PA-REP",
+    preauthOk("2015-11-22T15:25:20", "cg2v"),
+    "2015-11-22T15:25:20 Requested flags: renewable-ok, proxiable, forwardable",
+    sending("2015-11-22T15:25:20", "127.0.0.1"),
+    asHeader("2015-11-22T16:10:00", "cg2v", "127.0.0.1"),
+    preauthOk("2015-11-22T16:10:00", "cg2v"),
+    sending("2015-11-22T16:10:00", "127.0.0.1"),
+    asHeader("2015-11-22T17:00:00", "alice", "10.1.2.3"),
+    preauthOk("2015-11-22T17:00:00", "alice"),
+    sending("2015-11-22T17:00:00", "10.1.2.3"),
+    asHeader("2015-11-22T17:30:00", "alice", "10.1.2.3"),
+    s"2015-11-22T17:30:00 Failed to decrypt PA-DATA -- alice@$Realm",
+    sending("2015-11-22T17:30:00", "10.1.2.3"),
+    asHeader("2015-11-22T18:00:00", "mallory", "10.6.6.6"),
+    s"2015-11-22T18:00:00 Client not found in database: mallory@$Realm",
+    sending("2015-11-22T18:00:00", "10.6.6.6"),
+    asHeader("2015-11-22T18:10:00", "expired", "10.7.7.7"),
+    s"2015-11-22T18:10:00 Client expired -- expired@$Realm",
+    sending("2015-11-22T18:10:00", "10.7.7.7"),
+    asHeader("2015-11-22T18:20:00", "nopre", "10.8.8.8"),
+    sending("2015-11-22T18:20:00", "10.8.8.8"),
+    asHeader("2015-11-23T07:00:00", "alice", "10.1.2.3"),
+    preauthOk("2015-11-23T07:00:00", "alice"),
+    sending("2015-11-23T07:00:00", "10.1.2.3")).mkString("\n") + "\n"
+
+  /** TGS traffic: host/www ×2 ok, imap ok, referral (excluded),
+    * BAD_AUTHENTICATION, UNKNOWN, BAD_PARAMETERS, header-overwrite
+    * (cifs counts, host/www does not), trailing partial (dropped). */
+  private[kdc] val host2Log: String = Seq(
+    tgsHeader("2015-11-22T19:00:00", "cg2v", "127.0.0.1", "host/www.example.org"),
+    "2015-11-22T19:00:00 Client supported enctypes: aes256-cts-hmac-sha1-96, aes128-cts-hmac-sha1-96 using aes256-cts-hmac-sha1-96/aes256-cts-hmac-sha1-96",
+    sending("2015-11-22T19:00:00", "127.0.0.1"),
+    tgsHeader("2015-11-22T19:05:00", "cg2v", "127.0.0.1", "host/www.example.org"),
+    sending("2015-11-22T19:05:00", "127.0.0.1"),
+    tgsHeader("2015-11-22T19:10:00", "alice", "10.1.2.3", "imap/mail.example.org"),
+    sending("2015-11-22T19:10:00", "10.1.2.3"),
+    tgsHeader("2015-11-22T19:15:00", "bob", "10.9.9.9", "host/www.example.org"),
+    "2015-11-22T19:15:00 Returning a referral to realm OTHER.ORG",
+    sending("2015-11-22T19:15:00", "10.9.9.9"),
+    tgsHeader("2015-11-22T19:20:00", "bob", "10.9.9.9", "ldap/dir.example.org"),
+    s"2015-11-22T19:20:00 Too large time skew -- bob@$Realm",
+    sending("2015-11-22T19:20:00", "10.9.9.9"),
+    tgsHeader("2015-11-22T19:25:00", "carol", "10.2.2.2", "host/www.example.org"),
+    s"2015-11-22T19:25:00 Failed building TGS-REP to carol@$Realm",
+    sending("2015-11-22T19:25:00", "10.2.2.2"),
+    tgsHeader("2015-11-22T19:30:00", "dave", "10.3.3.3", "nfs/files.example.org"),
+    "2015-11-22T19:30:00 Request to forward non-forwardable ticket",
+    sending("2015-11-22T19:30:00", "10.3.3.3"),
+    tgsHeader("2015-11-22T19:40:00", "frank", "10.4.4.4", "host/www.example.org"),
+    tgsHeader("2015-11-22T19:40:00", "frank", "10.4.4.4", "cifs/share.example.org"),
+    sending("2015-11-22T19:40:00", "10.4.4.4"),
+    tgsHeader("2015-11-22T19:50:00", "eve", "10.5.5.5", "host/www.example.org")).mkString("\n") + "\n"
+
+  /** Materialize the fixture logs (idempotent, same bytes every call). */
+  private[kdc] def fixtureDir(): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_kdc_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("host1.log"), host1Log.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("host2.log"), host2Log.getBytes("UTF-8"))
+    dir.toString
+  }
+
+  /** README #1+#2 over the shuffle-by-file parse path. `sfDir` is
+    * unused: the input is the embedded raw-log fixture. */
+  def userStats(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.userAuthStats(KdcSource.records(spark, fixtureDir()))
+
+  /** README #3+#4 over the split-aligned parse path, with 256-byte max
+    * splits so the driver run crosses many torn-session boundaries. */
+  def serviceStats(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.serviceUseStats(
+      KdcSource.recordsAligned(spark, fixtureDir(), maxSplitBytes = Some(256L)))
+
+  /** README #6 error buckets, incl. the implicit MISSING_PREAUTH. */
+  def errorStats(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.commonErrors(KdcSource.records(spark, fixtureDir()))
+
+  val defs: Map[String, QueryDef] = Map(
+    "kdc_parse_user_stats" -> QueryDef(userStats, Some(
+      """SELECT * FROM (VALUES
+        |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
+        |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT))
+        |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin)),
+    "kdc_parse_service_stats" -> QueryDef(serviceStats, Some(
+      """SELECT * FROM (VALUES
+        |  ('cifs/share.example.org', '2015-11-22T19:40:00', '2015-11-22T19:40:00', CAST(1 AS BIGINT)),
+        |  ('host/www.example.org',   '2015-11-22T19:00:00', '2015-11-22T19:05:00', CAST(2 AS BIGINT)),
+        |  ('imap/mail.example.org',  '2015-11-22T19:10:00', '2015-11-22T19:10:00', CAST(1 AS BIGINT))
+        |) AS t(service, first_ts, last_ts, n_req) ORDER BY service""".stripMargin)),
+    "kdc_parse_errors" -> QueryDef(errorStats, Some(
+      """SELECT * FROM (VALUES
+        |  ('BAD_AUTHENTICATION', CAST(1 AS BIGINT)),
+        |  ('BAD_NAME',           CAST(1 AS BIGINT)),
+        |  ('BAD_PARAMETERS',     CAST(1 AS BIGINT)),
+        |  ('BAD_PASSWORD',       CAST(1 AS BIGINT)),
+        |  ('MISSING_PREAUTH',    CAST(1 AS BIGINT)),
+        |  ('UNKNOWN',            CAST(1 AS BIGINT)),
+        |  ('UNUSABLE_NAME',      CAST(1 AS BIGINT))
+        |) AS t(error_bucket, n) ORDER BY n DESC, error_bucket""".stripMargin)))
+}

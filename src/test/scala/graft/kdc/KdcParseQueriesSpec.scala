@@ -1,0 +1,51 @@
+package graft.kdc
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-checked kdc_parse_* entries to their hand-computed
+  * expected outputs (the same values the VALUES oracles assert), so a
+  * fixture or sessionizer regression fails here before the driver gate.
+  */
+class KdcParseQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("kdc_parse_user_stats matches hand-computed golden rows") {
+    val got = KdcParseQueries.userStats(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("alice", "2015-11-22T17:00:00", "2015-11-23T07:00:00", 2L),
+      ("cg2v", "2015-11-22T15:25:20", "2015-11-22T16:10:00", 2L)))
+  }
+
+  test("kdc_parse_service_stats (256-byte aligned splits) matches golden") {
+    val got = KdcParseQueries.serviceStats(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("cifs/share.example.org", "2015-11-22T19:40:00", "2015-11-22T19:40:00", 1L),
+      ("host/www.example.org", "2015-11-22T19:00:00", "2015-11-22T19:05:00", 2L),
+      ("imap/mail.example.org", "2015-11-22T19:10:00", "2015-11-22T19:10:00", 1L)))
+  }
+
+  test("kdc_parse_errors covers all six classes plus MISSING_PREAUTH") {
+    val got = KdcParseQueries.errorStats(spark, "").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      "BAD_AUTHENTICATION", "BAD_NAME", "BAD_PARAMETERS", "BAD_PASSWORD",
+      "MISSING_PREAUTH", "UNKNOWN", "UNUSABLE_NAME").map(_ -> 1L))
+  }
+
+  test("aligned and shuffle-by-file paths agree on the fixture") {
+    val dir = KdcParseQueries.fixtureDir()
+    val a = KdcSource.records(spark, dir).collect().toSet
+    val b = KdcSource.recordsAligned(spark, dir, Some(256L)).collect().toSet
+    // 8 AS sessions (host1) + 8 TGS sessions (host2; trailing partial
+    // dropped), all field-distinct → 16.
+    assert(a == b && a.size == 16)
+  }
+}
