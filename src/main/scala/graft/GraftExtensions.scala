@@ -32,8 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of array<bigint> feature hashes"),
       (es: Seq[Expression]) => functions.SimHash64(es.head)))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
-      info("winnow_fingerprints", "winnow_fingerprints(hashes) - winnowing fingerprints (k=5, w=4)"),
-      (es: Seq[Expression]) => functions.WinnowFingerprints(es.head, 5, 4)))
+      info("winnow_fingerprints", "winnow_fingerprints(tokens) - winnowing fingerprints of array<string> (k=5, w=4)"),
+      (es: Seq[Expression]) => functions.WinnowTokenFingerprints(es.head, 5, 4)))
     ext.injectFunction((FunctionIdentifier("lang_scores"),
       info("lang_scores", "lang_scores(text) - language-profile evidence scores"),
       (es: Seq[Expression]) => functions.LangScores(es.head)))

@@ -73,30 +73,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Winnowing fingerprints (MOSS): k-gram hashes by polynomial rolling
-  * combination of `k` consecutive feature hashes, then the distinct
-  * minima (first-occurrence order) of every sliding window of `w`
-  * k-gram hashes. Output `array<bigint>`. */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+/** Winnowing fingerprints (MOSS) over a token array: per-token
+  * polynomial hash, k-gram hashes by polynomial rolling combination of
+  * `k` consecutive token hashes, then the distinct minima
+  * (first-occurrence order) of every sliding window of `w` k-gram
+  * hashes. Output `array<bigint>`.
+  *
+  * All arithmetic is shift-polynomials modulo the Mersenne prime
+  * 2^61-1 (token chars: base 2^5; k-grams: base 2^13) — chosen so an
+  * independent engine can reproduce the fingerprints exactly with
+  * plain 128-bit modular arithmetic (`(acc * base + x) % (2^61-1)`);
+  * that is what the DuckDB oracles for `text_fingerprints` /
+  * `text_fingerprint_pairs` do. Characters enter as Unicode code
+  * points (= DuckDB `unicode()` per char, surrogate-correct). */
+case class WinnowTokenFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   require(k >= 1 && w >= 1, "k and w must be positive")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    TextExpressions.requireLongArray(prettyName, child.dataType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
 
   override def nullSafeEval(a: Any): Any = {
+    import TextExpressions.fold61
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val nk = n - k + 1
     if (nk < w) return new GenericArrayData(Array.empty[Long])
-    val kh = new Array[Long](nk)
+    val th = new Array[Long](n)
     var i = 0
+    while (i < n) {
+      val s = xs.getUTF8String(i).toString
+      var h = 0L
+      var p = 0
+      while (p < s.length) {
+        val cp = s.codePointAt(p)
+        h = fold61(h, 5, cp.toLong)
+        p += Character.charCount(cp)
+      }
+      th(i) = h
+      i += 1
+    }
+    val kh = new Array[Long](nk)
+    i = 0
     while (i < nk) {
       var acc = 0L
       var j = 0
-      while (j < k) { acc = acc * TextExpressions.PolyA + xs.getLong(i + j); j += 1 }
+      while (j < k) { acc = fold61(acc, 13, th(i + j)); j += 1 }
       kh(i) = acc
       i += 1
     }
@@ -131,8 +159,17 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 object TextExpressions {
-  /** Polynomial multiplier for k-gram rolling hashes (odd 64-bit). */
-  val PolyA: Long = 0x9e3779b97f4a7c15L
+  /** Mersenne prime 2^61 - 1: the fingerprint hash modulus. */
+  val M61: Long = (1L << 61) - 1
+
+  /** `(acc * 2^shift + x) mod (2^61-1)` without overflow: since
+    * 2^61 ≡ 1 (mod M61), the product's high bits fold back additively.
+    * Preconditions: 0 ≤ acc < 2^61, 0 ≤ x < 2^61, 1 ≤ shift ≤ 61. */
+  @inline def fold61(acc: Long, shift: Int, x: Long): Long = {
+    var r = ((acc << shift) & M61) + (acc >>> (61 - shift)) + x
+    while (r >= M61) r -= M61
+    r
+  }
 
   def requireLongArray(fn: String, dt: DataType): TypeCheckResult = dt match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -144,6 +181,6 @@ object TextExpressions {
 object textFunctions {
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
-  def winnow_fingerprints(hashes: Column, k: Int = 5, w: Int = 4): Column =
-    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(hashes), k, w))
+  def winnow_fingerprints(tokens: Column, k: Int = 5, w: Int = 4): Column =
+    ColumnBridge.column(WinnowTokenFingerprints(ColumnBridge.expression(tokens), k, w))
 }

@@ -203,21 +203,32 @@ object Dedup {
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash")),
     "dedup_exact" -> QueryDef(exactDedup, Some(
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),
-    "dedup_jaccard_pairs" -> QueryDef((s, d) => jaccardPairs(s, d), Some(
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-        |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
-        |       FROM tok WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jac
-        |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin)),
-    // Hash-family-dependent results: no SQL oracle (rows-only check);
-    // correctness established by DedupSpec against exact jaccardPairs.
-    "dedup_minhash_lsh" -> QueryDef((s, d) => minhashLshPairs(s, d)),
+    "dedup_jaccard_pairs" -> QueryDef((s, d) => jaccardPairs(s, d), Some(exactJaccardSql)),
+    // MinHash-LSH emits exact-Jaccard-verified candidate pairs, so its
+    // oracle is the EXACT near-dup set: the driver row asserts
+    // end-to-end recall 1 AND precision 1 of the LSH plan at driver
+    // scale (recall of 16 bands × 4 rows at jac ≥ 0.5 is ≈ 1-(1-j⁴)¹⁶
+    // ≥ 0.65 per pair a priori, and empirically 1.0 on this corpus's
+    // planted near-dups — cross-validated in DedupSpec; a miss would
+    // surface as a red driver row, which is the point of the check).
+    "dedup_minhash_lsh" -> QueryDef((s, d) => minhashLshPairs(s, d), Some(exactJaccardSql)),
+    // SimHash: hamming-ball semantics have no exact SQL equivalent
+    // (xxhash64 bit votes); rows-only, validated in DedupSpec.
     "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8)))
+
+  /** Exact word-3-gram Jaccard pairs at 0.5 in DuckDB — the oracle for
+    * both `dedup_jaccard_pairs` and (see above) `dedup_minhash_lsh`. */
+  private lazy val exactJaccardSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+      |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      |       FROM tok WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jac
+      |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+      |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

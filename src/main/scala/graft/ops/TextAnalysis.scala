@@ -123,24 +123,25 @@ object TextAnalysis {
 
   // --------------------------------------------------------- fingerprint
 
-  /** Winnowing fingerprints (MOSS-style): k-gram hashes (polynomial
-    * combination of 5 consecutive token xxhash64s, via the native
-    * [[graft.functions.WinnowFingerprints]] kernel — the per-position
-    * slice+concat HOF formulation was ~10× slower), then the distinct
-    * minima of every sliding window of 4. Robust to local edits; two
-    * documents sharing any retained window agree on that fingerprint.
-    * Output is one row per document with the fingerprint count and
-    * sketch min/max for spot checks. */
+  /** Winnowing fingerprints (MOSS-style): per-token polynomial hash +
+    * k-gram rolling combination of 5 consecutive token hashes (one
+    * native [[graft.functions.WinnowTokenFingerprints]] pass — no
+    * intermediate hash array), then the distinct minima of every
+    * sliding window of 4. Robust to local edits; two documents sharing
+    * any retained window agree on that fingerprint. The hash family is
+    * Mersenne-61 modular arithmetic, reproduced exactly by the DuckDB
+    * oracles (see the kernel's scaladoc), so both fingerprint queries
+    * are fully oracle-checked. */
   private def withFps(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .selectExpr("doc_id", "transform(split(text, ' '), x -> xxhash64(x)) AS th")
       .select(col("doc_id"),
-        graft.functions.textFunctions.winnow_fingerprints(col("th"), 5, 4).as("fps"))
+        graft.functions.textFunctions.winnow_fingerprints(
+          split(col("text"), " "), 5, 4).as("fps"))
       .filter(size(col("fps")) > 0)
 
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     withFps(s, dir)
-      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
       .orderBy(col("doc_id"))
 
@@ -188,8 +189,67 @@ object TextAnalysis {
     }),
     "lang_histogram" -> QueryDef(langHistogram, Some(
       s"SELECT lang, count(*) AS n_docs, ${R("avg(n_chars)", 2)} AS avg_chars FROM documents GROUP BY lang ORDER BY lang")),
-    // Heuristic / hash-based: rows-only checks, validated in TextAnalysisSpec.
-    "text_langid" -> QueryDef(langIdQuery),
-    "text_fingerprints" -> QueryDef(fingerprints),
-    "text_fingerprint_pairs" -> QueryDef((s, d) => fingerprintPairs(s, d)))
+    "text_langid" -> QueryDef(langIdQuery, Some(langIdOracle)),
+    "text_fingerprints" -> QueryDef(fingerprints, Some(
+      s"""$fpCte
+         |SELECT doc_id, len(fps) AS n_fingerprints,
+         |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+         |FROM fp ORDER BY doc_id""".stripMargin)),
+    "text_fingerprint_pairs" -> QueryDef((s, d) => fingerprintPairs(s, d), Some(
+      s"""$fpCte,
+         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin)))
+
+  /** DuckDB reimplementation of [[graft.functions.WinnowTokenFingerprints]]
+    * (k=5, w=4): same Mersenne-61 shift-polynomial hashes via HUGEINT
+    * modular arithmetic — an independent second implementation, so the
+    * driver check validates the kernel end-to-end. */
+  private lazy val fpCte: String = {
+    val p = graft.functions.TextExpressions.M61
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, tk ->
+       |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+       |              (a, c) -> (a * 32 + c) % $p) AS BIGINT)) AS hs
+       |       FROM tok),
+       |kh AS (SELECT doc_id, list_transform(range(len(hs) - 4), i ->
+       |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_transform(list_slice(hs, i + 1, i + 5), h -> CAST(h AS HUGEINT)),
+       |              (a, h) -> (a * 8192 + h) % $p) AS BIGINT)) AS kh
+       |       FROM th WHERE len(hs) >= 8),
+       |fp AS (SELECT doc_id, list_distinct(list_transform(range(len(kh) - 3), i ->
+       |         list_min(list_slice(kh, i + 1, i + 4)))) AS fps
+       |       FROM kh)""".stripMargin
+  }
+
+  /** DuckDB reimplementation of the [[langId]] scoring: per language,
+    * trigram hits = 3-char profile entries contained in the raw text
+    * (≡ distinct-trigram ∩ profile), word hits = function words present
+    * in the lowercased token set; argmax with (score, lang) descending
+    * tie-break, no evidence ⇒ 'und'. Profile lists are generated from
+    * [[graft.functions.LangProfiles]] so both sides share one source. */
+  private lazy val langIdOracle: String = {
+    val rows = graft.functions.LangProfiles.langs.map { l =>
+      def lst(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"('$l', ${lst(graft.functions.LangProfiles.trigrams(l))}, ${lst(graft.functions.LangProfiles.functionWords(l))})"
+    }.mkString(",\n|    ")
+    s"""WITH langs(lang, tris, words) AS (VALUES
+       |    $rows),
+       |scored AS (
+       |  SELECT d.doc_id, l.lang,
+       |    (CAST(len(list_filter(l.tris, g -> length(g) = 3 AND contains(d.text, g))) AS DOUBLE) / len(l.tris)
+       |     + CAST(len(list_filter(l.words, w0 -> list_contains(string_split(lower(d.text), ' '), w0))) AS DOUBLE) / len(l.words)) / 2 AS score
+       |  FROM documents d CROSS JOIN langs l),
+       |best AS (
+       |  SELECT doc_id, lang, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM scored)
+       |SELECT doc_id,
+       |       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       |       ${R("score", 4)} AS lang_score
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -23,7 +23,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
           |       l2_norm(array(3.0d, 4.0d)) AS n,
           |       simhash64(array(CAST(5 AS BIGINT))) AS sh,
-          |       size(winnow_fingerprints(transform(sequence(1, 12), i -> CAST(i AS BIGINT)))) AS nf,
+          |       size(winnow_fingerprints(split('a b c d e f g h i j k l', ' '))) AS nf,
           |       lang_scores('the quick fox is in the barn')[1] > 0 AS en_hit
           |""".stripMargin).head()
       assert(r.getDouble(0) == 1.0)
