@@ -5,11 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): run every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
   *
-  * Each query is fully materialized through the `noop` datasource —
-  * unlike `count()`, which lets Catalyst prune the aggregates/sort the
-  * query exists to measure, noop evaluates every output row and column.
-  * One untimed warmup executes a trivial action first so JVM/codegen
-  * startup isn't billed to the first query.
+  * Methodology:
+  *  - Each query is fully materialized through the `noop` datasource —
+  *    unlike `count()`, which lets Catalyst prune the aggregates/sort
+  *    the query exists to measure, noop evaluates every output row.
+  *  - One untimed warmup pass at the smallest scale factor reaches
+  *    JIT/codegen steady state (cold first-query penalty is 2-7 s).
+  *  - Each query is then timed TWICE at the target scale and the min
+  *    reported — a single sample is hostage to page-cache state, GC
+  *    pauses, and compilation that has nothing to do with the plan
+  *    (r1 driver run showed 20× inflation on trivial scan+aggs).
+  *  - `spark.catalog.clearCache()` runs between iterations and between
+  *    queries: operators persist() derived signature frames internally,
+  *    and Spark's CacheManager matches by logical plan, so without the
+  *    clear (a) iteration 2 would measure a cache hit, not the query,
+  *    and (b) persisted frames would pile up across the 50+ query
+  *    suite, distorting later queries with eviction churn (the r1
+  *    driver-vs-snapshot gap on embedding_neardup_pairs).
+  *  - A query that throws is reported with its wall time in a separate
+  *    "errors" list so a broken query can't silently pose as a timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,27 +39,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: one untimed pass of every query at the smallest scale
-    // factor, so JIT/codegen steady-state is reached before timing
-    // (cold first-query penalty measured at ~2-7 s otherwise)
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // outside the timed window
+        (dt, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (t1, ok1) = once()
+      val (t2, ok2) = once()
+      (name, math.min(t1, t2), ok1 && ok2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,14 +40,16 @@ object TpchQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 shape: revenue per order for one market segment.
-    * customer is a broadcast dim; lineitem⋈orders shuffles on orderkey
-    * only after the segment filter prunes orders. */
+    * Join order matters and Catalyst won't reorder it without CBO:
+    * the broadcast customer-segment join prunes orders FIRST (~1/5 of
+    * rows survive), so the expensive lineitem⋈orders shuffle join
+    * moves a 5× smaller build side. */
   def shippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("o_orderkey"))
