@@ -73,7 +73,6 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String,
                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val sh = shingled(s, dir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
     val hot = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
@@ -83,6 +82,14 @@ object Dedup {
     // shingling+explode lineage for both sides (2× the dominant cost)
     val bounded = posting.join(broadcast(hot), Seq("g"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Sizes come from the SAME bounded posting set, so when maxBucket
+    // drops a degenerate shingle the semantics stay consistent: exact
+    // Jaccard over the universe of shingles with df ≤ maxBucket
+    // (previously sz_a/sz_b counted full shingle sets while n_shared
+    // didn't, silently underestimating jac whenever the guard fired).
+    // The oracle SQL mirrors the guard, so both sides agree on any
+    // dataset, not just ones where no shingle is hot.
+    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shared = bounded.as("a").join(bounded.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -203,7 +210,7 @@ object Dedup {
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash")),
     "dedup_exact" -> QueryDef(exactDedup, Some(
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),
-    "dedup_jaccard_pairs" -> QueryDef((s, d) => jaccardPairs(s, d), Some(exactJaccardSql)),
+    "dedup_jaccard_pairs" -> QueryDef((s, d) => jaccardPairs(s, d), Some(boundedJaccardSql)),
     // MinHash-LSH emits exact-Jaccard-verified candidate pairs, so its
     // oracle is the EXACT near-dup set: the driver row asserts
     // end-to-end recall 1 AND precision 1 of the LSH plan at driver
@@ -216,8 +223,32 @@ object Dedup {
     // (xxhash64 bit votes); rows-only, validated in DedupSpec.
     "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8)))
 
-  /** Exact word-3-gram Jaccard pairs at 0.5 in DuckDB — the oracle for
-    * both `dedup_jaccard_pairs` and (see above) `dedup_minhash_lsh`. */
+  /** `jaccardPairs` oracle: same count-based formulation INCLUDING the
+    * df > 1000 posting guard, so Spark and DuckDB agree on datasets
+    * with degenerate shingles too (on the testdata, where max df ≈ 500,
+    * it returns exactly [[exactJaccardSql]]'s rows). */
+  private lazy val boundedJaccardSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+      |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      |       FROM tok WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
+      |exb AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM exb GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |           FROM exb a JOIN exb b ON a.g = b.g AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |scored AS (SELECT doc_a, doc_b,
+      |             CAST(n_shared AS DOUBLE) / (x.sz + y.sz - n_shared) AS jac
+      |           FROM shared JOIN sz x ON doc_a = x.doc_id
+      |                       JOIN sz y ON doc_b = y.doc_id)
+      |SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact full-universe word-3-gram Jaccard pairs at 0.5 — the oracle
+    * for `dedup_minhash_lsh`, whose verification intersects full
+    * shingle sets (no posting guard). */
   private lazy val exactJaccardSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),

@@ -117,13 +117,21 @@ object Similarity {
       k, nTables, nBits)
   }
 
-  /** Generic LSH top-k over (id, v) query/corpus frames. */
+  /** Embedding dimensionality of a (.., v) frame — one bounded
+    * driver-side lookup of a single row. Hyperplanes must cover every
+    * component: a shorter plane would silently bucket on a prefix of
+    * the vector and degrade recall with no error. */
+  private def dimsOf(vecs: DataFrame): Int =
+    vecs.select(size(col("v"))).head().getInt(0)
+
+  /** Generic LSH top-k over (id, v) query/corpus frames. `dims`
+    * defaults to the corpus's actual dimensionality. */
   def lshTopKOn(queries: DataFrame, corpus: DataFrame, k: Int,
-                nTables: Int = 8, nBits: Int = 8): DataFrame = {
-    val dims = 64
-    val qb = lshBuckets(queries, "id", nTables, nBits, dims)
+                nTables: Int = 8, nBits: Int = 8, dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else dimsOf(corpus)
+    val qb = lshBuckets(queries, "id", nTables, nBits, d)
       .select(col("id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
-    val cb = lshBuckets(corpus, "id", nTables, nBits, dims)
+    val cb = lshBuckets(corpus, "id", nTables, nBits, d)
       .select(col("id").as("neighbor_id"), col("v").as("cv"), col("tbl"), col("bucket"))
     val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
@@ -147,10 +155,11 @@ object Similarity {
       threshold, nTables, nBits)
 
   def neardupPairsOn(vecs: DataFrame, threshold: Double,
-                     nTables: Int = 8, nBits: Int = 8): DataFrame = {
-    // persist: the self-join would re-derive all 64 hyperplane dot
+                     nTables: Int = 8, nBits: Int = 8, dims: Int = -1): DataFrame = {
+    // persist: the self-join would re-derive all hyperplane dot
     // products on both sides (same pattern as Dedup's band joins)
-    val b = lshBuckets(vecs, "id", nTables, nBits, 64)
+    val b = lshBuckets(vecs, "id", nTables, nBits,
+        if (dims > 0) dims else dimsOf(vecs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

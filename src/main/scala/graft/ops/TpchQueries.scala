@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage over the driver's TPC-H-ish star
@@ -22,20 +22,35 @@ object TpchQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Money columns arrive as parquet doubles whose true values have two
+    * decimals; casting to DECIMAL(12,2) before aggregation makes the
+    * sums exact and ORDER-INDEPENDENT, so results cannot drift when a
+    * plan change reorders the summation (a float sum did exactly that
+    * when shippingPriority's join order changed: one of 2905 revenues
+    * crossed a half-cent boundary against the oracle). Surfaced as
+    * DOUBLE after rounding — an exact 2-decimal value converts to the
+    * same double in every engine. Averages divide the exact decimal
+    * sum (as double) by the count for the same reason. */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+
   /** TPC-H Q1 shape: pricing summary. One scan, one shuffle on a
-    * 6-value group key; all arithmetic codegen'd into the scan stage. */
+    * 6-value group key; all arithmetic codegen'd into the scan stage.
+    * (l_quantity holds small integers: its double sum is already exact
+    * regardless of order, so it stays double.) */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        round(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+          * (lit(1) + money(col("l_tax")))), 2).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)), 2).as("avg_price"),
+        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -51,7 +66,8 @@ object TpchQueries {
     ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -72,7 +88,8 @@ object TpchQueries {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -106,7 +123,8 @@ object TpchQueries {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("sum_acctbal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
 
   /** INTERSECT: nations having both customers and suppliers. */
@@ -146,7 +164,8 @@ object TpchQueries {
     t(s, dir, "orders")
       .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
       .groupBy(col("month"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total"))
       .orderBy(col("month"))
 
   /** String scalar functions: brand stats with a derived prefix key. */
@@ -185,6 +204,10 @@ object TpchQueries {
 
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
+  /** Exact-decimal discounted price sum (see [[money]]). */
+  private val discPriceDec =
+    "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
+
   val defs: Map[String, QueryDef] = Map(
     "order_grouping_sets" -> QueryDef(orderGroupingSets, Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
@@ -193,19 +216,19 @@ object TpchQueries {
     "pricing_summary" -> QueryDef(pricingSummary, Some(
       s"""SELECT l_returnflag, l_linestatus,
         |  ${R("sum(l_quantity)", 2)} AS sum_qty,
-        |  ${R("sum(l_extendedprice)", 2)} AS sum_base_price,
-        |  ${R("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
-        |  ${R("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(round($discPriceDec, 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
         |  ${R("avg(l_quantity)", 2)} AS avg_qty,
-        |  ${R("avg(l_extendedprice)", 2)} AS avg_price,
-        |  ${R("avg(l_discount)", 4)} AS avg_disc,
+        |  ${R("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)", 2)} AS avg_price,
+        |  ${R("CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*)", 4)} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     "shipping_priority" -> QueryDef(shippingPriority, Some(
       s"""SELECT o_orderkey, o_orderpriority,
-        |  ${R("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+        |  CAST(round($discPriceDec, 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -213,7 +236,7 @@ object TpchQueries {
         |ORDER BY o_orderkey""".stripMargin)),
     "region_revenue" -> QueryDef(regionRevenue, Some(
       s"""SELECT r_name, n_name,
-        |  ${R("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+        |  CAST(round($discPriceDec, 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -229,7 +252,7 @@ object TpchQueries {
     "top_orders" -> QueryDef(topOrders, Some(
       s"SELECT o_orderkey, o_custkey, ${R("o_totalprice", 2)} AS total_price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
     "rollup_customers" -> QueryDef(rollupCustomers, Some(
-      s"""SELECT r_name, n_name, count(*) AS n_customers, ${R("sum(c_acctbal)", 2)} AS sum_acctbal
+      s"""SELECT r_name, n_name, count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -248,7 +271,7 @@ object TpchQueries {
     "nation_segment_diversity" -> QueryDef(nationSegmentDiversity, Some(
       "SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_customers FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
     "orders_by_month" -> QueryDef(ordersByMonth, Some(
-      s"SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, count(*) AS n_orders, ${R("sum(o_totalprice)", 2)} AS total FROM orders GROUP BY 1 ORDER BY month")),
+      s"SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total FROM orders GROUP BY 1 ORDER BY month")),
     "part_brand_stats" -> QueryDef(partBrandStats, Some(
       s"""SELECT p_brand, upper(substr(p_type, 1, 6)) AS type_prefix,
         |  count(*) AS n_parts, ${R("avg(p_retailprice)", 2)} AS avg_price,
