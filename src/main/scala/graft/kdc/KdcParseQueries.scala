@@ -70,7 +70,11 @@ object KdcParseQueries {
     sending("2015-11-22T18:20:00", "10.8.8.8"),
     asHeader("2015-11-23T07:00:00", "alice", "10.1.2.3"),
     preauthOk("2015-11-23T07:00:00", "alice"),
-    sending("2015-11-23T07:00:00", "10.1.2.3")).mkString("\n") + "\n"
+    sending("2015-11-23T07:00:00", "10.1.2.3"),
+    // preauth succeeded WITHOUT a "using <et>" suffix → UNK enctype
+    asHeader("2015-11-23T08:00:00", "plain", "10.9.1.1"),
+    s"2015-11-23T08:00:00 ENC-TS Pre-authentication succeeded -- plain@$Realm",
+    sending("2015-11-23T08:00:00", "10.9.1.1")).mkString("\n") + "\n"
 
   /** TGS traffic: host/www ×2 ok, imap ok, referral (excluded),
     * BAD_AUTHENTICATION, UNKNOWN, BAD_PARAMETERS, header-overwrite
@@ -125,11 +129,23 @@ object KdcParseQueries {
   def errorStats(spark: SparkSession, sfDir: String): DataFrame =
     KdcQueries.commonErrors(KdcSource.records(spark, fixtureDir()))
 
+  /** Enctype composite keys (the Perl variant's surface, SURVEY A6):
+    * per user × preauth enctype, UNK when the preauth line carries no
+    * `using` suffix (`perl/kdcmapper-with-enctypes.pl:39-44`). */
+  def userEnctypes(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.userEnctypeStats(KdcSource.records(spark, fixtureDir()))
+
+  /** Per service × firstSupported/lastSupported/used negotiation key
+    * (`perl/kdcmapper-with-enctypes.pl:46-57,78-81`). */
+  def serviceEnctypes(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.serviceEnctypeStats(KdcSource.records(spark, fixtureDir()))
+
   val defs: Map[String, QueryDef] = Map(
     "kdc_parse_user_stats" -> QueryDef(userStats, Some(
       """SELECT * FROM (VALUES
         |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
-        |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT))
+        |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
+        |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT))
         |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin)),
     "kdc_parse_service_stats" -> QueryDef(serviceStats, Some(
       """SELECT * FROM (VALUES
@@ -137,6 +153,19 @@ object KdcParseQueries {
         |  ('host/www.example.org',   '2015-11-22T19:00:00', '2015-11-22T19:05:00', CAST(2 AS BIGINT)),
         |  ('imap/mail.example.org',  '2015-11-22T19:10:00', '2015-11-22T19:10:00', CAST(1 AS BIGINT))
         |) AS t(service, first_ts, last_ts, n_req) ORDER BY service""".stripMargin)),
+    "kdc_parse_user_enctypes" -> QueryDef(userEnctypes, Some(
+      """SELECT * FROM (VALUES
+        |  ('alice', 'aes256-cts-hmac-sha1-96', CAST(2 AS BIGINT), '2015-11-22T17:00:00', '2015-11-23T07:00:00'),
+        |  ('cg2v',  'aes256-cts-hmac-sha1-96', CAST(2 AS BIGINT), '2015-11-22T15:25:20', '2015-11-22T16:10:00'),
+        |  ('plain', 'UNK',                     CAST(1 AS BIGINT), '2015-11-23T08:00:00', '2015-11-23T08:00:00')
+        |) AS t(client, enctype, n_auth, first_ts, last_ts) ORDER BY client, enctype""".stripMargin)),
+    "kdc_parse_service_enctypes" -> QueryDef(serviceEnctypes, Some(
+      """SELECT * FROM (VALUES
+        |  ('cifs/share.example.org', 'UNK', CAST(1 AS BIGINT), '2015-11-22T19:40:00', '2015-11-22T19:40:00'),
+        |  ('host/www.example.org', 'aes256-cts-hmac-sha1-96/aes128-cts-hmac-sha1-96/aes256-cts-hmac-sha1-96/aes256-cts-hmac-sha1-96', CAST(1 AS BIGINT), '2015-11-22T19:00:00', '2015-11-22T19:00:00'),
+        |  ('host/www.example.org', 'UNK', CAST(1 AS BIGINT), '2015-11-22T19:05:00', '2015-11-22T19:05:00'),
+        |  ('imap/mail.example.org', 'UNK', CAST(1 AS BIGINT), '2015-11-22T19:10:00', '2015-11-22T19:10:00')
+        |) AS t(service, enctype_key, n_req, first_ts, last_ts) ORDER BY service, enctype_key""".stripMargin)),
     "kdc_parse_errors" -> QueryDef(errorStats, Some(
       """SELECT * FROM (VALUES
         |  ('BAD_AUTHENTICATION', CAST(1 AS BIGINT)),

@@ -33,8 +33,15 @@ import org.apache.hadoop.util.LineReader
   *
   * Compression: compressed inputs are processed one-split-per-file
   * (gzip is never splittable; bzip2 BYBLOCK alignment would need
-  * compressed-domain lookback and is deliberately out of scope —
-  * rotated KDC logs are many files, which parallelizes anyway).
+  * compressed-domain lookback and is deliberately out of scope).
+  * This does NOT leave a coverage hole vs the reference's splittable
+  * path (`KDCLogRecordReader.java:179-198`): a single huge .bz2 log
+  * should go through [[KdcSource.records]], whose Hadoop
+  * `TextInputFormat` splits bzip2 at block boundaries natively and
+  * whose shuffle-by-file sort restores line order from byte offsets —
+  * the parse still fans out across splits; only the one sort shuffle
+  * is paid. Uncompressed or rotated-fleet layouts use this aligned
+  * format for the zero-shuffle path.
   *
   * Requires lines shorter than the lookback window
   * (`graft.kdc.lookback.bytes`, default 1 MiB).

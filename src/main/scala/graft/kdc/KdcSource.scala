@@ -26,14 +26,23 @@ object KdcSource {
 
   /** Scale path: splittable read → repartition by file → in-order fold.
     *
-    * Line order within a file is restored by sorting on TRUE byte
-    * offsets from the Hadoop text reader. (A `monotonically_increasing_id`
-    * ordering is NOT safe here: Spark packs file splits into partitions
-    * sorted by size, so chunks of a file larger than
-    * `maxPartitionBytes` can be visited out of offset order — that
-    * would silently interleave sessions. Offsets are immune to split
-    * packing.)
-    */
+    * Line order within a file is restored by sorting on
+    * (split start offset, within-split sequence number): TextInputFormat
+    * assigns every line to exactly one split (the one containing its
+    * first byte, reading past the split end to finish it), splits are
+    * ordered byte ranges of the file, and lines arrive in order within
+    * a split — so (splitStart, seq) is a total per-file line order.
+    * (A `monotonically_increasing_id` ordering is NOT safe here: Spark
+    * packs file splits into partitions sorted by size, so chunks of a
+    * file larger than `maxPartitionBytes` can be visited out of offset
+    * order — that would silently interleave sessions. Split starts are
+    * immune to packing.) The per-LINE reader offsets are deliberately
+    * NOT used: for splittable bzip2 they are stream-internal positions
+    * that overlap across splits (observed empirically), while split
+    * starts stay correct for both plain and splittable-compressed
+    * inputs — which is what gives this path the reference's
+    * splittable-bzip2 coverage (`KDCLogRecordReader.java:179-198`).
+    * Pinned by KdcBzip2Spec on a multi-block single .bz2 file. */
   def records(spark: SparkSession, path: String): Dataset[KdcLogRecord] = {
     import spark.implicits._
     import org.apache.hadoop.io.{LongWritable, Text}
@@ -43,12 +52,18 @@ object KdcSource {
         path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
       .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
       .mapPartitionsWithInputSplit { (split, iter) =>
-        val file = split.asInstanceOf[FileSplit].getPath.toString
-        iter.map { case (off, text) => (file, off.get(), text.toString) }
+        val fs = split.asInstanceOf[FileSplit]
+        val file = fs.getPath.toString
+        val splitStart = fs.getStart
+        var seq = 0L
+        iter.map { case (_, text) =>
+          seq += 1
+          (file, splitStart, seq, text.toString)
+        }
       }
-    spark.createDataset(rdd).toDF("file", "pos", "line")
+    spark.createDataset(rdd).toDF("file", "split_start", "seq", "line")
       .repartition(nParts, $"file")
-      .sortWithinPartitions($"file", $"pos")
+      .sortWithinPartitions($"file", $"split_start", $"seq")
       .select($"file", $"line").as[(String, String)]
       .mapPartitions(Sessionizer.sessionizeByFile)
   }

@@ -20,7 +20,8 @@ class KdcParseQueriesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq(
       ("alice", "2015-11-22T17:00:00", "2015-11-23T07:00:00", 2L),
-      ("cg2v", "2015-11-22T15:25:20", "2015-11-22T16:10:00", 2L)))
+      ("cg2v", "2015-11-22T15:25:20", "2015-11-22T16:10:00", 2L),
+      ("plain", "2015-11-23T08:00:00", "2015-11-23T08:00:00", 1L)))
   }
 
   test("kdc_parse_service_stats (256-byte aligned splits) matches golden") {
@@ -44,8 +45,8 @@ class KdcParseQueriesSpec extends AnyFunSuite {
     val dir = KdcParseQueries.fixtureDir()
     val a = KdcSource.records(spark, dir).collect().toSet
     val b = KdcSource.recordsAligned(spark, dir, Some(256L)).collect().toSet
-    // 8 AS sessions (host1) + 8 TGS sessions (host2; trailing partial
-    // dropped), all field-distinct → 16.
-    assert(a == b && a.size == 16)
+    // 9 AS sessions (host1) + 8 TGS sessions (host2; trailing partial
+    // dropped), all field-distinct → 17.
+    assert(a == b && a.size == 17)
   }
 }
