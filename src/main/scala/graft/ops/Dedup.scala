@@ -226,8 +226,9 @@ object Dedup {
   /** `jaccardPairs` oracle: same count-based formulation INCLUDING the
     * df > 1000 posting guard, so Spark and DuckDB agree on datasets
     * with degenerate shingles too (on the testdata, where max df ≈ 500,
-    * it returns exactly [[exactJaccardSql]]'s rows). */
-  private lazy val boundedJaccardSql: String =
+    * it returns exactly [[exactJaccardSql]]'s rows). Shared with
+    * [[Pipelines]]' composed near-dup-removal oracle. */
+  private[ops] lazy val boundedJaccardSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
       |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline compositions — the queries a
+  * 100 TB corpus-preparation job actually runs, assembled from the
+  * operator library and still fully DuckDB-oracle-checked:
+  *
+  *  - [[cleanCorpus]]: exact-dedup → quality filter → language filter,
+  *    all in ONE corpus scan plus one shuffle (the dedup window on the
+  *    content hash); quality and lang-ID are per-row expressions that
+  *    run only on dedup survivors.
+  *  - [[neardupRemoval]]: canonical near-duplicate removal — drop every
+  *    doc that appears as the non-canonical side (higher doc_id) of an
+  *    n-gram-Jaccard near-dup pair, keeping the lowest-id exemplar of
+  *    each near-dup cluster chain.
+  *
+  * Scale posture: cleanCorpus is scan + one hash shuffle + codegen'd
+  * per-row kernels — the same shape at any corpus size. neardupRemoval
+  * inherits [[Dedup.jaccardPairs]]' inverted-index plan (Σ bucket²,
+  * never all-pairs) and subtracts the removal set with a broadcast-able
+  * anti-join (the near-dup pair set is ≪ corpus by construction).
+  */
+object Pipelines {
+
+  /** Exact-dedup (keep lowest doc_id per md5), then keep docs with
+    * quality_score ≥ `minQuality` predicted as `lang`. */
+  def cleanCorpus(s: SparkSession, dir: String,
+                  minQuality: Double = 0.35, lang: String = "en"): DataFrame = {
+    val byHash = Window.partitionBy(md5(col("text")))
+    val survivors = Tables(s, dir, "documents")
+      .withColumn("keep_id", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+    // one scan: quality + lang-ID are per-row column expressions over
+    // the dedup survivors — no re-join, no second pass
+    TextAnalysis.langId(TextAnalysis.withQuality(survivors))
+      .filter(col("quality_score") >= minQuality && col("pred_lang") === lang)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Survivors of near-duplicate removal: every doc except those
+    * appearing as doc_b (the higher id) in a Jaccard ≥ 0.5 pair. */
+  def neardupRemoval(s: SparkSession, dir: String): DataFrame = {
+    val removed = Dedup.jaccardPairs(s, dir).select(col("doc_b").as("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(removed, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "pipeline_clean_corpus" -> QueryDef((s, d) => cleanCorpus(s, d), Some(
+      s"""WITH keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+         |    FROM documents) WHERE doc_id = k),
+         |q AS (${TextAnalysis.qualityScoreSelect}),
+         |${TextAnalysis.langBestCte},
+         |pl AS (${TextAnalysis.predLangSelect})
+         |SELECT keep.doc_id, pl.pred_lang, q.quality_score
+         |FROM keep JOIN q ON keep.doc_id = q.doc_id
+         |          JOIN pl ON keep.doc_id = pl.doc_id
+         |WHERE q.quality_score >= 0.35 AND pl.pred_lang = 'en'
+         |ORDER BY keep.doc_id""".stripMargin)),
+    "pipeline_neardup_removal" -> QueryDef((s, d) => neardupRemoval(s, d), Some(
+      s"""WITH pairs AS (${Dedup.boundedJaccardSql})
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin)))
+}

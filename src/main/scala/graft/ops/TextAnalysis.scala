@@ -54,9 +54,16 @@ object TextAnalysis {
   /** Per-document quality components + a weighted score. Component
     * ratios are int/int divisions; the score is a fixed-order linear
     * combination rounded at 4dp. */
-  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    qualityOn(docs(s, dir))
+
+  /** Adds the quality component columns + `quality_score` to any
+    * (.., text) frame WITHOUT projecting its columns away — the
+    * composable form used by [[Pipelines]] (callers drop the `t`
+    * helper column themselves if they care). */
+  def withQuality(df: DataFrame): DataFrame = {
     val stop = array(stopwords.map(lit): _*)
-    docs(s, dir)
+    df
       .withColumn("t", split(col("text"), " "))
       .withColumn("n_tokens", size(col("t")))
       .withColumn("n_stop",
@@ -69,6 +76,11 @@ object TextAnalysis {
       .withColumn("quality_score",
         round(col("ttr") * 0.5 + col("stop_ratio") * 0.2 +
           least(col("mean_token_len") / 10.0, lit(1.0)) * 0.3, 4))
+  }
+
+  /** Same, projected to the per-document quality report. */
+  def qualityOn(df: DataFrame): DataFrame =
+    withQuality(df)
       .select(col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_stop").cast("long").as("n_stop"),
@@ -77,7 +89,6 @@ object TextAnalysis {
         round(col("mean_token_len"), 4).as("mean_token_len"),
         col("quality_score"))
       .orderBy(col("doc_id"))
-  }
 
   /** Corpus language histogram over the labeled column. */
   def langHistogram(s: SparkSession, dir: String): DataFrame =
@@ -231,12 +242,14 @@ object TextAnalysis {
     * in the lowercased token set; argmax with (score, lang) descending
     * tie-break, no evidence ⇒ 'und'. Profile lists are generated from
     * [[graft.functions.LangProfiles]] so both sides share one source. */
-  private lazy val langIdOracle: String = {
+  /** The langs/scored/best CTE bodies (no leading WITH, no final
+    * SELECT), shared with [[Pipelines]]' composed oracle. */
+  private[ops] lazy val langBestCte: String = {
     val rows = graft.functions.LangProfiles.langs.map { l =>
       def lst(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
       s"('$l', ${lst(graft.functions.LangProfiles.trigrams(l))}, ${lst(graft.functions.LangProfiles.functionWords(l))})"
     }.mkString(",\n|    ")
-    s"""WITH langs(lang, tris, words) AS (VALUES
+    s"""langs(lang, tris, words) AS (VALUES
        |    $rows),
        |scored AS (
        |  SELECT d.doc_id, l.lang,
@@ -246,10 +259,29 @@ object TextAnalysis {
        |best AS (
        |  SELECT doc_id, lang, score,
        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  /** Per-document pred_lang in DuckDB, as a derived-table body. */
+  private[ops] lazy val predLangSelect: String =
+    "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang FROM best WHERE rn = 1"
+
+  private lazy val langIdOracle: String =
+    s"""WITH ${langBestCte}
        |SELECT doc_id,
        |       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
        |       ${R("score", 4)} AS lang_score
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Per-document quality_score in DuckDB, as a derived-table body —
+    * the score expression of the `text_quality` oracle. */
+  private[ops] lazy val qualityScoreSelect: String = {
+    val t = "string_split(text, ' ')"
+    val nTok = s"len($t)"
+    val nStop = s"len(list_filter($t, x -> x IN ('" + stopwords.mkString("','") + "')))"
+    val stopRatio = s"CAST($nStop AS DOUBLE) / $nTok"
+    val ttr = s"CAST(len(list_distinct($t)) AS DOUBLE) / $nTok"
+    val mtl = s"CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok"
+    s"SELECT doc_id, ${R(s"$ttr * 0.5 + $stopRatio * 0.2 + least($mtl / 10.0, 1.0) * 0.3", 4)} AS quality_score FROM documents"
   }
 }
