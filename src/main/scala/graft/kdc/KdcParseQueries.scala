@@ -129,6 +129,27 @@ object KdcParseQueries {
   def errorStats(spark: SparkSession, sfDir: String): DataFrame =
     KdcQueries.commonErrors(KdcSource.records(spark, fixtureDir()))
 
+  /** Structured Streaming in the driver's signal: the stateless
+    * preauth-success extractor + windowed per-day/user aggregation
+    * ([[graft.streaming.StreamingPipeline.streamingUserAuthCounts]])
+    * run over the fixture with an AvailableNow trigger into a memory
+    * sink (complete mode, so the final day's window is emitted at
+    * end-of-stream), returned as a batch frame for the oracle. This
+    * is the same micro-batch engine/plan a continuous deployment runs
+    * — only the trigger differs. */
+  def userStatsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fixtureDir()
+    val q = graft.streaming.StreamingPipeline.streamingUserAuthCounts(spark, dir)
+      .writeStream.format("memory").queryName("kdc_stream_user_auth")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("kdc_stream_user_auth")
+      .orderBy(org.apache.spark.sql.functions.col("day"),
+        org.apache.spark.sql.functions.col("client"))
+  }
+
   /** Enctype composite keys (the Perl variant's surface, SURVEY A6):
     * per user × preauth enctype, UNK when the preauth line carries no
     * `using` suffix (`perl/kdcmapper-with-enctypes.pl:39-44`). */
@@ -153,6 +174,13 @@ object KdcParseQueries {
         |  ('host/www.example.org',   '2015-11-22T19:00:00', '2015-11-22T19:05:00', CAST(2 AS BIGINT)),
         |  ('imap/mail.example.org',  '2015-11-22T19:10:00', '2015-11-22T19:10:00', CAST(1 AS BIGINT))
         |) AS t(service, first_ts, last_ts, n_req) ORDER BY service""".stripMargin)),
+    "kdc_parse_user_stats_streaming" -> QueryDef(userStatsStreaming, Some(
+      """SELECT * FROM (VALUES
+        |  ('2015-11-22', 'alice', CAST(1 AS BIGINT)),
+        |  ('2015-11-22', 'cg2v',  CAST(2 AS BIGINT)),
+        |  ('2015-11-23', 'alice', CAST(1 AS BIGINT)),
+        |  ('2015-11-23', 'plain', CAST(1 AS BIGINT))
+        |) AS t(day, client, n_auth) ORDER BY day, client""".stripMargin)),
     "kdc_parse_user_enctypes" -> QueryDef(userEnctypes, Some(
       """SELECT * FROM (VALUES
         |  ('alice', 'aes256-cts-hmac-sha1-96', CAST(2 AS BIGINT), '2015-11-22T17:00:00', '2015-11-23T07:00:00'),

@@ -41,6 +41,18 @@ class KdcParseQueriesSpec extends AnyFunSuite {
       "MISSING_PREAUTH", "UNKNOWN", "UNUSABLE_NAME").map(_ -> 1L))
   }
 
+  test("streaming user auth counts match golden, twice (rerun safety)") {
+    def run() = KdcParseQueries.userStatsStreaming(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = Seq(
+      ("2015-11-22", "alice", 1L), ("2015-11-22", "cg2v", 2L),
+      ("2015-11-23", "alice", 1L), ("2015-11-23", "plain", 1L))
+    assert(run().toSeq == expected)
+    // Bench times every query twice; the memory-sink query name must
+    // be reusable after the first run terminates
+    assert(run().toSeq == expected)
+  }
+
   test("aligned and shuffle-by-file paths agree on the fixture") {
     val dir = KdcParseQueries.fixtureDir()
     val a = KdcSource.records(spark, dir).collect().toSet
