@@ -106,6 +106,58 @@ object Ivf {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ----------------------------------------------------- persisted index
+
+  /** Materialize the index: centroids as a small parquet table and the
+    * corpus PARTITIONED BY cell id. This is the production layout —
+    * training happens once, and every later query batch reads only its
+    * probed cells from disk (partition pruning at the scan, so I/O is
+    * ~nprobe/k of the corpus, not just compute). */
+  def writeIndex(s: SparkSession, corpus: DataFrame, model: IvfModel,
+                 path: String): Unit = {
+    import s.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.withColumn("cid", cellOf(model))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/corpus")
+  }
+
+  /** Load the bounded centroid matrix back as a model. */
+  def readModel(s: SparkSession, path: String): IvfModel =
+    IvfModel(s.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toArray))
+
+  /** Query a persisted index: compute each query's probe cells, prune
+    * the corpus scan to exactly those partitions (the `isin` filter on
+    * the partition column becomes a PartitionFilters entry — pinned in
+    * IvfSpec), then exact cosine + top-k as in [[ivfTopK]]. */
+  def ivfTopKIndexed(s: SparkSession, path: String, queries: DataFrame,
+                     k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val model = readModel(s, path)
+    val probes = queries
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(probeCells(model, nprobe)).as("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver-side list (≤ |query batch| × nprobe cell ids) —
+    // literal values are what lets Spark prune partitions at the scan
+    val cells = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    s.read.parquet(s"$path/corpus")
+      .filter(col("cid").isin(cells.map(Integer.valueOf): _*))
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", graft.functions.vectorFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Driver-table query: train on the embeddings, probe with the
     * first five vectors (same protocol as ann_brute_topk/ann_lsh_topk
     * so outputs are directly comparable). */

@@ -44,6 +44,26 @@ class IvfSpec extends AnyFunSuite {
     assert(hits.toDouble / top1.size >= 0.95, s"$hits/${top1.size}")
   }
 
+  test("persisted index: same results as in-memory model, pruned scan") {
+    val model = Ivf.train(clustered, k = 16, iters = 4)
+    val queries = clustered.filter(col("id") % 8 === 0)
+    val corpus = clustered.filter(col("id") % 8 =!= 0)
+    val path = "target/scratch/ivf_index"
+    Ivf.writeIndex(spark, corpus, model, path)
+
+    val direct = Ivf.ivfTopK(queries, corpus, model, k = 5, nprobe = 2)
+      .collect().toSeq
+    val viaIndex = Ivf.ivfTopKIndexed(spark, path, queries, k = 5, nprobe = 2)
+    assert(viaIndex.collect().toSeq == direct)
+
+    // the probed-cell filter must reach the scan as a PARTITION filter
+    // (that is the whole point of the cid-partitioned layout: disk I/O
+    // is ~nprobe/k of the corpus)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cid""".r.findFirstIn(plan).isDefined,
+      s"no cid partition pruning in plan:\n$plan")
+  }
+
   test("driver-table query emits k rows per query") {
     val df = Ivf.ivfQuery(spark, "/root/testdata/sf0.001").collect()
     val perQuery = df.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
