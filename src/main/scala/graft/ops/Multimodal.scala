@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * iterator-of-batches in, iterator-of-batches out, codec initialized
   * once per partition, amortized across batches).
   *
-  * The actual byte→pixels/samples decode is a STUB ([[StubCodec]]):
-  * image/audio libraries are not in this container, so the stub
-  * produces a deterministic fake signal derived from the bytes. The
-  * Spark-side plumbing — schema, encoders, batch shape, partitioning,
-  * feature extraction, explode of frame samples — is real and tested
-  * (MultimodalSpec), and a production codec drops in by replacing one
-  * trait implementation.
+  * Decode is REAL for everything the JDK ships codecs for:
+  * [[JdkCodec]] handles PNG/JPEG/BMP/GIF via `javax.imageio` and
+  * 16-bit PCM WAV/AIFF via `javax.sound.sampled`, and [[resizeImages]]
+  * produces actually-resized PNG payloads — all exercised on genuinely
+  * encoded bytes in MultimodalSpec. [[StubCodec]] (deterministic fake
+  * signal) remains for (a) video, where the JDK has no demuxer and an
+  * external codec would be wired into the same trait, and (b) the
+  * driver queries, whose testdata payloads are text stand-ins, not
+  * real media.
   *
   * Scale posture (100 TB of media):
   *  - Binary payloads never shuffle: every operator reduces bytes →
@@ -84,6 +86,64 @@ object Multimodal {
     val initCount = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
+  /** REAL decoder for the formats the JDK ships codecs for — no
+    * external libraries needed: `javax.imageio` (PNG/JPEG/BMP/GIF →
+    * row-major luminance in [0,1]) and `javax.sound.sampled` (WAV/AIFF
+    * 16-bit PCM → normalized samples). Video stays a hard boundary
+    * (the JDK has no demuxer; that is [[StubCodec]]'s remaining
+    * domain, clearly marked). Exercised on genuinely encoded PNG/WAV
+    * bytes in MultimodalSpec; the driver queries keep the stub because
+    * the testdata's stand-in payloads are not real media. */
+  final class JdkCodec extends MediaCodec {
+    @transient private var initialized = false
+    override def init(): Unit = { initialized = true }
+
+    override def decode(rec: MediaRecord): Array[Double] = {
+      require(initialized, "codec used before init()")
+      val in = new java.io.ByteArrayInputStream(rec.data)
+      rec.kind match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(in)
+          require(img != null, s"media ${rec.media_id}: undecodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Double](w * h)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              out(i) = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          out
+        case "audio" =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"media ${rec.media_id}: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}")
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Double](bytes.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort() / 32768.0; i += 1 }
+          out
+        case other =>
+          throw new UnsupportedOperationException(
+            s"no JDK demuxer for kind=$other — wire an external codec or use StubCodec")
+      }
+    }
+  }
+
   // ----------------------------------------------------------- builders
 
   /** Deterministic media table from `documents`: payload = UTF-8 text
@@ -124,24 +184,27 @@ object Multimodal {
   /** Decode + feature-extract: mean/std/8-bin histogram of the decoded
     * signal. Bytes in, 11 small columns out — nothing binary survives
     * past the scan stage. */
-  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64,
+                      codec: () => MediaCodec = () => new StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(inBatches[MediaRecord, MediaFeatures](new StubCodec, batchSize) {
+    media.mapPartitions(inBatches[MediaRecord, MediaFeatures](codec(), batchSize) {
       (codec, batch) =>
         batch.iterator.map { rec =>
           val sig = codec.decode(rec)
           val mean = sig.sum / sig.length
           val std = math.sqrt(sig.map(x => (x - mean) * (x - mean)).sum / sig.length)
           val hist = Array.ofDim[Long](8)
-          sig.foreach(x => hist(math.min((x * 8).toInt, 7)) += 1)
+          // bins cover [0,1]; clamp so out-of-range signals (audio is
+          // in [-1,1]) land in the edge bins instead of crashing
+          sig.foreach(x => hist(math.max(math.min((x * 8).toInt, 7), 0)) += 1)
           MediaFeatures(rec.media_id, rec.kind, rec.data.length, mean, std, hist.toSeq)
         }
     })
   }
 
-  /** Fake resize: re-derive metadata + content checksum at target dims.
-    * Real codec would emit resized bytes; the stub emits the plumbing
-    * columns (id, old/new dims, checksum). */
+  /** Metadata-level resize over stand-in payloads: re-derive metadata +
+    * content checksum at target dims (the plumbing columns only — for
+    * real image bytes use [[resizeImages]]). */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image")
@@ -150,6 +213,37 @@ object Multimodal {
         (rec.media_id, rec.meta.width, rec.meta.height, w, h, checksum)
       }
       .toDF("media_id", "src_w", "src_h", "dst_w", "dst_h", "checksum")
+  }
+
+  /** REAL image resize: decode with ImageIO, bilinear-rescale with
+    * Graphics2D, re-encode as PNG — new MediaRecords with resized
+    * payload bytes and updated metadata. Batched like every other
+    * kernel; bytes stay inside the task (resized output is typically
+    * written straight back out partitioned, never shuffled). */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
+                   batchSize: Int = 64): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.data))
+          require(img != null, s"media ${rec.media_id}: undecodable image")
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = dst.createGraphics()
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          rec.copy(data = bos.toByteArray,
+            meta = rec.meta.copy(width = w, height = h, format = "png"))
+        }
+      }
+    }
   }
 
   /** Frame sampling for videos: every `stride`-th frame up to `maxFrames`,

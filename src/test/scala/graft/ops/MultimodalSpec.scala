@@ -59,4 +59,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(x => x.getInt(3) == 224 && x.getInt(4) == 224))
     assert(rows.forall(_.getLong(0) % 3 == 0), "only image kind (doc_id % 3 == 0)")
   }
+
+  // ------------------------------ real JDK codecs on real media bytes
+
+  /** Encode a w×h image whose every pixel is gray level `v` as PNG. */
+  private def pngBytes(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode `n` 16-bit PCM samples of a sine at `amp` as WAV. */
+  private def wavBytes(n: Int, amp: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((math.sin(2 * math.Pi * i / 64) * amp * 32767).toShort)
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def realMedia: org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    Seq(
+      Multimodal.MediaRecord(0L, "image", pngBytes(8, 4, 128),
+        Multimodal.MediaMeta(8, 4, 3, 0, 0, "png")),
+      Multimodal.MediaRecord(1L, "image", pngBytes(16, 16, 255),
+        Multimodal.MediaMeta(16, 16, 3, 0, 0, "png")),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(1024, 0.5),
+        Multimodal.MediaMeta(0, 0, 1, 16000, 0, "wav"))
+    ).toDS()
+  }
+
+  test("JdkCodec decodes real PNG and WAV bytes to correct signals") {
+    val feats = Multimodal.extractFeatures(realMedia,
+        codec = () => new Multimodal.JdkCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    // constant gray 128 → every luminance sample = 128/255
+    assert(math.abs(feats(0L).mean - 128.0 / 255.0) < 1e-9)
+    assert(feats(0L).std < 1e-9)
+    // constant white → 1.0
+    assert(math.abs(feats(1L).mean - 1.0) < 1e-9)
+    // sine at amp 0.5: mean ≈ 0, std ≈ amp/√2
+    assert(math.abs(feats(2L).mean) < 0.01)
+    assert(math.abs(feats(2L).std - 0.5 / math.sqrt(2)) < 0.01)
+  }
+
+  test("resizeImages produces decodable resized PNG payloads") {
+    val out = Multimodal.resizeImages(realMedia, 4, 4).collect()
+      .sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(0L, 1L))
+    for (rec <- out) {
+      assert(rec.meta.width == 4 && rec.meta.height == 4)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.data))
+      assert(img != null && img.getWidth == 4 && img.getHeight == 4)
+    }
+    // constant-color source stays constant after bilinear resize
+    val white = out.find(_.media_id == 1L).get
+    val decoded = {
+      val c = new Multimodal.JdkCodec; c.init()
+      c.decode(white)
+    }
+    assert(decoded.length == 16 && decoded.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
 }
