@@ -2,28 +2,44 @@ package graft.kdc
 
 import org.apache.spark.sql.SparkSession
 
-/** CLI entry: raw Heimdal KDC logs → per-user TSV, the Spark
+/** CLI entry: raw Heimdal KDC logs → TSV reports, the Spark
   * re-expression of the reference's `UserTimeRunner` job
-  * (`/root/reference/.../UserTimeRunner.java:34-48`; output format
+  * (`/root/reference/.../UserTimeRunner.java:34-48`; default output
   * `user \t firstts \t lastts \t count` per `UserTimeRec.java:128-130`,
-  * with the corrected min/max semantics — SURVEY.md §2.4).
+  * with the corrected min/max semantics — SURVEY.md §2.4) plus the
+  * reports the Perl pipelines produce from the same parse
+  * (`perl/kdcmapper.pl` `u:`/`s:` branches,
+  * `perl/kdcmapper-with-enctypes.pl` composite keys, README #6 error
+  * histogram).
   *
-  * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm] [--aligned]
+  * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm]
+  *                [--aligned] [--report=R]
   *
+  * `--report=R` with R ∈ user (default) | service | errors |
+  * user-enctypes | service-enctypes.
   * `--aligned` selects the zero-shuffle split-aligned source
-  * ([[KdcSource.recordsAligned]]) — best for few huge files; default
-  * is shuffle-by-file ([[KdcSource.records]]) — simplest for fleets.
+  * ([[KdcSource.recordsAligned]]) — best for few huge uncompressed
+  * files; default is shuffle-by-file ([[KdcSource.records]]) —
+  * simplest for fleets, and the path that handles splittable bzip2.
   */
 object KdcMain {
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val aligned = flags.contains("--aligned")
-    require(positional.length >= 2, "usage: KdcMain <input> <outdir> [realm] [--aligned]")
+    val report = flags.collectFirst {
+      case f if f.startsWith("--report=") => f.stripPrefix("--report=")
+    }.getOrElse("user")
+    require(positional.length >= 2,
+      "usage: KdcMain <input> <outdir> [realm] [--aligned] [--report=user|service|errors|user-enctypes|service-enctypes]")
     val Array(in, out) = positional.take(2)
     val realm = positional.lift(2)
+    // only stop the session on exit if this invocation created it —
+    // callers embedding main() in an existing session keep theirs
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("kdc-user-time")
+      .appName(s"kdc-$report")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,9 +49,25 @@ object KdcMain {
     val source = if (aligned) KdcSource.recordsAligned(spark, in)
                  else KdcSource.records(spark, in)
     val recs = KdcQueries.withCounters(source)
-    KdcQueries.userAuthStats(recs, realm)
-      .select("client", "first_ts", "last_ts", "n_auth")
-      .write.option("sep", "\t").mode("overwrite").csv(out)
-    spark.stop()
+    val result = report match {
+      case "user" =>
+        KdcQueries.userAuthStats(recs, realm)
+          .select("client", "first_ts", "last_ts", "n_auth")
+      case "service" =>
+        KdcQueries.serviceUseStats(recs, realm)
+          .select("service", "first_ts", "last_ts", "n_req")
+      case "errors" =>
+        KdcQueries.commonErrors(recs)
+      case "user-enctypes" =>
+        KdcQueries.userEnctypeStats(recs, realm)
+          .select("client", "enctype", "n_auth", "first_ts", "last_ts")
+      case "service-enctypes" =>
+        KdcQueries.serviceEnctypeStats(recs, realm)
+          .select("service", "enctype_key", "n_req", "first_ts", "last_ts")
+      case other =>
+        throw new IllegalArgumentException(s"unknown --report=$other")
+    }
+    result.write.option("sep", "\t").mode("overwrite").csv(out)
+    if (!preExisting) spark.stop()
   }
 }

@@ -53,6 +53,26 @@ class KdcParseQueriesSpec extends AnyFunSuite {
     assert(run().toSeq == expected)
   }
 
+  test("KdcMain --report modes emit the expected TSVs") {
+    val dir = KdcParseQueries.fixtureDir()
+    def run(report: String): Seq[String] = {
+      val out = s"target/scratch/kdcmain_$report"
+      KdcMain.main(Array(dir, out, s"--report=$report"))
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      files.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines()).toSeq.sorted
+    }
+    assert(run("service") == Seq(
+      "cifs/share.example.org\t2015-11-22T19:40:00\t2015-11-22T19:40:00\t1",
+      "host/www.example.org\t2015-11-22T19:00:00\t2015-11-22T19:05:00\t2",
+      "imap/mail.example.org\t2015-11-22T19:10:00\t2015-11-22T19:10:00\t1"))
+    assert(run("errors").map(_.split("\t")(0)).toSet == Set(
+      "BAD_AUTHENTICATION", "BAD_NAME", "BAD_PARAMETERS", "BAD_PASSWORD",
+      "MISSING_PREAUTH", "UNKNOWN", "UNUSABLE_NAME"))
+    assert(run("user-enctypes").exists(_.startsWith("plain\tUNK\t1")))
+  }
+
   test("aligned and shuffle-by-file paths agree on the fixture") {
     val dir = KdcParseQueries.fixtureDir()
     val a = KdcSource.records(spark, dir).collect().toSet
