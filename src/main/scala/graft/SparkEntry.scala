@@ -19,8 +19,8 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     ops.EventQueries.defs ++ ops.TpchQueries.defs ++ ops.Dedup.defs ++
       ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs ++
-      ops.AsofJoin.defs ++ ops.Ivf.defs ++ ops.Pipelines.defs ++
-      kdc.KdcParseQueries.defs
+      ops.AsofJoin.defs ++ ops.RangeJoin.defs ++ ops.Ivf.defs ++
+      ops.Pipelines.defs ++ kdc.KdcParseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with

@@ -57,6 +57,54 @@ object AsofJoin {
     out
   }
 
+  /** Forward as-of join — for each left row, the EARLIEST right row
+    * with the same key and `rightTs >= leftTs`. Same single-window
+    * plan as [[asofBackward]], mirrored: left rows sort before right
+    * rows at equal ts, and `first(.., ignoreNulls)` over the
+    * current-row-to-unbounded-following frame picks the next right
+    * payload (null = no match, left-join semantics). Right MUST be
+    * unique per (key, ts), as in [[asofBackward]]. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  key: String, ts: String): DataFrame = {
+    val rightPayload = right.columns.filter(c => c != key && c != ts)
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__rpay", lit(null).cast(
+        right.select(struct(rightPayload.map(col): _*)).schema.head.dataType))
+    val r = right.select(
+      col(key), col(ts), lit(1).as("__side"),
+      struct(rightPayload.map(col): _*).as("__rpay"))
+    val leftCols = left.columns
+    val unioned = l.select((leftCols.map(col) :+ col("__side") :+ col("__rpay")): _*)
+      .unionByName(r.select(
+        (leftCols.map(c => if (c == key || c == ts) col(c) else lit(null).as(c))
+          :+ col("__side") :+ col("__rpay")): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__asof", first(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    matched.select(
+      (leftCols.map(col) ++
+        rightPayload.map(c => col("__asof").getField(c).as(c))): _*)
+  }
+
+  /** For each click event, the next (or same-instant) purchase by the
+    * same user — the conversion-attribution shape; epoch-millis. */
+  def clickToNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventQueries.events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"), col("event_id").as("click_id"))
+    asofForward(clicks, purchases, "user_id", "ms")
+      .select(col("click_id"), col("user_id"), col("ms").as("click_ms"),
+        col("purchase_id"))
+      .orderBy(col("click_id"))
+  }
+
   /** For each purchase event, the most recent prior (or same-instant)
     * click by the same user; epoch-millis throughout. */
   def purchaseAfterClick(s: SparkSession, dir: String): DataFrame = {
@@ -75,6 +123,16 @@ object AsofJoin {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "asof_click_next_purchase" -> QueryDef(clickToNextPurchase, Some(
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |purchases AS (SELECT user_id, ms, max(event_id) AS purchase_id
+        |              FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ms),
+        |clicks AS (SELECT user_id, ms, event_id AS click_id
+        |           FROM ev WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id, c.ms AS click_ms, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ms <= p.ms
+        |ORDER BY c.click_id""".stripMargin)),
     "asof_purchase_click" -> QueryDef(purchaseAfterClick, Some(
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |clicks AS (SELECT user_id, ms, max(event_id) AS click_id

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of and range joins against brute-force reference computations,
+  * plus plan-shape pins for the scale claims (the driver oracle covers
+  * the DuckDB cross-check; these cover the semantics and plans). */
+class JoinOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("asofForward matches per-row brute force incl. no-match nulls") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "ms", "click_id")
+    val purchases = Seq((1L, 10L, 200L), (1L, 20L, 201L))
+      .toDF("user_id", "ms", "purchase_id")
+    val got = AsofJoin.asofForward(clicks, purchases, "user_id", "ms")
+      .orderBy("click_id").collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // click@10 matches same-instant purchase@10; click@25 has nothing
+    // following; user 2 has no purchases at all
+    assert(got.toSeq == Seq((100L, 200L), (101L, -1L), (102L, -1L)))
+  }
+
+  test("range join matches brute-force band counts at sf0.001") {
+    val e = EventQueries.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = 3600000L
+    val expected = e.filter(_._2 == "purchase").map { case (aid, _, ams) =>
+      aid -> e.count { case (id, _, ms) => id != aid && math.abs(ms - ams) <= w }
+    }.filter(_._2 > 0).toMap
+    val got = RangeJoin.nearbyEventCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("range join plans as an equi-join on bins, not a nested loop") {
+    val plan = RangeJoin.nearbyEventCounts(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop plan:\n$plan")
+  }
+}
