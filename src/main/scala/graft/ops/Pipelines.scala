@@ -53,7 +53,61 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Fill a token budget with the highest-quality documents: total
+    * order (quality desc, doc_id), keep rows while the running token
+    * total stays within `budget`.
+    *
+    * The global cumulative sum deliberately does NOT use a
+    * partition-less window (which collapses all rows to a single task)
+    * — it is the two-phase distributed prefix sum: range-partition by
+    * the sort key, per-partition token totals (one bounded collect of
+    * #partitions longs) become broadcast offsets, then each partition
+    * streams its own running sum. The result is independent of where
+    * the range boundaries land, so it is deterministic and
+    * oracle-checkable while scaling to any corpus size. */
+  def tokenBudgetSelect(s: SparkSession, dir: String,
+                        budget: Long = 20000L): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.withQuality(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[(Long, Double, Long)]
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val sorted = scored
+      .repartitionByRange(nParts, desc("quality_score"), col("doc_id"))
+      .sortWithinPartitions(desc("quality_score"), col("doc_id"))
+      .as[(Long, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(),
+        it.map(_._3).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bOff = s.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = bOff.value(pid)
+      it.map { case (id, q, nt) => run += nt; (id, q, nt, run) }
+    }.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("cum_tokens"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "pipeline_token_budget" -> QueryDef((s, d) => tokenBudgetSelect(s, d), Some(
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS quality_score,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, quality_score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, quality_score, n_tokens, cum_tokens
+         |FROM ranked WHERE cum_tokens <= 20000 ORDER BY cum_tokens""".stripMargin)),
     "pipeline_clean_corpus" -> QueryDef((s, d) => cleanCorpus(s, d), Some(
       s"""WITH keep AS (
          |  SELECT doc_id FROM (

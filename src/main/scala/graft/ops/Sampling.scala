@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * RNG-based `df.sample` is irreproducible across engines, runs, and
+  * partitionings; at 100 TB the standard practice is HASH sampling:
+  * a row is in the sample iff a stable content hash of its key falls
+  * under a threshold. Same rows selected on every engine, every rerun,
+  * any partitioning — and rates compose (a 5% sample is a subset of
+  * the 20% sample under the same hash). Implemented as a comparison
+  * on the md5 hex prefix (lowercase hex in both Spark and DuckDB, so
+  * the oracle is the identical expression), evaluated per-row in the
+  * scan stage: no shuffle at all.
+  */
+object Sampling {
+
+  /** Rows whose md5(key) hex prefix sorts below `hexThreshold` —
+    * e.g. "1a" keeps ≈ 26/256 ≈ 10.2%. */
+  def hashSampleCol(key: Column, hexThreshold: String): Column =
+    substring(md5(key.cast("string")), 1, hexThreshold.length) < hexThreshold
+
+  /** ~10% deterministic document sample. */
+  def sampleDocs(s: SparkSession, dir: String,
+                 hexThreshold: String = "1a"): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(hashSampleCol(col("doc_id"), hexThreshold))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified hash sample: per-language thresholds rebalance corpus
+    * composition (downsample the dominant language, keep the tails) —
+    * the usual pre-training mixture adjustment, still fully
+    * deterministic. Unlisted strata are dropped. */
+  def stratifiedSampleDocs(s: SparkSession, dir: String,
+                           thresholds: Map[String, String] = Map(
+                             "en" -> "20", "de" -> "cc", "es" -> "cc",
+                             "fr" -> "cc", "zh" -> "cc")): DataFrame = {
+    val pred = thresholds.map { case (lang, thr) =>
+      col("lang") === lang && hashSampleCol(col("doc_id"), thr)
+    }.reduce(_ || _)
+    Tables(s, dir, "documents")
+      .filter(pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "sample_docs_hash" -> QueryDef((s, d) => sampleDocs(s, d), Some(
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin)),
+    "sample_docs_stratified" -> QueryDef((s, d) => stratifiedSampleDocs(s, d), Some(
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20')
+        |   OR (lang IN ('de', 'es', 'fr', 'zh') AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc')
+        |GROUP BY lang ORDER BY lang""".stripMargin)))
+}

@@ -273,15 +273,19 @@ object TextAnalysis {
        |       ${R("score", 4)} AS lang_score
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** Per-document quality_score in DuckDB, as a derived-table body —
-    * the score expression of the `text_quality` oracle. */
-  private[ops] lazy val qualityScoreSelect: String = {
+  /** The quality_score expression in DuckDB (matches `text_quality`'s
+    * oracle scoring exactly). */
+  private[ops] lazy val qualityScoreSql: String = {
     val t = "string_split(text, ' ')"
     val nTok = s"len($t)"
     val nStop = s"len(list_filter($t, x -> x IN ('" + stopwords.mkString("','") + "')))"
     val stopRatio = s"CAST($nStop AS DOUBLE) / $nTok"
     val ttr = s"CAST(len(list_distinct($t)) AS DOUBLE) / $nTok"
     val mtl = s"CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok"
-    s"SELECT doc_id, ${R(s"$ttr * 0.5 + $stopRatio * 0.2 + least($mtl / 10.0, 1.0) * 0.3", 4)} AS quality_score FROM documents"
+    R(s"$ttr * 0.5 + $stopRatio * 0.2 + least($mtl / 10.0, 1.0) * 0.3", 4)
   }
+
+  /** Per-document quality_score in DuckDB, as a derived-table body. */
+  private[ops] lazy val qualityScoreSelect: String =
+    s"SELECT doc_id, $qualityScoreSql AS quality_score FROM documents"
 }
