@@ -166,6 +166,32 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Pivot (long → wide): per-user event counts, one column per event
+    * type. The value list is EXPLICIT — pivot without it runs a
+    * distinct-values job over the fact table first and caps at
+    * `spark.sql.pivotMaxValues`; with it the pivot compiles straight
+    * to conditional aggregation (exactly the oracle's CASE sums),
+    * single shuffle on user_id. */
+  def eventTypePivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (wide → long): melts the pivot back to (user_id,
+    * event_type, n_events); dropping the fill-zero cells makes the
+    * round trip exactly the long-form groupBy, which is the oracle. */
+  def eventTypeUnpivot(s: SparkSession, dir: String): DataFrame =
+    eventTypePivot(s, dir)
+      .unpivot(Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** CUBE over event dimensions with subtotals on both axes. */
   def eventCube(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -265,6 +291,16 @@ object EventQueries {
         |       max(ms) - min(ms) AS duration_ms
         |FROM numbered GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin)),
+    "event_type_pivot" -> QueryDef(eventTypePivot, Some(
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    "event_type_unpivot" -> QueryDef(eventTypeUnpivot, Some(
+      "SELECT user_id, event_type, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY user_id, event_type")),
     "event_cube" -> QueryDef(eventCube, Some(
       """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
         |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
