@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable pins for the plan properties PLAN_NOTES.md/PLANS.md
+  * claim — a regression (lost pushdown, global sort sneaking in, a
+  * broadcast turning into a shuffle) fails the suite instead of only
+  * rotting the committed evidence. */
+class PlanPinsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("pricing_summary: shipdate filter pushed into the parquet scan") {
+    val p = plan("pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"no shipdate pushdown:\n$p")
+  }
+
+  test("top_orders: TakeOrderedAndProject, never a global sort") {
+    val p = plan("top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-N:\n$p")
+  }
+
+  test("user_first_last: partial then final hash aggregation") {
+    val p = plan("user_first_last")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"no map-side partial aggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("shipping_priority: customer segment filter pushed, joins broadcast") {
+    val p = plan("shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("c_mktsegment"), s"segment filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("similarity/dedup: no unbounded cartesian products anywhere") {
+    for (name <- Seq("dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "embedding_neardup_pairs", "ann_lsh_topk")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
+    }
+  }
+}
