@@ -51,7 +51,7 @@ def arrow_types(rel):
 def rows_of(tbl):
     cols = tbl.column_names
     pyl = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-    return cols, list(zip(*pyl)) if pyl else (cols, [])
+    return cols, (list(zip(*pyl)) if pyl else [])
 
 
 def main(outdir, sfdir):

@@ -126,19 +126,24 @@ object Dedup {
       .selectExpr("doc_id", s"$hashExprs AS sig")
   }
 
-  /** MinHash-LSH near-dup pairs: 16 bands × 4 rows (with 64 hashes,
-    * P[candidate] ≈ 1-(1-j⁴)¹⁶ — ≥ 0.9999 at j=0.9, ~1e-4 at j=0.1),
-    * then exact-Jaccard verification of candidates at `threshold`.
+  /** MinHash-LSH near-dup pairs: 32 bands × 2 rows (with 64 hashes,
+    * P[candidate] = 1-(1-j²)³² — ≥ 0.9999 at the j=0.5 verification
+    * threshold and ≈ 1-1e-15 at j=0.8; the earlier 16×4 banding missed
+    * a j=0.5 pair with probability ≈ 0.21, which mattered once the
+    * driver oracle became the EXACT near-dup set), then exact-Jaccard
+    * verification of candidates at `threshold` (precision 1 by
+    * construction; the looser bands only cost extra verified-and-
+    * rejected candidates, never wrong output).
     *
-    * The band join shuffles 16 small (band, hash64) keys per doc —
+    * The band join shuffles 32 small (band, hash64) keys per doc —
     * at 100 TB this is the standard sub-linear near-dup plan: no pair
     * enumeration outside colliding buckets. */
   def minhashLshPairs(s: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(s, dir)
     val bands = sig.selectExpr("doc_id",
-      """explode(transform(sequence(0, 15),
-        |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))) AS bh)
+      """explode(transform(sequence(0, 31),
+        |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * 2 + 1, 2))) AS bh)
         |)) AS bb""".stripMargin)
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -214,8 +219,8 @@ object Dedup {
     // MinHash-LSH emits exact-Jaccard-verified candidate pairs, so its
     // oracle is the EXACT near-dup set: the driver row asserts
     // end-to-end recall 1 AND precision 1 of the LSH plan at driver
-    // scale (recall of 16 bands × 4 rows at jac ≥ 0.5 is ≈ 1-(1-j⁴)¹⁶
-    // ≥ 0.65 per pair a priori, and empirically 1.0 on this corpus's
+    // scale (recall of 32 bands × 2 rows at jac ≥ 0.5 is ≈ 1-(1-j²)³²
+    // ≥ 0.9999 per pair a priori, and empirically 1.0 on this corpus's
     // planted near-dups — cross-validated in DedupSpec; a miss would
     // surface as a red driver row, which is the point of the check).
     "dedup_minhash_lsh" -> QueryDef((s, d) => minhashLshPairs(s, d), Some(exactJaccardSql)),

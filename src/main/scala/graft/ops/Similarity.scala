@@ -120,9 +120,12 @@ object Similarity {
   /** Embedding dimensionality of a (.., v) frame — one bounded
     * driver-side lookup of a single row. Hyperplanes must cover every
     * component: a shorter plane would silently bucket on a prefix of
-    * the vector and degrade recall with no error. */
+    * the vector and degrade recall with no error. An empty frame gets
+    * an arbitrary valid dimensionality (the result is empty anyway)
+    * rather than throwing. */
   private def dimsOf(vecs: DataFrame): Int =
-    vecs.select(size(col("v"))).head().getInt(0)
+    vecs.select(size(col("v"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
 
   /** Generic LSH top-k over (id, v) query/corpus frames. `dims`
     * defaults to the corpus's actual dimensionality. */

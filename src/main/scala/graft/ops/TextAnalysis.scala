@@ -217,13 +217,17 @@ object TextAnalysis {
   /** DuckDB reimplementation of [[graft.functions.WinnowTokenFingerprints]]
     * (k=5, w=4): same Mersenne-61 shift-polynomial hashes via HUGEINT
     * modular arithmetic — an independent second implementation, so the
-    * driver check validates the kernel end-to-end. */
+    * driver check validates the kernel end-to-end. The `c >= 0` filter
+    * neutralizes DuckDB's empty-token artifact (`string_split('','')`
+    * yields `['']` and `unicode('')` is -1) so an empty token hashes
+    * to 0 on both sides, exactly like the kernel's zero-char fold. */
   private lazy val fpCte: String = {
     val p = graft.functions.TextExpressions.M61
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |th AS (SELECT doc_id, list_transform(t, tk ->
        |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
-       |                list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+       |                list_filter(list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+       |                            c -> c >= 0),
        |              (a, c) -> (a * 32 + c) % $p) AS BIGINT)) AS hs
        |       FROM tok),
        |kh AS (SELECT doc_id, list_transform(range(len(hs) - 4), i ->

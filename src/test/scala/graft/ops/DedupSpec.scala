@@ -33,7 +33,7 @@ class DedupSpec extends AnyFunSuite {
     val lsh = pairSet(Dedup.minhashLshPairs(spark, dir, threshold = 0.5))
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
     // LSH candidates are verified with the same exact jaccard, so
-    // lsh ⊆ exact always; at j≥0.9 with 16×4 bands recall ≈ 1-5e-8.
+    // lsh ⊆ exact always; at j≥0.9 with 32×2 bands recall ≈ 1 - 1e-20.
     assert(lsh == exact, s"missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
