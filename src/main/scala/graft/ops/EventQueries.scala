@@ -166,6 +166,18 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Array aggregation: per-user sorted distinct service list.
+    * `collect_set` has nondeterministic order — `sort_array` makes the
+    * result comparable across engines/runs (DuckDB mirror:
+    * `list_sort(list(DISTINCT ...))`). */
+  def userServiceList(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_set(col("event_type"))).as("services"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Pivot (long → wide): per-user event counts, one column per event
     * type. The value list is EXPLICIT — pivot without it runs a
     * distinct-values job over the fact table first and caps at
@@ -291,6 +303,8 @@ object EventQueries {
         |       max(ms) - min(ms) AS duration_ms
         |FROM numbered GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin)),
+    "user_service_list" -> QueryDef(userServiceList, Some(
+      "SELECT user_id, list_sort(list(DISTINCT event_type)) AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "event_type_pivot" -> QueryDef(eventTypePivot, Some(
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
