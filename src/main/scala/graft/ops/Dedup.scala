@@ -164,6 +164,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------------- clusters
+
+  /** Near-duplicate CLUSTERS: connected components of the Jaccard pair
+    * graph, labeled by the smallest doc_id in each component (the
+    * canonical representative a dedup keep-policy needs — pairs alone
+    * under-remove when similarity is transitive: a~b, b~c, a≁c must
+    * still collapse to one exemplar).
+    *
+    * Min-label propagation iterated to fixpoint. The loop is DRIVER-
+    * side but each iteration is a distributed join over the PAIR GRAPH
+    * only, which is ≪ corpus by construction (it is the LSH/inverted-
+    * index output, not all documents); iterations are bounded by
+    * component diameter — near-dup clusters are shallow in practice.
+    * The convergence check is an aggregate on that same small frame.
+    * Oracle: a DuckDB recursive CTE computing reachability-min over
+    * the identical pair set. */
+  def neardupClusters(s: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame =
+    clustersFromEdges(jaccardPairs(s, dir, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation over an (doc_a, doc_b) edge frame. */
+  private[ops] def clustersFromEdges(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("id"))
+      .union(edges.select(col("doc_b").as("id")))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("doc_a") === col("id"))
+        .select(col("doc_b").as("id"), col("label").as("cand"))
+        .union(edges.join(labels, col("doc_b") === col("id"))
+          .select(col("doc_a").as("id"), col("label").as("cand")))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over distinct word 3-gram shingles: bit i is the
@@ -226,7 +277,19 @@ object Dedup {
     "dedup_minhash_lsh" -> QueryDef((s, d) => minhashLshPairs(s, d), Some(exactJaccardSql)),
     // SimHash: hamming-ball semantics have no exact SQL equivalent
     // (xxhash64 bit votes); rows-only, validated in DedupSpec.
-    "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8)))
+    "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8)),
+    "dedup_neardup_clusters" -> QueryDef((s, d) => neardupClusters(s, d), Some(
+      s"""WITH RECURSIVE pairs AS ($boundedJaccardSql),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
 
   /** `jaccardPairs` oracle: same count-based formulation INCLUDING the
     * df > 1000 posting guard, so Spark and DuckDB agree on datasets

@@ -66,4 +66,16 @@ class DedupSpec extends AnyFunSuite {
     val recall = (exact & simSet).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} sim=${simSet.size}")
   }
+
+  test("cluster labels close over transitive chains and split components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no direct 1~4 edge), separate pair 10-11, and a
+    // star 20-{21,22}: min label must flood each whole component
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
