@@ -129,8 +129,8 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: 32 bands × 2 rows (with 64 hashes,
     * P[candidate] = 1-(1-j²)³² — ≥ 0.9999 at the j=0.5 verification
     * threshold and ≈ 1-1e-15 at j=0.8; the earlier 16×4 banding missed
-    * a j=0.5 pair with probability ≈ 0.21, which mattered once the
-    * driver oracle became the EXACT near-dup set), then exact-Jaccard
+    * a j=0.5 pair with probability (1-0.5⁴)¹⁶ ≈ 0.36, which mattered
+    * once the driver oracle became the EXACT near-dup set), then exact-Jaccard
     * verification of candidates at `threshold` (precision 1 by
     * construction; the looser bands only cost extra verified-and-
     * rejected candidates, never wrong output).
@@ -189,11 +189,14 @@ object Dedup {
   private[ops] def clustersFromEdges(edgesIn: DataFrame): DataFrame = {
     val edges = edgesIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("doc_a").as("id"))
+    // `cached` always points at the PERSISTED frame (unpersist on a
+    // derived projection would be a no-op and leak one cache per round)
+    var cached = edges.select(col("doc_a").as("id"))
       .union(edges.select(col("doc_b").as("id")))
       .distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("doc_a") === col("id"))
@@ -201,14 +204,19 @@ object Dedup {
         .union(edges.join(labels, col("doc_b") === col("id"))
           .select(col("doc_a").as("id"), col("label").as("cand")))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      // carry the previous label so convergence is one aggregate over
+      // `next` itself — no extra join, and the count action fully
+      // materializes the new cache before the parent is dropped (a
+      // take(1)-style check would leave it partially cached and later
+      // rounds would recompute through the whole join lineage)
       val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).count() == 0
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("label"))
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -303,8 +303,10 @@ object EventQueries {
         |       max(ms) - min(ms) AS duration_ms
         |FROM numbered GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin)),
+    // FILTER mirrors Spark's collect_set, which drops NULL elements
+    // (DuckDB's list(DISTINCT ..) would retain them)
     "user_service_list" -> QueryDef(userServiceList, Some(
-      "SELECT user_id, list_sort(list(DISTINCT event_type)) AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
+      "SELECT user_id, list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)) AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "event_type_pivot" -> QueryDef(eventTypePivot, Some(
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
