@@ -187,12 +187,15 @@ object Dedup {
 
   /** Min-label propagation over an (doc_a, doc_b) edge frame. */
   private[ops] def clustersFromEdges(edgesIn: DataFrame): DataFrame = {
+    // symmetrize ONCE so each round needs a single join instead of two
+    // directional joins + a union (iteration cost is dominated by
+    // per-round job count on these small frames)
     val edges = edgesIn
+      .union(edgesIn.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // `cached` always points at the PERSISTED frame (unpersist on a
     // derived projection would be a no-op and leak one cache per round)
     var cached = edges.select(col("doc_a").as("id"))
-      .union(edges.select(col("doc_b").as("id")))
       .distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -201,8 +204,6 @@ object Dedup {
     while (!converged) {
       val prop = edges.join(labels, col("doc_a") === col("id"))
         .select(col("doc_b").as("id"), col("label").as("cand"))
-        .union(edges.join(labels, col("doc_b") === col("id"))
-          .select(col("doc_a").as("id"), col("label").as("cand")))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
       // carry the previous label so convergence is one aggregate over
       // `next` itself — no extra join, and the count action fully
