@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicate the sf0.1 tables 10× (shifted keys,
+  * so group/join cardinalities scale with the data instead of
+  * densifying) into target/scratch, then time representative operators
+  * at 1× and 10× and report the runtime ratio. Near-linear ratios are
+  * the evidence that the plans scale by data volume, not by blowup —
+  * recorded in PLAN_NOTES.md. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val big = "target/scratch/sf1x"
+
+    def replicate(table: String, keyCols: Map[String, Long]): Unit = {
+      val base = graft.Tables(spark, src, table)
+      val out = (0 until 10).map { i =>
+        keyCols.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$big/$table.parquet")
+    }
+    // shift entity keys so cardinalities scale 10x (10x users, docs,
+    // vectors — not 10x denser groups)
+    replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+    replicate("documents", Map("doc_id" -> 1000000L))
+    replicate("embeddings", Map("vec_id" -> 1000000L))
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      // warmup once, then min of 2 (bench methodology)
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+
+    val queries = Seq(
+      "user_first_last",       // scan + single-shuffle agg
+      "event_sessions",        // two stacked windows + agg
+      "top_users",             // TakeOrderedAndProject
+      "asof_purchase_click",   // union + window asof
+      "range_join_nearby",     // binned interval join
+      "dedup_exact_groups",    // hash groupBy on md5
+      "text_quality",          // single-scan HOFs
+      "text_fingerprints",     // native winnow kernel
+      "dedup_minhash_lsh",     // LSH band join + exact verify
+      "ann_brute_topk")        // broadcast query set x corpus scan
+    println("query,t1x_sec,t10x_sec,ratio")
+    for (q <- queries) {
+      val t1 = time(q, src)
+      val t10 = time(q, big)
+      println(f"SCALE $q,$t1%.2f,$t10%.2f,${t10 / t1}%.1f")
+    }
+    spark.stop()
+  }
+}
