@@ -132,6 +132,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"), col("lang_score"))
       .orderBy(col("doc_id"))
 
+  // -------------------------------------------------------------- tf-idf
+
+  /** Top-3 TF-IDF terms per document: tf from one (doc, term) groupBy,
+    * df from one groupBy over that, N broadcast as a literal-sized
+    * one-row frame (no driver count in the plan), score
+    * tf·ln(N/df). Ranking uses the 6dp-ROUNDED score (both engines
+    * round identically via the shortest-repr emulation) with a term
+    * tie-break, so cross-engine libm ulp differences in `ln` cannot
+    * reorder ranks. Two shuffles total (doc+term, then term), both on
+    * keys that scale with the corpus. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   // --------------------------------------------------------- fingerprint
 
   /** Winnowing fingerprints (MOSS-style): per-token polynomial hash +
@@ -201,6 +230,19 @@ object TextAnalysis {
     "lang_histogram" -> QueryDef(langHistogram, Some(
       s"SELECT lang, count(*) AS n_docs, ${R("avg(n_chars)", 2)} AS avg_chars FROM documents GROUP BY lang ORDER BY lang")),
     "text_langid" -> QueryDef(langIdQuery, Some(langIdOracle)),
+    "text_tfidf_top_terms" -> QueryDef((s, d) => tfidfTopTerms(s, d), Some(
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |    ${R("tf * ln(CAST(n AS DOUBLE) / df)", 6)} AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin)),
     "text_fingerprints" -> QueryDef(fingerprints, Some(
       s"""$fpCte
          |SELECT doc_id, len(fps) AS n_fingerprints,
