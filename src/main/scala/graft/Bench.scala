@@ -61,13 +61,16 @@ object Bench {
       }
       val (t1, ok1) = once()
       val (t2, ok2) = once()
-      (name, math.min(t1, t2), ok1 && ok2)
+      // a failed query reports the -1 sentinel (and lands in "errors")
+      // rather than posing as a timing in the map or the total
+      val ok = ok1 && ok2
+      (name, if (ok) math.min(t1, t2) else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":2,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -108,7 +108,9 @@ case class WinnowTokenFingerprints(child: Expression, k: Int, w: Int)
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = xs.getUTF8String(i).toString
+      val u = xs.getUTF8String(i)
+      // a null element hashes like the empty token (0) instead of NPE
+      val s = if (u == null) "" else u.toString
       var h = 0L
       var p = 0
       while (p < s.length) {

@@ -104,13 +104,22 @@ object KdcParseQueries {
     sending("2015-11-22T19:40:00", "10.4.4.4"),
     tgsHeader("2015-11-22T19:50:00", "eve", "10.5.5.5", "host/www.example.org")).mkString("\n") + "\n"
 
-  /** Materialize the fixture logs (idempotent, same bytes every call). */
+  /** Materialize the fixture logs (idempotent, same bytes every call).
+    * Writes go through a temp file + atomic move so a concurrent
+    * reader can never observe a truncated/torn file. */
   private[kdc] def fixtureDir(): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_kdc_fixture")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("host1.log"), host1Log.getBytes("UTF-8"))
-    java.nio.file.Files.write(dir.resolve("host2.log"), host2Log.getBytes("UTF-8"))
+    def put(name: String, content: String): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    put("host1.log", host1Log)
+    put("host2.log", host2Log)
     dir.toString
   }
 

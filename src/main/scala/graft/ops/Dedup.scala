@@ -138,16 +138,26 @@ object Dedup {
     * The band join shuffles 32 small (band, hash64) keys per doc —
     * at 100 TB this is the standard sub-linear near-dup plan: no pair
     * enumeration outside colliding buckets. */
+  /** Banding is a RECALL/COST dial and is exposed as one: the default
+    * (32, 2) is recall-first — right for dedup, where a missed
+    * duplicate poisons training data while an extra candidate only
+    * costs its exact verification — but on corpora with high baseline
+    * inter-document similarity (background j ≈ 0.1 ⇒ ~27% of pairs
+    * collide in some band) a cost-first caller should drop to
+    * (16, 4), the classic (1/b)^(1/r)=0.5 midpoint tuning, at the
+    * price of ~36% misses AT the 0.5 threshold boundary. */
   def minhashLshPairs(s: SparkSession, dir: String,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      bands: Int = 32, rows: Int = 2): DataFrame = {
+    require(bands * rows <= 64, "banding exceeds the 64-hash signature")
     val sig = minhashSignatures(s, dir)
-    val bands = sig.selectExpr("doc_id",
-      """explode(transform(sequence(0, 31),
-        |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * 2 + 1, 2))) AS bh)
-        |)) AS bb""".stripMargin)
+    val bandsDf = sig.selectExpr("doc_id",
+      s"""explode(transform(sequence(0, ${bands - 1}),
+         |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))) AS bh)
+         |)) AS bb""".stripMargin)
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.as("a").join(bands.as("b"),
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

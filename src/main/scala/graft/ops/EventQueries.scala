@@ -189,7 +189,9 @@ object EventQueries {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // scoped to the pivoted columns: an unscoped fill would also
+      // rewrite a NULL user_id group key to 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy(col("user_id"))
 
   /** Unpivot (wide → long): melts the pivot back to (user_id,

@@ -133,7 +133,15 @@ object Ivf {
   /** Query a persisted index: compute each query's probe cells, prune
     * the corpus scan to exactly those partitions (the `isin` filter on
     * the partition column becomes a PartitionFilters entry — pinned in
-    * IvfSpec), then exact cosine + top-k as in [[ivfTopK]]. */
+    * IvfSpec), then exact cosine + top-k as in [[ivfTopK]].
+    *
+    * Caching note (applies to every operator here that persists a
+    * derived frame internally): the cache backs the RETURNED lazy
+    * frame, so it cannot be unpersisted before the caller acts on it.
+    * Long-running callers should `spark.catalog.clearCache()` (or
+    * `result.unpersist()` on their end) between batches, as
+    * Verify/Bench do — otherwise one cached frame is left behind per
+    * call. */
   def ivfTopKIndexed(s: SparkSession, path: String, queries: DataFrame,
                      k: Int = 10, nprobe: Int = 3): DataFrame = {
     val model = readModel(s, path)

@@ -129,6 +129,8 @@ object Multimodal {
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16,
             s"media ${rec.media_id}: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}")
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media ${rec.media_id}: only signed PCM supported, got ${fmt.getEncoding}")
           val bytes = ais.readAllBytes()
           val bb = java.nio.ByteBuffer.wrap(bytes).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -191,8 +193,11 @@ object Multimodal {
       (codec, batch) =>
         batch.iterator.map { rec =>
           val sig = codec.decode(rec)
-          val mean = sig.sum / sig.length
-          val std = math.sqrt(sig.map(x => (x - mean) * (x - mean)).sum / sig.length)
+          // an empty-but-valid payload (e.g. a 0-frame WAV) must not
+          // emit NaN features
+          val n = math.max(sig.length, 1)
+          val mean = sig.sum / n
+          val std = math.sqrt(sig.map(x => (x - mean) * (x - mean)).sum / n)
           val hist = Array.ofDim[Long](8)
           // bins cover [0,1]; clamp so out-of-range signals (audio is
           // in [-1,1]) land in the edge bins instead of crashing
