@@ -169,12 +169,15 @@ object EventQueries {
   /** Array aggregation: per-user sorted distinct service list.
     * `collect_set` has nondeterministic order — `sort_array` makes the
     * result comparable across engines/runs (DuckDB mirror:
-    * `list_sort(list(DISTINCT ...))`). */
+    * `list_sort(list(DISTINCT ...))`). The list is surfaced as a
+    * comma-joined string: the driver's comparator hashes scalar cells
+    * and cannot sort an `array<string>` column, and the string carries
+    * the identical information (elements are service names, no commas). */
   def userServiceList(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_set(col("event_type"))).as("services"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("services"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
@@ -308,7 +311,7 @@ object EventQueries {
     // FILTER mirrors Spark's collect_set, which drops NULL elements
     // (DuckDB's list(DISTINCT ..) would retain them)
     "user_service_list" -> QueryDef(userServiceList, Some(
-      "SELECT user_id, list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)) AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
+      "SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ',') AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "event_type_pivot" -> QueryDef(eventTypePivot, Some(
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
