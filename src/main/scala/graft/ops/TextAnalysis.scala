@@ -187,11 +187,34 @@ object TextAnalysis {
 
   /** Documents sharing at least `minShared` winnowing fingerprints —
     * the fingerprint flavor of near-dup detection (inverted-index join,
-    * same scale posture as Dedup.jaccardPairs). */
-  def fingerprintPairs(s: SparkSession, dir: String, minShared: Int = 2): DataFrame = {
-    val fp = withFps(s, dir)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-    fp.as("a").join(fp.as("b"),
+    * same scale posture as Dedup.jaccardPairs). `maxDf` drops
+    * fingerprints shared by more than that many documents before the
+    * self-join: a boilerplate fingerprint (repeated license header,
+    * templated page) otherwise makes the posting list quadratic — the
+    * join cost is Σ df², so one fingerprint with df = 10⁶ alone is
+    * 10¹² candidate rows. Same guard as Dedup.jaccardPairs'
+    * `maxBucket`; the oracle CTE mirrors the cap so the driver row
+    * checks the guarded semantics. */
+  def fingerprintPairs(s: SparkSession, dir: String, minShared: Int = 2,
+                       maxDf: Int = 1000): DataFrame =
+    fingerprintPairsFromPostings(
+      withFps(s, dir).select(col("doc_id"), explode(col("fps")).as("fp")),
+      minShared, maxDf)
+
+  /** The guarded pair join over an exploded (doc_id, fp) posting frame
+    * (factored out so specs can drive it with a planted-boilerplate
+    * corpus and a small cap). */
+  private[ops] def fingerprintPairsFromPostings(fp: DataFrame, minShared: Int,
+                                                maxDf: Int): DataFrame = {
+    val hot = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("fp"))
+    // persist: the self-join below re-derives the fingerprint lineage
+    // for both sides otherwise (the winnow kernel is the dominant cost)
+    val bounded = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bounded.as("a").join(bounded.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -248,11 +271,17 @@ object TextAnalysis {
          |SELECT doc_id, len(fps) AS n_fingerprints,
          |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
          |FROM fp ORDER BY doc_id""".stripMargin)),
+    // The hot/exb CTEs mirror fingerprintPairs' maxDf = 1000 posting
+    // guard (on the testdata no fingerprint is that hot, so the rows
+    // equal the unguarded set — but the driver row now checks the
+    // guarded semantics, same contract as dedup_jaccard_pairs).
     "text_fingerprint_pairs" -> QueryDef((s, d) => fingerprintPairs(s, d), Some(
       s"""$fpCte,
-         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |hot AS (SELECT f FROM ex GROUP BY f HAVING count(*) > 1000),
+         |exb AS (SELECT e.doc_id, e.f FROM ex e ANTI JOIN hot h ON e.f = h.f)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |FROM exb a JOIN exb b ON a.f = b.f AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin)))
 

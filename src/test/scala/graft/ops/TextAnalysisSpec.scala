@@ -44,6 +44,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall=$recall")
   }
 
+  test("fingerprintPairs df-cap drops boilerplate postings, keeps genuine pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 docs sharing one boilerplate fingerprint (df = 20 > cap = 5)
+    // would contribute C(20,2) = 190 quadratic candidates; two docs
+    // share two rare fingerprints (df = 2) and must survive the guard.
+    val boiler = (1L to 20L).flatMap(d => Seq((d, 999L)))
+    val rare = Seq((100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L))
+    val fp = (boiler ++ rare).toDF("doc_id", "fp")
+    val guarded = TextAnalysis
+      .fingerprintPairsFromPostings(fp, minShared = 2, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((100L, 101L)),
+      s"expected only the rare pair, got $guarded")
+    // sanity: without the cap the boilerplate pairs flood the output
+    val unguarded = TextAnalysis
+      .fingerprintPairsFromPostings(fp, minShared = 1, maxDf = Int.MaxValue)
+      .count()
+    assert(unguarded == 190 + 1)
+  }
+
   test("quality components are consistent") {
     val row = TextAnalysis.qualityScores(spark, dir)
       .filter("doc_id = 0").head()
