@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    computation; only the (|corpus|·|Q|) scored pairs shuffle into
   *    the per-query top-k window, and that input could be cut further
   *    with a per-partition pre-top-k. Never a corpus×corpus cross join.
-  *  - LSH: each vector hashes to `nTables` 8-bit sign-buckets; the
-  *    candidate join is an equi-join on (table, bucket) — inverted-
-  *    index shape, Σ bucket² cost, AQE-skew-splittable. Exact cosine
+  *  - LSH: each vector hashes to `nTables` sign-buckets of
+  *    [[Similarity.autoBits]] bits (≈ log₂ n − 8, so buckets hold
+  *    ~256 vectors regardless of corpus size); the candidate join is
+  *    an equi-join on (table, bucket) — inverted-index shape,
+  *    Σ bucket² ≈ 2⁸·n·tables cost, AQE-skew-splittable. Exact cosine
   *    re-verifies candidates, so precision is 1; recall is the tunable
   *    (tables × bits), measured in SimilaritySpec on planted clusters.
   *  - All vector math is Catalyst higher-order functions on
@@ -109,7 +111,7 @@ object Similarity {
     * [[bruteForceTopK]] (its recall benchmark). */
   def lshTopK(s: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
-              nTables: Int = 8, nBits: Int = 8): DataFrame = {
+              nTables: Int = 8, nBits: Int = -1): DataFrame = {
     val e = emb(s, dir)
     lshTopKOn(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("id"), col("v")),
@@ -127,14 +129,39 @@ object Similarity {
     vecs.select(size(col("v"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(64)
 
+  /** Bucket bits sized to the corpus: the (table, bucket) candidate
+    * self-join costs Σ_buckets c² ≈ n²·tables/2^bits when buckets are
+    * balanced, so any CONSTANT bits goes quadratic as n grows (the
+    * historical fixed 8 ⇒ 256 buckets/table ⇒ n²/2⁸ candidates — fine
+    * at 10⁴ vectors, 4·10¹² candidate rows at 10⁹). Scaling bits as
+    * ceil(log₂ n) − 8 pins expected bucket occupancy at 2⁸ = 256 and
+    * candidate volume at ≈ 2⁸·n·tables — linear in n, with recall
+    * recovered by the table count rather than bucket coarseness (the
+    * same dial Dedup's banding note documents). Floor 8 keeps the
+    * small-corpus behavior identical to the historical default. */
+  private[ops] def autoBits(n: Long): Int = {
+    val ceilLog2 = if (n <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(8, ceilLog2 - 8)
+  }
+
+  /** Resolve an `nBits` parameter: positive = caller's explicit
+    * choice; otherwise derive from the corpus size (one count job —
+    * cheap next to the hash pass it sizes; at-scale callers that know
+    * their n should pass bits explicitly). */
+  private def resolveBits(nBits: Int, corpus: DataFrame): Int =
+    if (nBits > 0) nBits else autoBits(corpus.count())
+
   /** Generic LSH top-k over (id, v) query/corpus frames. `dims`
-    * defaults to the corpus's actual dimensionality. */
+    * defaults to the corpus's actual dimensionality; `nBits` ≤ 0
+    * defaults to [[autoBits]] of the corpus size. */
   def lshTopKOn(queries: DataFrame, corpus: DataFrame, k: Int,
-                nTables: Int = 8, nBits: Int = 8, dims: Int = -1): DataFrame = {
+                nTables: Int = 8, nBits: Int = -1, dims: Int = -1): DataFrame = {
     val d = if (dims > 0) dims else dimsOf(corpus)
-    val qb = lshBuckets(queries, "id", nTables, nBits, d)
+    val bits = resolveBits(nBits, corpus)
+    val qb = lshBuckets(queries, "id", nTables, bits, d)
       .select(col("id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
-    val cb = lshBuckets(corpus, "id", nTables, nBits, d)
+    val cb = lshBuckets(corpus, "id", nTables, bits, d)
       .select(col("id").as("neighbor_id"), col("v").as("cv"), col("tbl"), col("bucket"))
     val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
@@ -153,15 +180,15 @@ object Similarity {
     * from shared LSH buckets (corpus self-join on (table, bucket)),
     * exact-verified. The embedding-cosine flavor of Dedup. */
   def neardupPairs(s: SparkSession, dir: String,
-                   threshold: Double = 0.4, nTables: Int = 8, nBits: Int = 8): DataFrame =
+                   threshold: Double = 0.4, nTables: Int = 8, nBits: Int = -1): DataFrame =
     neardupPairsOn(emb(s, dir).select(col("vec_id").as("id"), col("v")),
       threshold, nTables, nBits)
 
   def neardupPairsOn(vecs: DataFrame, threshold: Double,
-                     nTables: Int = 8, nBits: Int = 8, dims: Int = -1): DataFrame = {
+                     nTables: Int = 8, nBits: Int = -1, dims: Int = -1): DataFrame = {
     // persist: the self-join would re-derive all hyperplane dot
     // products on both sides (same pattern as Dedup's band joins)
-    val b = lshBuckets(vecs, "id", nTables, nBits,
+    val b = lshBuckets(vecs, "id", nTables, resolveBits(nBits, vecs),
         if (dims > 0) dims else dimsOf(vecs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("a").join(b.as("b"),

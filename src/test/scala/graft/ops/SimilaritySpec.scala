@@ -64,6 +64,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length >= 270, s"recall too low: ${pairs.length}/300")
   }
 
+  test("autoBits keeps LSH candidate volume ~linear across corpus sizes") {
+    // formula pins: floor at 8 through 2^16 vectors, then log-scaling
+    assert(Similarity.autoBits(1000) == 8)
+    assert(Similarity.autoBits(1L << 16) == 8)
+    assert(Similarity.autoBits(1L << 20) == 12)
+    assert(Similarity.autoBits(1L << 30) == 22)
+    val tables = 2
+    // Σ c(c-1)/2 over (tbl, bucket) = exact candidate-pair volume of
+    // the bucket self-join, computed from the histogram (no join)
+    def candVolume(n: Int, bits: Int): Long = {
+      val vecs = spark.range(0, n, 1, 8)
+        .select(col("id"), array((0 until 8).map(i => randn(42 + i)): _*).as("v"))
+      Similarity.lshBuckets(vecs, "id", nTables = tables, nBits = bits, dims = 8)
+        .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+    }
+    // balanced buckets give ≈ 128·n·tables; allow 8× for sign-LSH
+    // bucket imbalance — the point is the bound is LINEAR in n
+    for (n <- Seq(4096, 1 << 18)) {
+      val vol = candVolume(n, Similarity.autoBits(n))
+      assert(vol <= 1024L * n * tables,
+        s"n=$n: candidate volume $vol exceeds linear bound ${1024L * n * tables}")
+    }
+    // constant 8 bits at the larger corpus blows past the auto-sized
+    // volume — the quadratic creep autoBits exists to stop
+    val big = 1 << 18
+    assert(candVolume(big, 8) > 2 * candVolume(big, Similarity.autoBits(big)))
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Seq.fill(64)(0.5))).toDF("id", "v")
