@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(tokens) - winnowing fingerprints of array<string> (k=5, w=4)"),
       (es: Seq[Expression]) => functions.WinnowTokenFingerprints(es.head, 5, 4)))
+    ext.injectFunction((FunctionIdentifier("m61_token_hashes"),
+      info("m61_token_hashes", "m61_token_hashes(tokens) - Mersenne-61 polynomial hash per array<string> element"),
+      (es: Seq[Expression]) => functions.M61TokenHashes(es.head)))
     ext.injectFunction((FunctionIdentifier("lang_scores"),
       info("lang_scores", "lang_scores(text) - language-profile evidence scores"),
       (es: Seq[Expression]) => functions.LangScores(es.head)))

@@ -160,6 +160,69 @@ case class WinnowTokenFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Per-element hash of an `array<string>`: the Mersenne-61
+  * shift-polynomial fold of each element's Unicode code points (the
+  * same token hash [[WinnowTokenFingerprints]] computes internally),
+  * finished with MurmurHash3's fmix64 avalanche. Both stages are
+  * reproducible by an independent engine with plain 128-bit modular
+  * arithmetic — that is what makes `dedup_simhash_pairs` fully
+  * oracle-checkable in DuckDB, where xxhash64 (the previous feature
+  * hash) is not available.
+  *
+  * The finalizer is NOT optional for SimHash-style bit-vote
+  * consumers: a bare polynomial hash is linear, so shingles sharing a
+  * prefix differ by a CONSTANT arithmetic delta (poly("X Y a") −
+  * poly("X Y b") is the same for every prefix "X Y"), which
+  * correlates vote bits corpus-wide — measured 18× false-near-pair
+  * inflation on the 31-word-vocabulary testdata vs xxhash64. fmix64's
+  * xor-shift/multiply rounds break the linearity; its mod-2^64
+  * multiplies map exactly to DuckDB HUGEINT split-multiplication. */
+case class M61TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "m61_token_hashes"
+
+  override def nullSafeEval(a: Any): Any = {
+    import TextExpressions.fold61
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = xs.getUTF8String(i)
+      // a null element hashes like the empty token (0) — same rule as
+      // the winnow kernel
+      val s = if (u == null) "" else u.toString
+      var h = 0L
+      var p = 0
+      while (p < s.length) {
+        val cp = s.codePointAt(p)
+        h = fold61(h, 5, cp.toLong)
+        p += Character.charCount(cp)
+      }
+      out(i) = TextExpressions.fmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("m61Expr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Mersenne prime 2^61 - 1: the fingerprint hash modulus. */
   val M61: Long = (1L << 61) - 1
@@ -171,6 +234,20 @@ object TextExpressions {
     var r = ((acc << shift) & M61) + (acc >>> (61 - shift)) + x
     while (r >= M61) r -= M61
     r
+  }
+
+  /** MurmurHash3's 64-bit finalizer: xor-shift + wrapping-multiply
+    * avalanche. Java's wrapping `*` IS multiplication mod 2^64, which
+    * DuckDB reproduces on non-negative HUGEINTs via split
+    * multiplication (hi/lo 32-bit halves) — see `Dedup.simhashPairsSql`. */
+  @inline def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
   }
 
   def requireLongArray(fn: String, dt: DataType): TypeCheckResult = dt match {
@@ -185,4 +262,6 @@ object textFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
   def winnow_fingerprints(tokens: Column, k: Int = 5, w: Int = 4): Column =
     ColumnBridge.column(WinnowTokenFingerprints(ColumnBridge.expression(tokens), k, w))
+  def m61_token_hashes(tokens: Column): Column =
+    ColumnBridge.column(M61TokenHashes(ColumnBridge.expression(tokens)))
 }

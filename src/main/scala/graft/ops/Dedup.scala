@@ -240,36 +240,54 @@ object Dedup {
     * sign of the ±1 vote sum of each shingle-hash's bit i. (Shingles,
     * not raw tokens: with a small vocabulary every document contains
     * nearly every token, making token-level SimHash uninformative —
-    * empirically 9k false near-pairs on the 500-doc testdata.) Pure
-    * higher-order-function pipeline; the bit assembly sums distinct
-    * powers of two so the long stays ANSI-overflow-free. */
+    * empirically 9k false near-pairs on the 500-doc testdata.)
+    *
+    * Shingle hashes come from [[graft.functions.M61TokenHashes]]
+    * (Mersenne-61 polynomial fold + murmur fmix64) rather than
+    * xxhash64: that family is reproducible in DuckDB with HUGEINT
+    * modular arithmetic, which makes `dedup_simhash_pairs` a fully
+    * hash-checked driver row (the xxhash64 votes were not
+    * SQL-expressible, leaving it rows-only). The fmix64 avalanche
+    * matters: a bare polynomial hash's prefix-delta linearity
+    * correlates vote bits and inflated false near-pairs ~18× on the
+    * small-vocabulary testdata. */
   def simhashes(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
-      .selectExpr("doc_id",
-        "transform(shingles, t -> xxhash64(t)) AS th")
-      // native codegen'd kernel (graft.functions.SimHash64) — the HOF
-      // formulations measured 17 s (single-pass zip_with) / 463 s
-      // (per-bit folds) at sf0.1 vs ~2 s for the generated loop;
-      // identical bit semantics pinned in DedupSpec
+      // native codegen'd kernels — the HOF simhash formulations
+      // measured 17 s (single-pass zip_with) / 463 s (per-bit folds)
+      // at sf0.1 vs ~2 s for the generated loop; identical bit
+      // semantics pinned in DedupSpec
       .select(col("doc_id"),
-        graft.functions.textFunctions.simhash64(col("th")).as("simhash"))
+        graft.functions.textFunctions.simhash64(
+          graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
-    * candidates from equality on any of the four 16-bit chunks
-    * (guaranteed complete for maxHamming ≤ 3; high-recall heuristic
-    * above that). */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    *
+    * Candidate generation is Manku-style block keys: the 64-bit
+    * simhash splits into 8 blocks of 8 bits, and candidates share BOTH
+    * blocks of any of the C(8,2) = 28 block pairs (16-bit join keys).
+    * A pair at hamming h dirties at most h blocks, so ≥ 2 blocks are
+    * clean whenever h ≤ 6 — candidates are guaranteed complete for
+    * maxHamming ≤ 6, and missed at 7-8 only when ≥ 7 distinct blocks
+    * take a bit flip (the earlier 4×16-bit single-chunk scheme was
+    * complete only to h ≤ 3 and measurably missed planted near-dups
+    * at h = 4-6). Selectivity is unchanged — keys are still 16 bits,
+    * so candidate volume is Σ bucket² ≈ 28·n²/2¹⁶ per corpus, the
+    * same inverted-index shape as before with a 7× table constant. */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(s, dir)
     val chunks = sh.selectExpr("doc_id", "simhash",
-      """explode(transform(sequence(0, 3),
-        |  c -> struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS ch)
-        |)) AS cc""".stripMargin)
-      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
+      """explode(flatten(transform(sequence(0, 6), c1 ->
+        |  transform(sequence(c1 + 1, 7), c2 ->
+        |    struct(c1 * 8 + c2 AS tbl,
+        |      (shiftright(simhash, c1 * 8) & 255) * 256 + (shiftright(simhash, c2 * 8) & 255) AS ch))
+        |))) AS cc""".stripMargin)
+      .select(col("doc_id"), col("simhash"), col("cc.tbl"), col("cc.ch"))
       // persist: the self-join would re-derive shingle+simhash lineage
-      // for both sides; signatures are 4 small rows per doc
+      // for both sides; signatures are 28 small rows per doc
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+        col("a.tbl") === col("b.tbl") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
@@ -294,9 +312,14 @@ object Dedup {
     // planted near-dups — cross-validated in DedupSpec; a miss would
     // surface as a red driver row, which is the point of the check).
     "dedup_minhash_lsh" -> QueryDef((s, d) => minhashLshPairs(s, d), Some(exactJaccardSql)),
-    // SimHash: hamming-ball semantics have no exact SQL equivalent
-    // (xxhash64 bit votes); rows-only, validated in DedupSpec.
-    "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8)),
+    // DuckDB reimplementation of the whole SimHash plan: M61+fmix64
+    // shingle hashes (HUGEINT modular arithmetic), per-bit ±1 vote
+    // sums, and the SAME block-pair candidate generation — candidates,
+    // not a full hamming ball, because at maxHamming = 8 the block
+    // join is complete only to h ≤ 6 (deterministically, on both
+    // engines) and the oracle must mirror the operator's semantics.
+    "dedup_simhash_pairs" -> QueryDef((s, d) => simhashPairs(s, d, maxHamming = 8),
+      Some(simhashPairsSql)),
     "dedup_neardup_clusters" -> QueryDef((s, d) => neardupClusters(s, d), Some(
       s"""WITH RECURSIVE pairs AS ($boundedJaccardSql),
          |nodes AS (SELECT DISTINCT id FROM
@@ -333,6 +356,65 @@ object Dedup {
       |                       JOIN sz y ON doc_b = y.doc_id)
       |SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `simhashPairs(maxHamming = 8)` oracle: independent DuckDB
+    * reimplementation of [[graft.functions.M61TokenHashes]] — the M61
+    * polynomial fold (same HUGEINT recipe as TextAnalysis' fingerprint
+    * CTE) plus murmur fmix64, whose mod-2^64 multiplies are done by
+    * 32-bit split multiplication so the 128-bit intermediates never
+    * overflow signed INT128 — then the bit-vote SimHash over all 64
+    * bits and the 28-table block-pair candidate join. Signed/unsigned
+    * bridging: hash values live in [0, 2^64) as HUGEINT during the
+    * mix, and convert to two's-complement BIGINT (− 2^64 when ≥ 2^63)
+    * before bit votes; arithmetic >> plus & masks extract bits
+    * identically to Java's >>> on both engines. */
+  private lazy val simhashPairsSql: String = {
+    val p = graft.functions.TextExpressions.M61
+    val two64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val two63 = "CAST(9223372036854775808 AS HUGEINT)"
+    // (h * C) % 2^64 via hi/lo split: intermediates < 2^97 < INT128 max
+    def mulmod(h: String, c: Long): String = {
+      val hi = c >>> 32
+      val lo = c & 0xffffffffL
+      s"((($h * CAST($hi AS HUGEINT)) % 4294967296) * 4294967296 + $h * CAST($lo AS HUGEINT)) % $two64"
+    }
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+       |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+       |       FROM tok WHERE len(t) >= 3),
+       |h0 AS (SELECT doc_id, list_transform(s, tk ->
+       |         list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_filter(list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+       |                            c -> c >= 0),
+       |              (a, c) -> (a * 32 + c) % $p)) AS th
+       |       FROM sh),
+       |h1 AS (SELECT doc_id, list_transform(th, h -> xor(h, h >> 33)) AS th FROM h0),
+       |h2 AS (SELECT doc_id, list_transform(th, h -> ${mulmod("h", 0xff51afd7ed558ccdL)}) AS th FROM h1),
+       |h3 AS (SELECT doc_id, list_transform(th, h -> xor(h, h >> 33)) AS th FROM h2),
+       |h4 AS (SELECT doc_id, list_transform(th, h -> ${mulmod("h", 0xc4ceb9fe1a85ec53L)}) AS th FROM h3),
+       |th AS (SELECT doc_id, list_transform(th, h ->
+       |         CAST(CASE WHEN xor(h, h >> 33) >= $two63
+       |                   THEN xor(h, h >> 33) - $two64
+       |                   ELSE xor(h, h >> 33) END AS BIGINT)) AS th FROM h4),
+       |sim AS (SELECT doc_id,
+       |         CAST(CASE WHEN ssum >= $two63 THEN ssum - $two64 ELSE ssum END AS BIGINT) AS simhash
+       |        FROM (SELECT doc_id,
+       |                list_sum(list_transform(range(64), i ->
+       |                  CASE WHEN list_sum(list_transform(th, h -> ((h >> i) & 1) * 2 - 1)) >= 0
+       |                       THEN (CAST(1 AS HUGEINT) << i) ELSE CAST(0 AS HUGEINT) END)) AS ssum
+       |              FROM th)),
+       |ch AS (SELECT doc_id, simhash, c1.c1 * 8 + c2.c2 AS tbl,
+       |              ((simhash >> (c1.c1 * 8)) & 255) * 256 + ((simhash >> (c2.c2 * 8)) & 255) AS chv
+       |       FROM sim,
+       |            (SELECT unnest(range(8)) AS c1) c1,
+       |            (SELECT unnest(range(8)) AS c2) c2
+       |       WHERE c1.c1 < c2.c2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |         FROM ch a JOIN ch b ON a.tbl = b.tbl AND a.chv = b.chv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Exact full-universe word-3-gram Jaccard pairs at 0.5 — the oracle
     * for `dedup_minhash_lsh`, whose verification intersects full

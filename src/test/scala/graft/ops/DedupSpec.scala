@@ -44,8 +44,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("native simhash64 is bit-identical to the HOF bit-vote formulation") {
+    // same M61 feature hashes the production simhashes() pipeline uses
     val th = Dedup.shingled(spark, dir)
-      .selectExpr("doc_id", "transform(shingles, t -> xxhash64(t)) AS th")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.textFunctions.m61_token_hashes(
+          org.apache.spark.sql.functions.col("shingles")).as("th"))
     val both = th.selectExpr("doc_id",
         """aggregate(th,
           |  transform(sequence(0, 63), i -> 0),
