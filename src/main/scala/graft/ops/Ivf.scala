@@ -53,17 +53,21 @@ object Ivf {
     slice(transform(sort_array(array(scored: _*)), s => s.getField("cid")), 1, nprobe)
   }
 
-  /** Mini-Lloyd training. `vecs`: (id, v: array<double>). Seeded by
-    * taking every ⌈n/k⌉-th vector (by id order) as initial centroids —
-    * deterministic given the data. */
+  /** Deterministic seed pick: the `k` vectors with the smallest
+    * (xxhash64(id), id) — a pseudo-random-but-reproducible sample that
+    * compiles to TakeOrderedAndProject (per-partition top-k merged on
+    * the driver, k rows on the wire). The earlier formulation ranked
+    * with `row_number()` over a partition-less Window, which funnels
+    * the whole training input through ONE task — the exact
+    * anti-pattern the token-budget selector avoids; plan shape is
+    * pinned in PlanPinsSpec. */
+  private[graft] def initCentroidsPlan(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy(xxhash64(col("id")), col("id")).limit(k).select(col("v"))
+
+  /** Mini-Lloyd training. `vecs`: (id, v: array<double>). Seeding is
+    * deterministic given the data (hash-ordered top-k). */
   def train(vecs: DataFrame, k: Int = 16, iters: Int = 3): IvfModel = {
-    val n = vecs.count()
-    val stride = math.max(n / k, 1L)
-    val init = vecs
-      .withColumn("rn", row_number().over(Window.orderBy(col("id"))) - 1)
-      .filter(col("rn") % stride === 0)
-      .orderBy(col("id")).limit(k)
-      .select(col("v")).collect()
+    val init = initCentroidsPlan(vecs, k).collect()
       .map(_.getSeq[Double](0).toArray)
     var model = IvfModel(init)
     for (_ <- 1 to iters) {

@@ -47,6 +47,16 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
   }
 
+  test("Ivf seed pick: distributed top-k, no partition-less Window") {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val p = graft.ops.Ivf.initCentroidsPlan(vecs, 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k seed pick:\n$p")
+    assert(!p.contains("Window"), s"partition-less Window in train seeding:\n$p")
+  }
+
   test("similarity/dedup: no unbounded cartesian products anywhere") {
     for (name <- Seq("dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_neardup_pairs", "ann_lsh_topk")) {
