@@ -139,23 +139,26 @@ object Ivf {
     * the partition column becomes a PartitionFilters entry — pinned in
     * IvfSpec), then exact cosine + top-k as in [[ivfTopK]].
     *
-    * Caching note (applies to every operator here that persists a
-    * derived frame internally): the cache backs the RETURNED lazy
-    * frame, so it cannot be unpersisted before the caller acts on it.
-    * Long-running callers should `spark.catalog.clearCache()` (or
-    * `result.unpersist()` on their end) between batches, as
-    * Verify/Bench do — otherwise one cached frame is left behind per
-    * call. */
+    * The probe set is collected ONCE to the driver (bounded:
+    * |query batch| × nprobe rows — query batches are bounded by
+    * protocol, same as the brute-force path's broadcast) and re-enters
+    * the plan as a local relation. That one bounded collect buys two
+    * things: the literal cell ids that become PartitionFilters at the
+    * corpus scan, and freedom from any internal `persist` — earlier
+    * versions cached the probes frame to avoid recomputing it for the
+    * cell-id pass and leaked one cached frame per call into
+    * long-running sessions (callers couldn't unpersist what backs a
+    * lazy result). */
   def ivfTopKIndexed(s: SparkSession, path: String, queries: DataFrame,
                      k: Int = 10, nprobe: Int = 3): DataFrame = {
     val model = readModel(s, path)
-    val probes = queries
+    val probesPlan = queries
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(probeCells(model, nprobe)).as("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded driver-side list (≤ |query batch| × nprobe cell ids) —
-    // literal values are what lets Spark prune partitions at the scan
-    val cells = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val probeRows = probesPlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val cells = probeRows.map(_.getAs[Int]("cid")).distinct
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("neighbor_id"))
     s.read.parquet(s"$path/corpus")
@@ -182,8 +185,26 @@ object Ivf {
     ivfTopK(e.filter(col("id") < 5), e.filter(col("id") >= 5), model)
   }
 
+  /** Same protocol through the PERSISTED index: train, write the
+    * cid-partitioned parquet index under the repo scratch dir, then
+    * answer through [[ivfTopKIndexed]]'s partition-pruned scan — the
+    * production layout gets a driver signal, not just a spec. The
+    * index path is fixed and overwritten per run (mode "overwrite"),
+    * so repeated driver runs are idempotent. */
+  def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = train(e, k = 16, iters = 3)
+    val path = new java.io.File("target/scratch/ivf_index_driver").getAbsolutePath
+    writeIndex(s, e.filter(col("id") >= 5), model, path)
+    ivfTopKIndexed(s, path, e.filter(col("id") < 5))
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    // centroid training is float-order sensitive → rows-only check
+    // centroid training is float-order sensitive → rows-only checks
     // (always nQueries × k rows); recall asserted in IvfSpec
-    "ann_ivf_topk" -> QueryDef(ivfQuery))
+    "ann_ivf_topk" -> QueryDef(ivfQuery),
+    "ann_ivf_indexed" -> QueryDef(ivfIndexedQuery))
 }
