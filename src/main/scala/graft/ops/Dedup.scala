@@ -182,21 +182,76 @@ object Dedup {
     * under-remove when similarity is transitive: a~b, b~c, a≁c must
     * still collapse to one exemplar).
     *
-    * Min-label propagation iterated to fixpoint. The loop is DRIVER-
-    * side but each iteration is a distributed join over the PAIR GRAPH
-    * only, which is ≪ corpus by construction (it is the LSH/inverted-
-    * index output, not all documents); iterations are bounded by
-    * component diameter — near-dup clusters are shallow in practice.
-    * The convergence check is an aggregate on that same small frame.
-    * Oracle: a DuckDB recursive CTE computing reachability-min over
-    * the identical pair set. */
+    * Min-label propagation with POINTER JUMPING iterated to fixpoint:
+    * each round floods labels one edge hop AND then contracts through
+    * the label table itself (label(id) ← label(label(id))), so the
+    * effective reach doubles per round — O(log diameter) rounds
+    * instead of O(diameter), the classic shortcut of large-star/
+    * pointer-doubling connectivity. The loop is DRIVER-side but each
+    * iteration is two distributed joins over the PAIR GRAPH only,
+    * which is ≪ corpus by construction (it is the LSH/inverted-index
+    * output, not all documents). The convergence check is an
+    * aggregate on that same small frame. Oracle: a DuckDB recursive
+    * CTE computing reachability-min over the identical pair set. */
   def neardupClusters(s: SparkSession, dir: String,
                       threshold: Double = 0.5): DataFrame =
     clustersFromEdges(jaccardPairs(s, dir, threshold)
       .select(col("doc_a"), col("doc_b")))
 
-  /** Min-label propagation over an (doc_a, doc_b) edge frame. */
-  private[ops] def clustersFromEdges(edgesIn: DataFrame): DataFrame = {
+  /** Connected components over an (doc_a, doc_b) edge frame, labeled
+    * by component-min doc_id.
+    *
+    * Size-gated hybrid: the edge set is the NEAR-DUP PAIR graph — by
+    * construction orders of magnitude smaller than the corpus — so up
+    * to `maxLocalEdges` edges (default 2²², ~64 MB of longs) it is
+    * collected once and solved with driver-side union-find: one job,
+    * zero iterations, exact same labels. Beyond that the distributed
+    * pointer-jumping loop takes over. The gate costs one count on a
+    * frame the loop would have to materialize anyway; at driver bench
+    * scale the local path removes ~8 rounds × per-round job overhead
+    * that dominated this operator's wall clock. */
+  private[ops] def clustersFromEdges(edgesIn: DataFrame,
+                                     maxLocalEdges: Long = 1L << 22): DataFrame = {
+    val edges = edgesIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = edges.count()
+    val out =
+      if (m <= maxLocalEdges) clustersLocal(edges)
+      else clustersFromEdgesCounted(edges)._1
+    edges.unpersist()
+    out
+  }
+
+  /** Driver-side union-find with path halving; labels = component-min
+    * node id (identical semantics to the distributed loop and to the
+    * recursive-CTE oracle). */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val es = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so the final root IS the component min
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keys.toArray.sorted.map(id => (id, find(id)))
+    rows.toSeq.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+  }
+
+  /** Same, also returning the number of rounds to fixpoint (exposed so
+    * specs can pin the O(log diameter) convergence). */
+  private[ops] def clustersFromEdgesCounted(edgesIn: DataFrame): (DataFrame, Int) = {
     // symmetrize ONCE so each round needs a single join instead of two
     // directional joins + a union (iteration cost is dominated by
     // per-round job count on these small frames)
@@ -211,27 +266,47 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = cached
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val prop = edges.join(labels, col("doc_a") === col("id"))
         .select(col("doc_b").as("id"), col("label").as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      // carry the previous label so convergence is one aggregate over
-      // `next` itself — no extra join, and the count action fully
-      // materializes the new cache before the parent is dropped (a
-      // take(1)-style check would leave it partially cached and later
-      // rounds would recompute through the whole join lineage)
-      val next = labels.join(prop, Seq("id"), "left")
+      val hopped = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+      // pointer jump: label(id) ← min(label(id), label(label(id))).
+      // Invariant preserved: a label is always a node reachable from
+      // id, so jumping through it stays within the component; reach
+      // doubles per round. The `old` column carries the PRE-round
+      // label so convergence is one aggregate over `next` itself — no
+      // extra join, and the count action fully materializes the new
+      // cache before the parent is dropped (a take(1)-style check
+      // would leave it partially cached and later rounds would
+      // recompute through the whole join lineage)
+      val next = hopped.as("x").join(
+          hopped.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
+          col("x.label") === col("p.pid"), "left")
+        .select(col("x.id").as("id"), col("x.old").as("old"),
+          least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("label") =!= col("old")).count() == 0
       cached.unpersist()
       cached = next
-      labels = next.select(col("id"), col("label"))
+      // lineage chop: `hopped` appears twice in `next`, so carrying the
+      // Catalyst plan forward would DOUBLE it per round (exponential
+      // analysis/explain cost — measured OOM near round 7). Rebuilding
+      // from the just-materialized cache's RDD makes the next round's
+      // input a leaf plan; the persisted data still backs it.
+      labels = next.sparkSession
+        .createDataFrame(next.select(col("id"), col("label")).rdd,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", next.schema("id").dataType),
+            org.apache.spark.sql.types.StructField("label", next.schema("label").dataType))))
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id")), rounds)
   }
 
   // -------------------------------------------------------------- simhash

@@ -12,11 +12,15 @@ object PlanProbe {
     val dir = "/root/testdata/sf0.1"
     graft.Tables(spark, dir, "lineitem").count() // warmup
     for (name <- args) {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // construction is INSIDE the timed window, mirroring Bench —
+      // iterative operators (cluster propagation, IVF training) do
+      // their distributed work eagerly while the frame is being built
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s")
       if (sys.env.contains("EXPLAIN")) df.explain("formatted")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

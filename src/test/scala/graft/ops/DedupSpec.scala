@@ -70,6 +70,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} sim=${simSet.size}")
   }
 
+  test("cluster propagation converges in O(log diameter) rounds on a long chain") {
+    import spark.implicits._
+    // 64-node path graph: pure hop propagation needs ~63 rounds; with
+    // pointer jumping reach doubles per round → well under 10
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clustersFromEdgesCounted(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 == 1L), s"chain not fully flooded: ${got.filter(_._2 != 1L).take(5).toSeq}")
+    assert(rounds <= 9, s"pointer jumping regressed: $rounds rounds for a 64-chain")
+  }
+
+  test("local union-find and distributed propagation agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("doc_a", "doc_b")
+    val local = Dedup.clustersFromEdges(edges) // under the gate → local
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = Dedup.clustersFromEdgesCounted(edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local == dist)
+  }
+
   test("cluster labels close over transitive chains and split components") {
     import spark.implicits._
     // chain 1-2-3-4 (no direct 1~4 edge), separate pair 10-11, and a
