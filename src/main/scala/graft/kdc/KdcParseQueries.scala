@@ -106,13 +106,21 @@ object KdcParseQueries {
 
   /** Materialize the fixture logs (idempotent, same bytes every call).
     * Writes go through a temp file + atomic move so a concurrent
-    * reader can never observe a truncated/torn file. */
+    * reader can never observe a truncated/torn file. The temp name is
+    * '_'-prefixed — Hadoop input formats skip '_'/'.'-prefixed files,
+    * so even a crash between create and move can't leave a stale copy
+    * that a later run would glob as an extra log (which would double
+    * every fixture count); stale temps from older versions are also
+    * swept on entry. */
   private[kdc] def fixtureDir(): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_kdc_fixture")
     java.nio.file.Files.createDirectories(dir)
+    val stale = java.nio.file.Files.newDirectoryStream(dir, "*.tmp")
+    try stale.forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally stale.close()
     def put(name: String, content: String): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
+      val tmp = java.nio.file.Files.createTempFile(dir, s"_$name", ".tmp")
       java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, dir.resolve(name),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
