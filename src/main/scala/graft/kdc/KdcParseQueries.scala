@@ -167,6 +167,23 @@ object KdcParseQueries {
         org.apache.spark.sql.functions.col("client"))
   }
 
+  /** The TGS branch through the real micro-batch engine: per-file
+    * sessionization as a stateless partition fold + complete-mode
+    * service aggregation ([[graft.streaming.StreamingPipeline.streamingServiceUseStats]]),
+    * AvailableNow trigger, memory sink — the stateFUL (cross-line)
+    * counterpart of the stateless AS-success streaming row above. */
+  def serviceStatsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = fixtureDir()
+    val q = graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, dir)
+      .writeStream.format("memory").queryName("kdc_stream_service_use")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("kdc_stream_service_use")
+      .orderBy(org.apache.spark.sql.functions.col("service"))
+  }
+
   /** Enctype composite keys (the Perl variant's surface, SURVEY A6):
     * per user × preauth enctype, UNK when the preauth line carries no
     * `using` suffix (`perl/kdcmapper-with-enctypes.pl:39-44`). */
@@ -198,6 +215,14 @@ object KdcParseQueries {
         |  ('2015-11-23', 'alice', CAST(1 AS BIGINT)),
         |  ('2015-11-23', 'plain', CAST(1 AS BIGINT))
         |) AS t(day, client, n_auth) ORDER BY day, client""".stripMargin)),
+    // same golden rows as kdc_parse_service_stats: the streaming plan
+    // must converge to the batch answer on a bounded input
+    "kdc_parse_service_stats_streaming" -> QueryDef(serviceStatsStreaming, Some(
+      """SELECT * FROM (VALUES
+        |  ('cifs/share.example.org', '2015-11-22T19:40:00', '2015-11-22T19:40:00', CAST(1 AS BIGINT)),
+        |  ('host/www.example.org',   '2015-11-22T19:00:00', '2015-11-22T19:05:00', CAST(2 AS BIGINT)),
+        |  ('imap/mail.example.org',  '2015-11-22T19:10:00', '2015-11-22T19:10:00', CAST(1 AS BIGINT))
+        |) AS t(service, first_ts, last_ts, n_req) ORDER BY service""".stripMargin)),
     "kdc_parse_user_enctypes" -> QueryDef(userEnctypes, Some(
       """SELECT * FROM (VALUES
         |  ('alice', 'aes256-cts-hmac-sha1-96', CAST(2 AS BIGINT), '2015-11-22T17:00:00', '2015-11-23T07:00:00'),

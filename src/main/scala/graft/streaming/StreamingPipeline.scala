@@ -110,6 +110,28 @@ object StreamingPipeline {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("client"), col("n_auth"))
 
+  /** 3b. Streaming TGS service-use stats — the Perl mapper's `s:`
+    * branch (`kdcmapper.pl:42-52`), which unlike the `u:` branch is
+    * CROSS-LINE stateful (a TGS-REQ header is only emitted when the
+    * later "sending packet" line confirms it, and errors/referrals in
+    * between cancel it). The state is per-file and line-local, so it
+    * streams as a stateless-per-partition fold: the file source
+    * delivers each (small) file's lines in order within a partition,
+    * and [[graft.kdc.Sessionizer.sessionizeByFile]] folds them exactly
+    * like the batch path — no state store needed; the only streaming
+    * state is the final complete-mode aggregate. Contract: one file
+    * must not exceed a source partition (fleet-of-small-logs layout;
+    * huge single files belong to the batch aligned reader). */
+  def streamingServiceUseStats(s: SparkSession, logDir: String,
+                               realm: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val lines = s.readStream.text(logDir)
+      .select(col("_metadata.file_path").as("file"), col("value").as("line"))
+      .as[(String, String)]
+    val recs = lines.mapPartitions(graft.kdc.Sessionizer.sessionizeByFile)
+    graft.kdc.KdcQueries.serviceUseStats(recs, realm)
+  }
+
   /** 4. Streaming exact dedup: drop re-deliveries of the same content
     * hash arriving within the watermark horizon — the streaming twin
     * of [[graft.ops.Dedup.exactDedup]]. State per distinct key is one

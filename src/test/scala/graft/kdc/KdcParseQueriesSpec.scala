@@ -55,6 +55,15 @@ class KdcParseQueriesSpec extends AnyFunSuite {
     assert(run().toSeq == expected)
   }
 
+  test("streaming TGS service stats converge to the batch answer, twice") {
+    def run() = KdcParseQueries.serviceStatsStreaming(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val batch = KdcParseQueries.serviceStats(spark, "").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(run().toSeq == batch.toSeq)
+    assert(run().toSeq == batch.toSeq) // memory sink reusable (Bench runs twice)
+  }
+
   test("KdcMain --report modes emit the expected TSVs") {
     val dir = KdcParseQueries.fixtureDir()
     def run(report: String): Seq[String] = {

@@ -40,15 +40,21 @@ class SkewUtilsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("approx cardinality within 5% of exact") {
-    val approx = EventQueries.approxUserCardinality(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    val exact = EventQueries.events(spark, dir)
-      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
-    for ((k, e) <- exact) {
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+  test("approx cardinality within 5% of exact at two scales") {
+    // sf0.001 pins the small-cardinality regime (HLL falls back to a
+    // near-exact sparse estimator); sf0.1 has 10× the events and 33×
+    // the users — closer to where the dense HLL error bound actually
+    // binds, so a default-precision regression shows up here
+    for (d <- Seq(dir, "/root/testdata/sf0.1")) {
+      val approx = EventQueries.approxUserCardinality(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val exact = EventQueries.events(spark, d)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      for ((k, e) <- exact) {
+        val a = approx(k)
+        assert(math.abs(a - e).toDouble / e <= 0.05, s"$d $k: approx=$a exact=$e")
+      }
     }
   }
 }
