@@ -33,6 +33,7 @@ import graft.QueryDef
 object KdcParseQueries {
 
   private val Realm = "SQUILL.DEMENTIA.ORG"
+  private val ForeignRealm = "FEDERATED.ORG"
 
   private def asHeader(ts: String, user: String, ip: String) =
     s"$ts AS-REQ $user@$Realm from IPv4:$ip for krbtgt/$Realm@$Realm"
@@ -74,7 +75,14 @@ object KdcParseQueries {
     // preauth succeeded WITHOUT a "using <et>" suffix → UNK enctype
     asHeader("2015-11-23T08:00:00", "plain", "10.9.1.1"),
     s"2015-11-23T08:00:00 ENC-TS Pre-authentication succeeded -- plain@$Realm",
-    sending("2015-11-23T08:00:00", "10.9.1.1")).mkString("\n") + "\n"
+    sending("2015-11-23T08:00:00", "10.9.1.1"),
+    // FOREIGN-realm success: included by unscoped queries, excluded by
+    // the realm-scoped driver row (F6 — the reference Perl hardcodes
+    // its realm in the match; here it is a parameter with a driver
+    // check on both settings)
+    s"2015-11-23T09:00:00 AS-REQ visitor@$ForeignRealm from IPv4:10.11.11.11 for krbtgt/$ForeignRealm@$ForeignRealm",
+    s"2015-11-23T09:00:00 ENC-TS Pre-authentication succeeded -- visitor@$ForeignRealm using aes256-cts-hmac-sha1-96",
+    sending("2015-11-23T09:00:00", "10.11.11.11")).mkString("\n") + "\n"
 
   /** TGS traffic: host/www ×2 ok, imap ok, referral (excluded),
     * BAD_AUTHENTICATION, UNKNOWN, BAD_PARAMETERS, header-overwrite
@@ -135,6 +143,15 @@ object KdcParseQueries {
     * unused: the input is the embedded raw-log fixture. */
   def userStats(spark: SparkSession, sfDir: String): DataFrame =
     KdcQueries.userAuthStats(KdcSource.records(spark, fixtureDir()))
+
+  /** F6 realm scoping as a driver row: same pipeline as [[userStats]]
+    * but restricted to the home realm, so the fixture's foreign-realm
+    * success must be EXCLUDED here while the unscoped row includes it
+    * — both oracle-checked, making the parameter's effect visible to
+    * the gate rather than only to specs. */
+  def userStatsScoped(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.userAuthStats(KdcSource.records(spark, fixtureDir()),
+      realm = Some(Realm))
 
   /** README #3+#4 over the split-aligned parse path, with 256-byte max
     * splits so the driver run crosses many torn-session boundaries. */
@@ -200,6 +217,14 @@ object KdcParseQueries {
       """SELECT * FROM (VALUES
         |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
         |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
+        |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT)),
+        |  ('visitor', '2015-11-23T09:00:00', '2015-11-23T09:00:00', CAST(1 AS BIGINT))
+        |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin)),
+    // identical pipeline scoped to the home realm: 'visitor' must drop
+    "kdc_parse_user_stats_scoped" -> QueryDef(userStatsScoped, Some(
+      """SELECT * FROM (VALUES
+        |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
+        |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
         |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT))
         |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin)),
     "kdc_parse_service_stats" -> QueryDef(serviceStats, Some(
@@ -213,7 +238,8 @@ object KdcParseQueries {
         |  ('2015-11-22', 'alice', CAST(1 AS BIGINT)),
         |  ('2015-11-22', 'cg2v',  CAST(2 AS BIGINT)),
         |  ('2015-11-23', 'alice', CAST(1 AS BIGINT)),
-        |  ('2015-11-23', 'plain', CAST(1 AS BIGINT))
+        |  ('2015-11-23', 'plain', CAST(1 AS BIGINT)),
+        |  ('2015-11-23', 'visitor', CAST(1 AS BIGINT))
         |) AS t(day, client, n_auth) ORDER BY day, client""".stripMargin)),
     // same golden rows as kdc_parse_service_stats: the streaming plan
     // must converge to the batch answer on a bounded input
@@ -227,7 +253,8 @@ object KdcParseQueries {
       """SELECT * FROM (VALUES
         |  ('alice', 'aes256-cts-hmac-sha1-96', CAST(2 AS BIGINT), '2015-11-22T17:00:00', '2015-11-23T07:00:00'),
         |  ('cg2v',  'aes256-cts-hmac-sha1-96', CAST(2 AS BIGINT), '2015-11-22T15:25:20', '2015-11-22T16:10:00'),
-        |  ('plain', 'UNK',                     CAST(1 AS BIGINT), '2015-11-23T08:00:00', '2015-11-23T08:00:00')
+        |  ('plain', 'UNK',                     CAST(1 AS BIGINT), '2015-11-23T08:00:00', '2015-11-23T08:00:00'),
+        |  ('visitor', 'aes256-cts-hmac-sha1-96', CAST(1 AS BIGINT), '2015-11-23T09:00:00', '2015-11-23T09:00:00')
         |) AS t(client, enctype, n_auth, first_ts, last_ts) ORDER BY client, enctype""".stripMargin)),
     "kdc_parse_service_enctypes" -> QueryDef(serviceEnctypes, Some(
       """SELECT * FROM (VALUES

@@ -23,7 +23,14 @@ class KdcParseQueriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       ("alice", "2015-11-22T17:00:00", "2015-11-23T07:00:00", 2L),
       ("cg2v", "2015-11-22T15:25:20", "2015-11-22T16:10:00", 2L),
-      ("plain", "2015-11-23T08:00:00", "2015-11-23T08:00:00", 1L)))
+      ("plain", "2015-11-23T08:00:00", "2015-11-23T08:00:00", 1L),
+      ("visitor", "2015-11-23T09:00:00", "2015-11-23T09:00:00", 1L)))
+  }
+
+  test("realm scoping excludes the foreign-realm success") {
+    val scoped = KdcParseQueries.userStatsScoped(spark, "").collect()
+      .map(_.getString(0))
+    assert(!scoped.contains("visitor") && scoped.toSeq == Seq("alice", "cg2v", "plain"))
   }
 
   test("kdc_parse_service_stats (256-byte aligned splits) matches golden") {
@@ -48,7 +55,8 @@ class KdcParseQueriesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val expected = Seq(
       ("2015-11-22", "alice", 1L), ("2015-11-22", "cg2v", 2L),
-      ("2015-11-23", "alice", 1L), ("2015-11-23", "plain", 1L))
+      ("2015-11-23", "alice", 1L), ("2015-11-23", "plain", 1L),
+      ("2015-11-23", "visitor", 1L))
     assert(run().toSeq == expected)
     // Bench times every query twice; the memory-sink query name must
     // be reusable after the first run terminates
@@ -88,8 +96,8 @@ class KdcParseQueriesSpec extends AnyFunSuite {
     val dir = KdcParseQueries.fixtureDir()
     val a = KdcSource.records(spark, dir).collect().toSet
     val b = KdcSource.recordsAligned(spark, dir, Some(256L)).collect().toSet
-    // 9 AS sessions (host1) + 8 TGS sessions (host2; trailing partial
-    // dropped), all field-distinct → 17.
-    assert(a == b && a.size == 17)
+    // 10 AS sessions (host1, incl. the foreign-realm visitor) + 8 TGS
+    // sessions (host2; trailing partial dropped), all field-distinct → 18.
+    assert(a == b && a.size == 18)
   }
 }
