@@ -67,7 +67,10 @@ object KdcMain {
       case other =>
         throw new IllegalArgumentException(s"unknown --report=$other")
     }
-    result.write.option("sep", "\t").mode("overwrite").csv(out)
+    // TSV via the shared formatting expression (oracle-checked through
+    // kdc_parse_user_report_tsv) rather than the CSV writer — the
+    // reference's reducers emit plain join("\t") lines with no quoting
+    KdcQueries.tsvLines(result).write.mode("overwrite").text(out)
     if (!preExisting) spark.stop()
   }
 }

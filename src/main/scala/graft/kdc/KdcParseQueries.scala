@@ -201,6 +201,31 @@ object KdcParseQueries {
       .orderBy(org.apache.spark.sql.functions.col("service"))
   }
 
+  /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the
+    * exact lines `KdcMain --report=user` writes, produced by the SAME
+    * [[KdcQueries.tsvLines]] expression the sink uses. */
+  def userReportTsv(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.tsvLines(
+      KdcQueries.userAuthStats(KdcSource.records(spark, fixtureDir())))
+
+  /** The Hadoop-counters protocol (SURVEY S8/A5/C6) through the gate:
+    * run the fixture parse under [[KdcQueries.withCounters]]' observe
+    * metrics, then surface the delivered counter values as a one-row
+    * frame. The observe adds ZERO extra passes — the metrics ride the
+    * noop materialization action — and the VALUES oracle hand-computes
+    * what the reference's reporter would print for this fixture. */
+  def countersQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    val recs = KdcQueries.withCounters(
+      KdcSource.records(spark, fixtureDir()), obs)
+    recs.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    def c(k: String): Long = m(k).asInstanceOf[Long]
+    Seq((c("records"), c("invalid"), c("referrals"), c("errorsfound"), c("badpassword")))
+      .toDF("records", "invalid", "referrals", "errorsfound", "badpassword")
+  }
+
   /** Enctype composite keys (the Perl variant's surface, SURVEY A6):
     * per user × preauth enctype, UNK when the preauth line carries no
     * `using` suffix (`perl/kdcmapper-with-enctypes.pl:39-44`). */
@@ -263,6 +288,23 @@ object KdcParseQueries {
         |  ('host/www.example.org', 'UNK', CAST(1 AS BIGINT), '2015-11-22T19:05:00', '2015-11-22T19:05:00'),
         |  ('imap/mail.example.org', 'UNK', CAST(1 AS BIGINT), '2015-11-22T19:10:00', '2015-11-22T19:10:00')
         |) AS t(service, enctype_key, n_req, first_ts, last_ts) ORDER BY service, enctype_key""".stripMargin)),
+    // CLI TSV formatting (C4/S7): the literal report lines; tabs are
+    // embedded in the VALUES strings
+    "kdc_parse_user_report_tsv" -> QueryDef(userReportTsv, Some(
+      "SELECT * FROM (VALUES\n" +
+        "  ('alice\t2015-11-22T17:00:00\t2015-11-23T07:00:00\t2'),\n" +
+        "  ('cg2v\t2015-11-22T15:25:20\t2015-11-22T16:10:00\t2'),\n" +
+        "  ('plain\t2015-11-23T08:00:00\t2015-11-23T08:00:00\t1'),\n" +
+        "  ('visitor\t2015-11-23T09:00:00\t2015-11-23T09:00:00\t1')\n" +
+        ") AS t(line) ORDER BY line")),
+    // counters protocol (S8/A5/C6): 18 sessions, 0 invalid,
+    // 1 referral, 6 explicit errors (MISSING_PREAUTH is implicit —
+    // no error line — so not in errorsfound, exactly like the Perl
+    // reporter), 1 bad password
+    "kdc_parse_counters" -> QueryDef(countersQuery, Some(
+      """SELECT * FROM (VALUES
+        |  (CAST(18 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT))
+        |) AS t(records, invalid, referrals, errorsfound, badpassword)""".stripMargin)),
     "kdc_parse_errors" -> QueryDef(errorStats, Some(
       """SELECT * FROM (VALUES
         |  ('BAD_AUTHENTICATION', CAST(1 AS BIGINT)),

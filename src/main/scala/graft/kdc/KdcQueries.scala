@@ -160,6 +160,16 @@ object KdcQueries {
                    obs: org.apache.spark.sql.Observation): Dataset[KdcLogRecord] =
     recs.observe(obs, counterExprs.head, counterExprs.tail: _*)
 
+  /** Report rows → the reference's TSV line format (plain join("\t"),
+    * the Perl reducers' semantics — no CSV-style quoting; KDC
+    * principals/timestamps cannot contain tabs). One shared expression
+    * used by BOTH the [[KdcMain]] sink and the `kdc_parse_user_report_tsv`
+    * driver row, so the formatting itself (SURVEY C4) is
+    * oracle-checked, not only golden-file-pinned. */
+  def tsvLines(df: DataFrame): DataFrame =
+    df.select(concat_ws("\t",
+      df.columns.map(c => col(c).cast("string")): _*).as("line"))
+
   private def counterExprs = Seq(
     count(lit(1)).as("records"),
     count(when(!col("valid"), 1)).as("invalid"),
