@@ -94,7 +94,69 @@ object Pipelines {
       .orderBy(col("cum_tokens"))
   }
 
+  /** (doc_id, g) posting frame of distinct word `n`-grams. */
+  private def grams(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(0, size(t) - $n),
+           |  i -> concat_ws(' ', slice(t, i + 1, $n)))""".stripMargin))).as("g"))
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `n`-gram with the eval set (here: doc_id < `evalMax` stands in
+    * for the benchmark; a real deployment passes its eval corpus).
+    * The standard pre-training hygiene pass (GPT-3 App. C shape).
+    *
+    * Plan: the EVAL side's distinct grams are the small side by
+    * construction (benchmarks are tiny next to a 100 TB corpus), so
+    * the candidate join is `corpus grams ⋈ broadcast(eval grams)` —
+    * an inverted index keyed by the eval set, never a cross join, and
+    * the corpus side stays one scan + one map-side-combining groupBy. */
+  def contaminationReport(s: SparkSession, dir: String,
+                          n: Int = 5, evalMax: Long = 25L): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evalGrams = grams(d.filter(col("doc_id") < evalMax), n)
+      .select(col("g")).distinct()
+    grams(d.filter(col("doc_id") >= evalMax), n)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus minus contaminated docs — the anti-join consumer of
+    * [[contaminationReport]] (the removal set is ≪ corpus). */
+  def decontaminated(s: SparkSession, dir: String,
+                     n: Int = 5, evalMax: Long = 25L): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") >= evalMax)
+      .select(col("doc_id"))
+      .join(contaminationReport(s, dir, n, evalMax).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+
+  /** Shared decontamination CTE bodies (no WITH): per-doc distinct
+    * 5-gram postings and the eval side's gram set. */
+  private lazy val contamCte: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4),
+      |        i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
+      |      FROM tok WHERE len(t) >= 5),
+      |eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "pipeline_contamination" -> QueryDef((s, d) => contaminationReport(s, d), Some(
+      s"""WITH $contamCte
+         |SELECT c.doc_id, count(*) AS n_shared_grams
+         |FROM g c JOIN eg USING (g)
+         |WHERE c.doc_id >= 25
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "pipeline_decontaminated" -> QueryDef((s, d) => decontaminated(s, d), Some(
+      s"""WITH $contamCte,
+         |bad AS (SELECT DISTINCT c.doc_id FROM g c JOIN eg USING (g) WHERE c.doc_id >= 25)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin)),
     "pipeline_token_budget" -> QueryDef((s, d) => tokenBudgetSelect(s, d), Some(
       s"""WITH q AS (
          |  SELECT doc_id,

@@ -161,6 +161,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  // ---------------------------------------------------------- repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1.2 shape):
+    * the fraction of tokens taken by the single most frequent token,
+    * and the fraction of word 2-grams that are repeats of an
+    * already-seen 2-gram. Both are int/int double divisions — exact on
+    * both engines — and `keep` applies the classic ≤ 0.2 prune
+    * thresholds on the RAW ratios (deterministic: the inputs are
+    * integers, so the comparison cannot straddle a rounding edge).
+    *
+    * One scan + one (doc, token) shuffle for the top-token count — the
+    * 2-gram distinctness is a per-row HOF, deliberately NOT the
+    * O(distinct×n) nested-filter formulation, so per-doc cost stays
+    * linear in document length at corpus scale. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+    val tokCounts = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+    val g2 = base.select(col("doc_id"),
+      (size(col("t")) - 1).cast("long").as("n_2g"),
+      expr("""size(array_distinct(transform(sequence(0, size(t) - 2),
+        |  i -> concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2)))))""".stripMargin)
+        .cast("long").as("n_2g_distinct"))
+    g2.join(tokCounts, "doc_id")
+      .select(col("doc_id"),
+        col("n_tok").as("n_tokens"),
+        round(col("top_c") / col("n_tok"), 4).as("top_tok_frac"),
+        round((col("n_2g") - col("n_2g_distinct")) / col("n_2g"), 4).as("dup_2gram_frac"),
+        (col("top_c") / col("n_tok") <= 0.2 &&
+          (col("n_2g") - col("n_2g_distinct")) / col("n_2g") <= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------- fingerprint
 
   /** Winnowing fingerprints (MOSS-style): per-token polynomial hash +
@@ -266,6 +304,23 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin)),
+    "text_repetition" -> QueryDef(repetitionStats, Some(
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |base AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
+         |tc AS (SELECT doc_id, tok, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tok
+         |        FROM tc GROUP BY 1),
+         |g2 AS (SELECT doc_id, len(t) - 1 AS n_2g,
+         |         len(list_distinct(list_transform(range(len(t) - 1),
+         |           i -> t[i + 1] || ' ' || t[i + 2]))) AS n_2g_distinct
+         |       FROM base)
+         |SELECT a.doc_id, n_tok AS n_tokens,
+         |  ${R("CAST(top_c AS DOUBLE) / n_tok", 4)} AS top_tok_frac,
+         |  ${R("CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g", 4)} AS dup_2gram_frac,
+         |  (CAST(top_c AS DOUBLE) / n_tok <= 0.2 AND
+         |   CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g <= 0.2) AS keep
+         |FROM agg a JOIN g2 USING (doc_id) ORDER BY a.doc_id""".stripMargin)),
     "text_fingerprints" -> QueryDef(fingerprints, Some(
       s"""$fpCte
          |SELECT doc_id, len(fps) AS n_fingerprints,

@@ -32,6 +32,44 @@ class PipelinesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length < keep.size) // both filters bite
   }
 
+  test("contamination flags exactly the docs sharing an eval 5-gram") {
+    // near-dups of eval docs (planted pairs have jac ≥ 0.9, so they
+    // share plenty of 5-grams) must be flagged; report + survivors
+    // must partition the non-eval corpus
+    val flagged = Pipelines.contaminationReport(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val survivors = Pipelines.decontaminated(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val corpus = graft.Tables(spark, dir, "documents")
+      .filter("doc_id >= 25").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty)
+    assert((flagged & survivors).isEmpty && (flagged ++ survivors) == corpus)
+    // every flagged doc genuinely shares a 5-gram with some eval doc
+    val evalPairs = Dedup.jaccardPairs(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 25 && b >= 25 }.map(_._2).toSet
+    assert(evalPairs.subsetOf(flagged),
+      s"near-dups of eval docs not flagged: ${evalPairs -- flagged}")
+  }
+
+  test("repetition stats flag a degenerate repeated-token doc") {
+    import org.apache.spark.sql.functions._
+    val rep = TextAnalysis.repetitionStats(spark, dir)
+    // real word-soup corpus: ratios in range, all rows emitted
+    val rows = rep.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+    }
+    // keep == both raw ratios under the 0.2 thresholds (recomputed)
+    val recheck = rep.filter(
+      (col("top_tok_frac") <= 0.2 && col("dup_2gram_frac") <= 0.2) =!= col("keep"))
+    // rounded-vs-raw can only disagree strictly ABOVE the threshold at
+    // 4dp edge cases; assert none exist on this corpus
+    assert(recheck.count() == 0)
+  }
+
   test("neardupRemoval drops exactly the doc_b side of jaccard pairs") {
     val all = graft.Tables(spark, dir, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
