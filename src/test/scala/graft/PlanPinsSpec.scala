@@ -57,6 +57,12 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"partition-less Window in train seeding:\n$p")
   }
 
+  test("contamination: eval grams broadcast, corpus side never shuffles for the join") {
+    val p = plan("pipeline_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval-gram side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled into an SMJ:\n$p")
+  }
+
   test("similarity/dedup: no unbounded cartesian products anywhere") {
     for (name <- Seq("dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_neardup_pairs", "ann_lsh_topk")) {
