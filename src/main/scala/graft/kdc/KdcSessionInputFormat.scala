@@ -31,28 +31,171 @@ import org.apache.hadoop.util.LineReader
   *  - a session cut off by end-of-file is dropped
   *    (`KDCLogRecordReader.java:317-320`).
   *
-  * Compression: compressed inputs are processed one-split-per-file
-  * (gzip is never splittable; bzip2 BYBLOCK alignment would need
-  * compressed-domain lookback and is deliberately out of scope).
-  * This does NOT leave a coverage hole vs the reference's splittable
-  * path (`KDCLogRecordReader.java:179-198`): a single huge .bz2 log
-  * should go through [[KdcSource.records]], whose Hadoop
-  * `TextInputFormat` splits bzip2 at block boundaries natively and
-  * whose shuffle-by-file sort restores line order from byte offsets —
-  * the parse still fans out across splits; only the one sort shuffle
-  * is paid. Uncompressed or rotated-fleet layouts use this aligned
-  * format for the zero-shuffle path.
+  * Compression: gzip (and any non-splittable codec) is processed
+  * one-split-per-file. SPLITTABLE codecs (bzip2) split too — handled
+  * by [[KdcSessionSplitCompressedRecordReader]], which composes
+  * Hadoop's own `LineRecordReader` segments (whose BYBLOCK line
+  * partition across consecutive splits is exact) with a
+  * compressed-domain PROBE replacing the byte lookback: seeking
+  * backward in a compressed stream is impossible, so the reader
+  * decompresses a bounded window before its split to learn one bit —
+  * whether the line preceding its first owned line closed a session —
+  * and otherwise skips forward to its first terminator, the exact
+  * complement of the previous reader's read-past-end. This is the
+  * zero-shuffle path for a single multi-GB .bz2 log, the reference's
+  * splittable case (`KDCLogRecordReader.java:179-198`);
+  * [[KdcSource.records]]' shuffle-by-file sort remains the simpler
+  * alternative for many-file fleets.
   *
   * Requires lines shorter than the lookback window
-  * (`graft.kdc.lookback.bytes`, default 1 MiB).
+  * (`graft.kdc.lookback.bytes`, default 1 MiB; compressed probe:
+  * `graft.kdc.bz2.lookback.bytes`, default 4 MiB — must cover at
+  * least one compressed block plus one line, and grows ×4
+  * automatically if a window turns out to contain no line).
   */
 class KdcSessionInputFormat extends FileInputFormat[LongWritable, Text] {
 
-  override def isSplitable(context: JobContext, file: Path): Boolean =
-    new CompressionCodecFactory(context.getConfiguration).getCodec(file) == null
+  override def isSplitable(context: JobContext, file: Path): Boolean = {
+    val codec = new CompressionCodecFactory(context.getConfiguration).getCodec(file)
+    codec == null ||
+      codec.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]
+  }
 
   override def createRecordReader(split: InputSplit, context: TaskAttemptContext)
-      : RecordReader[LongWritable, Text] = new KdcSessionRecordReader
+      : RecordReader[LongWritable, Text] = {
+    val path = split.asInstanceOf[FileSplit].getPath
+    val codec = new CompressionCodecFactory(context.getConfiguration).getCodec(path)
+    if (codec != null &&
+        codec.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec])
+      new KdcSessionSplitCompressedRecordReader
+    else new KdcSessionRecordReader
+  }
+}
+
+/** Session reader for SPLITTABLE compressed files (bzip2).
+  *
+  * Built on the invariant Hadoop's `LineRecordReader` guarantees for
+  * splittable codecs: consecutive byte-range splits [a,b), [b,c) of
+  * one file partition its LINES exactly (each line is owned by
+  * exactly one range, in order). Three segment readers compose the
+  * session semantics:
+  *
+  *  - MAIN over the split itself: sessions whose first owned line is
+  *    here belong to this split.
+  *  - PROBE over a bounded window ending at the split start: its last
+  *    line is, by the partition invariant, the immediate predecessor
+  *    of MAIN's first line. If that predecessor is NOT a session
+  *    terminator, the split begins inside the previous split's tail
+  *    session, and MAIN skips through its first terminator (those
+  *    lines are consumed by the predecessor's continuation).
+  *  - CONTINUATION over [end, EOF), opened lazily only when MAIN
+  *    exhausts mid-session: finishes the ONE in-progress session
+  *    (reading exactly the lines later splits skip), then stops. A
+  *    session cut off by end-of-file is dropped, matching the
+  *    uncompressed reader and the reference.
+  */
+class KdcSessionSplitCompressedRecordReader extends RecordReader[LongWritable, Text] {
+  import org.apache.hadoop.mapreduce.lib.input.LineRecordReader
+
+  private def isTerminator(line: String): Boolean =
+    LogLine.classify(line) == LineEvent.Sending
+
+  private var context: TaskAttemptContext = _
+  private var path: Path = _
+  private var end = 0L
+  private var fileLen = 0L
+  private var main: LineRecordReader = _
+  private var cont: LineRecordReader = _
+  private var tailMode = false
+  private var finished = false
+  private var emitted = 0L
+
+  private val key = new LongWritable()
+  private val value = new Text()
+
+  override def initialize(genericSplit: InputSplit, ctx: TaskAttemptContext): Unit = {
+    val split = genericSplit.asInstanceOf[FileSplit]
+    context = ctx
+    path = split.getPath
+    end = split.getStart + split.getLength
+    fileLen = path.getFileSystem(ctx.getConfiguration)
+      .getFileStatus(path).getLen
+    main = new LineRecordReader()
+    main.initialize(split, ctx)
+    if (split.getStart > 0) alignSkip(split.getStart)
+  }
+
+  /** Decide whether this split starts inside the previous split's tail
+    * session (probe the predecessor line), and if so skip MAIN forward
+    * through its first terminator. */
+  private def alignSkip(start: Long): Unit = {
+    val conf = context.getConfiguration
+    var window = conf.getLong("graft.kdc.bz2.lookback.bytes", 4L << 20)
+    var prev: String = null
+    var done = false
+    while (!done) {
+      val p = math.max(start - window, 0L)
+      val probe = new LineRecordReader()
+      probe.initialize(new FileSplit(path, p, start - p, null), context)
+      try {
+        while (probe.nextKeyValue()) prev = probe.getCurrentValue.toString
+      } finally probe.close()
+      if (prev != null || p == 0L) done = true
+      else window *= 4 // window held no whole line (giant block/line): widen
+    }
+    if (prev == null || !isTerminator(prev)) {
+      var aligned = false
+      while (!aligned) {
+        if (!main.nextKeyValue()) { finished = true; aligned = true }
+        else if (isTerminator(main.getCurrentValue.toString)) aligned = true
+      }
+    }
+  }
+
+  override def nextKeyValue(): Boolean = {
+    if (finished) return false
+    // a session must START in the main segment — never in continuation
+    if (tailMode || !main.nextKeyValue()) { finished = true; return false }
+    key.set(emitted); emitted += 1
+    val sb = new java.lang.StringBuilder()
+    var line = main.getCurrentValue.toString
+    while (true) {
+      if (sb.length() > 0) sb.append('\n')
+      sb.append(line)
+      if (isTerminator(line)) {
+        value.set(sb.toString)
+        if (tailMode) finished = true // the one tail session is delivered
+        return true
+      }
+      line = nextLine()
+      if (line == null) { finished = true; return false } // EOF mid-session: drop
+    }
+    false
+  }
+
+  /** Next line of the in-progress session, switching from MAIN to the
+    * lazily-opened CONTINUATION when the split's own lines run out. */
+  private def nextLine(): String = {
+    if (!tailMode) {
+      if (main.nextKeyValue()) return main.getCurrentValue.toString
+      tailMode = true
+      if (end < fileLen) {
+        cont = new LineRecordReader()
+        cont.initialize(new FileSplit(path, end, fileLen - end, null), context)
+      }
+    }
+    if (cont != null && cont.nextKeyValue()) cont.getCurrentValue.toString
+    else null
+  }
+
+  override def getCurrentKey: LongWritable = key
+  override def getCurrentValue: Text = value
+  override def getProgress: Float = if (main == null) 0.0f else main.getProgress
+
+  override def close(): Unit = {
+    try if (main != null) main.close()
+    finally if (cont != null) cont.close()
+  }
 }
 
 class KdcSessionRecordReader extends RecordReader[LongWritable, Text] {
@@ -84,7 +227,9 @@ class KdcSessionRecordReader extends RecordReader[LongWritable, Text] {
     val codec = new CompressionCodecFactory(conf).getCodec(path)
 
     if (codec != null) {
-      // whole file in one split (isSplitable=false) — decompress linearly
+      // non-splittable codec (gzip): whole file in one split —
+      // decompress linearly (splittable codecs take
+      // KdcSessionSplitCompressedRecordReader instead)
       decompressor = CodecPool.getDecompressor(codec)
       in = new LineReader(codec.createInputStream(fileIn, decompressor), conf)
       compressed = true

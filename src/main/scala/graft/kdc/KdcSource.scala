@@ -70,10 +70,12 @@ object KdcSource {
 
   /** Scale path #2: split-aligned session reading via
     * [[KdcSessionInputFormat]] — NO shuffle at all; parallelism =
-    * #splits, so a single multi-GB log file fans out across tasks.
-    * Each record arriving from the input format is one complete
-    * session blob, folded independently. Default path for few-huge-
-    * files layouts; [[records]] (shuffle-by-file) remains simplest for
+    * #splits, so a single multi-GB log file fans out across tasks,
+    * including splittable-compressed (.bz2) files via the
+    * probe-aligned [[KdcSessionSplitCompressedRecordReader]]. Each
+    * record arriving from the input format is one complete session
+    * blob, folded independently. Default path for few-huge-files
+    * layouts; [[records]] (shuffle-by-file) remains simplest for
     * many-file fleets. `maxSplitBytes` exists for tests that force
     * split boundaries into awkward byte positions. */
   def recordsAligned(spark: SparkSession, path: String,
