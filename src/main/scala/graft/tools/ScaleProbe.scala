@@ -31,10 +31,13 @@ object ScaleProbe {
       out.write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
     // shift entity keys so cardinalities scale 10x (10x users, docs,
-    // vectors — not 10x denser groups)
-    replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
-    replicate("documents", Map("doc_id" -> 1000000L))
-    replicate("embeddings", Map("vec_id" -> 1000000L))
+    // vectors — not 10x denser groups); --skip-replicate reuses the
+    // tables from a previous run
+    if (!args.contains("--skip-replicate")) {
+      replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      replicate("documents", Map("doc_id" -> 1000000L))
+      replicate("embeddings", Map("vec_id" -> 1000000L))
+    }
 
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
@@ -60,7 +63,10 @@ object ScaleProbe {
       "text_quality",          // single-scan HOFs
       "text_fingerprints",     // native winnow kernel
       "dedup_minhash_lsh",     // LSH band join + exact verify
-      "ann_brute_topk")        // broadcast query set x corpus scan
+      "ann_brute_topk",        // broadcast query set x corpus scan
+      "text_repetition",       // (doc, token) shuffle + per-row HOF
+      "pipeline_contamination",// corpus grams x broadcast eval grams
+      "dedup_simhash_pairs")   // M61+fmix votes, block-pair join
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries) {
       val t1 = time(q, src)
