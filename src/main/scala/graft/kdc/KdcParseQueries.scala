@@ -124,9 +124,15 @@ object KdcParseQueries {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_kdc_fixture")
     java.nio.file.Files.createDirectories(dir)
+    // sweep only UN-prefixed leftovers (pre-fix versions named temps
+    // without the '_'); current writers always use '_' prefixes, so a
+    // concurrent fixtureDir() call can never sweep another's in-flight
+    // temp out from under its atomic move
     val stale = java.nio.file.Files.newDirectoryStream(dir, "*.tmp")
-    try stale.forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally stale.close()
+    try stale.forEach { p =>
+      if (!p.getFileName.toString.startsWith("_"))
+        java.nio.file.Files.deleteIfExists(p)
+    } finally stale.close()
     def put(name: String, content: String): Unit = {
       val tmp = java.nio.file.Files.createTempFile(dir, s"_$name", ".tmp")
       java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))

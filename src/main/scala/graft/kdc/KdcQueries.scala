@@ -167,8 +167,11 @@ object KdcQueries {
     * driver row, so the formatting itself (SURVEY C4) is
     * oracle-checked, not only golden-file-pinned. */
   def tsvLines(df: DataFrame): DataFrame =
+    // coalesce each cell: concat_ws SKIPS null arguments, which would
+    // silently drop a field (fewer tabs) instead of rendering the
+    // empty cell the CSV sink used to emit
     df.select(concat_ws("\t",
-      df.columns.map(c => col(c).cast("string")): _*).as("line"))
+      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("line"))
 
   private def counterExprs = Seq(
     count(lit(1)).as("records"),

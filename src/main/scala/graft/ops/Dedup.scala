@@ -272,9 +272,13 @@ object Dedup {
       val prop = edges.join(labels, col("doc_a") === col("id"))
         .select(col("doc_b").as("id"), col("label").as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      // persist: `hopped` appears on BOTH sides of the pointer-jump
+      // self-join below — uncached, each round would execute the
+      // dominant edge-propagation join twice
       val hopped = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: label(id) ← min(label(id), label(label(id))).
       // Invariant preserved: a label is always a node reachable from
       // id, so jumping through it stays within the component; reach
@@ -291,6 +295,7 @@ object Dedup {
           least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("label") =!= col("old")).count() == 0
+      hopped.unpersist() // next is materialized; the intermediate can go
       cached.unpersist()
       cached = next
       // lineage chop: `hopped` appears twice in `next`, so carrying the

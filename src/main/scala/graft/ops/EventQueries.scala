@@ -316,7 +316,10 @@ object EventQueries {
     // FILTER mirrors Spark's collect_set, which drops NULL elements
     // (DuckDB's list(DISTINCT ..) would retain them)
     "user_service_list" -> QueryDef(userServiceList, Some(
-      "SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ',') AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
+      // coalesce: an all-NULL-event_type user yields NULL from the
+      // FILTERed list in DuckDB but '' from Spark's collect_set-drops-
+      // nulls + concat_ws — pin the '' semantics on both sides
+      "SELECT user_id, coalesce(array_to_string(list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ','), '') AS services, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "event_type_pivot" -> QueryDef(eventTypePivot, Some(
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

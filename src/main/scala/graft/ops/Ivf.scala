@@ -173,14 +173,21 @@ object Ivf {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** (id, v) embeddings frame, persisted — training makes `iters + 1`
+    * passes over it. Callers whose RETURNED plan still reads the frame
+    * (ivfQuery) must leave the cache alive; callers that re-root onto
+    * the written index (ivfIndexedQuery) unpersist before returning. */
+  private def embFrame(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Driver-table query: train on the embeddings, probe with the
     * first five vectors (same protocol as ann_brute_topk/ann_lsh_topk
     * so outputs are directly comparable). */
   def ivfQuery(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .select(col("vec_id").as("id"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = embFrame(s, dir)
     val model = train(e, k = 16, iters = 3)
     ivfTopK(e.filter(col("id") < 5), e.filter(col("id") >= 5), model)
   }
@@ -192,14 +199,16 @@ object Ivf {
     * index path is fixed and overwritten per run (mode "overwrite"),
     * so repeated driver runs are idempotent. */
   def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .select(col("vec_id").as("id"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = embFrame(s, dir)
     val model = train(e, k = 16, iters = 3)
     val path = new java.io.File("target/scratch/ivf_index_driver").getAbsolutePath
     writeIndex(s, e.filter(col("id") >= 5), model, path)
-    ivfTopKIndexed(s, path, e.filter(col("id") < 5))
+    val out = ivfTopKIndexed(s, path, e.filter(col("id") < 5))
+    // everything below `out` reads the WRITTEN index (the query probes
+    // were collected eagerly inside ivfTopKIndexed), so the cache can
+    // be released here instead of leaking per call
+    e.unpersist()
+    out
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -115,20 +115,21 @@ object StreamingPipeline {
     * CROSS-LINE stateful (a TGS-REQ header is only emitted when the
     * later "sending packet" line confirms it, and errors/referrals in
     * between cancel it). The state is per-file and line-local, so it
-    * streams as a stateless-per-partition fold: the file source
-    * delivers each (small) file's lines in order within a partition,
-    * and [[graft.kdc.Sessionizer.sessionizeByFile]] folds them exactly
-    * like the batch path — no state store needed; the only streaming
-    * state is the final complete-mode aggregate. Contract: one file
-    * must not exceed a source partition (fleet-of-small-logs layout;
+    * streams as a stateless per-FILE fold: `wholetext` makes each file
+    * ONE source row, so a file can never straddle partitions (a plain
+    * `.text` read splits large files, and a fragment fold would
+    * silently drop the straddling sessions — enforcing the contract
+    * structurally beats documenting it) and the sessionizer folds its
+    * lines exactly like the batch path. No state store; the only
+    * streaming state is the final complete-mode aggregate. Contract:
+    * a file must fit in one row (fleet-of-small-rotated-logs layout;
     * huge single files belong to the batch aligned reader). */
   def streamingServiceUseStats(s: SparkSession, logDir: String,
                                realm: Option[String] = None): DataFrame = {
     import s.implicits._
-    val lines = s.readStream.text(logDir)
-      .select(col("_metadata.file_path").as("file"), col("value").as("line"))
-      .as[(String, String)]
-    val recs = lines.mapPartitions(graft.kdc.Sessionizer.sessionizeByFile)
+    val recs = s.readStream.option("wholetext", "true").text(logDir)
+      .as[String]
+      .flatMap(txt => graft.kdc.Sessionizer.sessionize(txt.linesIterator))
     graft.kdc.KdcQueries.serviceUseStats(recs, realm)
   }
 
