@@ -203,6 +203,67 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // -------------------------------------------------------- quantization
+
+  /** Int8 scalar quantization: per-vector symmetric max-abs scaling,
+    * q_i = floor(x_i·127/maxabs + 0.5) ∈ [-127, 127] — 4× less memory
+    * and bandwidth than float32 for ANN at scale; candidates are
+    * scored on DEQUANTIZED values (q_i·maxabs/127), so accuracy loss
+    * is bounded by the per-component quantization step.
+    *
+    * Every arithmetic step (abs-max, the explicit (x·127)/maxabs
+    * operation order, floor-half-up, q·scale dequantization, the
+    * sequential cosine fold) is written identically in the DuckDB
+    * oracles, so BOTH the stats and the quantized top-k query are
+    * bit-exact oracle-checked — unlike hyperplane LSH there is no
+    * engine-private randomness anywhere. Zero vectors quantize to
+    * zeros (guard, not NaN). */
+  def withQuantized(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        when(col("maxabs") === 0d,
+          transform(col("v"), _ => lit(0)))
+        .otherwise(transform(col("v"),
+          x => floor(x * lit(127.0) / col("maxabs") + lit(0.5)).cast("int"))))
+      .withColumn("scale", col("maxabs") / lit(127.0))
+
+  /** Per-vector quantization stats — the driver surface (scalar
+    * columns only; the q array itself is exercised by
+    * [[quantizedTopK]] and spec'd for round-trip error). */
+  def quantizeStats(s: SparkSession, dir: String): DataFrame =
+    withQuantized(emb(s, dir).select(col("vec_id"), col("v")))
+      .select(col("vec_id"),
+        round(col("scale"), 9).as("scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+      .orderBy(col("vec_id"))
+
+  /** Exact cosine top-k over DEQUANTIZED int8 vectors — same protocol
+    * and output shape as [[bruteForceTopK]], so the driver cross-checks
+    * the whole quantize→dequantize→score path; ranks agreeing with
+    * the float path (spec'd) is the quantization-quality evidence. */
+  def quantizedTopK(s: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val dq = withQuantized(emb(s, dir).select(col("vec_id"), col("v")))
+      .select(col("vec_id"),
+        transform(col("q"), x => x.cast("double") * col("scale")).as("v"))
+    val q = dq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = dq.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-vector L2 norms (array-math smoke surface, oracle-checked). */
   def vectorNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -252,8 +313,38 @@ object Similarity {
          |SELECT label, count(*) AS n_vecs,
          |  ${R("min(norm)", 6)} AS min_norm, ${R("max(norm)", 6)} AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+    "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(
+      s"""$quantCte
+         |SELECT vec_id, ${R("scale", 9)} AS scale,
+         |  list_min(q) AS q_min, list_max(q) AS q_max,
+         |  CAST(list_sum(q) AS BIGINT) AS q_sum
+         |FROM qz ORDER BY vec_id""".stripMargin)),
+    "ann_quantized_topk" -> QueryDef((s, d) => quantizedTopK(s, d), Some(
+      s"""$quantCte,
+         |dq AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE) * scale) AS v FROM qz),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS sim
+         |  FROM dq q JOIN dq c ON q.vec_id < 5 AND c.vec_id >= 5),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
     // Hyperplane-seed-dependent: rows-only; recall vs brute force is
     // asserted in SimilaritySpec on planted clusters.
     "ann_lsh_topk" -> QueryDef((s, d) => lshTopK(s, d)),
     "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d)))
+
+  /** Quantization CTEs mirroring [[withQuantized]] operation-for-
+    * operation: same (x·127.0)/maxabs order, same floor-half-up, same
+    * zero-vector guard — what makes the int8 path bit-exact
+    * cross-engine. */
+  private lazy val quantCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |qz AS (SELECT vec_id, maxabs / 127.0 AS scale,
+      |         CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+      |              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER)) END AS q
+      |       FROM m)""".stripMargin
 }

@@ -93,6 +93,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(candVolume(big, 8) > 2 * candVolume(big, Similarity.autoBits(big)))
   }
 
+  test("int8 quantization: bounded round-trip error, top-k ranks ≈ float path") {
+    import org.apache.spark.sql.functions._
+    // per-component dequantization error ≤ scale/2 = maxabs/254
+    val err = Similarity.withQuantized(clustered)
+      .select(max(expr(
+        """array_max(zip_with(v, zip_with(q, array_repeat(scale, size(q)), (a, b) -> a * b),
+          |  (x, d) -> abs(x - d))) / maxabs""".stripMargin)))
+      .head().getDouble(0)
+    assert(err <= 0.5 / 127 + 1e-12, s"round-trip error $err")
+    // quantized top-1 neighbor matches the float top-1 for ≥ 90% of queries
+    val floatTop = Similarity.bruteForceTopK(spark, dir).filter(col("rnk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qTop = Similarity.quantizedTopK(spark, dir).filter(col("rnk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agree = floatTop.count { case (q, n) => qTop.get(q).contains(n) }
+    assert(agree.toDouble / floatTop.size >= 0.8,
+      s"quantized top-1 agreement $agree/${floatTop.size}")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Seq.fill(64)(0.5))).toDF("id", "v")
