@@ -94,6 +94,46 @@ object Pipelines {
       .orderBy(col("cum_tokens"))
   }
 
+  /** Sequence packing — the concat-then-chunk layout LLM training
+    * actually uses: documents in deterministic (doc_id) order are laid
+    * end-to-end on a token tape, and each gets the context-window
+    * slot(s) its token range falls into: seq_id = start DIV capacity,
+    * offset_in_seq = start MOD capacity (a doc may straddle two
+    * windows, exactly as a chunked token stream does).
+    *
+    * The token tape position is the SAME two-phase distributed prefix
+    * sum as [[tokenBudgetSelect]] (range partition → per-partition
+    * totals collected as #partitions longs → broadcast offsets) — no
+    * partition-less window, deterministic at any scale. */
+  def packSequences(s: SparkSession, dir: String,
+                    capacity: Long = 2048L): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, Long)]
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val sorted = toks
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.map(_._2).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bOff = s.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var start = bOff.value(pid)
+      it.map { case (id, nt) =>
+        val s0 = start; start += nt
+        (id, nt, s0 / capacity, s0 % capacity)
+      }
+    }.toDF("doc_id", "n_tokens", "seq_id", "offset_in_seq")
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, g) posting frame of distinct word `n`-grams. */
   private def grams(df: DataFrame, n: Int): DataFrame =
     df.withColumn("t", split(col("text"), " "))
@@ -145,6 +185,15 @@ object Pipelines {
       |eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "pipeline_pack_sequences" -> QueryDef((s, d) => packSequences(s, d), Some(
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |tape AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       start // 2048 AS seq_id, start % 2048 AS offset_in_seq
+        |FROM tape ORDER BY doc_id""".stripMargin)),
     "pipeline_contamination" -> QueryDef((s, d) => contaminationReport(s, d), Some(
       s"""WITH $contamCte
          |SELECT c.doc_id, count(*) AS n_shared_grams

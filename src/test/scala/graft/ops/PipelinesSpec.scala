@@ -70,6 +70,21 @@ class PipelinesSpec extends AnyFunSuite {
     assert(recheck.count() == 0)
   }
 
+  test("packSequences lays docs on a contiguous token tape") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipelines.packSequences(spark, dir, capacity = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // contiguity: each doc's tape start = previous doc's start + tokens
+    var tape = 0L
+    for ((_, nt, seq, off) <- rows) {
+      assert(seq == tape / 512 && off == tape % 512,
+        s"tape position mismatch at tape=$tape")
+      tape += nt
+    }
+    // every window except the last is fully covered
+    assert(rows.map(_._3).max == (tape - 1) / 512)
+  }
+
   test("neardupRemoval drops exactly the doc_b side of jaccard pairs") {
     val all = graft.Tables(spark, dir, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
