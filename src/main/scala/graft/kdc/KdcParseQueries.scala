@@ -124,14 +124,19 @@ object KdcParseQueries {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_kdc_fixture")
     java.nio.file.Files.createDirectories(dir)
-    // sweep only UN-prefixed leftovers (pre-fix versions named temps
-    // without the '_'); current writers always use '_' prefixes, so a
-    // concurrent fixtureDir() call can never sweep another's in-flight
-    // temp out from under its atomic move
+    // sweep leftovers without racing a concurrent writer: un-prefixed
+    // temps are always stale (pre-fix versions named them without '_');
+    // '_'-prefixed temps are only stale once they are far older than
+    // any in-flight write could be — otherwise a crash between
+    // createTempFile and the atomic move would accumulate orphans
+    // forever on long-lived hosts
     val stale = java.nio.file.Files.newDirectoryStream(dir, "*.tmp")
     try stale.forEach { p =>
-      if (!p.getFileName.toString.startsWith("_"))
-        java.nio.file.Files.deleteIfExists(p)
+      val name = p.getFileName.toString
+      val oldEnough = !name.startsWith("_") ||
+        java.nio.file.Files.getLastModifiedTime(p).toMillis <
+          System.currentTimeMillis() - (60L * 60 * 1000)
+      if (oldEnough) java.nio.file.Files.deleteIfExists(p)
     } finally stale.close()
     def put(name: String, content: String): Unit = {
       val tmp = java.nio.file.Files.createTempFile(dir, s"_$name", ".tmp")

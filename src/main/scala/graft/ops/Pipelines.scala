@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,18 +53,42 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Two-phase distributed PREFIX SUM shared by [[tokenBudgetSelect]]
+    * and [[packSequences]]: per-partition token totals (one bounded
+    * collect of #partitions longs) become broadcast offsets, then each
+    * partition streams its own running sum — never a partition-less
+    * window (which collapses all rows to a single task).
+    *
+    * `sorted` MUST already be range-partitioned + within-partition
+    * sorted AND persisted by the caller: the totals pass and the emit
+    * pass are two separate actions, and an un-cached
+    * `repartitionByRange` would re-SAMPLE its range boundaries between
+    * them, de-synchronizing the offsets. That persist backs the
+    * returned lazy frame, so it cannot be released here — callers are
+    * sessions that clearCache between queries (Verify/Bench) or accept
+    * one cached frame per call (same documented contract as
+    * [[graft.ops.Ivf.ivfQuery]]). `emit` receives each element with
+    * the running total INCLUDING that element's tokens. */
+  private def withRunningTotal[T, R](sorted: Dataset[T])(tokenOf: T => Long)(
+      emit: (T, Long) => R)(implicit enc: org.apache.spark.sql.Encoder[R]): Dataset[R] = {
+    val s = sorted.sparkSession
+    import s.implicits._
+    val partTotals = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(),
+        it.map(tokenOf).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bOff = s.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      var run = bOff.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { t => run += tokenOf(t); emit(t, run) }
+    }
+  }
+
   /** Fill a token budget with the highest-quality documents: total
     * order (quality desc, doc_id), keep rows while the running token
-    * total stays within `budget`.
-    *
-    * The global cumulative sum deliberately does NOT use a
-    * partition-less window (which collapses all rows to a single task)
-    * — it is the two-phase distributed prefix sum: range-partition by
-    * the sort key, per-partition token totals (one bounded collect of
-    * #partitions longs) become broadcast offsets, then each partition
-    * streams its own running sum. The result is independent of where
-    * the range boundaries land, so it is deterministic and
-    * oracle-checkable while scaling to any corpus size. */
+    * total stays within `budget`. Deterministic and oracle-checkable
+    * at any scale via [[withRunningTotal]]. */
   def tokenBudgetSelect(s: SparkSession, dir: String,
                         budget: Long = 20000L): DataFrame = {
     import s.implicits._
@@ -79,17 +103,8 @@ object Pipelines {
       .sortWithinPartitions(desc("quality_score"), col("doc_id"))
       .as[(Long, Double, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partTotals = sorted.mapPartitions { it =>
-      Iterator((org.apache.spark.TaskContext.getPartitionId(),
-        it.map(_._3).sum))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bOff = s.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var run = bOff.value(pid)
-      it.map { case (id, q, nt) => run += nt; (id, q, nt, run) }
-    }.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
+    withRunningTotal(sorted)(_._3) { case ((id, q, nt), run) => (id, q, nt, run) }
+      .toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .orderBy(col("cum_tokens"))
   }
@@ -101,16 +116,16 @@ object Pipelines {
     * offset_in_seq = start MOD capacity (a doc may straddle two
     * windows, exactly as a chunked token stream does).
     *
-    * The token tape position is the SAME two-phase distributed prefix
-    * sum as [[tokenBudgetSelect]] (range partition → per-partition
-    * totals collected as #partitions longs → broadcast offsets) — no
-    * partition-less window, deterministic at any scale. */
+    * Tape positions come from the shared [[withRunningTotal]] prefix
+    * sum — no partition-less window, deterministic at any scale. A
+    * NULL text counts 0 tokens (coalesce) rather than poisoning the
+    * non-nullable encoder, matching the oracle's NULL-skipping sum. */
   def packSequences(s: SparkSession, dir: String,
                     capacity: Long = 2048L): DataFrame = {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tokens"))
       .as[(Long, Long)]
     val nParts = s.sessionState.conf.numShufflePartitions
     val sorted = toks
@@ -118,18 +133,9 @@ object Pipelines {
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partTotals = sorted.mapPartitions { it =>
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.map(_._2).sum))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bOff = s.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var start = bOff.value(pid)
-      it.map { case (id, nt) =>
-        val s0 = start; start += nt
-        (id, nt, s0 / capacity, s0 % capacity)
-      }
+    withRunningTotal(sorted)(_._2) { case ((id, nt), run) =>
+      val s0 = run - nt
+      (id, nt, s0 / capacity, s0 % capacity)
     }.toDF("doc_id", "n_tokens", "seq_id", "offset_in_seq")
       .orderBy(col("doc_id"))
   }
@@ -186,7 +192,7 @@ object Pipelines {
 
   val defs: Map[String, QueryDef] = Map(
     "pipeline_pack_sequences" -> QueryDef((s, d) => packSequences(s, d), Some(
-      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      """WITH t AS (SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tokens FROM documents),
         |tape AS (SELECT doc_id, n_tokens,
         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start

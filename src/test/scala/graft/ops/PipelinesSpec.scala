@@ -81,8 +81,11 @@ class PipelinesSpec extends AnyFunSuite {
         s"tape position mismatch at tape=$tape")
       tape += nt
     }
-    // every window except the last is fully covered
-    assert(rows.map(_._3).max == (tape - 1) / 512)
+    // max seq_id = the LAST doc's start window (its tail may straddle
+    // into later windows — that is allowed by the chunking semantics,
+    // so don't assert on the final token's window)
+    val lastStart = tape - rows.last._2
+    assert(rows.map(_._3).max == lastStart / 512)
   }
 
   test("neardupRemoval drops exactly the doc_b side of jaccard pairs") {
