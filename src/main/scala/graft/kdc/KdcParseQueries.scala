@@ -182,15 +182,22 @@ object KdcParseQueries {
     * end-of-stream), returned as a batch frame for the oracle. This
     * is the same micro-batch engine/plan a continuous deployment runs
     * — only the trigger differs. */
+  /** Memory-sink query names are suffixed per invocation: a FIXED name
+    * collides across concurrent invocations in one session (duplicate
+    * active-query name / temp view), so each run gets its own. The
+    * sink view is bounded (the final aggregate) and session-scoped. */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def userStatsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = fixtureDir()
+    val name = s"kdc_stream_user_auth_${streamSeq.incrementAndGet()}"
     val q = graft.streaming.StreamingPipeline.streamingUserAuthCounts(spark, dir)
-      .writeStream.format("memory").queryName("kdc_stream_user_auth")
+      .writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("kdc_stream_user_auth")
+    spark.table(name)
       .orderBy(org.apache.spark.sql.functions.col("day"),
         org.apache.spark.sql.functions.col("client"))
   }
@@ -202,13 +209,14 @@ object KdcParseQueries {
     * counterpart of the stateless AS-success streaming row above. */
   def serviceStatsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = fixtureDir()
+    val name = s"kdc_stream_service_use_${streamSeq.incrementAndGet()}"
     val q = graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, dir)
-      .writeStream.format("memory").queryName("kdc_stream_service_use")
+      .writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("kdc_stream_service_use")
+    spark.table(name)
       .orderBy(org.apache.spark.sql.functions.col("service"))
   }
 

@@ -203,32 +203,63 @@ object Dedup {
     *
     * Size-gated hybrid: the edge set is the NEAR-DUP PAIR graph — by
     * construction orders of magnitude smaller than the corpus — so up
-    * to `maxLocalEdges` edges (default 2²², ~64 MB of longs) it is
-    * collected once and solved with driver-side union-find: one job,
-    * zero iterations, exact same labels. Beyond that the distributed
-    * pointer-jumping loop takes over. The gate costs one count on a
-    * frame the loop would have to materialize anyway; at driver bench
-    * scale the local path removes ~8 rounds × per-round job overhead
-    * that dominated this operator's wall clock. */
+    * to `maxLocalEdges` edges it is collected once and solved with
+    * driver-side union-find: one job, zero iterations, exact same
+    * labels. Beyond that the distributed pointer-jumping loop takes
+    * over. The gate costs one count on a frame the loop would have to
+    * materialize anyway; at driver bench scale the local path removes
+    * ~8 rounds × per-round job overhead that dominated this operator's
+    * wall clock.
+    *
+    * The local path only fires for INTEGRAL id columns (byte/short/
+    * int/long): both paths then accept identical schemas and return
+    * ids of the input type — a non-integral id (string keys, say)
+    * takes the distributed loop, which is type-generic, instead of
+    * silently null-casting. */
   private[ops] def clustersFromEdges(edgesIn: DataFrame,
-                                     maxLocalEdges: Long = 1L << 22): DataFrame = {
+                                     maxLocalEdges: Long = defaultMaxLocalEdges): DataFrame = {
     val edges = edgesIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
     val out =
-      if (m <= maxLocalEdges) clustersLocal(edges)
+      if (m <= maxLocalEdges && Seq("doc_a", "doc_b").forall(c => isIntegral(edges, c)))
+        clustersLocal(edges)
       else clustersFromEdgesCounted(edges)._1
     edges.unpersist()
     out
   }
 
+  private def isIntegral(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Local-path gate derived from the actual driver budget, not a
+    * guess: the peak transient is ~200 bytes/edge — specialized
+    * (Long, Long) tuples (~32 B each; the primitive-encoder collect
+    * below avoids ~100+ B boxed Rows entirely), LongMap open-addressing
+    * arrays (~32 B/node × ≤ 2 nodes/edge incl. load-factor slack) and
+    * the (id, root) result tuples — so the gate budgets 1/4 of the
+    * driver heap at that rate, capped at 2²² edges. A 1 GiB driver
+    * gates at ~1.3 M edges instead of blindly accepting 4.2 M. */
+  private[ops] def defaultMaxLocalEdges: Long =
+    math.min(1L << 22, Runtime.getRuntime.maxMemory() / 4 / 200)
+
   /** Driver-side union-find with path halving; labels = component-min
     * node id (identical semantics to the distributed loop and to the
-    * recursive-CTE oracle). */
+    * recursive-CTE oracle). Only called for integral id columns (see
+    * the gate), so the widening cast below can never produce NULLs;
+    * outputs are cast back so the result schema matches the
+    * distributed path's for the same input. */
   private def clustersLocal(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    val idType = edges.schema("doc_a").dataType
+    // primitive-encoder collect: (Long, Long) deserializes to the
+    // specialized Tuple2 (~32 B/edge), not boxed Rows
     val es = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -246,7 +277,10 @@ object Dedup {
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     val rows = parent.keys.toArray.sorted.map(id => (id, find(id)))
-    rows.toSeq.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    rows.toSeq.toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Same, also returning the number of rounds to fixpoint (exposed so

@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   *    computation; only the (|corpus|·|Q|) scored pairs shuffle into
   *    the per-query top-k window, and that input could be cut further
   *    with a per-partition pre-top-k. Never a corpus×corpus cross join.
-  *  - LSH: each vector hashes to `nTables` sign-buckets of
+  *  - LSH: each vector hashes to sign-buckets of
   *    [[Similarity.autoBits]] bits (≈ log₂ n − 8, so buckets hold
-  *    ~256 vectors regardless of corpus size); the candidate join is
-  *    an equi-join on (table, bucket) — inverted-index shape,
-  *    Σ bucket² ≈ 2⁸·n·tables cost, AQE-skew-splittable. Exact cosine
-  *    re-verifies candidates, so precision is 1; recall is the tunable
-  *    (tables × bits), measured in SimilaritySpec on planted clusters.
+  *    ~256 vectors regardless of corpus size) in
+  *    [[Similarity.autoTables]] tables (grown with bits so pair recall
+  *    holds ~0.98 at the design similarity instead of silently
+  *    decaying); the candidate join is an equi-join on (table, bucket)
+  *    — inverted-index shape, Σ bucket² ≈ 2⁸·n·tables ≈ 2⁸·n^1.15
+  *    cost, AQE-skew-splittable. Exact cosine re-verifies candidates,
+  *    so precision is 1; recall (incl. the auto-scaled bits regime) is
+  *    measured in SimilaritySpec on planted clusters.
   *  - All vector math is Catalyst higher-order functions on
   *    `array<double>` (left-fold `aggregate`, codegen'd) — the fold
   *    order matches DuckDB's list functions bit-for-bit, which is what
@@ -111,7 +114,7 @@ object Similarity {
     * [[bruteForceTopK]] (its recall benchmark). */
   def lshTopK(s: SparkSession, dir: String,
               nQueries: Int = 5, k: Int = 10,
-              nTables: Int = 8, nBits: Int = -1): DataFrame = {
+              nTables: Int = -1, nBits: Int = -1): DataFrame = {
     val e = emb(s, dir)
     lshTopKOn(
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("id"), col("v")),
@@ -152,16 +155,39 @@ object Similarity {
   private def resolveBits(nBits: Int, corpus: DataFrame): Int =
     if (nBits > 0) nBits else autoBits(corpus.count())
 
+  /** Table count holding PAIR RECALL as [[autoBits]] coarsens buckets.
+    * A near-dup pair at the design similarity (cosine ≈ 0.95 ⇒ per-
+    * hyperplane collision p* = 1 − θ/π ≈ 0.9) collides in one b-bit
+    * table with p*^b, so T tables reach recall 1 − (1 − p*^b)^T;
+    * solving for the 0.98 target gives T(b) = ln(0.02)/ln(1 − p*^b).
+    * Without this, growing bits at FIXED T silently drops recall
+    * (8 tables: 99% at b=8 → 80% at b=16). T grows ~(1/p*)^b, i.e.
+    * ≈ n^0.15 under autoBits' b ≈ log₂ n − 8, so total candidate
+    * volume is ≈ 2⁸·n^1.15 — the classic sub-quadratic LSH n^ρ
+    * tradeoff, paid in tables (recall held) instead of in misses.
+    * Floor 8 keeps the historical small-corpus default; recall in the
+    * auto-scaled regime (bits above the floor) is pinned on planted
+    * clusters in SimilaritySpec. */
+  private[ops] def autoTables(bits: Int, pStar: Double = 0.9, recall: Double = 0.98): Int = {
+    val pTable = math.pow(pStar, bits)
+    math.max(8, math.ceil(math.log1p(-recall) / math.log1p(-pTable)).toInt)
+  }
+
+  private def resolveTables(nTables: Int, bits: Int): Int =
+    if (nTables > 0) nTables else autoTables(bits)
+
   /** Generic LSH top-k over (id, v) query/corpus frames. `dims`
     * defaults to the corpus's actual dimensionality; `nBits` ≤ 0
-    * defaults to [[autoBits]] of the corpus size. */
+    * defaults to [[autoBits]] of the corpus size, and `nTables` ≤ 0 to
+    * [[autoTables]] of the resolved bits (recall held as bits grow). */
   def lshTopKOn(queries: DataFrame, corpus: DataFrame, k: Int,
-                nTables: Int = 8, nBits: Int = -1, dims: Int = -1): DataFrame = {
+                nTables: Int = -1, nBits: Int = -1, dims: Int = -1): DataFrame = {
     val d = if (dims > 0) dims else dimsOf(corpus)
     val bits = resolveBits(nBits, corpus)
-    val qb = lshBuckets(queries, "id", nTables, bits, d)
+    val tables = resolveTables(nTables, bits)
+    val qb = lshBuckets(queries, "id", tables, bits, d)
       .select(col("id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
-    val cb = lshBuckets(corpus, "id", nTables, bits, d)
+    val cb = lshBuckets(corpus, "id", tables, bits, d)
       .select(col("id").as("neighbor_id"), col("v").as("cv"), col("tbl"), col("bucket"))
     val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
@@ -180,15 +206,16 @@ object Similarity {
     * from shared LSH buckets (corpus self-join on (table, bucket)),
     * exact-verified. The embedding-cosine flavor of Dedup. */
   def neardupPairs(s: SparkSession, dir: String,
-                   threshold: Double = 0.4, nTables: Int = 8, nBits: Int = -1): DataFrame =
+                   threshold: Double = 0.4, nTables: Int = -1, nBits: Int = -1): DataFrame =
     neardupPairsOn(emb(s, dir).select(col("vec_id").as("id"), col("v")),
       threshold, nTables, nBits)
 
   def neardupPairsOn(vecs: DataFrame, threshold: Double,
-                     nTables: Int = 8, nBits: Int = -1, dims: Int = -1): DataFrame = {
+                     nTables: Int = -1, nBits: Int = -1, dims: Int = -1): DataFrame = {
+    val bits = resolveBits(nBits, vecs)
     // persist: the self-join would re-derive all hyperplane dot
     // products on both sides (same pattern as Dedup's band joins)
-    val b = lshBuckets(vecs, "id", nTables, resolveBits(nBits, vecs),
+    val b = lshBuckets(vecs, "id", resolveTables(nTables, bits), bits,
         if (dims > 0) dims else dimsOf(vecs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("a").join(b.as("b"),

@@ -95,6 +95,25 @@ class DedupSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("cluster gate accepts the same schemas on both sides") {
+    import spark.implicits._
+    // string ids would silently null-cast in the local path — the gate
+    // must route them to the type-generic distributed loop instead
+    val sEdges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val sGot = Dedup.clustersFromEdges(sEdges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // int ids take the local path under the gate AND keep their type
+    // (the distributed path preserves input types; the local path must
+    // not widen the schema to bigint across the gate)
+    val iEdges = Seq((1, 2), (2, 3)).toDF("doc_a", "doc_b")
+    val iOut = Dedup.clustersFromEdges(iEdges)
+    assert(iOut.schema("doc_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(iOut.schema("cluster_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(iOut.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("cluster labels close over transitive chains and split components") {
     import spark.implicits._
     // chain 1-2-3-4 (no direct 1~4 edge), separate pair 10-11, and a

@@ -93,6 +93,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(candVolume(big, 8) > 2 * candVolume(big, Similarity.autoBits(big)))
   }
 
+  test("autoTables holds pair recall as autoBits coarsens buckets") {
+    // formula pins: T(b) = ln(1-0.98)/ln(1-0.9^b), floored at 8
+    assert(Similarity.autoTables(8) == 8)   // raw 6.95 → floor
+    assert(Similarity.autoTables(12) == 12)
+    assert(Similarity.autoTables(16) == 20)
+    // recall in the AUTO-SCALED regime (bits above the floor-8 case
+    // the historical default was tuned on): planted clusters at
+    // bits = 12, tables auto-derived (12). At the planted cosine
+    // ≈ 0.99 the per-pair analytic recall is ≈ 1 - 3e-5; the old
+    // FIXED 8 tables at these bits would already sit near its recall
+    // knee. 20 clusters × C(6,2) = 300 planted pairs.
+    val pairs = Similarity.neardupPairsOn(clustered, threshold = 0.9,
+        nTables = -1, nBits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a / 6 == b / 6 }) // precision 1
+    assert(pairs.length >= 285, s"auto-scaled recall too low: ${pairs.length}/300")
+  }
+
   test("int8 quantization: bounded round-trip error, top-k ranks ≈ float path") {
     import org.apache.spark.sql.functions._
     // per-component dequantization error ≤ scale/2 = maxabs/254
