@@ -223,6 +223,148 @@ case class M61TokenHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a token array, space-joined, in
+  * first-occurrence order — semantically identical to
+  * `array_distinct(transform(sequence(0, size(t) - n), i ->
+  * concat_ws(' ', slice(t, i + 1, n))))` but one tight loop instead of
+  * an interpreted lambda per (element × pass): the HOF formulation
+  * measured ~5 s per lineage pass at sf0.1 on a single input split
+  * vs < 0.3 s for this kernel (the Jaccard family re-derives the
+  * shingling lineage up to three times per query).
+  *
+  * NULL tokens join as empty strings (concat_ws semantics: `split`
+  * never produces NULL elements, so this is unreachable on the
+  * production input but defined for safety). */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val m = xs.numElements()
+    val out = m - n + 1
+    if (out <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val u = xs.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i < out) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("ngramExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass MinHash signature over an `array<string>` of shingles:
+  * each shingle hashes to x = fmix64(M61-fold(chars)) mod P (the same
+  * DuckDB-reproducible family as [[M61TokenHashes]], reduced into
+  * [0, P) with P = 2^31-1), and signature slot i is
+  * min over shingles of (a_i·x + b_i) mod P for the caller's fixed
+  * coefficient family. Replaces a 64-pass `array_min(transform(...))`
+  * HOF stack (one interpreted lambda per element × 64 passes) with a
+  * single loop doing 64 multiplies per element.
+  *
+  * ANSI-safety: a_i < 2^31 and x < 2^31 keep a·x + b < 2^62.
+  * Returns NULL for an empty shingle array (min over nothing — the
+  * HOF formulation yielded NULL slots; callers filter docs with < n
+  * tokens, so neither arises on production input). */
+case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)], p: Long)
+    extends UnaryExpression {
+  require(coeffs.nonEmpty, "need at least one hash coefficient pair")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    import TextExpressions.{fold61, fmix64}
+    val xs = a.asInstanceOf[ArrayData]
+    val m = xs.numElements()
+    if (m == 0) return null
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val u = xs.getUTF8String(j)
+      val s = if (u == null) "" else u.toString
+      var h = 0L
+      var q = 0
+      while (q < s.length) {
+        val cp = s.codePointAt(q)
+        h = fold61(h, 5, cp.toLong)
+        q += Character.charCount(cp)
+      }
+      val x = java.lang.Math.floorMod(fmix64(h), p)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * x + bs(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("minhashExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |Object r = $expr.nullSafeEval($a);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Mersenne prime 2^61 - 1: the fingerprint hash modulus. */
   val M61: Long = (1L << 61) - 1
@@ -264,4 +406,8 @@ object textFunctions {
     ColumnBridge.column(WinnowTokenFingerprints(ColumnBridge.expression(tokens), k, w))
   def m61_token_hashes(tokens: Column): Column =
     ColumnBridge.column(M61TokenHashes(ColumnBridge.expression(tokens)))
+  def word_ngrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(tokens), n))
+  def minhash_sig(shingles: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), coeffs, p))
 }

@@ -49,15 +49,20 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** (doc_id, shingles) where shingles = distinct word 3-grams.
-    * Docs with fewer than 3 tokens are excluded (no shingle). */
+    * Docs with fewer than 3 tokens are excluded (no shingle).
+    *
+    * Shingling runs in the native [[graft.functions.WordNGrams]]
+    * kernel — one tight loop per row. The equivalent
+    * `array_distinct(transform(sequence(...), concat_ws(...)))` HOF
+    * stack evaluates an interpreted lambda per element × pass and
+    * measured ~5 s per lineage pass at sf0.1 (and the Jaccard family
+    * pays the shingling lineage up to three times per query). */
   private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
-      .selectExpr("doc_id",
-        """array_distinct(transform(sequence(0, size(t) - 3),
-          |  i -> concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))
-          |)) AS shingles""".stripMargin)
+      .select(col("doc_id"),
+        graft.functions.textFunctions.word_ngrams(col("t"), 3).as("shingles"))
 
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, generated via
     * an inverted-index equi-join on shingles (no cross join).
@@ -73,7 +78,14 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String,
                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val sh = shingled(s, dir)
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    // Postings are 8-byte M61+fmix64 hashes of the shingles, not the
+    // ~25-byte strings: the self-join shuffles and compares longs.
+    // The hash family is DuckDB-reproducible (HUGEINT recipe shared
+    // with the SimHash oracle), so the oracle mirrors the hashing
+    // exactly — even a collision (P ≈ n²/2^65) yields identical output
+    // on both engines rather than a divergence.
+    val posting = sh.select(col("doc_id"),
+      explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
     val hot = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBucket)
@@ -116,15 +128,15 @@ object Dedup {
                   rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** (doc_id, sig: array<bigint> of 64 minhashes). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val hashExprs = coeffs.map { case (a, b) =>
-      s"array_min(transform(hx, x -> ($a * x + $b) % $P))"
-    }.mkString("array(", ", ", ")")
+  /** (doc_id, sig: array<bigint> of 64 minhashes). Computed by the
+    * one-pass native [[graft.functions.MinHashSig]] kernel (64
+    * multiplies per shingle) over x = fmix64(M61(shingle)) mod P —
+    * the 64-pass `array_min(transform(...))` HOF stack it replaces
+    * evaluated an interpreted lambda per element × pass. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
-      .selectExpr("doc_id", s"transform(shingles, s -> pmod(xxhash64(s), $P)) AS hx")
-      .selectExpr("doc_id", s"$hashExprs AS sig")
-  }
+      .select(col("doc_id"),
+        graft.functions.textFunctions.minhash_sig(col("shingles"), coeffs, P).as("sig"))
 
   /** MinHash-LSH near-dup pairs: 32 bands × 2 rows (with 64 hashes,
     * P[candidate] = 1-(1-j²)³² — ≥ 0.9999 at the j=0.5 verification
@@ -447,17 +459,61 @@ object Dedup {
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
 
+  // defs, not vals: `defs` (declared above) forces the lazy oracle
+  // strings during object init, BEFORE later vals would be assigned
+  private def two64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private def two63 = "CAST(9223372036854775808 AS HUGEINT)"
+
+  /** (h * C) % 2^64 in DuckDB via hi/lo 32-bit split: intermediates
+    * stay < 2^97 < INT128 max. */
+  private def mulmod(h: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"((($h * CAST($hi AS HUGEINT)) % 4294967296) * 4294967296 + $h * CAST($lo AS HUGEINT)) % $two64"
+  }
+
+  /** Shared DuckDB CTE chain (no WITH): per-doc distinct word-3-gram
+    * shingles, each hashed with the M61 polynomial fold + murmur fmix64
+    * — an independent reimplementation of
+    * [[graft.functions.M61TokenHashes]] via HUGEINT modular arithmetic
+    * (fmix's mod-2^64 multiplies by 32-bit split multiplication so the
+    * 128-bit intermediates never overflow signed INT128). Final CTE
+    * `th`: (doc_id, th list<BIGINT>), hash values converted to
+    * two's-complement BIGINT (− 2^64 when ≥ 2^63) exactly as the JVM
+    * kernel's signed longs. Consumed by both the SimHash oracle (bit
+    * votes) and the Jaccard oracle (hash postings). */
+  private lazy val shingleHashCtes: String = {
+    val p = graft.functions.TextExpressions.M61
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+       |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+       |       FROM tok WHERE len(t) >= 3),
+       |h0 AS (SELECT doc_id, list_transform(s, tk ->
+       |         list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_filter(list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+       |                            c -> c >= 0),
+       |              (a, c) -> (a * 32 + c) % $p)) AS th
+       |       FROM sh),
+       |h1 AS (SELECT doc_id, list_transform(th, h -> xor(h, h >> 33)) AS th FROM h0),
+       |h2 AS (SELECT doc_id, list_transform(th, h -> ${mulmod("h", 0xff51afd7ed558ccdL)}) AS th FROM h1),
+       |h3 AS (SELECT doc_id, list_transform(th, h -> xor(h, h >> 33)) AS th FROM h2),
+       |h4 AS (SELECT doc_id, list_transform(th, h -> ${mulmod("h", 0xc4ceb9fe1a85ec53L)}) AS th FROM h3),
+       |th AS (SELECT doc_id, list_transform(th, h ->
+       |         CAST(CASE WHEN xor(h, h >> 33) >= $two63
+       |                   THEN xor(h, h >> 33) - $two64
+       |                   ELSE xor(h, h >> 33) END AS BIGINT)) AS th FROM h4)""".stripMargin
+  }
+
   /** `jaccardPairs` oracle: same count-based formulation INCLUDING the
     * df > 1000 posting guard, so Spark and DuckDB agree on datasets
-    * with degenerate shingles too (on the testdata, where max df ≈ 500,
-    * it returns exactly [[exactJaccardSql]]'s rows). Shared with
-    * [[Pipelines]]' composed near-dup-removal oracle. */
+    * with degenerate shingles too (on the testdata, where max df ≈ 25,
+    * it returns exactly [[exactJaccardSql]]'s rows). Postings are the
+    * SAME M61+fmix64 hashes the Spark plan joins on ([[shingleHashCtes]]),
+    * so a hash collision yields identical output on both engines.
+    * Shared with [[Pipelines]]' composed near-dup-removal oracle. */
   private[ops] lazy val boundedJaccardSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-      |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
-      |       FROM tok WHERE len(t) >= 3),
-      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    s"""WITH $shingleHashCtes,
+      |ex AS (SELECT doc_id, unnest(th) AS g FROM th),
       |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
       |exb AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
       |sz AS (SELECT doc_id, count(*) AS sz FROM exb GROUP BY doc_id),
@@ -483,33 +539,7 @@ object Dedup {
     * before bit votes; arithmetic >> plus & masks extract bits
     * identically to Java's >>> on both engines. */
   private lazy val simhashPairsSql: String = {
-    val p = graft.functions.TextExpressions.M61
-    val two64 = "CAST(18446744073709551616 AS HUGEINT)"
-    val two63 = "CAST(9223372036854775808 AS HUGEINT)"
-    // (h * C) % 2^64 via hi/lo split: intermediates < 2^97 < INT128 max
-    def mulmod(h: String, c: Long): String = {
-      val hi = c >>> 32
-      val lo = c & 0xffffffffL
-      s"((($h * CAST($hi AS HUGEINT)) % 4294967296) * 4294967296 + $h * CAST($lo AS HUGEINT)) % $two64"
-    }
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
-       |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
-       |       FROM tok WHERE len(t) >= 3),
-       |h0 AS (SELECT doc_id, list_transform(s, tk ->
-       |         list_reduce([CAST(0 AS HUGEINT)] ||
-       |                list_filter(list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
-       |                            c -> c >= 0),
-       |              (a, c) -> (a * 32 + c) % $p)) AS th
-       |       FROM sh),
-       |h1 AS (SELECT doc_id, list_transform(th, h -> xor(h, h >> 33)) AS th FROM h0),
-       |h2 AS (SELECT doc_id, list_transform(th, h -> ${mulmod("h", 0xff51afd7ed558ccdL)}) AS th FROM h1),
-       |h3 AS (SELECT doc_id, list_transform(th, h -> xor(h, h >> 33)) AS th FROM h2),
-       |h4 AS (SELECT doc_id, list_transform(th, h -> ${mulmod("h", 0xc4ceb9fe1a85ec53L)}) AS th FROM h3),
-       |th AS (SELECT doc_id, list_transform(th, h ->
-       |         CAST(CASE WHEN xor(h, h >> 33) >= $two63
-       |                   THEN xor(h, h >> 33) - $two64
-       |                   ELSE xor(h, h >> 33) END AS BIGINT)) AS th FROM h4),
+    s"""WITH $shingleHashCtes,
        |sim AS (SELECT doc_id,
        |         CAST(CASE WHEN ssum >= $two63 THEN ssum - $two64 ELSE ssum END AS BIGINT) AS simhash
        |        FROM (SELECT doc_id,

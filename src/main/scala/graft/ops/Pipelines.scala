@@ -140,13 +140,14 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
-  /** (doc_id, g) posting frame of distinct word `n`-grams. */
+  /** (doc_id, g) posting frame of distinct word `n`-grams (native
+    * [[graft.functions.WordNGrams]] kernel — the HOF transform stack
+    * it replaces paid an interpreted lambda per element × pass). */
   private def grams(df: DataFrame, n: Int): DataFrame =
     df.withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""transform(sequence(0, size(t) - $n),
-           |  i -> concat_ws(' ', slice(t, i + 1, $n)))""".stripMargin))).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.textFunctions.word_ngrams(col("t"), n)).as("g"))
 
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `n`-gram with the eval set (here: doc_id < `evalMax` stands in
