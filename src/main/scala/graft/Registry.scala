@@ -31,6 +31,42 @@ object OracleSql {
     */
   def round(expr: String, n: Int): String =
     s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,18)), $n) AS DOUBLE)"
+
+  /** DuckDB constants/recipes for reproducing the library's M61+fmix64
+    * hash family ([[graft.functions.M61TokenHashes]]) with HUGEINT
+    * modular arithmetic. */
+  def two64: String = "CAST(18446744073709551616 AS HUGEINT)"
+  def two63: String = "CAST(9223372036854775808 AS HUGEINT)"
+
+  /** (h * C) % 2^64 via hi/lo 32-bit split: intermediates stay
+    * < 2^97 < INT128 max, so the signed HUGEINT never overflows. */
+  def mulmod(h: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"((($h * CAST($hi AS HUGEINT)) % 4294967296) * 4294967296 + $h * CAST($lo AS HUGEINT)) % $two64"
+  }
+
+  /** CTE chain hashing a SCALAR string expression per row of `src`
+    * with M61-polynomial fold + murmur fmix64 — the scalar flavor of
+    * Dedup's list-based shingle-hash chain. Emits CTEs `${p}0..${p}4`
+    * and a final CTE `$p` = all of `src`'s columns plus `$out`
+    * (two's-complement BIGINT, identical to the JVM kernel's signed
+    * long). Staged CTEs, not nested expressions: every xor(h, h>>33)
+    * uses h twice, so inlining would double the expression per stage. */
+  def m61FmixScalarCtes(src: String, keyExpr: String,
+                        out: String = "h", p: String = "mh"): String = {
+    val m61 = graft.functions.TextExpressions.M61
+    s"""${p}0 AS (SELECT *, list_reduce([CAST(0 AS HUGEINT)] ||
+       |    list_filter(list_transform(string_split($keyExpr, ''), ch -> CAST(unicode(ch) AS HUGEINT)), c -> c >= 0),
+       |    (a, c) -> (a * 32 + c) % $m61) AS __h FROM $src),
+       |${p}1 AS (SELECT * REPLACE (xor(__h, __h >> 33) AS __h) FROM ${p}0),
+       |${p}2 AS (SELECT * REPLACE (${mulmod("__h", 0xff51afd7ed558ccdL)} AS __h) FROM ${p}1),
+       |${p}3 AS (SELECT * REPLACE (xor(__h, __h >> 33) AS __h) FROM ${p}2),
+       |${p}4 AS (SELECT * REPLACE (xor(__h, __h >> 33) AS __h) FROM (SELECT * REPLACE (${mulmod("__h", 0xc4ceb9fe1a85ec53L)} AS __h) FROM ${p}3)),
+       |$p AS (SELECT * EXCLUDE (__h),
+       |         CAST(CASE WHEN __h >= $two63 THEN __h - $two64 ELSE __h END AS BIGINT) AS $out
+       |       FROM ${p}4)""".stripMargin
+  }
 }
 
 object Tables {

@@ -408,6 +408,15 @@ object textFunctions {
     ColumnBridge.column(M61TokenHashes(ColumnBridge.expression(tokens)))
   def word_ngrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(tokens), n))
+  /** Scalar M61+fmix64 hash of a column's string form, masked to
+    * [0, 2^63) so signed ordering == unsigned ordering — the
+    * DuckDB-reproducible deterministic hash used by KMV sketching and
+    * seed selection (oracle recipe: [[graft.OracleSql.m61FmixScalarCtes]]). */
+  def m61_fmix_hash63(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    element_at(m61_token_hashes(array(c.cast("string"))), 1)
+      .bitwiseAND(lit(Long.MaxValue))
+  }
   def minhash_sig(shingles: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), coeffs, p))
 }

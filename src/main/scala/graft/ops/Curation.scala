@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.{OracleSql, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and tokenization: context-window chunking, vocabulary
+  * induction + OOV-rate scoring, and domain-mixture rebalancing.
+  * All fully deterministic and DuckDB-oracle-checked.
+  *
+  * Scale posture (100 TB):
+  *  - [[docChunks]] is a per-row generate (explode of a computed
+  *    range) — no shuffle at all; output size is corpus/stride rows.
+  *  - [[vocabOovRate]] builds the vocabulary with one
+  *    map-side-combining groupBy + TakeOrderedAndProject (top-V is
+  *    per-partition top-k then a V-row merge, never a global sort) and
+  *    broadcasts the V-row vocab back; the per-doc scoring join is
+  *    broadcast, so the corpus is scanned twice and shuffled once
+  *    (the token-count groupBy).
+  *  - [[mixtureBalance]] derives per-stratum hash-sampling thresholds
+  *    from the stratum counts (one small aggregate, broadcast back)
+  *    and filters in the scan stage via the same md5-prefix predicate
+  *    as [[Sampling]] — rates compose, reruns are stable, and no row
+  *    ever shuffles to be sampled.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // ------------------------------------------------------------ chunking
+
+  /** Sliding-window context chunks: windows of `chunkSize` tokens at
+    * `stride` steps (stride < chunkSize ⇒ overlap, the usual LM
+    * pre-tokenization layout). A doc with n ≤ chunkSize tokens is one
+    * chunk; otherwise ceil((n − chunkSize)/stride) + 1 chunks, the
+    * last one short. Output: (doc_id, chunk_id, start_tok,
+    * n_chunk_tokens, chunk_text). */
+  def docChunks(s: SparkSession, dir: String,
+                chunkSize: Int = 128, stride: Int = 64): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      "need 1 <= stride <= chunkSize so every token lands in some chunk")
+    docs(s, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("nc",
+        when(col("n") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(n - $chunkSize + $stride - 1) div $stride + 1")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkSize.toLong), col("n") - col("start_tok")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("t"),
+          (col("start_tok") + 1).cast("int"), col("n_chunk_tokens").cast("int"))))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_chunk_tokens"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ---------------------------------------------------- vocabulary / OOV
+
+  /** Top-`v` corpus vocabulary by raw occurrence count (ties broken by
+    * token text), then each doc's out-of-vocabulary occurrence rate —
+    * the tokenizer-coverage score curation pipelines gate on. */
+  def vocabOovRate(s: SparkSession, dir: String, v: Int = 25): DataFrame = {
+    val base = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+    val tok = base.select(col("doc_id"), explode(col("t")).as("tok"))
+    val vocab = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok"))
+      .limit(v)
+      .select(col("tok"))
+    val inVocab = tok.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_in_vocab"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(inVocab, Seq("doc_id"), "left")
+      .withColumn("n_in_vocab", coalesce(col("n_in_vocab"), lit(0L)))
+      .withColumn("oov_rate",
+        round((col("n_tokens") - col("n_in_vocab")).cast("double") /
+          col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"), col("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ mixture balance
+
+  /** Rebalance the corpus language mixture to uniform by DETERMINISTIC
+    * hash downsampling: every language is sampled at rate
+    * min_lang_count / lang_count via the same md5-prefix predicate as
+    * [[Sampling.hashSampleCol]], with the threshold derived from the
+    * counts (thr = (min·256) div count 2-hex-digit prefix; thr ≥ 256
+    * keeps everything). Output per language: docs before, the derived
+    * threshold, docs after. The sampled SET is a deterministic
+    * function of the data — rerun-stable, engine-independent, and
+    * composable with any other hash-sampling stage. */
+  def mixtureBalance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val mn = counts.agg(min(col("n_before")).as("mn"))
+    val rates = counts.crossJoin(broadcast(mn))
+      .withColumn("thr", expr("(mn * 256) div n_before"))
+      .withColumn("thr_hex", lpad(lower(hex(col("thr"))), 2, "0"))
+    val kept = d.join(broadcast(rates), Seq("lang"))
+      .filter(col("thr") >= 256 ||
+        substring(md5(col("doc_id").cast("string")), 1, 2) < col("thr_hex"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"), col("thr_hex"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("lang"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, QueryDef] = Map(
+    "doc_chunks" -> QueryDef((s, d) => docChunks(s, d), Some(
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 1),
+        |nc AS (SELECT *, CASE WHEN n <= 128 THEN 1 ELSE (n - 128 + 63) // 64 + 1 END AS nc FROM n),
+        |ch AS (SELECT doc_id, t, n, unnest(range(nc)) AS chunk_id FROM nc)
+        |SELECT doc_id, chunk_id, chunk_id * 64 AS start_tok,
+        |  least(128, n - chunk_id * 64) AS n_chunk_tokens,
+        |  array_to_string(list_slice(t, chunk_id * 64 + 1,
+        |    chunk_id * 64 + least(128, n - chunk_id * 64)), ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+    "vocab_oov_rate" -> QueryDef((s, d) => vocabOovRate(s, d), Some(
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+         |bn AS (SELECT doc_id, t, len(t) AS n_tokens FROM base WHERE len(t) >= 1),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM bn),
+         |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+         |          ORDER BY cnt DESC, tok LIMIT 25),
+         |iv AS (SELECT doc_id, count(*) AS n_in_vocab
+         |       FROM tok JOIN vocab USING (tok) GROUP BY doc_id)
+         |SELECT bn.doc_id, n_tokens, coalesce(n_in_vocab, 0) AS n_in_vocab,
+         |  ${OracleSql.round("CAST(n_tokens - coalesce(n_in_vocab, 0) AS DOUBLE) / n_tokens", 6)} AS oov_rate
+         |FROM bn LEFT JOIN iv ON bn.doc_id = iv.doc_id
+         |ORDER BY bn.doc_id""".stripMargin)),
+    "mixture_balance" -> QueryDef((s, d) => mixtureBalance(s, d), Some(
+      """WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_before) AS mn FROM counts),
+        |rates AS (SELECT lang, n_before, (mn * 256) // n_before AS thr,
+        |            lpad(lower(to_hex((mn * 256) // n_before)), 2, '0') AS thr_hex
+        |          FROM counts CROSS JOIN mn),
+        |kept AS (SELECT d.lang, count(*) AS n_after
+        |         FROM documents d JOIN rates r ON d.lang = r.lang
+        |         WHERE r.thr >= 256 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < r.thr_hex
+        |         GROUP BY d.lang)
+        |SELECT r.lang, n_before, thr_hex, coalesce(n_after, 0) AS n_after
+        |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+        |ORDER BY r.lang""".stripMargin)))
+}

@@ -291,6 +291,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Nearest-centroid assignment over k DETERMINISTIC seed vectors —
+    * the assignment primitive IVF/k-means clustering is built on,
+    * oracle-checkable end to end (the trained-centroid flavors are
+    * float-sum-order-sensitive and stay rows-only; this one has no
+    * engine-private state anywhere). Seeds are the k corpus vectors
+    * with the smallest masked M61+fmix64 hash of vec_id (hash-ordered
+    * pick: deterministic, uniform, reproducible in DuckDB — the same
+    * primitive Ivf.train seeds with), assignment is exact cosine
+    * against the broadcast seed set, ties broken by centroid_id.
+    * One corpus pass, k·n scored rows, no corpus shuffle. */
+  def clusterAssign(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    val seeds = e
+      .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
+      .orderBy(col("hm"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("sim"), col("centroid_id"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-vector L2 norms (array-math smoke surface, oracle-checked). */
   def vectorNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -361,7 +388,23 @@ object Similarity {
     // Hyperplane-seed-dependent: rows-only; recall vs brute force is
     // asserted in SimilaritySpec on planted clusters.
     "ann_lsh_topk" -> QueryDef((s, d) => lshTopK(s, d)),
-    "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d)))
+    "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d)),
+    "embedding_cluster_assign" -> QueryDef((s, d) => clusterAssign(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},
+         |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM sh
+         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT e.vec_id, s.centroid_id,
+         |    list_sum(list_transform(list_zip(e.v, s.cv), x -> x[1] * x[2])) /
+         |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.cv, x -> x * x)))) AS sim
+         |  FROM e CROSS JOIN seeds s),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, sim,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
+         |  FROM scored)
+         |SELECT vec_id, centroid_id, ${R("sim", 6)} AS sim FROM ranked
+         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)))
 
   /** Quantization CTEs mirroring [[withQuantized]] operation-for-
     * operation: same (x·127.0)/maxabs order, same floor-half-up, same
