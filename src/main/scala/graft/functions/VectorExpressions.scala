@@ -143,6 +143,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-tables LSH bucket signatures in one pass: output[t] = the
+  * sign-bit bucket of hyperplane table t, bit i set iff
+  * dot(v, planes(t)(i)) ≥ 0 — exactly the semantics of the per-plane
+  * `when(dot(v, array(lit...)) >= 0, 1L << i)` column stack it
+  * replaces. That stack put nTables × nBits × dims literal nodes in
+  * the plan (4096 at the 8×8×64 default) and dominated the ANN
+  * queries' wall clock with analysis + codegen time; here the plane
+  * matrix rides along as one flattened reference object and the dots
+  * are a tight loop. Dot folds match [[DotProduct]]'s sequential
+  * order (and NaN dots set no bit, like `NaN >= 0` = false). */
+case class LshBucketSigs(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.head.nonEmpty && planes.head.head.nonEmpty,
+    "need a nTables x nBits x dims plane matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "lsh_bucket_sigs"
+
+  private lazy val nTables = planes.length
+  private lazy val nBits = planes.head.length
+  private lazy val dims = planes.head.head.length
+  // flattened [t][i][d] -> t*nBits*dims + i*dims + d for cache-friendly access
+  private lazy val flat: Array[Double] = {
+    require(planes.forall(t => t.length == nBits && t.forall(_.length == dims)),
+      "ragged plane matrix")
+    planes.flatten.flatten.toArray
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var i = 0
+      while (i < nBits) {
+        var dot = 0.0
+        val base = (t * nBits + i) * dims
+        var d = 0
+        while (d < n) { dot += v.getDouble(d) * flat(base + d); d += 1 }
+        if (dot >= 0) bucket |= 1L << i
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("lshExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Shared input validation: every argument must be array<double>. */
   def requireDoubleArrays(fn: String, dts: DataType*): TypeCheckResult =
@@ -159,6 +223,8 @@ object vectorFunctions {
   def l2_norm(a: Column): Column = ColumnBridge.column(L2Norm(expr(a)))
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(expr(a), expr(b)))
+  def lsh_bucket_sigs(v: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(LshBucketSigs(expr(v), planes))
 
   /** Register for SQL use: cosine_sim(a, b), l2_norm(a), dot_product(a, b). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

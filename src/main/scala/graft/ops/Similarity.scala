@@ -94,20 +94,17 @@ object Similarity {
   }
 
   /** (id, table, bucket) signature rows for a (id, v) DataFrame —
-    * bucket = sign-bit pattern of the hyperplane dot products. */
+    * bucket = sign-bit pattern of the hyperplane dot products, all
+    * tables computed by the one-pass native
+    * [[graft.functions.LshBucketSigs]] kernel (the per-plane literal
+    * column stack it replaces put nTables·nBits·dims literal nodes in
+    * the plan and its analysis/codegen dominated the ANN wall clock). */
   private[ops] def lshBuckets(df: DataFrame, idCol: String, nTables: Int = 8,
-                              nBits: Int = 8, dims: Int = 64): DataFrame = {
-    val tables = hyperplanes(nTables, nBits, dims).zipWithIndex.map {
-      case (planes, t) =>
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          val plane = array(p.map(lit): _*)
-          when(dot(col("v"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    df.select(col(idCol), col("v"), explode(array(tables: _*)).as("tb"))
-      .select(col(idCol), col("v"), col("tb.tbl"), col("tb.bucket"))
-  }
+                              nBits: Int = 8, dims: Int = 64): DataFrame =
+    df.select(col(idCol), col("v"),
+        posexplode(graft.functions.vectorFunctions.lsh_bucket_sigs(
+          col("v"), hyperplanes(nTables, nBits, dims))).as(Seq("tbl", "bucket")))
+      .select(col(idCol), col("v"), col("tbl"), col("bucket"))
 
   /** LSH-bucketed ANN top-k: candidates from any shared (table,
     * bucket), exact cosine on candidates only. Same output shape as

@@ -20,6 +20,8 @@ class RegistrySpec extends AnyFunSuite {
       "Ivf" -> ops.Ivf.defs,
       "Pipelines" -> ops.Pipelines.defs,
       "Sampling" -> ops.Sampling.defs,
+      "Sketches" -> ops.Sketches.defs,
+      "Curation" -> ops.Curation.defs,
       "KdcParseQueries" -> kdc.KdcParseQueries.defs)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.all.size == perModule,
