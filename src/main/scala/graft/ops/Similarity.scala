@@ -315,6 +315,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic seeded-IVF ANN top-k — the IVF probe path with every
+    * source of engine-private state removed, so it is fully
+    * oracle-checkable (the Lloyd-trained flavors in [[Ivf]] are
+    * float-sum-order-sensitive and stay rows-only): cells are the
+    * [[clusterAssign]] partition of the corpus around `kSeeds`
+    * hash-picked seed vectors, each query probes its `nProbe` nearest
+    * cells, and candidates in probed cells are scored exactly. Same
+    * output shape as [[bruteForceTopK]] (its recall benchmark; recall
+    * is a deterministic function of the data, measured in
+    * SimilaritySpec). Plan: two broadcast passes (seed assignment,
+    * probe fan-out) + a broadcast candidate join — the corpus never
+    * self-joins and never shuffles by anything but its cell. */
+  def seededIvfTopK(s: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 10,
+                    kSeeds: Int = 8, nProbe: Int = 2): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val queries = e.filter(col("vec_id") < nQueries)
+    val seeds = corpus
+      .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
+      .orderBy(col("hm"), col("vec_id"))
+      .limit(kSeeds)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("csim"), col("cell"))
+    val assigned = corpus.crossJoin(broadcast(seeds))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("crnk", row_number().over(wCell))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+    val probes = queries.crossJoin(broadcast(seeds))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-vector L2 norms (array-math smoke surface, oracle-checked). */
   def vectorNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -386,6 +433,37 @@ object Similarity {
     // asserted in SimilaritySpec on planted clusters.
     "ann_lsh_topk" -> QueryDef((s, d) => lshTopK(s, d)),
     "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d)),
+    "ann_ivf_seeded" -> QueryDef((s, d) => seededIvfTopK(s, d), Some({
+      def cos(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+           |      (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (SELECT * FROM e WHERE vec_id >= 5),
+         |${graft.OracleSql.m61FmixScalarCtes("corpus", "CAST(vec_id AS VARCHAR)", p = "sh")},
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM sh
+         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT neighbor_id, nv, cell FROM (
+         |    SELECT c.vec_id AS neighbor_id, c.v AS nv, s.cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.cv")} DESC, s.cell) AS crnk
+         |    FROM corpus c CROSS JOIN seeds s)
+         |  WHERE crnk = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, s.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.cv")} DESC, s.cell) AS crnk
+         |    FROM e q CROSS JOIN seeds s WHERE q.vec_id < 5)
+         |  WHERE crnk <= 2),
+         |scored AS (SELECT query_id, neighbor_id, ${cos("p.qv", "a.nv")} AS sim
+         |           FROM assigned a JOIN probes p USING (cell)),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    })),
     "embedding_cluster_assign" -> QueryDef((s, d) => clusterAssign(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},

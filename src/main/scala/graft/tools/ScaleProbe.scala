@@ -66,7 +66,13 @@ object ScaleProbe {
       "ann_brute_topk",        // broadcast query set x corpus scan
       "text_repetition",       // (doc, token) shuffle + per-row HOF
       "pipeline_contamination",// corpus grams x broadcast eval grams
-      "dedup_simhash_pairs")   // M61+fmix votes, block-pair join
+      "dedup_simhash_pairs",   // M61+fmix votes, block-pair join
+      "dedup_jaccard_pairs",   // hashed posting self-join (native shingles)
+      "sketch_kmv_users",      // scan-stage hash + bounded top-k merge
+      "doc_chunks",            // per-row generate, no shuffle
+      "vocab_oov_rate",        // top-V induction + broadcast score join
+      "mixture_balance",       // count-derived rates broadcast to scan
+      "embedding_cluster_assign") // k-seed broadcast assignment pass
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries) {
       val t1 = time(q, src)

@@ -63,6 +63,30 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled into an SMJ:\n$p")
   }
 
+  test("vocab induction and KMV: bounded top-k, never a global sort") {
+    val pv = plan("vocab_oov_rate")
+    assert(pv.contains("TakeOrderedAndProject"), s"vocab not a bounded top-V:\n$pv")
+    assert(pv.contains("BroadcastHashJoin"), s"vocab not broadcast back:\n$pv")
+    val pk = plan("sketch_kmv_users")
+    assert(pk.contains("TakeOrderedAndProject"), s"KMV k-smallest not bounded:\n$pk")
+  }
+
+  test("doc_chunks: pure per-row generate, no shuffle at all") {
+    val p = plan("doc_chunks")
+    assert(p.contains("Generate"), s"no generate:\n$p")
+    // the single Exchange allowed is the output orderBy's range
+    // partitioning; the chunking itself must not shuffle
+    val body = p.split("Sort").head
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"chunking shuffles:\n$p")
+  }
+
+  test("mixture balance: count-derived rates broadcast to the scan side") {
+    val p = plan("mixture_balance")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("similarity/dedup: no unbounded cartesian products anywhere") {
     for (name <- Seq("dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_neardup_pairs", "ann_lsh_topk")) {

@@ -152,6 +152,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
   }
 
+  test("seeded IVF: exhaustive probe equals brute force; 2-probe recall is useful") {
+    def pairs(df: DataFrame) = df.select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(spark, dir))
+    // probing every cell makes the candidate set the whole corpus —
+    // the result must be EXACTLY brute force, ranks included (the
+    // mechanics check: partition + probe + rank lose nothing)
+    val all = pairs(Similarity.seededIvfTopK(spark, dir, nProbe = 8))
+    assert(all == brute, s"missing=${brute -- all} extra=${all -- brute}")
+    // the default 2-of-8-cell probe on UNclustered random embeddings
+    // (the hardest case for IVF) still recovers a useful fraction
+    val two = Similarity.seededIvfTopK(spark, dir).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (two & bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.4, s"2-probe recall $recall collapsed")
+  }
+
   test("vector functions usable from SQL after registration") {
     graft.functions.vectorFunctions.register(spark)
     val r = spark.sql(
