@@ -40,5 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lang_scores"),
       info("lang_scores", "lang_scores(text) - language-profile evidence scores"),
       (es: Seq[Expression]) => functions.LangScores(es.head)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(tokens, n) - distinct space-joined word n-grams of array<string>"),
+      (es: Seq[Expression]) => functions.WordNGrams(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, org.apache.spark.sql.types.IntegerType) =>
+          v.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams(tokens, n): n must be an integer literal, got $other")
+      })))
   }
 }
