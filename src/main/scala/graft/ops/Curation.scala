@@ -38,10 +38,15 @@ object Curation {
     * last one short. Output: (doc_id, chunk_id, start_tok,
     * n_chunk_tokens, chunk_text). */
   def docChunks(s: SparkSession, dir: String,
-                chunkSize: Int = 128, stride: Int = 64): DataFrame = {
+                chunkSize: Int = 128, stride: Int = 64): DataFrame =
+    docChunksOn(docs(s, dir), chunkSize, stride)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def docChunksOn(df: DataFrame,
+                  chunkSize: Int = 128, stride: Int = 64): DataFrame = {
     require(stride >= 1 && chunkSize >= stride,
       "need 1 <= stride <= chunkSize so every token lands in some chunk")
-    docs(s, dir)
+    df
       .filter(col("text").isNotNull)
       .withColumn("t", split(col("text"), " "))
       .withColumn("n", size(col("t")).cast("long"))
@@ -67,8 +72,12 @@ object Curation {
   /** Top-`v` corpus vocabulary by raw occurrence count (ties broken by
     * token text), then each doc's out-of-vocabulary occurrence rate —
     * the tokenizer-coverage score curation pipelines gate on. */
-  def vocabOovRate(s: SparkSession, dir: String, v: Int = 25): DataFrame = {
-    val base = docs(s, dir)
+  def vocabOovRate(s: SparkSession, dir: String, v: Int = 25): DataFrame =
+    vocabOovRateOn(docs(s, dir), v)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def vocabOovRateOn(df: DataFrame, v: Int = 25): DataFrame = {
+    val base = df
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
@@ -103,22 +112,26 @@ object Curation {
     * threshold, docs after. The sampled SET is a deterministic
     * function of the data — rerun-stable, engine-independent, and
     * composable with any other hash-sampling stage. */
-  def mixtureBalance(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+  def mixtureBalance(s: SparkSession, dir: String): DataFrame =
+    mixtureBalanceOn(docs(s, dir), "lang", "doc_id")
+
+  /** Generic variant: rebalance any frame to its smallest stratum,
+    * sampling deterministically on md5(`keyCol`). */
+  def mixtureBalanceOn(df: DataFrame, stratumCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_before"))
     val mn = counts.agg(min(col("n_before")).as("mn"))
     val rates = counts.crossJoin(broadcast(mn))
       .withColumn("thr", expr("(mn * 256) div n_before"))
       .withColumn("thr_hex", lpad(lower(hex(col("thr"))), 2, "0"))
-    val kept = d.join(broadcast(rates), Seq("lang"))
+    val kept = df.join(broadcast(rates), Seq(stratumCol))
       .filter(col("thr") >= 256 ||
-        substring(md5(col("doc_id").cast("string")), 1, 2) < col("thr_hex"))
-      .groupBy(col("lang"))
+        substring(md5(col(keyCol).cast("string")), 1, 2) < col("thr_hex"))
+      .groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_after"))
-    rates.join(kept, Seq("lang"), "left")
-      .select(col("lang"), col("n_before"), col("thr_hex"),
+    rates.join(kept, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("n_before"), col("thr_hex"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
-      .orderBy(col("lang"))
+      .orderBy(col(stratumCol))
   }
 
   // ------------------------------------------------------------ registry

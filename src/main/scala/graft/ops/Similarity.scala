@@ -298,8 +298,12 @@ object Similarity {
     * primitive Ivf.train seeds with), assignment is exact cosine
     * against the broadcast seed set, ties broken by centroid_id.
     * One corpus pass, k·n scored rows, no corpus shuffle. */
-  def clusterAssign(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("v"))
+  def clusterAssign(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    clusterAssignOn(emb(s, dir).select(col("vec_id"), col("v")), k)
+
+  /** Generic variant over any (vec_id, v) frame. */
+  def clusterAssignOn(vecs: DataFrame, k: Int = 8): DataFrame = {
+    val e = vecs
     val seeds = e
       .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
       .orderBy(col("hm"), col("vec_id"))
@@ -331,8 +335,17 @@ object Similarity {
                     nQueries: Int = 5, k: Int = 10,
                     kSeeds: Int = 8, nProbe: Int = 2): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"))
-    val corpus = e.filter(col("vec_id") >= nQueries)
-    val queries = e.filter(col("vec_id") < nQueries)
+    seededIvfTopKOn(
+      e.filter(col("vec_id") < nQueries),
+      e.filter(col("vec_id") >= nQueries),
+      k, kSeeds, nProbe)
+  }
+
+  /** Generic variant over (vec_id, v) query/corpus frames. */
+  def seededIvfTopKOn(queriesIn: DataFrame, corpusIn: DataFrame,
+                      k: Int = 10, kSeeds: Int = 8, nProbe: Int = 2): DataFrame = {
+    val corpus = corpusIn
+    val queries = queriesIn
     val seeds = corpus
       .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
       .orderBy(col("hm"), col("vec_id"))

@@ -30,13 +30,13 @@ object Sketches {
   private def hash63(c: Column): Column =
     graft.functions.textFunctions.m61_fmix_hash63(c)
 
-  /** KMV estimate of distinct users in `events`. Output: one row
+  /** Generic KMV distinct-count over any key column: one row
     * (k_eff, kth_hash, est_users). With fewer than k distinct hashes
     * the sketch IS the distinct set and the estimate is exact
     * (k_eff < k branch); otherwise est = (k-1) · 2^63 / kth_hash. */
-  def kmvUserCardinality(s: SparkSession, dir: String, k: Int = 32): DataFrame = {
-    val topk = Tables(s, dir, "events")
-      .select(hash63(col("user_id")).as("hm"))
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 32): DataFrame = {
+    val topk = df
+      .select(hash63(key).as("hm"))
       .distinct()
       .orderBy(col("hm"))
       .limit(k)
@@ -46,6 +46,10 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(9223372036854775808.0) /
             col("kth_hash").cast("double")), 4).as("est_users"))
   }
+
+  /** KMV estimate of distinct users in `events`. */
+  def kmvUserCardinality(s: SparkSession, dir: String, k: Int = 32): DataFrame =
+    kmvDistinct(Tables(s, dir, "events"), col("user_id"), k)
 
   val defs: Map[String, QueryDef] = Map(
     "sketch_kmv_users" -> QueryDef((s, d) => kmvUserCardinality(s, d), Some(
