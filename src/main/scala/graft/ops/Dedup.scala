@@ -58,7 +58,11 @@ object Dedup {
     * measured ~5 s per lineage pass at sf0.1 (and the Jaccard family
     * pays the shingling lineage up to three times per query). */
   private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    shingledOn(docs(s, dir))
+
+  /** Generic variant over any (doc_id, text) frame. */
+  private[ops] def shingledOn(df: DataFrame): DataFrame =
+    df
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -76,8 +80,13 @@ object Dedup {
     * candidate count. `maxBucket` drops postings of degenerate
     * (stopword-like) shingles whose buckets would go quadratic. */
   def jaccardPairs(s: SparkSession, dir: String,
-                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val sh = shingled(s, dir)
+                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    jaccardPairsOn(docs(s, dir), threshold, maxBucket)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def jaccardPairsOn(docsDf: DataFrame,
+                     threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sh = shingledOn(docsDf)
     // Postings are 8-byte M61+fmix64 hashes of the shingles, not the
     // ~25-byte strings: the self-join shuffles and compares longs.
     // The hash family is DuckDB-reproducible (HUGEINT recipe shared
@@ -482,9 +491,14 @@ object Dedup {
     * two's-complement BIGINT (− 2^64 when ≥ 2^63) exactly as the JVM
     * kernel's signed longs. Consumed by both the SimHash oracle (bit
     * votes) and the Jaccard oracle (hash postings). */
-  private lazy val shingleHashCtes: String = {
+  private def shingleHashCtes: String = shingleHashCtesFrom("documents")
+
+  /** Same chain over an arbitrary (doc_id, text) source relation —
+    * composed pipelines run the near-dup stage over FILTERED survivor
+    * CTEs, not the raw table. */
+  private[ops] def shingleHashCtesFrom(src: String): String = {
     val p = graft.functions.TextExpressions.M61
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
        |         i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
        |       FROM tok WHERE len(t) >= 3),
@@ -511,8 +525,13 @@ object Dedup {
     * SAME M61+fmix64 hashes the Spark plan joins on ([[shingleHashCtes]]),
     * so a hash collision yields identical output on both engines.
     * Shared with [[Pipelines]]' composed near-dup-removal oracle. */
-  private[ops] lazy val boundedJaccardSql: String =
-    s"""WITH $shingleHashCtes,
+  private[ops] lazy val boundedJaccardSql: String = boundedJaccardSqlFrom("documents")
+
+  /** Parameterized over the (doc_id, text) source relation; a nested
+    * WITH keeps the chain's CTE names (tok/sh/.../scored) from
+    * colliding with a composing oracle's own CTEs. */
+  private[ops] def boundedJaccardSqlFrom(src: String): String =
+    s"""WITH ${shingleHashCtesFrom(src)},
       |ex AS (SELECT doc_id, unnest(th) AS g FROM th),
       |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
       |exb AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),

@@ -140,6 +140,64 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** The FLAGSHIP end-to-end corpus preparation run — every stage a
+    * 100 TB pipeline actually chains, in production order, one
+    * composed lazy plan (Catalyst sees the whole thing):
+    *
+    *   1. exact dedup (keep lowest doc_id per md5)
+    *   2. benchmark decontamination (drop docs sharing a word 5-gram
+    *      with the eval set = raw doc_id < `evalMax`)
+    *   3. quality + language gate (per-row kernels)
+    *   4. near-dup removal (Jaccard pairs computed OVER THE SURVIVOR
+    *      SET — inverted-index join on hashed shingles; drop doc_b)
+    *   5. token-budget selection (highest quality first, distributed
+    *      prefix sum, keep while cum_tokens ≤ `budget`)
+    *
+    * Stage order matters at scale and is the documented one: exact
+    * dedup runs before the near-dup stage so identical texts cannot
+    * flood posting buckets, and the cheap per-row gates run before
+    * the pair join so it sees the smallest possible corpus. Fully
+    * DuckDB-oracle-checked end to end (the oracle composes the same
+    * five stages; the Jaccard chain nests in its own WITH so its CTE
+    * names cannot collide with the composition's). */
+  def fullPrep(s: SparkSession, dir: String, evalMax: Long = 25L,
+               n: Int = 5, minQuality: Double = 0.35, lang: String = "en",
+               budget: Long = 5000L): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    val byHash = Window.partitionBy(md5(col("text")))
+    val dedup = d
+      .withColumn("keep_id", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+    val evalGrams = grams(d.filter(col("doc_id") < evalMax), n)
+      .select(col("g")).distinct()
+    val corpusSide = dedup.filter(col("doc_id") >= evalMax)
+    val contaminated = grams(corpusSide, n)
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    val clean = corpusSide.join(contaminated, Seq("doc_id"), "left_anti")
+    val scored = TextAnalysis.langId(TextAnalysis.withQuality(clean))
+      .filter(col("quality_score") >= minQuality && col("pred_lang") === lang)
+      .select(col("doc_id"), col("text"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val removedB = Dedup.jaccardPairsOn(scored.select(col("doc_id"), col("text")))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surv = scored.join(removedB, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      .as[(Long, Double, Long)]
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val sorted = surv
+      .repartitionByRange(nParts, desc("quality_score"), col("doc_id"))
+      .sortWithinPartitions(desc("quality_score"), col("doc_id"))
+      .as[(Long, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withRunningTotal(sorted)(_._3) { case ((id, q, nt), run) => (id, q, nt, run) }
+      .toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("cum_tokens"))
+  }
+
   /** (doc_id, g) posting frame of distinct word `n`-grams (native
     * [[graft.functions.WordNGrams]] kernel — the HOF transform stack
     * it replaces paid an interpreted lambda per element × pass). */
@@ -243,5 +301,40 @@ object Pipelines {
       s"""WITH pairs AS (${Dedup.boundedJaccardSql})
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
-         |ORDER BY doc_id""".stripMargin)))
+         |ORDER BY doc_id""".stripMargin)),
+    "pipeline_full_prep" -> QueryDef((s, d) => fullPrep(s, d), Some(
+      s"""WITH keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+         |    FROM documents) WHERE doc_id = k),
+         |surv0 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+         |          WHERE d.doc_id >= 25),
+         |etok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 25),
+         |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 4),
+         |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
+         |       FROM etok WHERE len(t) >= 5),
+         |ctok AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv0),
+         |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4),
+         |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
+         |       FROM ctok WHERE len(t) >= 5),
+         |bad AS (SELECT DISTINCT c.doc_id FROM cg c JOIN eg USING (g)),
+         |surv1 AS (SELECT * FROM surv0 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score,
+         |        len(string_split(text, ' ')) AS n_tokens
+         |      FROM documents),
+         |${TextAnalysis.langBestCte},
+         |pl AS (${TextAnalysis.predLangSelect}),
+         |surv2 AS (SELECT s.doc_id, s.text, q.quality_score, q.n_tokens
+         |          FROM surv1 s JOIN q ON s.doc_id = q.doc_id
+         |                       JOIN pl ON s.doc_id = pl.doc_id
+         |          WHERE q.quality_score >= 0.35 AND pl.pred_lang = 'en'),
+         |pairs AS (${Dedup.boundedJaccardSqlFrom("surv2")}),
+         |surv3 AS (SELECT doc_id, quality_score, n_tokens FROM surv2
+         |          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+         |ranked AS (SELECT doc_id, quality_score, n_tokens,
+         |             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |           FROM surv3)
+         |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+         |FROM ranked WHERE cum_tokens <= 5000 ORDER BY cum_tokens""".stripMargin)))
 }
