@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{OracleSql, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -198,6 +198,96 @@ object Pipelines {
       .orderBy(col("cum_tokens"))
   }
 
+  /** Deterministic global TRAINING-ORDER SHUFFLE: documents are
+    * totally ordered by (m61_fmix_hash63(doc_id), doc_id) — a
+    * reproducible pseudo-random permutation, no RNG state — and each
+    * gets its 1-based position on that order. The position comes from
+    * the same two-phase distributed rank as the prefix sums
+    * ([[withRunningTotal]] with weight 1): range-partition by the
+    * hash (sampled boundaries), per-partition counts become broadcast
+    * offsets — NEVER a partition-less `row_number()` window, which
+    * would funnel the corpus through one task. This is the shuffle a
+    * training dataloader consumes at 100 TB: one range-exchange, and
+    * the output is already range-partitioned by shard position for a
+    * direct partitioned write. */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.textFunctions.m61_fmix_hash63(col("doc_id")).as("hk"))
+      .as[(Long, Long)]
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val sorted = hashed
+      .repartitionByRange(nParts, col("hk"), col("doc_id"))
+      .sortWithinPartitions(col("hk"), col("doc_id"))
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withRunningTotal(sorted)(_ => 1L) { case ((id, _), run) => (run, id) }
+      .toDF("ord", "doc_id")
+      .orderBy(col("ord"))
+  }
+
+  /** Quality-aware near-duplicate collapse: inside every near-dup
+    * CLUSTER (connected components of the Jaccard pair graph) keep
+    * the HIGHEST-quality document (ties → lowest doc_id) instead of
+    * [[neardupRemoval]]'s lowest-id policy — the keep-policy real
+    * curation runs use, since near-dup groups usually contain one
+    * clean original and N degraded copies. Unclustered documents
+    * survive unchanged with n_merged = 1.
+    *
+    * Plan shape: the cluster label table is ≪ corpus (pair-graph
+    * nodes only), so the quality join and the per-cluster argmax
+    * window both run on that small frame; the corpus-side work is
+    * one scan for quality scores and one anti-join. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.withQuality(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_score"))
+    val clusters = Dedup.neardupClusters(s, dir) // (doc_id, cluster_id)
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val ranked = clusters.join(q, Seq("doc_id"))
+      .withColumn("n_merged", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(desc("quality_score"), col("doc_id"))))
+    val best = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("quality_score"), col("n_merged"))
+    val loners = q.join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_score"), lit(1L).as("n_merged"))
+    best.unionByName(loners).orderBy(col("doc_id"))
+  }
+
+  /** [[contaminationReport]] with a BLOOM-FILTER prefilter — the
+    * compact form the broadcast degrades to when the eval gram set is
+    * too large to broadcast as a hash relation: build a distributed
+    * BloomFilter over the eval grams (`treeAggregate`; the driver
+    * holds only the filter's bits — ~1.2 GB per 10⁹ grams at this
+    * fpp, vs 10–100× that for the materialized gram strings), drop
+    * ~all corpus grams against it in the scan stage, then EXACT-join
+    * only the survivors. The confirm join removes every false
+    * positive, so the output is bit-identical to the exact operator —
+    * deterministically, not probabilistically — and shares its
+    * oracle; fpp only tunes how much of the corpus reaches the join.
+    * The membership probe is a broadcast closure (sketch probes have
+    * no public codegen Expression), applied after the gram explode —
+    * the scan/explode stages stay whole-stage codegen. */
+  def contaminationBloom(s: SparkSession, dir: String,
+                         n: Int = 5, evalMax: Long = 25L,
+                         fpp: Double = 1e-6): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evalGrams = grams(d.filter(col("doc_id") < evalMax), n)
+      .select(col("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bfB.value.mightContainString(g))
+    grams(d.filter(col("doc_id") >= evalMax), n)
+      .filter(mightContain(col("g")))
+      .join(broadcast(evalGrams), Seq("g")) // exact confirm: kills FPs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, g) posting frame of distinct word `n`-grams (native
     * [[graft.functions.WordNGrams]] kernel — the HOF transform stack
     * it replaces paid an interpreted lambda per element × pass). */
@@ -250,6 +340,43 @@ object Pipelines {
       |eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "corpus_shuffle_order" -> QueryDef((s, d) => shuffleOrder(s, d), Some(
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |${OracleSql.m61FmixScalarCtes("d", "CAST(doc_id AS VARCHAR)")},
+         |h63 AS (SELECT doc_id, h & 9223372036854775807 AS hk FROM mh)
+         |SELECT CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS ord, doc_id
+         |FROM h63 ORDER BY ord""".stripMargin)),
+    "pipeline_dedup_keep_best" -> QueryDef((s, d) => dedupKeepBest(s, d), Some(
+      s"""WITH RECURSIVE pairs AS (${Dedup.boundedJaccardSql}),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score FROM documents),
+         |cl AS (SELECT lb.doc_id, lb.cluster_id, q.quality_score
+         |       FROM labels lb JOIN q USING (doc_id)),
+         |rk AS (SELECT doc_id, quality_score,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY quality_score DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_merged
+         |       FROM cl)
+         |SELECT doc_id, quality_score, CAST(n_merged AS BIGINT) AS n_merged
+         |FROM rk WHERE rn = 1
+         |UNION ALL
+         |SELECT doc_id, quality_score, CAST(1 AS BIGINT) AS n_merged
+         |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+         |ORDER BY doc_id""".stripMargin)),
+    "pipeline_contamination_bloom" -> QueryDef((s, d) => contaminationBloom(s, d), Some(
+      s"""WITH $contamCte
+         |SELECT c.doc_id, count(*) AS n_shared_grams
+         |FROM g c JOIN eg USING (g)
+         |WHERE c.doc_id >= 25
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     "pipeline_pack_sequences" -> QueryDef((s, d) => packSequences(s, d), Some(
       """WITH t AS (SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tokens FROM documents),
         |tape AS (SELECT doc_id, n_tokens,

@@ -95,4 +95,33 @@ class PlanPinsSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
     }
   }
+
+  test("pii scrub: per-row codegen kernels, zero shuffle before the output sort") {
+    val p = plan("text_pii_scrub")
+    val body = p.split("Sort").head // final orderBy's range exchange is allowed
+    assert(!body.contains("Exchange hashpartitioning"), s"scrub shuffles:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"scrub fell off codegen onto a UDF:\n$p")
+  }
+
+  test("bloom decontamination: confirm join broadcast, corpus never SMJ-shuffled") {
+    val p = plan("pipeline_contamination_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"confirm join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled into an SMJ:\n$p")
+  }
+
+  test("corpus shuffle order: range exchange only, no global-window rank") {
+    val p = plan("corpus_shuffle_order")
+    assert(!p.contains("Window"), s"partition-less Window rank:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"no range partitioning for the total order:\n$p")
+  }
+
+  test("line dedup and keep-best dedup: no cartesian, hash-keyed joins only") {
+    for (name <- Seq("pipeline_line_dedup", "pipeline_dedup_keep_best")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
+    }
+  }
 }

@@ -22,6 +22,7 @@ class RegistrySpec extends AnyFunSuite {
       "Sampling" -> ops.Sampling.defs,
       "Sketches" -> ops.Sketches.defs,
       "Curation" -> ops.Curation.defs,
+      "Scrub" -> ops.Scrub.defs,
       "KdcParseQueries" -> kdc.KdcParseQueries.defs)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.all.size == perModule,
