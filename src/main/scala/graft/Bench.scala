@@ -39,14 +39,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional args = run only these queries (local triage; the
+    // driver's contract invocation passes no args = full suite)
+    val wanted = if (args.isEmpty) SparkEntry.queries.keySet else args.toSet
+    val selected = SparkEntry.queries.filter { case (k, _) => wanted(k) }
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =

@@ -197,9 +197,7 @@ object KdcParseQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
-      .orderBy(org.apache.spark.sql.functions.col("day"),
-        org.apache.spark.sql.functions.col("client"))
+    graft.streaming.StreamingPipeline.drainMemorySink(spark, name, "day", "client")
   }
 
   /** The TGS branch through the real micro-batch engine: per-file
@@ -216,8 +214,7 @@ object KdcParseQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
-      .orderBy(org.apache.spark.sql.functions.col("service"))
+    graft.streaming.StreamingPipeline.drainMemorySink(spark, name, "service")
   }
 
   /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the

@@ -38,6 +38,55 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
+  /** [[exactDupGroups]] through the REAL Structured Streaming
+    * micro-batch engine — the ingest-time dedup accounting a corpus
+    * intake job runs continuously: documents arrive as files, the
+    * per-content-hash (first_doc, n_copies) aggregate updates per
+    * micro-batch. Run here with an AvailableNow trigger into a
+    * memory sink so the end-of-stream aggregate is a batch frame the
+    * driver can oracle-check against plain GROUP BY SQL — the same
+    * engine/plan a continuous deployment runs, only the trigger
+    * differs (pattern shared with the kdc `*_streaming` rows).
+    * Complete-mode aggregation is deterministic (min/count are
+    * arrival-order-free), unlike streaming dropDuplicates whose
+    * surviving row depends on arrival order. State is one row per
+    * distinct content hash; a production run bounds it with a
+    * watermark on ingest time ([[graft.streaming.StreamingPipeline
+    * .dedupedEvents]] shows the watermarked variant). */
+  def exactDupGroupsStreaming(s: SparkSession, dir: String): DataFrame = {
+    val sch = docs(s, dir).schema
+    // the source path is a single parquet FILE; hand the file source a
+    // glob so the inferred basePath is its parent DIRECTORY (a bare
+    // file path fails the source's basePath-is-a-directory check)
+    val src = s.readStream.schema(sch).parquet(s"$dir/documents.parque[t]")
+    val agg = src.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val name = s"dedup_stream_${streamSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Self-clean: materialize the (bounded — one row per distinct
+    // content hash, the memory sink already holds it on the driver)
+    // result, then drop the sink view and UNLOAD the query's state
+    // store providers. Loaded providers + their maintenance work
+    // linger after an AvailableNow query terminates and measurably
+    // tax every subsequent query in the session (bench forensics:
+    // +2-5x on the queries that follow this one until the effect
+    // decays; suite total 94.6 s -> 73 s with the stores unloaded).
+    val rows = s.table(name).orderBy(col("content_hash")).collect()
+    val schema = s.table(name).schema
+    s.catalog.dropTempView(name)
+    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy(col("content_hash"))
+  }
+
+  /** Memory-sink names are suffixed per invocation — a fixed name
+    * collides across concurrent runs in one session. */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Exact dedup keeping the lowest doc_id per distinct text. */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -435,6 +484,8 @@ object Dedup {
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact_groups" -> QueryDef(exactDupGroups, Some(
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash")),
+    "dedup_exact_streaming" -> QueryDef((s, d) => exactDupGroupsStreaming(s, d), Some(
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash")),
     "dedup_exact" -> QueryDef(exactDedup, Some(
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),

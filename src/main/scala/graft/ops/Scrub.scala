@@ -94,6 +94,41 @@ object Scrub {
         col("scrubbed"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------- normalization
+
+  /** Canonical text normalization (the C4-style pass run before
+    * hashing for dedup): lowercase → strip everything outside
+    * [a-z0-9 + whitespace] → collapse whitespace runs → trim. Adds
+    * `normalized` plus before/after char counts. Pure per-row codegen
+    * regexp/string kernels — zero shuffle, same dialect-safe regex
+    * subset as [[piiScrub]]. ASCII-only corpus ⇒ `lower`/`upper` are
+    * locale-free on both engines. */
+  def normalize(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_chars_raw", length(c).cast("long"))
+      .withColumn("normalized",
+        trim(regexp_replace(regexp_replace(lower(c),
+          "[^a-z0-9\\s]", ""), "\\s+", " ")))
+      .withColumn("n_chars_norm", length(col("normalized")).cast("long"))
+  }
+
+  /** Driver query: plant case/whitespace/punctuation noise keyed off
+    * doc_id (the synthetic corpus is already clean), normalize, and
+    * surface counts + the normalized text. Noise mirrored in the
+    * oracle. */
+  def normalizeQuery(s: SparkSession, dir: String): DataFrame =
+    normalize(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("ntext", concat(
+          lit("  "),
+          when(pmod(col("doc_id"), lit(2)) === 0, upper(col("text")))
+            .otherwise(col("text")),
+          lit("  The  End!!  "))),
+      "ntext")
+      .select(col("doc_id"), col("n_chars_raw"), col("n_chars_norm"),
+        col("normalized"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------- line dedup
 
   /** Splits each document's token stream into fixed-width `lineLen`
@@ -146,6 +181,17 @@ object Scrub {
     lineDedup(linesOf(Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
 
   val defs: Map[String, QueryDef] = Map(
+    "text_normalize" -> QueryDef((s, d) => normalizeQuery(s, d), Some(
+      s"""WITH p AS (SELECT doc_id, '  ' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END ||
+         |    '  The  End!!  ' AS ntext FROM documents)
+         |SELECT doc_id,
+         |  length(ntext) AS n_chars_raw,
+         |  length(trim(regexp_replace(regexp_replace(lower(ntext),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS n_chars_norm,
+         |  trim(regexp_replace(regexp_replace(lower(ntext),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS normalized
+         |FROM p ORDER BY doc_id""".stripMargin)),
     "text_pii_scrub" -> QueryDef((s, d) => piiScrubQuery(s, d), Some(
       s"""WITH p AS (SELECT doc_id, $plantSql AS ptext FROM documents)
          |SELECT doc_id,

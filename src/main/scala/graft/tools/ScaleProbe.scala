@@ -72,7 +72,12 @@ object ScaleProbe {
       "doc_chunks",            // per-row generate, no shuffle
       "vocab_oov_rate",        // top-V induction + broadcast score join
       "mixture_balance",       // count-derived rates broadcast to scan
-      "embedding_cluster_assign") // k-seed broadcast assignment pass
+      "embedding_cluster_assign", // k-seed broadcast assignment pass
+      "text_pii_scrub",        // per-row regexp kernels, zero shuffle
+      "pipeline_line_dedup",   // line-hash df groupBy + flag join + regroup
+      "corpus_shuffle_order",  // range exchange + two-phase rank
+      "pipeline_dedup_keep_best", // pair-graph clusters + argmax window
+      "pipeline_contamination_bloom") // bloom prefilter + broadcast confirm
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries) {
       val t1 = time(q, src)

@@ -125,4 +125,13 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("streaming exact-dedup groups converge to the batch aggregate") {
+    val batch = Dedup.exactDupGroups(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = Dedup.exactDupGroupsStreaming(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
 }

@@ -50,6 +50,37 @@ class ScrubSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello,   WORLD!!  "),
+      (2L, "already clean text"),
+      (3L, "Tabs\tand\nnewlines  mix")
+    ).toDF("doc_id", "text")
+    val got = Scrub.normalize(df).orderBy("doc_id")
+      .select("doc_id", "n_chars_raw", "n_chars_norm", "normalized")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 20L, 11L, "hello world")))
+    assert(got(1) == ((2L, 18L, 18L, "already clean text")))
+    assert(got(2) == ((3L, 22L, 21L, "tabs and newlines mix")))
+  }
+
+  test("normalize driver query undoes exactly the planted noise") {
+    val rows = Scrub.normalizeQuery(spark, dir).collect()
+    val clean = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // planted noise (case flip, pads, "The  End!!") must normalize
+      // back to the original clean text + " the end"
+      assert(r.getString(3) == clean(r.getLong(0)) + " the end",
+        s"doc ${r.getLong(0)} normalized wrong")
+      assert(r.getLong(1) > r.getLong(2), "raw must exceed normalized length")
+    }
+  }
+
   test("lineDedup removes cross-doc boilerplate, keeps order, reassembles") {
     import spark.implicits._
     // "license header" shared by docs 1..3; doc 4 repeats a line only
