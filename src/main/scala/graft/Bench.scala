@@ -42,6 +42,11 @@ object Bench {
     // optional args = run only these queries (local triage; the
     // driver's contract invocation passes no args = full suite)
     val wanted = if (args.isEmpty) SparkEntry.queries.keySet else args.toSet
+    val unknown = wanted.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        unknown.toSeq.sorted.mkString(", ") +
+        " — a typo here would silently time the wrong suite")
     val selected = SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
     val warmDir = "/root/testdata/sf0.001"

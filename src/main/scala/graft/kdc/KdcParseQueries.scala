@@ -196,8 +196,7 @@ object KdcParseQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    graft.streaming.StreamingPipeline.drainMemorySink(spark, name, "day", "client")
+    graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "day", "client")
   }
 
   /** The TGS branch through the real micro-batch engine: per-file
@@ -213,8 +212,7 @@ object KdcParseQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    graft.streaming.StreamingPipeline.drainMemorySink(spark, name, "service")
+    graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "service")
   }
 
   /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the

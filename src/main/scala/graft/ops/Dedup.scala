@@ -66,21 +66,7 @@ object Dedup {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    // Self-clean: materialize the (bounded — one row per distinct
-    // content hash, the memory sink already holds it on the driver)
-    // result, then drop the sink view and UNLOAD the query's state
-    // store providers. Loaded providers + their maintenance work
-    // linger after an AvailableNow query terminates and measurably
-    // tax every subsequent query in the session (bench forensics:
-    // +2-5x on the queries that follow this one until the effect
-    // decays; suite total 94.6 s -> 73 s with the stores unloaded).
-    val rows = s.table(name).orderBy(col("content_hash")).collect()
-    val schema = s.table(name).schema
-    s.catalog.dropTempView(name)
-    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      .orderBy(col("content_hash"))
+    graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "content_hash")
   }
 
   /** Memory-sink names are suffixed per invocation — a fixed name

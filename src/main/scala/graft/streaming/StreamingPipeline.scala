@@ -41,12 +41,38 @@ object StreamingPipeline {
     * streaming driver row. */
   def drainMemorySink(spark: SparkSession, name: String,
                       sortCols: String*): DataFrame = {
-    val sorted = spark.table(name).orderBy(sortCols.map(col): _*)
-    val (rows, schema) = (sorted.collect(), sorted.schema)
+    val sink = spark.table(name)
+    val (rows, schema) = (sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
-    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    // unloadAll drops EVERY provider in the JVM, which would yank
+    // state out from under a concurrently RUNNING streaming query
+    // (it would have to reload from checkpoint mid-run) — so only
+    // drain when no stream is active. The one-shot driver rows run
+    // serially in Verify/Bench, so this fires on every such call.
+    if (spark.streams.active.isEmpty)
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .orderBy(sortCols.map(col): _*)
+  }
+
+  /** Await a one-shot (AvailableNow) memory-sink query, then drain.
+    * If the stream FAILS, still release what it left behind (sink
+    * view if created, state store providers) before rethrowing —
+    * without this, a transient failure leaks the providers and
+    * silently taxes every later query in the session (Bench catches
+    * per-query failures and keeps timing). */
+  def awaitAndDrain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    spark: SparkSession, name: String,
+                    sortCols: String*): DataFrame = {
+    try q.awaitTermination()
+    catch {
+      case t: Throwable =>
+        try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+        if (spark.streams.active.isEmpty)
+          org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+        throw t
+    }
+    drainMemorySink(spark, name, sortCols: _*)
   }
 
   /** events schema as the streaming source sees it (ns timestamps read

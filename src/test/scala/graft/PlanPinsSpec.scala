@@ -75,9 +75,10 @@ class PlanPinsSpec extends AnyFunSuite {
     val p = plan("doc_chunks")
     assert(p.contains("Generate"), s"no generate:\n$p")
     // the single Exchange allowed is the output orderBy's range
-    // partitioning; the chunking itself must not shuffle
-    val body = p.split("Sort").head
-    assert(!body.contains("Exchange hashpartitioning"),
+    // partitioning; the chunking itself must not shuffle (full-plan
+    // assertion — slicing at the first "Sort" was vacuous, the root
+    // sort prints before everything)
+    assert(!p.contains("Exchange hashpartitioning"),
       s"chunking shuffles:\n$p")
   }
 
@@ -98,8 +99,11 @@ class PlanPinsSpec extends AnyFunSuite {
 
   test("pii scrub: per-row codegen kernels, zero shuffle before the output sort") {
     val p = plan("text_pii_scrub")
-    val body = p.split("Sort").head // final orderBy's range exchange is allowed
-    assert(!body.contains("Exchange hashpartitioning"), s"scrub shuffles:\n$p")
+    // the ONLY permitted exchange is the output orderBy's range
+    // partitioning — any hash exchange means the scrub shuffles.
+    // (Asserted over the FULL plan string: slicing at the first
+    // "Sort" is vacuous, the root sort prints before everything.)
+    assert(!p.contains("Exchange hashpartitioning"), s"scrub shuffles:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"scrub fell off codegen onto a UDF:\n$p")
   }
