@@ -32,6 +32,18 @@ object OracleSql {
   def round(expr: String, n: Int): String =
     s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,18)), $n) AS DOUBLE)"
 
+  /** Same shortest-repr rounding, surfaced as DECIMAL(20,n) instead of
+    * DOUBLE — for per-term score contributions that are then SUMMED:
+    * decimal addition is exact and order-independent, so a cross-term
+    * sum of these cannot diverge between engines the way a float sum
+    * over a nondeterministic partition order can. The decimal→decimal
+    * cast never routes back through a double. Spark-side mirror:
+    * `round(x, n).cast("decimal(20,n)")` (Spark's double→decimal cast
+    * uses the shortest decimal repr, so the 9dp value round-trips
+    * exactly at these magnitudes). */
+  def roundDec(expr: String, n: Int): String =
+    s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,18)), $n) AS DECIMAL(20,$n))"
+
   /** DuckDB constants/recipes for reproducing the library's M61+fmix64
     * hash family ([[graft.functions.M61TokenHashes]]) with HUGEINT
     * modular arithmetic. */

@@ -21,7 +21,8 @@ object SparkEntry {
       ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs ++
       ops.AsofJoin.defs ++ ops.RangeJoin.defs ++ ops.Ivf.defs ++
       ops.Pipelines.defs ++ ops.Sampling.defs ++ ops.Sketches.defs ++
-      ops.Curation.defs ++ ops.Scrub.defs ++ kdc.KdcParseQueries.defs
+      ops.Curation.defs ++ ops.Scrub.defs ++ ops.Retrieval.defs ++
+      kdc.KdcParseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.{OracleSql, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval scoring — the search-side complement of the
+  * embedding ANN surface: BM25 (Robertson/Spärck Jones probabilistic
+  * relevance, the Lucene-default `k1/b` parameterization with the
+  * +1-smoothed idf so scores stay positive) over an inverted index.
+  *
+  * Query protocol mirrors the ANN queries: the first `nQueries`
+  * documents act as queries, each contributing its first `qLen`
+  * DISTINCT tokens — fully derived from the data, so the driver row
+  * needs no side-channel query file.
+  *
+  * Determinism across engines: the per-(query,term,doc) contribution is
+  * a libm `ln` away from exact, so it is rounded at 9dp and cast to
+  * DECIMAL before the per-doc SUM — decimal addition is exact and
+  * order-independent, making the summed score identical on Spark and
+  * DuckDB regardless of partition order (see [[OracleSql.roundDec]]).
+  * Ranking orders by that exact decimal, ties by doc_id.
+  *
+  * Scale posture (100 TB): tf is one (doc, term) map-side-combining
+  * groupBy; df one more over it; the query-term set (nQueries·qLen
+  * rows) and the one-row corpus stats broadcast — the corpus shuffles
+  * ONCE (the tf groupBy) and the posting join `tf ⋈ broadcast(query
+  * terms)` prunes to postings of query terms only before anything
+  * widens. Top-k per query is a window over candidate docs of that
+  * query, never a global sort of the corpus.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** BM25 top-`k` documents per query. */
+  def bm25TopK(s: SparkSession, dir: String,
+               nQueries: Int = 3, qLen: Int = 4, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKOn(docs(s, dir), nQueries, qLen, k, k1, b)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def bm25TopKOn(df: DataFrame,
+                 nQueries: Int = 3, qLen: Int = 4, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+      .filter(col("dl") >= 1)
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("stot"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = base
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("t"), 1, qLen))).as("term"))
+    val avgdl = col("stot").cast("double") / col("n").cast("double")
+    val idf = log((col("n").cast("double") - col("df") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfPart = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        ((col("dl").cast("double") / avgdl) * b + (1.0 - b)) * k1)
+    val contrib = tf.join(dfreq, "term")
+      .join(broadcast(q), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(idf * tfPart, 9).cast("decimal(20,9)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sc"), col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("sc").cast("double"), 4).as("score"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val defs: Map[String, QueryDef] = Map(
+    "bm25_topk" -> QueryDef((s, d) => bm25TopK(s, d), Some(
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+         |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base WHERE len(t) >= 1),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS stot FROM bn),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM bn) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |q AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice(t, 1, 4))) AS term
+         |      FROM bn WHERE doc_id < 3),
+         |contrib AS (SELECT q.query_id, tf.doc_id,
+         |    ${OracleSql.roundDec(
+               // parenthesized to mirror the Scala evaluation order
+               // exactly — a*b/c associates differently from a*(b/c)
+               // in IEEE doubles
+               "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+                 "((tf * 2.2) / (tf + (dl / (CAST(stot AS DOUBLE) / n) * 0.75 + 0.25) * 1.2))", 9)} AS c
+         |  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats),
+         |sc AS (SELECT query_id, doc_id, sum(c) AS sc FROM contrib GROUP BY query_id, doc_id),
+         |rnk AS (SELECT query_id, doc_id, sc,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk FROM sc)
+         |SELECT query_id, doc_id, ${OracleSql.round("CAST(sc AS DOUBLE)", 4)} AS score, rnk
+         |FROM rnk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)))
+}

@@ -49,7 +49,33 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic train/val/test split assignment: the md5 bucket of
+    * the doc id routes each document to exactly one split (hex prefix
+    * < "e6" → train ≈ 230/256 ≈ 89.8%, < "f3" → val ≈ 13/256 ≈ 5.1%,
+    * else test ≈ 5.1%). Rerun-stable, engine-independent, and
+    * leak-free by construction: membership is a pure function of the
+    * id, so no re-shard, re-sort, or incremental append can move a
+    * document across splits — the property RNG splitting loses the
+    * moment data arrives twice. Evaluated in the scan stage, no
+    * shuffle. */
+  def splitAssign(s: SparkSession, dir: String,
+                  trainHex: String = "e6", valHex: String = "f3"): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket < trainHex, "train")
+          .when(bucket < valHex, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "sample_split_assign" -> QueryDef((s, d) => splitAssign(s, d), Some(
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     "sample_docs_hash" -> QueryDef((s, d) => sampleDocs(s, d), Some(
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

@@ -319,6 +319,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * partition the corpus into k clusters, then inside each cluster
+    * prune every vector that has cosine similarity above `threshold`
+    * with a SMALLER-id vector of the same cluster (min-id-wins keep
+    * policy — deterministic, no RNG, no iteration). Clustering is the
+    * fully deterministic [[clusterAssign]] (hash-picked seeds), so the
+    * whole operator is oracle-checkable end to end — the pairwise
+    * cosine fold is bit-exact cross-engine (ann_brute_topk evidence),
+    * and the threshold compares the RAW double, which both engines
+    * compute identically.
+    *
+    * Scale posture: the pairwise pass is per-cluster — Σ|cell|² like
+    * every LSH/IVF bucket join here, never |corpus|²; at real scale k
+    * grows with n (cells of ~constant size) exactly as IVF sizes its
+    * cell count. The cluster-assigned frame is persisted so the
+    * self-join does not re-derive the seed assignment twice; what
+    * persists is (id, vector, cell) — the embedding table itself, not
+    * any wider intermediate. */
+  def semanticDedup(s: SparkSession, dir: String,
+                    k: Int = 8, threshold: Double = 0.45): DataFrame =
+    semanticDedupOn(emb(s, dir).select(col("vec_id"), col("v")), k, threshold)
+
+  /** Generic variant over any (vec_id, v) frame. */
+  def semanticDedupOn(vecs: DataFrame, k: Int = 8,
+                      threshold: Double = 0.45): DataFrame = {
+    val av = vecs
+      .join(clusterAssignOn(vecs, k).select(col("vec_id"), col("centroid_id")),
+        "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = av.as("a").join(av.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cosine(col("a.v"), col("b.v")) > threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    av.join(pruned, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Deterministic seeded-IVF ANN top-k — the IVF probe path with every
     * source of engine-private state removed, so it is fully
     * oracle-checkable (the Lloyd-trained flavors in [[Ivf]] are
@@ -492,7 +532,27 @@ object Similarity {
          |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
          |  FROM scored)
          |SELECT vec_id, centroid_id, ${R("sim", 6)} AS sim FROM ranked
-         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)))
+         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
+    "embedding_semantic_dedup" -> QueryDef((s, d) => semanticDedup(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},
+         |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM sh
+         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY
+         |           list_sum(list_transform(list_zip(e.v, s.cv), x -> x[1] * x[2])) /
+         |             (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.cv, x -> x * x)))) DESC,
+         |           centroid_id) AS rnk
+         |  FROM e CROSS JOIN seeds s),
+         |av AS (SELECT e.vec_id, e.v, r.centroid_id
+         |       FROM e JOIN (SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1) r USING (vec_id)),
+         |pruned AS (SELECT DISTINCT b.vec_id
+         |           FROM av a JOIN av b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |           WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+         |                   (sqrt(list_sum(list_transform(a.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.45)
+         |SELECT vec_id, centroid_id FROM av ANTI JOIN pruned p ON av.vec_id = p.vec_id
+         |ORDER BY vec_id""".stripMargin)))
 
   /** Quantization CTEs mirroring [[withQuantized]] operation-for-
     * operation: same (x·127.0)/maxabs order, same floor-half-up, same

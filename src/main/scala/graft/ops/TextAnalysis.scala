@@ -199,6 +199,112 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- LM surprisal
+
+  /** Unigram-LM cross-entropy quality scoring (the CCNet-style
+    * perplexity gate, with the LM trained on the corpus itself rather
+    * than an external model): per-token surprisal −log₂(c_t / total)
+    * from one corpus-wide token count, per-doc mean bits-per-token, and
+    * a keep gate at `threshold` bits. High surprisal = rare-token-heavy
+    * (gibberish, boilerplate markers); low = repetitive filler.
+    *
+    * Determinism: surprisal is a libm log₂ away from exact, so each
+    * (doc, token) contribution tf·s_t is rounded at 9dp and cast to
+    * DECIMAL before the per-doc sum (exact, order-independent — see
+    * [[graft.OracleSql.roundDec]]); the mean divides the exact decimal
+    * by the token count and rounds at 4dp, and `keep` compares the
+    * ROUNDED mean so it cannot straddle an ulp.
+    *
+    * Scale posture: one (doc, term) groupBy builds tf; the LM is a
+    * groupBy over tf (vocab-sized — real tokenizer vocabs are ≤ a few
+    * 100k rows, broadcastable); the scoring join is tf ⋈ lm on term and
+    * one one-row total broadcast. The corpus text itself shuffles
+    * never — only (doc_id, term, tf) triples. */
+  def lmSurprisal(s: SparkSession, dir: String,
+                  threshold: Double = 4.93): DataFrame =
+    lmSurprisalOn(docs(s, dir), threshold)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def lmSurprisalOn(df: DataFrame, threshold: Double = 4.93): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+    val tf = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val tot = lm.agg(sum(col("c")).as("tot"))
+    val surprisal = -log2(col("c").cast("double") / col("tot").cast("double"))
+    val perDoc = tf.join(lm, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("cb", round(col("tf") * surprisal, 9).cast("decimal(20,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).as("bits"), sum(col("tf")).as("n_tokens"))
+    perDoc
+      .withColumn("xent_bits",
+        round(col("bits").cast("double") / col("n_tokens"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("xent_bits"),
+        (col("xent_bits") <= threshold).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------------- PMI
+
+  /** Top token-pair associations by pointwise mutual information over
+    * document co-occurrence: PMI(a,b) = ln(N·df_ab / (df_a·df_b)) with
+    * document frequencies of the single tokens and the pair. The
+    * collocation-mining primitive (phrase induction, tokenizer merge
+    * candidates). `minCoDf` drops pairs with too little evidence —
+    * sparse pairs otherwise dominate the PMI ranking on noise.
+    *
+    * Scale posture: per-doc pairs are generated IN THE SCAN STAGE by a
+    * nested-HOF combination over the sorted distinct token array — no
+    * self-join of the exploded token table, so nothing doc-sized ever
+    * shuffles twice; what shuffles is the (tok_a, tok_b) pair stream
+    * into one map-side-combining groupBy. Pair volume is Σ C(v_d, 2)
+    * over per-doc distinct counts v_d — bounded by windowed
+    * co-occurrence in real corpora (and by the tiny vocab here). The
+    * final ranking is a TakeOrderedAndProject over the vocab² pair
+    * table, never a global sort. */
+  def pmiPairs(s: SparkSession, dir: String,
+               minCoDf: Int = 50, top: Int = 50): DataFrame =
+    pmiPairsOn(docs(s, dir), minCoDf, top)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def pmiPairsOn(df: DataFrame, minCoDf: Int = 50, top: Int = 50): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+    val dt = base.select(col("doc_id"),
+      explode(array_distinct(col("t"))).as("tok"))
+    val dfreq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val pairs = base
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), array_sort(array_distinct(col("t"))).as("sd"))
+      .filter(size(col("sd")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(sequence(0, size(sd) - 2),
+          |  i -> transform(slice(sd, i + 2, size(sd) - i - 1),
+          |    x -> named_struct('tok_a', element_at(sd, i + 1), 'tok_b', x))))""".stripMargin)).as("p"))
+      .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+    val co = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("co_df"))
+      .filter(col("co_df") >= minCoDf)
+    co.join(dfreq.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(dfreq.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        col("co_df").cast("double") * col("n").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double"))), 6))
+      .select(col("tok_a"), col("tok_b"), col("co_df"), col("pmi"))
+      .orderBy(desc("pmi"), col("tok_a"), col("tok_b"))
+      .limit(top)
+  }
+
   // --------------------------------------------------------- fingerprint
 
   /** Winnowing fingerprints (MOSS-style): per-token polynomial hash +
@@ -338,7 +444,38 @@ object TextAnalysis {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM exb a JOIN exb b ON a.f = b.f AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY doc_a, doc_b""".stripMargin)))
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+    "text_lm_surprisal" -> QueryDef((s, d) => lmSurprisal(s, d), Some(
+      s"""WITH bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |            WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS tok FROM bn) GROUP BY doc_id, tok),
+         |lm AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+         |tot AS (SELECT sum(c) AS tot FROM lm),
+         |contrib AS (SELECT doc_id,
+         |    ${OracleSql.roundDec("tf * -log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb, tf
+         |  FROM tf JOIN lm USING (tok) CROSS JOIN tot),
+         |pd AS (SELECT doc_id, sum(cb) AS bits, CAST(sum(tf) AS BIGINT) AS n_tokens
+         |       FROM contrib GROUP BY doc_id),
+         |x AS (SELECT doc_id, n_tokens,
+         |        ${OracleSql.round("CAST(bits AS DOUBLE) / n_tokens", 4)} AS xent_bits FROM pd)
+         |SELECT doc_id, n_tokens, xent_bits, xent_bits <= 4.93 AS keep
+         |FROM x ORDER BY doc_id""".stripMargin)),
+    "text_pmi_pairs" -> QueryDef((s, d) => pmiPairs(s, d), Some(
+      s"""WITH bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |            WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+         |dt AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM bn),
+         |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM bn),
+         |co AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS co_df
+         |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |       GROUP BY 1, 2 HAVING count(*) >= 50)
+         |SELECT tok_a, tok_b, co_df,
+         |  ${OracleSql.round(
+             "ln(CAST(co_df AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)))", 6)} AS pmi
+         |FROM co JOIN dfreq da ON co.tok_a = da.tok JOIN dfreq db ON co.tok_b = db.tok
+         |CROSS JOIN n
+         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin)))
 
   /** DuckDB reimplementation of [[graft.functions.WinnowTokenFingerprints]]
     * (k=5, w=4): same Mersenne-61 shift-polynomial hashes via HUGEINT

@@ -128,4 +128,32 @@ class PlanPinsSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
     }
   }
+
+  test("bm25: query terms broadcast into the posting join, no cartesian") {
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query-term side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_"), s"tf aggregation not map-side partial:\n$p")
+  }
+
+  test("pmi: pairs generated per-row (Generate), never by self-joining tokens") {
+    val p = plan("text_pmi_pairs")
+    assert(p.contains("Generate"), s"no per-row pair generate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N is a global sort:\n$p")
+  }
+
+  test("lm surprisal: corpus text never shuffles, only (doc, term) triples") {
+    val p = plan("text_lm_surprisal")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the exploded token column is aggregated before any join; the raw
+    // text column must not appear in any exchange
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p).isDefined,
+      s"raw text shuffles:\n$p")
+  }
+
+  test("semantic dedup: within-cell self-join is hash-keyed, no cartesian") {
+    val p = plan("embedding_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }

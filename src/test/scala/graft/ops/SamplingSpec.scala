@@ -27,6 +27,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(p10.nonEmpty && p50.size > p10.size)
   }
 
+  test("split assignment partitions the corpus deterministically") {
+    val rows = Sampling.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == n, "every document must get exactly one split")
+    // membership is exactly the documented bucket ranges
+    for ((id, bucket, split) <- rows) {
+      val want = if (bucket < "e6") "train" else if (bucket < "f3") "val" else "test"
+      assert(split == want, s"doc $id bucket $bucket got $split")
+    }
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"splits present: ${bySplit.keySet}")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // rerun-stable
+    val again = Sampling.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(rows.sameElements(again))
+  }
+
   test("token budget selection is greedy-maximal and exactly ordered") {
     val rows = Pipelines.tokenBudgetSelect(spark, dir, budget = 2000L)
       .collect()

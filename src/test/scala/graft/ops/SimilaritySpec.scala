@@ -133,6 +133,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"quantized top-1 agreement $agree/${floatTop.size}")
   }
 
+  test("semanticDedup: duplicate groups collapse to the min id, distinct groups survive") {
+    import spark.implicits._
+    // two orthogonal duplicate-groups: pruning must keep exactly the
+    // min id of each, regardless of how the hash-picked seeds cluster
+    // them (cross-group cosine is 0, within-group exactly 1)
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val v = Seq(0.0, 1.0, 0.0, 0.0)
+    val vecs = Seq((1L, u), (2L, u), (3L, u), (4L, v), (5L, v), (6L, v))
+      .toDF("vec_id", "v")
+    val kept = Similarity.semanticDedupOn(vecs, k = 2, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"kept $kept")
+    // a threshold above 1 can prune nothing
+    val all = Similarity.semanticDedupOn(vecs, k = 2, threshold = 1.1).count()
+    assert(all == 6)
+  }
+
+  test("semanticDedup on planted clusters prunes most near-copies") {
+    val vecs = clustered.select(col("id").as("vec_id"), col("v"))
+    val kept = Similarity.semanticDedupOn(vecs, k = 8, threshold = 0.9).count()
+    // 20 clusters of 6 near-identical members: within-cell pruning must
+    // collapse most of each cluster (co-clustered members prune to few
+    // exemplars; a perfect partition would leave exactly 20)
+    assert(kept >= 20 && kept <= 45, s"kept $kept of 120")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Seq.fill(64)(0.5))).toDF("id", "v")

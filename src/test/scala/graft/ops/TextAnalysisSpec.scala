@@ -65,6 +65,56 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(unguarded == 190 + 1)
   }
 
+  test("lmSurprisal: uniform corpus scores exactly log2(vocab) everywhere") {
+    import spark.implicits._
+    // every token appears exactly twice → p = 1/3 for all three, so
+    // every doc's mean surprisal is exactly round(log2 3, 4)
+    val df = Seq((0L, "a b"), (1L, "b a"), (2L, "c c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.lmSurprisalOn(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val want = BigDecimal.decimal(math.log(3.0) / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.length == 3)
+    for ((id, x, keep) <- rows) {
+      assert(x == want, s"doc $id: $x != $want")
+      assert(keep, s"doc $id below-threshold surprisal must keep")
+    }
+  }
+
+  test("lmSurprisal: rare-token docs score strictly higher than the bulk") {
+    import spark.implicits._
+    val common = (0L until 20L).map(i => (i, "data table row scan"))
+    val rare = Seq((99L, "data table row zzyzx"))
+    val got = TextAnalysis.lmSurprisalOn((common ++ rare).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(99L) > got(0L), s"rare-token doc not higher: $got")
+  }
+
+  test("pmiPairs: planted collocation gets exactly ln 2, loners excluded") {
+    import spark.implicits._
+    // x and y always co-occur: N = 20, df = co_df = 10 →
+    // PMI = ln(10·20/(10·10)) = ln 2. 'p' never pairs.
+    val docs = (0L until 10L).map(i => (i, "x y")) ++
+      (10L until 20L).map(i => (i, "p"))
+    val rows = TextAnalysis.pmiPairsOn(docs.toDF("doc_id", "text"), minCoDf = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 1, s"expected only the (x,y) pair: ${rows.toSeq}")
+    val (a, b2, co, pmi) = rows.head
+    assert((a, b2, co) == ("x", "y", 10L))
+    val want = BigDecimal.decimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi == want)
+  }
+
+  test("pmiPairs: minCoDf prunes sparse pairs; top-N ordering is (pmi, pair)") {
+    val rows = TextAnalysis.pmiPairs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(_._3 >= 50))
+    val keys = rows.map(r => (-r._4, r._1, r._2))
+    assert(keys.sameElements(keys.sorted), "output not ordered by (pmi desc, pair)")
+    assert(rows.forall(r => r._1 < r._2), "pair not canonically ordered")
+  }
+
   test("quality components are consistent") {
     val row = TextAnalysis.qualityScores(spark, dir)
       .filter("doc_id = 0").head()
