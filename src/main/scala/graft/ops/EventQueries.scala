@@ -139,6 +139,53 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("day"), col("user_id"))
 
+  /** [[dailyUserActivity]] through the REAL Structured Streaming
+    * micro-batch engine: event-time tumbling windows with a watermark
+    * ([[graft.streaming.StreamingPipeline.dailyUserActivity]]), run
+    * with an AvailableNow trigger into a memory sink so the
+    * end-of-stream aggregate is a batch frame the driver oracle-checks
+    * against the SAME GROUP BY SQL as the batch twin. Complete-mode
+    * output keeps every window (append would hold back windows newer
+    * than the final watermark), and windowed count is
+    * arrival-order-free, so the result is deterministic. A continuous
+    * deployment runs this exact plan with a processing-time trigger;
+    * the watermark then bounds the window state store. */
+  def dailyUserActivityStreaming(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+    val agg = graft.streaming.StreamingPipeline.dailyUserActivity(src)
+    val name = s"daily_activity_stream_${streamSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "day", "user_id")
+  }
+
+  /** Stream-stream interval join through the real micro-batch engine:
+    * each purchase joined to the same user's clicks from the preceding
+    * hour, watermarks on both sides bounding the join state
+    * ([[graft.streaming.StreamingPipeline.purchasesWithRecentClicks]]).
+    * INNER stream-stream joins emit each matching pair exactly once as
+    * it matches — not gated on the watermark — so the AvailableNow
+    * end-of-stream output is the complete deterministic pair set,
+    * oracle-checkable as a plain batch self-join with the identical
+    * micros-precision interval predicate. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+    val joined = graft.streaming.StreamingPipeline.purchasesWithRecentClicks(src)
+    val name = s"stream_interval_join_${streamSeq.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    graft.streaming.StreamingPipeline.awaitAndDrain(
+      q, s, name, "purchase_id", "click_id")
+  }
+
+  /** Memory-sink names are suffixed per invocation — a fixed name
+    * collides across concurrent runs in one session. */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Gap-based sessionization: a new session starts after a >6h idle
     * gap. Two stacked windows (lag → boundary flag → running sum) and
     * one aggregation — the standard Spark sessionization plan; all
@@ -368,5 +415,21 @@ object EventQueries {
         |  FROM events GROUP BY user_id, event_type) t
         |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
     "daily_user_activity" -> QueryDef(dailyUserActivity, Some(
-      "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY day, user_id")))
+      "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY day, user_id")),
+    "daily_user_activity_streaming" -> QueryDef(dailyUserActivityStreaming, Some(
+      "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id, count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY day, user_id")),
+    // the join predicate runs at MICROsecond precision on both engines
+    // (Spark timestamps are micros; epoch_us truncates the parquet
+    // nanos identically) — an epoch_ms predicate would disagree on
+    // pairs whose true gap straddles the 1h boundary inside a ms
+    "stream_interval_join" -> QueryDef(streamIntervalJoin, Some(
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_us(ts) AS us, epoch_ms(ts) AS ms FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |       p.ms - c.ms AS gap_ms
+        |FROM ev p JOIN ev c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.us >= p.us - 3600000000 AND c.us <= p.us
+        |ORDER BY purchase_id, click_id""".stripMargin)))
 }

@@ -106,6 +106,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got.size >= (batch.size * 0.95).toInt, s"${got.size}/${batch.size}")
   }
 
+  test("drained driver rows equal their batch twins EXACTLY (complete/inner emit everything)") {
+    val sd = graft.ops.EventQueries.dailyUserActivityStreaming(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bd = graft.ops.EventQueries.dailyUserActivity(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sd.sameElements(bd),
+      s"daily activity: streaming ${sd.length} rows vs batch ${bd.length}")
+    val sj = graft.ops.EventQueries.streamIntervalJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"))
+      .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sj == batch, s"interval join: ${sj.size} vs batch ${batch.size}")
+    // drain left nothing behind: no active stream, sink views dropped
+    assert(spark.streams.active.isEmpty)
+    assert(!spark.catalog.tableExists("daily_activity_stream_1"))
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
