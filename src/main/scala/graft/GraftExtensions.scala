@@ -48,5 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"word_ngrams(tokens, n): n must be an integer literal, got $other")
       })))
+    ext.injectFunction((FunctionIdentifier("kgram_span_hashes"),
+      info("kgram_span_hashes", "kgram_span_hashes(tokens, k) - all k-gram rolling span hashes of array<string>, in position order"),
+      (es: Seq[Expression]) => functions.KgramSpanHashes(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, org.apache.spark.sql.types.IntegerType) =>
+          v.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"kgram_span_hashes(tokens, k): k must be an integer literal, got $other")
+      })))
   }
 }

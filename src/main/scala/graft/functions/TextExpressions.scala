@@ -160,6 +160,71 @@ case class WinnowTokenFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** ALL k-gram rolling span hashes of a token array, in position order
+  * (element i = hash of tokens [i, i+k)) — the winnowing kernel's
+  * k-gram stage WITHOUT the window-minimum selection, for span-level
+  * exact-duplicate detection (Lee et al. 2021 "Deduplicating Training
+  * Data" family): every k-token span is a posting, spans recurring
+  * across documents mark duplicated passages. Same hash chain as
+  * [[WinnowTokenFingerprints]] (token fold base 5, k-gram fold base
+  * 13, Mersenne-61), so the DuckDB oracle reuses the proven HUGEINT
+  * recipe verbatim. Returns an empty array for docs shorter than k. */
+case class KgramSpanHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_span_hashes"
+
+  override def nullSafeEval(a: Any): Any = {
+    import TextExpressions.fold61
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val nk = n - k + 1
+    if (nk <= 0) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = xs.getUTF8String(i)
+      val s = if (u == null) "" else u.toString
+      var h = 0L
+      var p = 0
+      while (p < s.length) {
+        val cp = s.codePointAt(p)
+        h = fold61(h, 5, cp.toLong)
+        p += Character.charCount(cp)
+      }
+      th(i) = h
+      i += 1
+    }
+    val kh = new Array[Long](nk)
+    i = 0
+    while (i < nk) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = fold61(acc, 13, th(i + j)); j += 1 }
+      kh(i) = acc
+      i += 1
+    }
+    new GenericArrayData(kh)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("kgramExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-element hash of an `array<string>`: the Mersenne-61
   * shift-polynomial fold of each element's Unicode code points (the
   * same token hash [[WinnowTokenFingerprints]] computes internally),
@@ -419,4 +484,6 @@ object textFunctions {
   }
   def minhash_sig(shingles: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), coeffs, p))
+  def kgram_span_hashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(KgramSpanHashes(ColumnBridge.expression(tokens), k))
 }

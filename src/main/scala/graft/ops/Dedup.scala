@@ -466,6 +466,74 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ----------------------------------------------------------- span dedup
+
+  /** Span-level duplicate-passage statistics (the Lee et al. 2021
+    * "Deduplicating Training Data" substring-dedup family, at word
+    * granularity): every k-token sliding span hashes via the native
+    * [[graft.functions.KgramSpanHashes]] kernel (the winnow kernel's
+    * k-gram chain without the window minimum — DuckDB-reproducible),
+    * spans recurring in ≥ `minDocs` DISTINCT documents are duplicated
+    * passages, and each document reports how many of its spans are
+    * duplicated plus the fraction of its TOKENS covered by at least
+    * one duplicated span (interval union of the [pos, pos+k) hits —
+    * a per-row HOF fold over the sorted hit positions, not a join).
+    * `keep` gates at ≤ 50% duplicated-token coverage — the usual
+    * "mostly boilerplate" prune.
+    *
+    * Scale posture: spans shuffle as 8-byte hashes, twice (hot-span
+    * groupBy; per-doc hit groupBy) — the text never shuffles. The
+    * within-doc repeat case never triggers removal (DISTINCT doc
+    * count), mirroring [[graft.ops.Scrub.lineDedup]]'s contract one
+    * level finer. Hash collisions cannot diverge the driver row: the
+    * oracle joins on the same M61 span hashes. */
+  def spanDupStats(s: SparkSession, dir: String,
+                   k: Int = 16, minDocs: Long = 2L): DataFrame =
+    spanDupStatsOn(docs(s, dir), k, minDocs)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def spanDupStatsOn(df: DataFrame, k: Int = 16, minDocs: Long = 2L): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+    val spans = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.textFunctions.kgram_span_hashes(col("t"), k))
+          .as(Seq("pos", "sh")))
+      // the hot-span set derives from this same frame; persist so the
+      // semi-join does not re-derive the kernel lineage twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSet = spans.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sh"))
+    val hits = spans.join(dupSet, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered", expr(
+        s"""aggregate(ps,
+           |  named_struct('c', CAST(0 AS BIGINT), 'e', CAST(-1 AS BIGINT)),
+           |  (acc, p) -> named_struct(
+           |    'c', acc.c + CASE WHEN p >= acc.e THEN CAST($k AS BIGINT)
+           |                      ELSE CAST(p AS BIGINT) + $k - acc.e END,
+           |    'e', greatest(acc.e, CAST(p AS BIGINT) + $k)),
+           |  acc -> acc.c)""".stripMargin))
+      .select(col("doc_id"), col("n_dup_spans"), col("covered"))
+    base.select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_token_frac",
+        round(coalesce(col("covered"), lit(0L)) / col("n_tokens"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_dup_spans"), col("dup_token_frac"),
+        (col("dup_token_frac") <= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, QueryDef] = Map(
@@ -503,7 +571,47 @@ object Dedup {
          |  UNION
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+    // Independent DuckDB reimplementation of the k-gram span-hash
+    // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the
+    // winnow oracle's chain without the window minimum) plus the
+    // interval-union coverage fold mirrored as a list_reduce.
+    "dedup_span_stats" -> QueryDef((s, d) => spanDupStats(s, d), Some {
+      val p = graft.functions.TextExpressions.M61
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+         |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM tok WHERE len(t) >= 1),
+         |th AS (SELECT doc_id, n_tokens, list_transform(t, tk ->
+         |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+         |                list_filter(list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+         |                            c -> c >= 0),
+         |              (a, c) -> (a * 32 + c) % $p) AS BIGINT)) AS hs
+         |       FROM bn),
+         |kh AS (SELECT doc_id, list_transform(range(len(hs) - 15), i ->
+         |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+         |                list_transform(list_slice(hs, i + 1, i + 16), h -> CAST(h AS HUGEINT)),
+         |              (a, h) -> (a * 8192 + h) % $p) AS BIGINT)) AS kh
+         |       FROM th WHERE len(hs) >= 16),
+         |sp AS (SELECT doc_id, unnest(range(len(kh))) AS pos, unnest(kh) AS sh FROM kh),
+         |dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT doc_id, count(*) AS n_dup_spans, list_sort(list(pos)) AS ps
+         |       FROM sp SEMI JOIN dup USING (sh) GROUP BY doc_id),
+         |cov AS (SELECT doc_id, n_dup_spans,
+         |          (list_reduce(
+         |             [struct_pack(c := CAST(0 AS BIGINT), e := CAST(-1 AS BIGINT))] ||
+         |               list_transform(ps, q -> struct_pack(c := CAST(q AS BIGINT), e := CAST(0 AS BIGINT))),
+         |             (a, x) -> struct_pack(
+         |               c := a.c + CASE WHEN x.c >= a.e THEN 16 ELSE x.c + 16 - a.e END,
+         |               e := greatest(a.e, x.c + 16)))).c AS covered
+         |        FROM dp),
+         |agg AS (SELECT b.doc_id, b.n_tokens,
+         |          greatest(b.n_tokens - 15, 0) AS n_spans,
+         |          coalesce(n_dup_spans, 0) AS n_dup_spans,
+         |          ${graft.OracleSql.round("CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens", 4)} AS dup_token_frac
+         |        FROM bn b LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id, n_tokens, n_spans, n_dup_spans, dup_token_frac,
+         |       dup_token_frac <= 0.5 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin
+    }))
 
   // defs, not vals: `defs` (declared above) forces the lazy oracle
   // strings during object init, BEFORE later vals would be assigned

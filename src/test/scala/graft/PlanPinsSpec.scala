@@ -156,4 +156,11 @@ class PlanPinsSpec extends AnyFunSuite {
     val p = plan("embedding_semantic_dedup")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("span dedup: spans shuffle as hashes, the text column never does") {
+    val p = plan("dedup_span_stats")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p).isDefined,
+      s"raw text shuffles:\n$p")
+  }
 }

@@ -88,4 +88,41 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("kgram span hashes equal the BigInt model and bound the winnow set") {
+    val token = Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)
+    val docGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, token))
+    forAll(docGen) { (tokens: List[String]) =>
+      val k = 5
+      val th = tokens.map { t =>
+        t.codePoints().toArray.foldLeft(0L)((a, c) =>
+          ((BigInt(a) * 32 + c) mod BigInt(M61)).toLong)
+      }
+      val expected =
+        if (tokens.length < k) Seq.empty[Long]
+        else th.sliding(k).map(_.foldLeft(0L)((a, h) =>
+          ((BigInt(a) * 8192 + h) mod BigInt(M61)).toLong)).toSeq
+      val got = KgramSpanHashes(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        k)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(got == expected)
+      // winnow's fingerprints are window-minima OF these span hashes
+      if (tokens.length >= k + 3) {
+        val fps = WinnowTokenFingerprints(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+              tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+          k, 4)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSet
+        assert(fps.subsetOf(got.toSet))
+      }
+    }
+  }
 }

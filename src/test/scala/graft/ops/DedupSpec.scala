@@ -134,4 +134,42 @@ class DedupSpec extends AnyFunSuite {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("span dedup: shared passage flagged with exact coverage, unique and within-doc repeats don't trigger") {
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"shared$i").mkString(" ") // 20-token passage
+    val uniqA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val uniqB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val uniqC = (1 to 40).map(i => s"c$i").mkString(" ")
+    // d3 repeats ITS OWN 16-token run twice — within one doc only
+    val selfRep = (1 to 16).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$uniqA $run"),         // 30 tokens, passage at the tail
+      (1L, s"$run $uniqB"),         // 30 tokens, passage at the head
+      (2L, uniqC),                  // 40 unique tokens
+      (3L, s"$selfRep $selfRep"))   // 32 tokens, self-repeat
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDupStatsOn(docs, k = 16, minDocs = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    // docs 0/1: the shared 20-token run yields 5 duplicated 16-gram
+    // spans each; the interval union covers exactly the 20 run tokens
+    assert(got(0L) == ((30L, 15L, 5L, 0.6667, false)), s"${got(0L)}")
+    assert(got(1L) == ((30L, 15L, 5L, 0.6667, false)), s"${got(1L)}")
+    assert(got(2L) == ((40L, 25L, 0L, 0.0, true)), s"${got(2L)}")
+    // within-doc repetition alone never flags (DISTINCT doc contract)
+    assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
+  }
+
+  test("span dedup: an exact duplicate pair is fully covered") {
+    import spark.implicits._
+    val text = (1 to 25).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text), (2L, (1 to 25).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDupStatsOn(docs, k = 16, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(0L) == ((1.0, false)) && got(1L) == ((1.0, false)))
+    assert(got(2L) == ((0.0, true)))
+  }
 }
