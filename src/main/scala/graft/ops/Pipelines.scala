@@ -43,6 +43,36 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** The multi-signal quality filter stack real curation pipelines
+    * gate on — four independent per-doc signals joined on doc_id and
+    * combined into one keep decision: heuristic quality score
+    * (length/stopword/TTR mix), language ID, Gopher-style repetition
+    * fractions, and unigram-LM cross-entropy. Every gate compares the
+    * ROUNDED surfaced value (deterministic cross-engine by
+    * construction); each signal is its own aggregation lineage, so the
+    * plan is four parallel passes over the corpus converging in
+    * doc_id-keyed joins — at scale these co-partition after the first
+    * shuffle. Inner joins: documents below the signals' minimum sizes
+    * (< 2 tokens) carry no repetition signal and are dropped — a real
+    * stack prunes them anyway. */
+  def qualityEnsemble(s: SparkSession, dir: String,
+                      minQuality: Double = 0.35, lang: String = "en",
+                      maxFrac: Double = 0.2, maxXent: Double = 4.93): DataFrame = {
+    val base = Tables(s, dir, "documents")
+    val sigs = TextAnalysis.langId(TextAnalysis.withQuality(base))
+      .select(col("doc_id"), col("quality_score"), col("pred_lang"))
+    val rep = TextAnalysis.repetitionStats(s, dir)
+      .select(col("doc_id"), col("top_tok_frac"), col("dup_2gram_frac"))
+    val lm = TextAnalysis.lmSurprisal(s, dir)
+      .select(col("doc_id"), col("xent_bits"))
+    sigs.join(rep, "doc_id").join(lm, "doc_id")
+      .withColumn("keep",
+        col("quality_score") >= minQuality && col("pred_lang") === lang &&
+          col("top_tok_frac") <= maxFrac && col("dup_2gram_frac") <= maxFrac &&
+          col("xent_bits") <= maxXent)
+      .orderBy(col("doc_id"))
+  }
+
   /** Survivors of near-duplicate removal: every doc except those
     * appearing as doc_b (the higher id) in a Jaccard ≥ 0.5 pair. */
   def neardupRemoval(s: SparkSession, dir: String): DataFrame = {
@@ -463,5 +493,44 @@ object Pipelines {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |           FROM surv3)
          |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
-         |FROM ranked WHERE cum_tokens <= 5000 ORDER BY cum_tokens""".stripMargin)))
+         |FROM ranked WHERE cum_tokens <= 5000 ORDER BY cum_tokens""".stripMargin)),
+    "pipeline_quality_ensemble" -> QueryDef((s, d) => qualityEnsemble(s, d), Some {
+      def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
+      s"""WITH q AS (${TextAnalysis.qualityScoreSelect}),
+         |${TextAnalysis.langBestCte},
+         |pl AS (${TextAnalysis.predLangSelect}),
+         |rbase AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |rb AS (SELECT doc_id, t FROM rbase WHERE len(t) >= 2),
+         |tc AS (SELECT doc_id, tok, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(t) AS tok FROM rb) GROUP BY 1, 2),
+         |ragg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tok
+         |         FROM tc GROUP BY 1),
+         |g2 AS (SELECT doc_id, len(t) - 1 AS n_2g,
+         |         len(list_distinct(list_transform(range(len(t) - 1),
+         |           i -> t[i + 1] || ' ' || t[i + 2]))) AS n_2g_distinct
+         |       FROM rb),
+         |rep AS (SELECT a.doc_id,
+         |          ${R("CAST(top_c AS DOUBLE) / n_tok", 4)} AS top_tok_frac,
+         |          ${R("CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g", 4)} AS dup_2gram_frac
+         |        FROM ragg a JOIN g2 USING (doc_id)),
+         |lbn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+         |ltf AS (SELECT doc_id, tok, count(*) AS tf
+         |        FROM (SELECT doc_id, unnest(t) AS tok FROM lbn) GROUP BY doc_id, tok),
+         |llm AS (SELECT tok, sum(tf) AS c FROM ltf GROUP BY tok),
+         |ltot AS (SELECT sum(c) AS tot FROM llm),
+         |lcontrib AS (SELECT doc_id,
+         |    ${graft.OracleSql.roundDec("tf * -log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb, tf
+         |  FROM ltf JOIN llm USING (tok) CROSS JOIN ltot),
+         |lpd AS (SELECT doc_id, sum(cb) AS bits, CAST(sum(tf) AS BIGINT) AS n_tokens
+         |        FROM lcontrib GROUP BY doc_id),
+         |lmx AS (SELECT doc_id, ${R("CAST(bits AS DOUBLE) / n_tokens", 4)} AS xent_bits FROM lpd)
+         |SELECT q.doc_id, q.quality_score, pl.pred_lang,
+         |       rep.top_tok_frac, rep.dup_2gram_frac, lmx.xent_bits,
+         |       (q.quality_score >= 0.35 AND pl.pred_lang = 'en' AND
+         |        rep.top_tok_frac <= 0.2 AND rep.dup_2gram_frac <= 0.2 AND
+         |        lmx.xent_bits <= 4.93) AS keep
+         |FROM q JOIN pl USING (doc_id) JOIN rep USING (doc_id) JOIN lmx USING (doc_id)
+         |ORDER BY q.doc_id""".stripMargin
+    }))
 }

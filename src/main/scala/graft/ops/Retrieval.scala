@@ -66,8 +66,17 @@ object Retrieval {
     val tfPart = (col("tf").cast("double") * (k1 + 1.0)) /
       (col("tf").cast("double") +
         ((col("dl").cast("double") / avgdl) * b + (1.0 - b)) * k1)
-    val contrib = tf.join(dfreq, "term")
-      .join(broadcast(q), "term")
+    // join ORDER matters at scale: tf ⋈ broadcast(query terms) prunes
+    // the posting stream to query terms BEFORE anything joins the
+    // document-frequency table (written the other way round, the full
+    // corpus vocabulary shuffles through tf ⋈ dfreq first — Catalyst
+    // does not reorder joins without CBO); dfreq itself shrinks to the
+    // query terms via a broadcast semi-join, making every join here
+    // broadcast-sized except the corpus-wide tf groupBy.
+    val dfq = dfreq.join(broadcast(q.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val contrib = tf.join(broadcast(q), "term")
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("c", round(idf * tfPart, 9).cast("decimal(20,9)"))
     val w = Window.partitionBy(col("query_id"))

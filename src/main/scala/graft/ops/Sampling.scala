@@ -69,7 +69,34 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic WEIGHTED sample (Efraimidis–Spirakis exponential
+    * keys, A-ES): each doc gets key = ln(u)/w with u a hash-uniform in
+    * (0, 1] derived from the M61+fmix64 hash of its id and w its
+    * weight (n_chars here — longer docs proportionally likelier); the
+    * top-n keys ARE a weighted sample without replacement. Every step
+    * is a pure function of the data, so the sample is rerun-stable and
+    * engine-reproducible where RNG weighted sampling is not; ranking
+    * uses the 9dp-ROUNDED key (ties broken by doc_id) so a libm ln ulp
+    * cannot flip the selection boundary. Plan: scan-stage key
+    * computation + TakeOrderedAndProject — no shuffle beyond the
+    * bounded top-n merge. */
+  def weightedSampleDocs(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val h = graft.functions.textFunctions.m61_fmix_hash63(col("doc_id"))
+    val u = (h + lit(1L)).cast("double") / lit(9.223372036854775808e18)
+    Tables(s, dir, "documents")
+      .withColumn("wkey", round(log(u) / col("n_chars").cast("double"), 9))
+      .select(col("doc_id"), col("n_chars"), col("wkey"))
+      .orderBy(desc("wkey"), col("doc_id"))
+      .limit(n)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "sample_docs_weighted" -> QueryDef((s, d) => weightedSampleDocs(s, d), Some(
+      s"""WITH ${graft.OracleSql.m61FmixScalarCtes("documents", "CAST(doc_id AS VARCHAR)")}
+         |SELECT doc_id, n_chars,
+         |  ${graft.OracleSql.round(
+             "ln(CAST((h & 9223372036854775807) + 1 AS DOUBLE) / 9223372036854775808.0) / CAST(n_chars AS DOUBLE)", 9)} AS wkey
+         |FROM mh ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin)),
     "sample_split_assign" -> QueryDef((s, d) => splitAssign(s, d), Some(
       """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'

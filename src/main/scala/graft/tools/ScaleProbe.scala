@@ -77,7 +77,13 @@ object ScaleProbe {
       "pipeline_line_dedup",   // line-hash df groupBy + flag join + regroup
       "corpus_shuffle_order",  // range exchange + two-phase rank
       "pipeline_dedup_keep_best", // pair-graph clusters + argmax window
-      "pipeline_contamination_bloom") // bloom prefilter + broadcast confirm
+      "pipeline_contamination_bloom", // bloom prefilter + broadcast confirm
+      "bm25_topk",             // tf groupBy + broadcast query terms
+      "text_lm_surprisal",     // tf groupBy + vocab-sized LM join
+      "text_pmi_pairs",        // per-row pair generate + pair groupBy
+      "embedding_semantic_dedup", // per-cell pairwise prune
+      "sample_split_assign",   // scan-stage md5 bucket routing
+      "dedup_span_stats")      // span-hash postings, 2 hash shuffles
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries) {
       val t1 = time(q, src)

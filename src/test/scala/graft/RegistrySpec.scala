@@ -23,6 +23,7 @@ class RegistrySpec extends AnyFunSuite {
       "Sketches" -> ops.Sketches.defs,
       "Curation" -> ops.Curation.defs,
       "Scrub" -> ops.Scrub.defs,
+      "Retrieval" -> ops.Retrieval.defs,
       "KdcParseQueries" -> kdc.KdcParseQueries.defs)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.all.size == perModule,

@@ -98,4 +98,28 @@ class PipelinesSpec extends AnyFunSuite {
     assert(removedExpected.nonEmpty)
     assert(got == all -- removedExpected)
   }
+
+  test("quality ensemble = componentwise AND of its four signals") {
+    import org.apache.spark.sql.functions.col
+    val ens = Pipelines.qualityEnsemble(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(ens.nonEmpty)
+    val q = TextAnalysis.qualityScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    val lang = TextAnalysis.langIdQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rep = TextAnalysis.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val lm = TextAnalysis.lmSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((id, (qs, pl, tf, df, xb, keep)) <- ens) {
+      assert(qs == q(id) && pl == lang(id) && (tf, df) == rep(id) && xb == lm(id),
+        s"doc $id signals diverge from the standalone queries")
+      val want = qs >= 0.35 && pl == "en" && tf <= 0.2 && df <= 0.2 && xb <= 4.93
+      assert(keep == want, s"doc $id keep=$keep want=$want")
+    }
+    // the gate must actually split the corpus (non-vacuous)
+    assert(ens.values.exists(_._6) && ens.values.exists(!_._6))
+  }
 }

@@ -47,6 +47,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("weighted sample favors heavy docs and is rerun-stable") {
+    val rows = Sampling.weightedSampleDocs(spark, dir, n = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 50)
+    // keys are ln(u)/w with u in (0,1] — never positive
+    assert(rows.forall(_._3 <= 0.0))
+    // output ordered by (key desc, doc_id)
+    val keys = rows.map(r => (-r._3, r._1))
+    assert(keys.sameElements(keys.sorted))
+    // rerun-stable
+    val again = Sampling.weightedSampleDocs(spark, dir, n = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sameElements(again))
+    // weighting works: the selected docs skew heavier than the corpus
+    // (inclusion probability ∝ weight for a weighted sample)
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0))
+    val corpusMean = all.sum.toDouble / all.length
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("token budget selection is greedy-maximal and exactly ordered") {
     val rows = Pipelines.tokenBudgetSelect(spark, dir, budget = 2000L)
       .collect()
