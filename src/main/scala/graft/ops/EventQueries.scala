@@ -264,6 +264,63 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_of_week"))
 
+  /** Ordered funnel conversion over the event stream: users who
+    * signed up, then VIEWED at or after their signup, then CLICKED at
+    * or after that view, then PURCHASED at or after that click — the
+    * classic product-analytics funnel with strict temporal ordering
+    * (each stage's anchor is the EARLIEST qualifying event, computed
+    * stage-by-stage: min-of-qualifying is the standard greedy
+    * anchoring and maximizes downstream conversion) and a bounded
+    * conversion window — each step must follow the previous anchor
+    * within `windowMs` (24 h default), which is what makes the funnel
+    * discriminate instead of converging to "everyone eventually did
+    * everything". One count per step, assembled as a single lazy plan.
+    *
+    * Scale posture: every stage is a user-keyed join + min-aggregate —
+    * co-partitioned after the first shuffle; stage k's lineage
+    * replays stages 1..k-1 (k ≤ 4 here; a long funnel would persist
+    * the stage frames). No windows, no collect. */
+  def funnelConversion(s: SparkSession, dir: String,
+                       steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+                       windowMs: Long = 86400000L): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = ev.filter(col("event_type") === step)
+        val qualified = prev match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("user_id"), col("t").as("tprev")), "user_id")
+              .filter(col("ms") >= col("tprev") && col("ms") <= col("tprev") + windowMs)
+        }
+        Some(qualified.groupBy(col("user_id")).agg(min(col("ms")).as("t")))
+    }.flatten
+    stages.zip(steps).zipWithIndex.map { case ((stage, step), i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("step_idx"))
+  }
+
+  /** Cohort retention: users grouped by the DAY of their first event,
+    * then distinct active users per (cohort day, day offset) — the
+    * standard retention triangle. Two user-keyed shuffles (first-day
+    * aggregate, join back) plus the (cohort, offset) count; dates are
+    * UTC calendar days on both engines. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -381,6 +438,28 @@ object EventQueries {
       """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
         |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
         |ORDER BY event_type NULLS FIRST, day_of_week NULLS FIRST""".stripMargin)),
+    "funnel_conversion" -> QueryDef((s, d) => funnelConversion(s, d), Some(
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ms) AS t FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ms >= s1.t AND e.ms <= s1.t + 86400000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ms) AS t FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ms >= s2.t AND e.ms <= s2.t + 86400000 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ms) AS t FROM ev e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ms >= s3.t AND e.ms <= s3.t + 86400000 GROUP BY e.user_id)
+        |SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        |ORDER BY step_idx""".stripMargin)),
+    "cohort_retention" -> QueryDef((s, d) => cohortRetention(s, d), Some(
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       date_diff('day', f.cohort_day, ev.day) AS offset_days,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin)),
     "value_percentiles" -> QueryDef(valuePercentiles, Some(
       s"""SELECT event_type,
          |  ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,

@@ -51,4 +51,43 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"nested-loop plan:\n$plan")
   }
+
+  test("funnel: monotone non-increasing, anchored at distinct signup users, window monotone") {
+    val counts = EventQueries.funnelConversion(spark, dir).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(counts.length == 4)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: ${counts.toSeq}")
+    val signups = EventQueries.serviceCount(spark, dir).collect()
+      .collectFirst { case r if r.getString(0) == "signup" => () }
+    assert(signups.isDefined)
+    val distinctSignup = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(counts.head == distinctSignup)
+    // a wider window can only convert MORE users at every step
+    val wide = EventQueries.funnelConversion(spark, dir, windowMs = Long.MaxValue / 4)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(counts.zip(wide).forall { case (n, w) => w >= n },
+      s"narrow window beat wide: ${counts.toSeq} vs ${wide.toSeq}")
+  }
+
+  test("cohort retention: offsets non-negative, day-0 row per cohort, user-day conservation") {
+    val rows = EventQueries.cohortRetention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative offset")
+    val byCohort = rows.groupBy(_._1)
+    // every cohort's day-0 row exists and is its maximum (everyone is
+    // active on their own first day)
+    for ((c, rs) <- byCohort) {
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c missing day-0")
+      assert(rs.forall(_._3 <= day0.get._3), s"cohort $c day-0 not maximal")
+    }
+    // sum of day-0 counts = total distinct users
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users)
+  }
 }
