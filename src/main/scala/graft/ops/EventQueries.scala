@@ -321,6 +321,56 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Daily error rate with a 7-day TRAILING moving average — the
+    * monitoring shape (bounded window frame, unlike running_total's
+    * unbounded one). The window runs over the DAILY AGGREGATE (one
+    * row per calendar day — grows with time, not data volume), so the
+    * partition-less ordering is a deliberate non-issue: its input is
+    * already tiny at any corpus scale. Rates divide exact integer
+    * counts — deterministic cross-engine — and the trailing average
+    * divides the frame SUMS (never averages the rates, which would
+    * weight days equally regardless of traffic). */
+  def dailyErrorRate(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .withColumn("day", date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rate", round(col("n_errors") / col("n_events"), 4))
+      .withColumn("trailing7",
+        round(sum(col("n_errors")).over(w) / sum(col("n_events")).over(w), 4))
+      .select(col("day"), col("n_events"), col("n_errors"),
+        col("rate"), col("trailing7"))
+      .orderBy(col("day"))
+  }
+
+  /** The stateful first/last/count kernel
+    * ([[graft.streaming.StreamingPipeline.userFirstLast]],
+    * flatMapGroupsWithState — the engine's custom-state API, the
+    * streaming twin of the reference's combiner/reducer pair) through
+    * the REAL micro-batch engine and the driver gate. Update mode
+    * emits a row per touched user per batch; the drain folds the sink
+    * to each user's CONVERGED state by max event count (n is strictly
+    * increasing per user, so the fold is batch-count-independent),
+    * which must equal the batch aggregate exactly. */
+  def userFirstLastStreamingStateful(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+    val ds = graft.streaming.StreamingPipeline.userFirstLast(src)
+    val name = s"ufl_stateful_stream_${streamSeq.incrementAndGet()}"
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "user_id")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("first_ms"), col("last_ms"))).as("st"))
+      .select(col("user_id"), col("st.first_ms").as("first_ms"),
+        col("st.last_ms").as("last_ms"), col("st.n").as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -438,6 +488,22 @@ object EventQueries {
       """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
         |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
         |ORDER BY event_type NULLS FIRST, day_of_week NULLS FIRST""".stripMargin)),
+    "daily_error_rate" -> QueryDef((s, d) => dailyErrorRate(s, d), Some(
+      s"""WITH daily AS (
+         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |         count(*) AS n_events,
+         |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors
+         |  FROM events GROUP BY 1)
+         |SELECT day, n_events, n_errors,
+         |  ${graft.OracleSql.round("CAST(n_errors AS DOUBLE) / n_events", 4)} AS rate,
+         |  ${graft.OracleSql.round(
+            "CAST(sum(n_errors) OVER w AS DOUBLE) / sum(n_events) OVER w", 4)} AS trailing7
+         |FROM daily
+         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin)),
+    "user_first_last_streaming_stateful" -> QueryDef(
+      (s, d) => userFirstLastStreamingStateful(s, d), Some(
+        "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "funnel_conversion" -> QueryDef((s, d) => funnelConversion(s, d), Some(
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
         |s1 AS (SELECT user_id, min(ms) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id),

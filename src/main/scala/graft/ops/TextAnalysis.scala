@@ -250,6 +250,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram conditional cross-entropy — the next step up from
+    * [[lmSurprisal]]'s unigram model: per-bigram surprisal
+    * −log₂(c(prev,tok)/c(prev)) from corpus-wide bigram counts,
+    * per-doc mean bits per bigram, keep gate at `threshold`. Low
+    * conditional entropy = locally predictable text (templated,
+    * repetitive); high = token transitions the corpus has rarely
+    * seen. Same determinism recipe as the unigram flavor (9dp DECIMAL
+    * contributions, exact sum, gate on the rounded mean).
+    *
+    * Scale posture: bigrams are generated per-row in the scan stage
+    * (nested HOF — no self-join), the (doc, prev, tok) groupBy is the
+    * one corpus-sized shuffle, and the count tables key on (prev,tok)
+    * / prev — vocab²-sized, exactly like a real n-gram LM's model
+    * relation. */
+  def lmBigramSurprisal(s: SparkSession, dir: String,
+                        threshold: Double = 4.94): DataFrame =
+    lmBigramSurprisalOn(docs(s, dir), threshold)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def lmBigramSurprisalOn(df: DataFrame, threshold: Double = 4.94): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val tf = base
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> named_struct('prev', element_at(t, i), 'tok', element_at(t, i + 1)))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+      .groupBy(col("doc_id"), col("prev"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("prev"), col("tok")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val surprisal = -log2(col("c2").cast("double") / col("c1").cast("double"))
+    tf.join(c2, Seq("prev", "tok")).join(c1, Seq("prev"))
+      .withColumn("cb", round(col("tf") * surprisal, 9).cast("decimal(20,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).as("bits"), sum(col("tf")).as("n_bigrams"))
+      .withColumn("xent2_bits",
+        round(col("bits").cast("double") / col("n_bigrams"), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("xent2_bits"),
+        (col("xent2_bits") <= threshold).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- PMI
 
   /** Top token-pair associations by pointwise mutual information over
@@ -460,6 +505,23 @@ object TextAnalysis {
          |x AS (SELECT doc_id, n_tokens,
          |        ${OracleSql.round("CAST(bits AS DOUBLE) / n_tokens", 4)} AS xent_bits FROM pd)
          |SELECT doc_id, n_tokens, xent_bits, xent_bits <= 4.93 AS keep
+         |FROM x ORDER BY doc_id""".stripMargin)),
+    "text_lm_bigram" -> QueryDef((s, d) => lmBigramSurprisal(s, d), Some(
+      s"""WITH bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |            WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, unnest(list_slice(t, 1, len(t) - 1)) AS prev,
+         |              unnest(list_slice(t, 2, len(t))) AS tok FROM bn),
+         |tf AS (SELECT doc_id, prev, tok, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |c2 AS (SELECT prev, tok, sum(tf) AS c2 FROM tf GROUP BY 1, 2),
+         |c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         |contrib AS (SELECT doc_id,
+         |    ${OracleSql.roundDec("tf * -log2(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))", 9)} AS cb, tf
+         |  FROM tf JOIN c2 USING (prev, tok) JOIN c1 USING (prev)),
+         |pd AS (SELECT doc_id, sum(cb) AS bits, CAST(sum(tf) AS BIGINT) AS n_bigrams
+         |       FROM contrib GROUP BY doc_id),
+         |x AS (SELECT doc_id, n_bigrams,
+         |        ${OracleSql.round("CAST(bits AS DOUBLE) / n_bigrams", 4)} AS xent2_bits FROM pd)
+         |SELECT doc_id, n_bigrams, xent2_bits, xent2_bits <= 4.94 AS keep
          |FROM x ORDER BY doc_id""".stripMargin)),
     "text_pmi_pairs" -> QueryDef((s, d) => pmiPairs(s, d), Some(
       s"""WITH bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -72,6 +72,22 @@ class JoinOpsSpec extends AnyFunSuite {
       s"narrow window beat wide: ${counts.toSeq} vs ${wide.toSeq}")
   }
 
+  test("daily error rate: trailing-7 equals a direct frame recompute") {
+    val rows = EventQueries.dailyErrorRate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    for (i <- rows.indices) {
+      val frame = rows.slice(math.max(0, i - 6), i + 1)
+      val want = BigDecimal.decimal(
+          frame.map(_._3).sum.toDouble / frame.map(_._2).sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(i)._5 == want, s"day ${rows(i)._1}: ${rows(i)._5} != $want")
+    }
+    // day one's trailing average IS its rate
+    assert(rows.head._4 == rows.head._5)
+  }
+
   test("cohort retention: offsets non-negative, day-0 row per cohort, user-day conservation") {
     val rows = EventQueries.cohortRetention(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -90,6 +90,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(99L) > got(0L), s"rare-token doc not higher: $got")
   }
 
+  test("lmBigramSurprisal: fully predictable transitions score exactly 0 bits") {
+    import spark.implicits._
+    // every 'a' is followed by 'b' and every 'b' by 'a' — all
+    // conditional probabilities are 1, so surprisal is exactly 0
+    val det = (0L until 5L).map(i => (i, "a b a b a"))
+    val rows = TextAnalysis.lmBigramSurprisalOn(det.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 5)
+    for ((id, nb, x, keep) <- rows) {
+      assert(nb == 4L && x == 0.0 && keep, s"doc $id: ($nb, $x, $keep)")
+    }
+    // a doc breaking the pattern scores strictly above the conformers
+    val mixed = det ++ Seq((9L, "a a b b a"))
+    val got = TextAnalysis.lmBigramSurprisalOn(mixed.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(9L) > got(0L), s"pattern-breaker not higher: $got")
+  }
+
   test("pmiPairs: planted collocation gets exactly ln 2, loners excluded") {
     import spark.implicits._
     // x and y always co-occur: N = 20, df = co_df = 10 →

@@ -131,6 +131,15 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("daily_activity_stream_1"))
   }
 
+  test("stateful streaming driver row equals the batch user_first_last exactly") {
+    val got = graft.ops.EventQueries.userFirstLastStreamingStateful(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = graft.ops.EventQueries.userFirstLast(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(want), s"${got.length} vs ${want.length}")
+    assert(spark.streams.active.isEmpty)
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
