@@ -466,6 +466,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -------------------------------------------------------- ingest dedup
+
+  /** Incremental-ingest dedup: classify an INCOMING batch against the
+    * EXISTING corpus — the admission decision a continuously-growing
+    * corpus runs on every new crawl drop. A new document is
+    * `exact_dup` if its content hash already exists, `near_dup` if it
+    * forms a Jaccard ≥ `threshold` pair with an existing document
+    * (cross-corpus pairs only — within-batch duplicates are the
+    * separate in-corpus operators' job), `admit` otherwise. Batch
+    * membership here is the id split at `splitId` (the driver tables
+    * have no ingest timestamp); production keys the same plan on a
+    * batch column.
+    *
+    * Scale posture: the exact check is a hash semi-join (16-byte keys);
+    * the near check reuses [[jaccardPairsOn]]'s bounded inverted-index
+    * join over the union and keeps only cross-side pairs — the
+    * existing side's postings are the "index", re-derived here but
+    * persisted once in a production ingest loop. */
+  def ingestDedup(s: SparkSession, dir: String, splitId: Long = 400L,
+                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    ingestDedupOn(docs(s, dir), splitId, threshold, maxBucket)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def ingestDedupOn(all: DataFrame, splitId: Long,
+                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val existing = all.filter(col("doc_id") < splitId)
+    val incoming = all.filter(col("doc_id") >= splitId)
+    val exHash = existing.select(md5(col("text")).as("content_hash")).distinct()
+    val exactDup = incoming
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(broadcast(exHash), Seq("content_hash"), "left_semi")
+      .select(col("doc_id"), lit(true).as("e"))
+    // ids are split-ordered, so a cross pair is exactly doc_a existing,
+    // doc_b incoming (pairs always have doc_a < doc_b)
+    val nearDup = jaccardPairsOn(all, threshold, maxBucket)
+      .filter(col("doc_a") < splitId && col("doc_b") >= splitId)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("n"))
+    incoming.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        coalesce(col("n"), lit(false)).as("near_dup"),
+        (coalesce(col("e"), lit(false)) === false &&
+          coalesce(col("n"), lit(false)) === false).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- span dedup
 
   /** Span-level duplicate-passage statistics (the Lee et al. 2021
@@ -572,6 +621,20 @@ object Dedup {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+    "dedup_ingest_verdicts" -> QueryDef((s, d) => ingestDedup(s, d), Some(
+      s"""WITH pairs AS (${boundedJaccardSql}),
+         |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
+         |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
+         |exact AS (SELECT doc_id FROM inc WHERE h IN (SELECT h FROM ex)),
+         |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |         WHERE doc_a < 400 AND doc_b >= 400)
+         |SELECT i.doc_id,
+         |       e.doc_id IS NOT NULL AS exact_dup,
+         |       n.doc_id IS NOT NULL AS near_dup,
+         |       (e.doc_id IS NULL AND n.doc_id IS NULL) AS admit
+         |FROM inc i LEFT JOIN exact e ON i.doc_id = e.doc_id
+         |           LEFT JOIN near n ON i.doc_id = n.doc_id
+         |ORDER BY i.doc_id""".stripMargin)),
     // Independent DuckDB reimplementation of the k-gram span-hash
     // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the
     // winnow oracle's chain without the window minimum) plus the

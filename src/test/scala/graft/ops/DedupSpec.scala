@@ -162,6 +162,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
   }
 
+  test("ingest dedup classifies incoming docs against the existing corpus only") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 27).map(i => s"w$i").mkString(" ") + " x1 x2 x3" // jac 27/33 ≈ 0.82
+    val docs = Seq(
+      (0L, base),                                  // existing
+      (1L, (1 to 30).map(i => s"z$i").mkString(" ")), // existing, unrelated
+      // incoming batch (ids >= 100):
+      (100L, base),                                // exact dup of 0
+      (101L, near),                                // near dup of 0
+      (102L, (1 to 30).map(i => s"q$i").mkString(" ")), // fresh — admit
+      (103L, (1 to 30).map(i => s"q$i").mkString(" "))) // within-batch dup of 102 — still admit
+      .toDF("doc_id", "text")
+    val got = Dedup.ingestDedupOn(docs, splitId = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(100L) == ((true, true, false)), s"${got(100L)}")   // exact AND near
+    assert(got(101L) == ((false, true, false)), s"${got(101L)}")
+    assert(got(102L) == ((false, false, true)), s"${got(102L)}")
+    // within-batch duplication is NOT this operator's concern
+    assert(got(103L) == ((false, false, true)), s"${got(103L)}")
+  }
+
   test("span dedup: an exact duplicate pair is fully covered") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"t$i").mkString(" ")
