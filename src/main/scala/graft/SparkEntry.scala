@@ -22,7 +22,7 @@ object SparkEntry {
       ops.AsofJoin.defs ++ ops.RangeJoin.defs ++ ops.Ivf.defs ++
       ops.Pipelines.defs ++ ops.Sampling.defs ++ ops.Sketches.defs ++
       ops.Curation.defs ++ ops.Scrub.defs ++ ops.Retrieval.defs ++
-      kdc.KdcParseQueries.defs
+      ops.DataQuality.defs ++ kdc.KdcParseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with

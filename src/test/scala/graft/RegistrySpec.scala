@@ -24,6 +24,7 @@ class RegistrySpec extends AnyFunSuite {
       "Curation" -> ops.Curation.defs,
       "Scrub" -> ops.Scrub.defs,
       "Retrieval" -> ops.Retrieval.defs,
+      "DataQuality" -> ops.DataQuality.defs,
       "KdcParseQueries" -> kdc.KdcParseQueries.defs)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.all.size == perModule,

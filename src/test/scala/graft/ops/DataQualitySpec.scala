@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataQualitySpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("profile: clean testdata has zero nulls, distinct counts consistent") {
+    val rows = DataQuality.profileEvents(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(rows.values.forall(_._1 == 0L), s"unexpected nulls: $rows")
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows("event_id")._2 == n, "event_id must be unique")
+    assert(rows("event_type")._2 == 5L)
+  }
+
+  test("checks: planted violations produce exact violation counts") {
+    import spark.implicits._
+    val events = Seq((1L, 10L, 1L, "click", 1.0, "{}"),
+        (1L, 11L, 1L, "click", -2.0, "{}"), // dup id + negative value
+        (2L, 12L, 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val customer = Seq((1L, "a")).toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 7L), (12L, 8L)) // 2 dangling FKs
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 5.0), (10L, 0.0), (10L, -1.0)) // 2 non-positive
+      .toDF("l_orderkey", "l_quantity")
+    val documents = Seq((0L, "text"), (1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = DataQuality.checksOn(events, orders, customer, lineitem, documents)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("event_id_unique") == ((1L, false)))
+    assert(got("orders_custkey_fk") == ((2L, false)))
+    assert(got("lineitem_quantity_positive") == ((2L, false)))
+    assert(got("events_value_nonnegative") == ((1L, false)))
+    assert(got("docs_text_nonempty") == ((2L, false)))
+  }
+
+  test("checks: the driver testdata passes every check") {
+    val got = DataQuality.checks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getBoolean(2)))
+    assert(got.length == 5 && got.forall(_._2), s"failing checks: ${got.toSeq}")
+  }
+}
