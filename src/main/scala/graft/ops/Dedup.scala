@@ -466,6 +466,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------------------------- fuzzy dedup
+
+  /** Edit-distance near-dup pairs: inverted-index candidates at a LOW
+    * Jaccard bar (recall stage), refined by BOUNDED Levenshtein
+    * distance on the full text (precision stage) — the fuzzy-matching
+    * flavor of the near-dup family, for corpora where token overlap
+    * alone over/under-matches (OCR noise, small in-place edits).
+    *
+    * The refinement uses the threshold form of `levenshtein`, which
+    * abandons a pair once its distance provably exceeds `maxDist` —
+    * O(maxDist·len) per pair instead of O(len²), the difference
+    * between feasible and not on candidate volumes at scale. Never
+    * run edit distance all-pairs: the candidate stage exists so the
+    * quadratic never touches the corpus, only Σ bucket² candidates. */
+  def fuzzyPairs(s: SparkSession, dir: String,
+                 candThreshold: Double = 0.3, maxDist: Int = 7,
+                 maxBucket: Int = 1000): DataFrame =
+    fuzzyPairsOn(docs(s, dir), candThreshold, maxDist, maxBucket)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def fuzzyPairsOn(df: DataFrame, candThreshold: Double = 0.3,
+                   maxDist: Int = 7, maxBucket: Int = 1000): DataFrame = {
+    val cand = jaccardPairsOn(df, candThreshold, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+    val texts = df.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("edit_dist") >= 0) // threshold form returns -1 past maxDist
+      .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -------------------------------------------------------- ingest dedup
 
   /** Incremental-ingest dedup: classify an INCOMING batch against the
@@ -621,6 +655,13 @@ object Dedup {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+    "dedup_fuzzy_pairs" -> QueryDef((s, d) => fuzzyPairs(s, d), Some(
+      s"""WITH pairs AS (${boundedJaccardSqlFrom("documents", 0.3)}),
+         |t AS (SELECT doc_id, text FROM documents)
+         |SELECT doc_a, doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         |FROM pairs JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin)),
     "dedup_ingest_verdicts" -> QueryDef((s, d) => ingestDedup(s, d), Some(
       s"""WITH pairs AS (${boundedJaccardSql}),
          |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
@@ -738,7 +779,8 @@ object Dedup {
   /** Parameterized over the (doc_id, text) source relation; a nested
     * WITH keeps the chain's CTE names (tok/sh/.../scored) from
     * colliding with a composing oracle's own CTEs. */
-  private[ops] def boundedJaccardSqlFrom(src: String): String =
+  private[ops] def boundedJaccardSqlFrom(src: String,
+                                         threshold: Double = 0.5): String =
     s"""WITH ${shingleHashCtesFrom(src)},
       |ex AS (SELECT doc_id, unnest(th) AS g FROM th),
       |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
@@ -751,7 +793,7 @@ object Dedup {
       |             CAST(n_shared AS DOUBLE) / (x.sz + y.sz - n_shared) AS jac
       |           FROM shared JOIN sz x ON doc_a = x.doc_id
       |                       JOIN sz y ON doc_b = y.doc_id)
-      |SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.5
+      |SELECT doc_a, doc_b, jac FROM scored WHERE jac >= $threshold
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** `simhashPairs(maxHamming = 8)` oracle: independent DuckDB

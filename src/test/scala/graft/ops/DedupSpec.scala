@@ -162,6 +162,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
   }
 
+  test("fuzzy pairs: bounded edit distance refines the candidate stage") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val close = base.replace("tok5", "tok5x")          // 1 char insertion
+    val far = base.replace("tok5 tok6 tok7", "aa bb cc") // big rewrite, high token overlap
+    val docs = Seq((0L, base), (1L, close), (2L, far),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPairsOn(docs, candThreshold = 0.3, maxDist = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((0L, 1L)), s"close pair missed: $pairs")
+    assert(pairs((0L, 1L)) == 1L)
+    assert(!pairs.contains((0L, 2L)), "rewrite beyond maxDist must be refined away")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // widening the bound readmits the rewrite (candidate stage had it)
+    val wide = Dedup.fuzzyPairsOn(docs, candThreshold = 0.3, maxDist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((0L, 2L)))
+  }
+
   test("ingest dedup classifies incoming docs against the existing corpus only") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
