@@ -134,9 +134,38 @@ object Curation {
       .orderBy(col(stratumCol))
   }
 
+  // ------------------------------------------------------- source mixture
+
+  /** Provenance mixture report: per (source, lang) document and token
+    * counts plus corpus share — the composition dashboard every
+    * curation run publishes alongside its output (the input to
+    * [[mixtureBalance]]-style rebalancing decisions). One groupBy +
+    * a broadcast one-row total. */
+  def sourceMixture(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val total = base.agg(count(lit(1)).as("total"))
+    base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / col("total"), 6))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("doc_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, QueryDef] = Map(
+    "source_mixture" -> QueryDef((s, d) => sourceMixture(s, d), Some(
+      s"""WITH t AS (SELECT count(*) AS total FROM documents)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  ${OracleSql.round("CAST(count(*) AS DOUBLE) / total", 6)} AS doc_share
+         |FROM documents CROSS JOIN t
+         |GROUP BY source, lang, total ORDER BY source, lang""".stripMargin)),
     "doc_chunks" -> QueryDef((s, d) => docChunks(s, d), Some(
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         |n AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 1),

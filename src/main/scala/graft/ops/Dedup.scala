@@ -444,8 +444,14 @@ object Dedup {
     * at h = 4-6). Selectivity is unchanged — keys are still 16 bits,
     * so candidate volume is Σ bucket² ≈ 28·n²/2¹⁶ per corpus, the
     * same inverted-index shape as before with a 7× table constant. */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(s, dir)
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(simhashes(s, dir), maxHamming)
+
+  /** Generic hamming-≤k pair join over any (doc_id, simhash: long)
+    * frame via the Manku block-pair candidate scheme above — shared by
+    * text SimHash and the image aHash ([[Multimodal]]); complete to
+    * hamming ≤ 6 by the 2-clean-blocks argument. */
+  private[ops] def hamming64Pairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = sh.selectExpr("doc_id", "simhash",
       """explode(flatten(transform(sequence(0, 6), c1 ->
         |  transform(sequence(c1 + 1, 7), c2 ->

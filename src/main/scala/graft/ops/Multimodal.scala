@@ -270,6 +270,55 @@ object Multimodal {
       })
   }
 
+  /** 64-bit average hash (aHash) per image — the classic perceptual
+    * fingerprint: partition the decoded luminance into 64 cells, set
+    * bit k iff cell k's mean exceeds the global mean. Visually-similar
+    * images land within small Hamming distance, so image NEAR-DUP
+    * detection becomes [[graft.ops.Dedup]]'s block-pair Hamming join
+    * over 8-byte hashes — the binary payloads themselves never
+    * shuffle. For REAL images, pass the frame through [[resizeImages]]
+    * (8, 8) first so the 64 cells are the bilinear-resampled pixels
+    * (the textbook aHash); the flat-slice fallback here makes the
+    * hash well-defined for any decodable signal length. */
+  def imageAHashes(media: Dataset[MediaRecord], batchSize: Int = 64,
+                   codec: () => MediaCodec = () => new StubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(inBatches[MediaRecord, (Long, Long)](codec(), batchSize) {
+        (c, batch) =>
+          batch.iterator.map { rec =>
+            val sig = c.decode(rec)
+            val n = sig.length
+            val cells = Array.tabulate(64) { k =>
+              val lo = (n.toLong * k / 64).toInt
+              val hi = math.min(math.max((n.toLong * (k + 1) / 64).toInt, lo + 1), n)
+              if (lo >= n) 0.0
+              else {
+                var s = 0.0; var i = lo
+                while (i < hi) { s += sig(i); i += 1 }
+                s / (hi - lo)
+              }
+            }
+            val mean = cells.sum / 64
+            var h = 0L
+            var k = 0
+            while (k < 64) { if (cells(k) > mean) h |= (1L << k); k += 1 }
+            (rec.media_id, h)
+          }
+      }).toDF("media_id", "ahash")
+  }
+
+  /** Image near-dup pairs by aHash Hamming distance ≤ `maxHamming`
+    * (block-pair candidate join — never all-pairs). */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 6,
+                        codec: () => MediaCodec = () => new StubCodec): DataFrame =
+    graft.ops.Dedup.hamming64Pairs(
+        imageAHashes(media, codec = codec)
+          .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
+        maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   // ------------------------------------------------------------ queries
 
   def featureQuery(s: SparkSession, dir: String): DataFrame =
@@ -299,5 +348,9 @@ object Multimodal {
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
     // Stub-codec outputs: rows-only; shape/determinism in MultimodalSpec.
     "media_features" -> QueryDef(featureQuery),
-    "media_frame_samples" -> QueryDef(frameQuery))
+    "media_frame_samples" -> QueryDef(frameQuery),
+    // rows-only: the hash is a function of DECODED bytes (real-PNG
+    // near-dup behavior pinned in MultimodalSpec on genuine images)
+    "media_ahash" -> QueryDef((s, d) =>
+      imageAHashes(mediaTable(s, d)).orderBy(col("media_id"))))
 }

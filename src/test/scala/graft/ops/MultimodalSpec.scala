@@ -101,6 +101,44 @@ class MultimodalSpec extends AnyFunSuite {
     ).toDS()
   }
 
+  /** w×h PNG: left half gray `l`, right half gray `r`, with `flips`
+    * pixels inverted in the top-left corner. */
+  private def halfPng(w: Int, h: Int, l: Int, r: Int, flips: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def rgb(v: Int) = (v << 16) | (v << 8) | v
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rgb(if (x < w / 2) l else r))
+    for (k <- 0 until flips) img.setRGB(k % w, k / w, rgb(255 - l))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash: near-identical real images pair up, inverted image does not") {
+    import spark.implicits._
+    def rec(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaRecord(id, "image", bytes,
+        Multimodal.MediaMeta(16, 16, 3, 0, 0, "png"))
+    val media = Seq(
+      rec(0L, halfPng(16, 16, 0, 255)),            // A: dark left, bright right
+      rec(1L, halfPng(16, 16, 0, 255, flips = 2)), // B: A with 2 pixels flipped
+      rec(2L, halfPng(16, 16, 255, 0))             // C: inverted halves
+    ).toDS()
+    // textbook aHash: bilinear 8×8 resample, then mean-threshold bits
+    val small = Multimodal.resizeImages(media, 8, 8)
+    val hashes = Multimodal.imageAHashes(small,
+        codec = () => new Multimodal.JdkCodec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(ham(0L, 1L) <= 4, s"near pair too far: ${ham(0L, 1L)}")
+    assert(ham(0L, 2L) >= 32, s"inverted pair too close: ${ham(0L, 2L)}")
+    val pairs = Multimodal.imageNearDupPairs(small, maxHamming = 6,
+        codec = () => new Multimodal.JdkCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"pairs: $pairs")
+  }
+
   test("JdkCodec decodes real PNG and WAV bytes to correct signals") {
     val feats = Multimodal.extractFeatures(realMedia,
         codec = () => new Multimodal.JdkCodec)
