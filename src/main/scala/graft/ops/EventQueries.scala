@@ -321,6 +321,28 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Per-user gap sessions via Spark's NATIVE `session_window`
+    * operator (merge-on-overlap session aggregation — the engine
+    * feature, vs [[eventSessions]]' hand-rolled lag/running-sum
+    * formulation of the same semantics; the two cross-check each
+    * other through their independent oracles). A session closes when
+    * the next event arrives MORE than `gap` after the previous one —
+    * the engine's window end (= last event + gap) is INCLUSIVE
+    * (spec-pinned on an exact-gap fixture), so the oracle CTE starts
+    * a new session exactly on `diff > gap`, evaluated at
+    * MICROsecond precision (the operator compares micros timestamps;
+    * an epoch-ms oracle would disagree on a sub-ms boundary straddle).
+    * Output per session: start/end of the observed event range
+    * (epoch-millis) and the event count. */
+  def sessionWindowStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("first_ms"),
+        unix_millis(max(col("ts"))).as("last_ms"))
+      .select(col("user_id"), col("first_ms"), col("last_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("first_ms"))
+
   /** Daily error rate with a 7-day TRAILING moving average — the
     * monitoring shape (bounded window frame, unlike running_total's
     * unbounded one). The window runs over the DAILY AGGREGATE (one
@@ -488,6 +510,22 @@ object EventQueries {
       """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
         |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
         |ORDER BY event_type NULLS FIRST, day_of_week NULLS FIRST""".stripMargin)),
+    "session_window_stats" -> QueryDef((s, d) => sessionWindowStats(s, d), Some(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+        |      FROM ev),
+        |f AS (SELECT user_id, us,
+        |        CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM o),
+        |g AS (SELECT user_id, us,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, min(us) // 1000 AS first_ms, max(us) // 1000 AS last_ms,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, first_ms""".stripMargin)),
     "daily_error_rate" -> QueryDef((s, d) => dailyErrorRate(s, d), Some(
       s"""WITH daily AS (
          |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -72,6 +72,40 @@ class JoinOpsSpec extends AnyFunSuite {
       s"narrow window beat wide: ${counts.toSeq} vs ${wide.toSeq}")
   }
 
+  test("session_window gap boundary: exactly-gap MERGES (inclusive window end)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{session_window => sw}
+    val gapUs = 10L * 1000 * 1000 // 10s sessions for the fixture
+    val df = Seq((1L, 0L), (1L, gapUs), // exactly the gap apart
+        (2L, 0L), (2L, gapUs - 1),      // just inside
+        (3L, 0L), (3L, gapUs + 1))      // just outside
+      .toDF("uid", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val n = df.groupBy(sw(col("ts"), "10 seconds"), col("uid"))
+      .count().collect().map(r => r.getLong(1) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    // > gap ⇒ split (only uid 3); ≤ gap ⇒ merge — the engine's window
+    // end (last event + gap) is INCLUSIVE, pinned here because the
+    // oracle CTE must replicate the boundary exactly
+    assert(n == Map(1L -> 1, 2L -> 1, 3L -> 2),
+      s"session_window boundary semantics changed: $n")
+  }
+
+  test("native session_window agrees with the hand-rolled eventSessions") {
+    val native = EventQueries.sessionWindowStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val hand = EventQueries.eventSessions(spark, dir).collect()
+    // eventSessions: (user_id, session_idx, start_ms, end_ms, n_events, ...)
+    val cols = EventQueries.eventSessions(spark, dir).columns.toSeq
+    val iu = cols.indexOf("user_id"); val is = cols.indexOf("start_ms")
+    val ie = cols.indexOf("end_ms"); val in = cols.indexOf("n_events")
+    assert(Seq(iu, is, ie, in).forall(_ >= 0), s"columns: $cols")
+    val handSet = hand.map(r =>
+      (r.getLong(iu), r.getLong(is), r.getLong(ie), r.getLong(in))).toSet
+    assert(native == handSet,
+      s"native=${native.size} hand=${handSet.size}; diff=${(native -- handSet).take(3)}")
+  }
+
   test("daily error rate: trailing-7 equals a direct frame recompute") {
     val rows = EventQueries.dailyErrorRate(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
