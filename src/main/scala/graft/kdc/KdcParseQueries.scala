@@ -188,32 +188,34 @@ object KdcParseQueries {
     * sink view is bounded (the final aggregate) and session-scoped. */
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def userStatsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = fixtureDir()
-    val name = s"kdc_stream_user_auth_${streamSeq.incrementAndGet()}"
-    val q = graft.streaming.StreamingPipeline.streamingUserAuthCounts(spark, dir)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "day", "client")
-  }
+  def userStatsStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamingPipeline.withStreamingPartitions(spark, 4) {
+      val dir = fixtureDir()
+      val name = s"kdc_stream_user_auth_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingPipeline.streamingUserAuthCounts(spark, dir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "day", "client")
+    }
 
   /** The TGS branch through the real micro-batch engine: per-file
     * sessionization as a stateless partition fold + complete-mode
     * service aggregation ([[graft.streaming.StreamingPipeline.streamingServiceUseStats]]),
     * AvailableNow trigger, memory sink — the stateFUL (cross-line)
     * counterpart of the stateless AS-success streaming row above. */
-  def serviceStatsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = fixtureDir()
-    val name = s"kdc_stream_service_use_${streamSeq.incrementAndGet()}"
-    val q = graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, dir)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "service")
-  }
+  def serviceStatsStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamingPipeline.withStreamingPartitions(spark, 4) {
+      val dir = fixtureDir()
+      val name = s"kdc_stream_service_use_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, dir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "service")
+    }
 
   /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the
     * exact lines `KdcMain --report=user` writes, produced by the SAME

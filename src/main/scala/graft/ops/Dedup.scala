@@ -53,21 +53,22 @@ object Dedup {
     * distinct content hash; a production run bounds it with a
     * watermark on ingest time ([[graft.streaming.StreamingPipeline
     * .dedupedEvents]] shows the watermarked variant). */
-  def exactDupGroupsStreaming(s: SparkSession, dir: String): DataFrame = {
-    val sch = docs(s, dir).schema
-    // the source path is a single parquet FILE; hand the file source a
-    // glob so the inferred basePath is its parent DIRECTORY (a bare
-    // file path fails the source's basePath-is-a-directory check)
-    val src = s.readStream.schema(sch).parquet(s"$dir/documents.parque[t]")
-    val agg = src.groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-    val name = s"dedup_stream_${streamSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "content_hash")
-  }
+  def exactDupGroupsStreaming(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
+      val sch = docs(s, dir).schema
+      // the source path is a single parquet FILE; hand the file source a
+      // glob so the inferred basePath is its parent DIRECTORY (a bare
+      // file path fails the source's basePath-is-a-directory check)
+      val src = s.readStream.schema(sch).parquet(s"$dir/documents.parque[t]")
+      val agg = src.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      val name = s"dedup_stream_${streamSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "content_hash")
+    }
 
   /** Memory-sink names are suffixed per invocation — a fixed name
     * collides across concurrent runs in one session. */

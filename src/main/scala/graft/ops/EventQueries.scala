@@ -150,16 +150,17 @@ object EventQueries {
     * arrival-order-free, so the result is deterministic. A continuous
     * deployment runs this exact plan with a processing-time trigger;
     * the watermark then bounds the window state store. */
-  def dailyUserActivityStreaming(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
-    val agg = graft.streaming.StreamingPipeline.dailyUserActivity(src)
-    val name = s"daily_activity_stream_${streamSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "day", "user_id")
-  }
+  def dailyUserActivityStreaming(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
+      val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+      val agg = graft.streaming.StreamingPipeline.dailyUserActivity(src)
+      val name = s"daily_activity_stream_${streamSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "day", "user_id")
+    }
 
   /** Stream-stream interval join through the real micro-batch engine:
     * each purchase joined to the same user's clicks from the preceding
@@ -170,17 +171,18 @@ object EventQueries {
     * end-of-stream output is the complete deterministic pair set,
     * oracle-checkable as a plain batch self-join with the identical
     * micros-precision interval predicate. */
-  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
-    val joined = graft.streaming.StreamingPipeline.purchasesWithRecentClicks(src)
-    val name = s"stream_interval_join_${streamSeq.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.streaming.StreamingPipeline.awaitAndDrain(
-      q, s, name, "purchase_id", "click_id")
-  }
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
+      val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+      val joined = graft.streaming.StreamingPipeline.purchasesWithRecentClicks(src)
+      val name = s"stream_interval_join_${streamSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingPipeline.awaitAndDrain(
+        q, s, name, "purchase_id", "click_id")
+    }
 
   /** Memory-sink names are suffixed per invocation — a fixed name
     * collides across concurrent runs in one session. */
@@ -377,21 +379,22 @@ object EventQueries {
     * to each user's CONVERGED state by max event count (n is strictly
     * increasing per user, so the fold is batch-count-independent),
     * which must equal the batch aggregate exactly. */
-  def userFirstLastStreamingStateful(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
-    val ds = graft.streaming.StreamingPipeline.userFirstLast(src)
-    val name = s"ufl_stateful_stream_${streamSeq.incrementAndGet()}"
-    val q = ds.writeStream.format("memory").queryName(name)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "user_id")
+  def userFirstLastStreamingStateful(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
+      val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+      val ds = graft.streaming.StreamingPipeline.userFirstLast(src)
+      val name = s"ufl_stateful_stream_${streamSeq.incrementAndGet()}"
+      val q = ds.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "user_id")
+    }
       .groupBy(col("user_id"))
       .agg(max(struct(col("n"), col("first_ms"), col("last_ms"))).as("st"))
       .select(col("user_id"), col("st.first_ms").as("first_ms"),
         col("st.last_ms").as("last_ms"), col("st.n").as("n_events"))
       .orderBy(col("user_id"))
-  }
 
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =

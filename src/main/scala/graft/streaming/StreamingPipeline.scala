@@ -27,6 +27,24 @@ import org.apache.spark.sql.types._
   */
 object StreamingPipeline {
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered
+    * to `n`, restoring the caller's value afterwards. Streaming state
+    * stores are one-per-shuffle-partition PER STATEFUL OPERATOR SIDE,
+    * each with its own checkpoint files and maintenance thread — at
+    * the session default of 32, a one-shot stream-stream join pays
+    * 64 store lifecycles to process a few thousand rows (measured
+    * 11 s → 2.5 s for the interval join at n = 4). The setting is
+    * baked into the checkpoint at stream creation, so it must wrap
+    * `start()`; driver rows run serially (Verify/Bench), making the
+    * temporary session-conf mutation safe. A real deployment sizes
+    * this to key cardinality instead. */
+  def withStreamingPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Materialize a terminated memory-sink query's (bounded) result,
     * drop the sink view, and unload the query's state store
     * providers. A finished AvailableNow query leaves its providers
