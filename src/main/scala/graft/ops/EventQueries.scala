@@ -396,6 +396,25 @@ object EventQueries {
         col("st.last_ms").as("last_ms"), col("st.n").as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Per-user trailing-1-hour value sum at every event — a RANGE
+    * window frame over event-time millis (every other frame in the
+    * suite is ROWS-based; RANGE frames bound by a time interval are
+    * the rate-limit / rolling-exposure shape). The summed values are
+    * cast to DECIMAL(12,2) first: a float sum's within-frame order is
+    * engine-internal, decimal addition is exact and order-free — the
+    * same ruling as the money aggregates. */
+  def trailingHourValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("v2", col("value").cast("decimal(12,2)"))
+      .withColumn("hour_sum", sum(col("v2")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ms"),
+        round(col("hour_sum"), 2).as("hour_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -405,6 +424,23 @@ object EventQueries {
         round(element_at(col("p"), 1), 4).as("p25"),
         round(element_at(col("p"), 2), 4).as("p50"),
         round(element_at(col("p"), 3), 4).as("p75"))
+      .orderBy(col("event_type"))
+
+  /** Approximate percentiles via the engine's mergeable quantile
+    * sketch (`percentile_approx`, Greenwald-Khanna) — the 100 TB path
+    * for the `value_percentiles` shape: single pass, bounded memory,
+    * mergeable across partitions, no sort. Sketch internals are
+    * engine-private → rows-only driver row; JoinOpsSpec bounds the
+    * rank error against the exact interpolated percentiles at two
+    * scale factors (accuracy 10000 ⇒ rank error ≤ n/10000). */
+  def approxValuePercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile_approx(value, array(0.25D, 0.5D, 0.75D), 10000)").as("p"))
+      .select(col("event_type"),
+        element_at(col("p"), 1).as("p25"),
+        element_at(col("p"), 2).as("p50"),
+        element_at(col("p"), 3).as("p75"))
       .orderBy(col("event_type"))
 
   /** HLL sketch cardinality — the 100 TB path for README #7-style
@@ -567,6 +603,13 @@ object EventQueries {
         |       count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_days""".stripMargin)),
+    "trailing_hour_value" -> QueryDef((s, d) => trailingHourValue(s, d), Some(
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |              CAST(value AS DECIMAL(12,2)) AS v2 FROM events)
+        |SELECT user_id, event_id, ms,
+        |  round(CAST(sum(v2) OVER (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS hour_sum
+        |FROM ev ORDER BY user_id, event_id""".stripMargin)),
     "value_percentiles" -> QueryDef(valuePercentiles, Some(
       s"""SELECT event_type,
          |  ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,
@@ -574,6 +617,7 @@ object EventQueries {
          |  ${graft.OracleSql.round("quantile_cont(value, 0.75)", 4)} AS p75
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     "approx_user_cardinality" -> QueryDef(approxUserCardinality),
+    "approx_value_percentiles" -> QueryDef((s, d) => approxValuePercentiles(s, d)),
     "user_first_last_salted" -> QueryDef(userFirstLastSalted, Some(
       "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "user_auth_count" -> QueryDef(userAuthCount, Some(

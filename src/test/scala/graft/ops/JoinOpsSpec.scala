@@ -106,6 +106,43 @@ class JoinOpsSpec extends AnyFunSuite {
       s"native=${native.size} hand=${handSet.size}; diff=${(native -- handSet).take(3)}")
   }
 
+  test("approx percentiles track the exact ones at two scale factors") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val exact = EventQueries.valuePercentiles(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val approx = EventQueries.approxValuePercentiles(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(approx.keySet == exact.keySet)
+      for ((k, (a25, a50, a75)) <- approx; (e25, e50, e75) = exact(k)) {
+        // accuracy 10000 ⇒ rank error ≤ n/10000 ≈ a hair of the value
+        // range on this near-uniform data; 2% relative is generous
+        def close(a: Double, e: Double) = math.abs(a - e) <= math.max(0.02 * e, 0.5)
+        assert(close(a25, e25) && close(a50, e50) && close(a75, e75),
+          s"$d/$k approx ($a25,$a50,$a75) vs exact ($e25,$e50,$e75)")
+      }
+    }
+  }
+
+  test("trailing hour value: range frame equals brute-force recompute") {
+    val rows = EventQueries.trailingHourValue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    import org.apache.spark.sql.functions.{col => c, unix_millis, expr => e}
+    val vals = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(e("ts DIV 1000")))
+      .select(c("user_id"), c("event_id"), unix_millis(c("ts")).as("ms"), c("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUserVals = vals.groupBy(_._1)
+    for ((u, rs) <- byUser; (_, id, ms, got) <- rs.take(200)) {
+      val want = byUserVals(u)
+        .filter(v => v._3 >= ms - 3600000 && v._3 <= ms)
+        .map(v => BigDecimal.decimal(v._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(math.abs(got - want) < 1e-9, s"user $u event $id: $got != $want")
+    }
+  }
+
   test("daily error rate: trailing-7 equals a direct frame recompute") {
     val rows = EventQueries.dailyErrorRate(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
