@@ -182,23 +182,10 @@ object KdcParseQueries {
     * end-of-stream), returned as a batch frame for the oracle. This
     * is the same micro-batch engine/plan a continuous deployment runs
     * — only the trigger differs. */
-  /** Memory-sink query names are suffixed per invocation: a FIXED name
-    * collides across concurrent invocations in one session (duplicate
-    * active-query name / temp view), so each run gets its own. The
-    * sink view is bounded (the final aggregate) and session-scoped. */
-  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   def userStatsStreaming(spark: SparkSession, sfDir: String): DataFrame =
-    graft.streaming.StreamingPipeline.withStreamingPartitions(spark, 4) {
-      val dir = fixtureDir()
-      val name = s"kdc_stream_user_auth_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingPipeline.streamingUserAuthCounts(spark, dir)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "day", "client")
-    }
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.streamingUserAuthCounts(spark, fixtureDir()),
+      "kdc_stream_user_auth", "complete", Seq("day", "client"))
 
   /** The TGS branch through the real micro-batch engine: per-file
     * sessionization as a stateless partition fold + complete-mode
@@ -206,16 +193,9 @@ object KdcParseQueries {
     * AvailableNow trigger, memory sink — the stateFUL (cross-line)
     * counterpart of the stateless AS-success streaming row above. */
   def serviceStatsStreaming(spark: SparkSession, sfDir: String): DataFrame =
-    graft.streaming.StreamingPipeline.withStreamingPartitions(spark, 4) {
-      val dir = fixtureDir()
-      val name = s"kdc_stream_service_use_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, dir)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamingPipeline.awaitAndDrain(q, spark, name, "service")
-    }
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, fixtureDir()),
+      "kdc_stream_service_use", "complete", Seq("service"))
 
   /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the
     * exact lines `KdcMain --report=user` writes, produced by the SAME

@@ -53,26 +53,17 @@ object Dedup {
     * distinct content hash; a production run bounds it with a
     * watermark on ingest time ([[graft.streaming.StreamingPipeline
     * .dedupedEvents]] shows the watermarked variant). */
-  def exactDupGroupsStreaming(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
-      val sch = docs(s, dir).schema
-      // the source path is a single parquet FILE; hand the file source a
-      // glob so the inferred basePath is its parent DIRECTORY (a bare
-      // file path fails the source's basePath-is-a-directory check)
-      val src = s.readStream.schema(sch).parquet(s"$dir/documents.parque[t]")
-      val agg = src.groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      val name = s"dedup_stream_${streamSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "content_hash")
-    }
-
-  /** Memory-sink names are suffixed per invocation — a fixed name
-    * collides across concurrent runs in one session. */
-  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  def exactDupGroupsStreaming(s: SparkSession, dir: String): DataFrame = {
+    val sch = docs(s, dir).schema
+    // the source path is a single parquet FILE; hand the file source a
+    // glob so the inferred basePath is its parent DIRECTORY (a bare
+    // file path fails the source's basePath-is-a-directory check)
+    val src = s.readStream.schema(sch).parquet(s"$dir/documents.parque[t]")
+    graft.streaming.StreamingPipeline.runOneShot(
+      src.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      "dedup_stream", "complete", Seq("content_hash"))
+  }
 
   /** Exact dedup keeping the lowest doc_id per distinct text. */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
@@ -534,10 +525,14 @@ object Dedup {
                     threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val existing = all.filter(col("doc_id") < splitId)
     val incoming = all.filter(col("doc_id") >= splitId)
+    // no broadcast hint: the EXISTING corpus is the unbounded side (it
+    // grows forever in the modeled deployment) — Catalyst broadcasts
+    // it while it fits and falls back to a shuffled semi-join on the
+    // 16-byte hash keys beyond that, which is the correct 100 TB shape
     val exHash = existing.select(md5(col("text")).as("content_hash")).distinct()
     val exactDup = incoming
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .join(broadcast(exHash), Seq("content_hash"), "left_semi")
+      .join(exHash, Seq("content_hash"), "left_semi")
       .select(col("doc_id"), lit(true).as("e"))
     // ids are split-ordered, so a cross pair is exactly doc_a existing,
     // doc_b incoming (pairs always have doc_a < doc_b)

@@ -151,16 +151,10 @@ object EventQueries {
     * deployment runs this exact plan with a processing-time trigger;
     * the watermark then bounds the window state store. */
   def dailyUserActivityStreaming(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
-      val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
-      val agg = graft.streaming.StreamingPipeline.dailyUserActivity(src)
-      val name = s"daily_activity_stream_${streamSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "day", "user_id")
-    }
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.dailyUserActivity(
+        graft.streaming.StreamingPipeline.readEvents(s, dir)),
+      "daily_activity_stream", "complete", Seq("day", "user_id"))
 
   /** Stream-stream interval join through the real micro-batch engine:
     * each purchase joined to the same user's clicks from the preceding
@@ -172,21 +166,10 @@ object EventQueries {
     * oracle-checkable as a plain batch self-join with the identical
     * micros-precision interval predicate. */
   def streamIntervalJoin(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
-      val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
-      val joined = graft.streaming.StreamingPipeline.purchasesWithRecentClicks(src)
-      val name = s"stream_interval_join_${streamSeq.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamingPipeline.awaitAndDrain(
-        q, s, name, "purchase_id", "click_id")
-    }
-
-  /** Memory-sink names are suffixed per invocation — a fixed name
-    * collides across concurrent runs in one session. */
-  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.purchasesWithRecentClicks(
+        graft.streaming.StreamingPipeline.readEvents(s, dir)),
+      "stream_interval_join", "append", Seq("purchase_id", "click_id"))
 
   /** Gap-based sessionization: a new session starts after a >6h idle
     * gap. Two stacked windows (lag → boundary flag → running sum) and
@@ -345,28 +328,32 @@ object EventQueries {
       .select(col("user_id"), col("first_ms"), col("last_ms"), col("n_events"))
       .orderBy(col("user_id"), col("first_ms"))
 
-  /** Daily error rate with a 7-day TRAILING moving average — the
-    * monitoring shape (bounded window frame, unlike running_total's
-    * unbounded one). The window runs over the DAILY AGGREGATE (one
-    * row per calendar day — grows with time, not data volume), so the
-    * partition-less ordering is a deliberate non-issue: its input is
-    * already tiny at any corpus scale. Rates divide exact integer
-    * counts — deterministic cross-engine — and the trailing average
-    * divides the frame SUMS (never averages the rates, which would
-    * weight days equally regardless of traffic). */
+  /** Daily error rate with a 7-CALENDAR-DAY trailing moving average —
+    * the monitoring shape (bounded window frame, unlike
+    * running_total's unbounded one). The frame is a RANGE over the
+    * day ORDINAL (days since epoch), not a ROWS frame over observed
+    * rows: on data with a zero-event gap day, a 7-row frame silently
+    * reaches back 8+ calendar days. The window runs over the DAILY
+    * AGGREGATE (one row per calendar day — grows with time, not data
+    * volume), so the partition-less ordering is a deliberate
+    * non-issue: its input is already tiny at any corpus scale. Rates
+    * divide exact integer counts — deterministic cross-engine — and
+    * the trailing average divides the frame SUMS (never averages the
+    * rates, which would weight days equally regardless of traffic). */
   def dailyErrorRate(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
-      .withColumn("day", date_format(col("ts").cast("timestamp"), "yyyy-MM-dd"))
-      .groupBy(col("day"))
+      .withColumn("d", col("ts").cast("date"))
+      .groupBy(col("d"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      .withColumn("dayn", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    val w = Window.orderBy(col("dayn")).rangeBetween(-6, Window.currentRow)
     daily
       .withColumn("rate", round(col("n_errors") / col("n_events"), 4))
       .withColumn("trailing7",
         round(sum(col("n_errors")).over(w) / sum(col("n_events")).over(w), 4))
-      .select(col("day"), col("n_events"), col("n_errors"),
-        col("rate"), col("trailing7"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_errors"), col("rate"), col("trailing7"))
       .orderBy(col("day"))
   }
 
@@ -380,16 +367,10 @@ object EventQueries {
     * increasing per user, so the fold is batch-count-independent),
     * which must equal the batch aggregate exactly. */
   def userFirstLastStreamingStateful(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.StreamingPipeline.withStreamingPartitions(s, 4) {
-      val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
-      val ds = graft.streaming.StreamingPipeline.userFirstLast(src)
-      val name = s"ufl_stateful_stream_${streamSeq.incrementAndGet()}"
-      val q = ds.writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.StreamingPipeline.awaitAndDrain(q, s, name, "user_id")
-    }
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.userFirstLast(
+        graft.streaming.StreamingPipeline.readEvents(s, dir)).toDF(),
+      "ufl_stateful_stream", "update", Seq("user_id"))
       .groupBy(col("user_id"))
       .agg(max(struct(col("n"), col("first_ms"), col("last_ms"))).as("st"))
       .select(col("user_id"), col("st.first_ms").as("first_ms"),
@@ -567,16 +548,17 @@ object EventQueries {
         |ORDER BY user_id, first_ms""".stripMargin)),
     "daily_error_rate" -> QueryDef((s, d) => dailyErrorRate(s, d), Some(
       s"""WITH daily AS (
-         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  SELECT CAST(ts AS DATE) AS d,
          |         count(*) AS n_events,
          |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors
-         |  FROM events GROUP BY 1)
-         |SELECT day, n_events, n_errors,
+         |  FROM events GROUP BY 1),
+         |dn AS (SELECT *, date_diff('day', DATE '1970-01-01', d) AS dayn FROM daily)
+         |SELECT strftime(d, '%Y-%m-%d') AS day, n_events, n_errors,
          |  ${graft.OracleSql.round("CAST(n_errors AS DOUBLE) / n_events", 4)} AS rate,
          |  ${graft.OracleSql.round(
             "CAST(sum(n_errors) OVER w AS DOUBLE) / sum(n_events) OVER w", 4)} AS trailing7
-         |FROM daily
-         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |FROM dn
+         |WINDOW w AS (ORDER BY dayn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY day""".stripMargin)),
     "user_first_last_streaming_stateful" -> QueryDef(
       (s, d) => userFirstLastStreamingStateful(s, d), Some(

@@ -494,43 +494,21 @@ object Pipelines {
          |           FROM surv3)
          |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
          |FROM ranked WHERE cum_tokens <= 5000 ORDER BY cum_tokens""".stripMargin)),
-    "pipeline_quality_ensemble" -> QueryDef((s, d) => qualityEnsemble(s, d), Some {
-      def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
+    // the repetition/LM fragments are the SAME strings the standalone
+    // text_repetition / text_lm_surprisal oracles are built from
+    // (TextAnalysis.repetitionCtes/lmXentCtes) — a fix there
+    // propagates here instead of silently diverging
+    "pipeline_quality_ensemble" -> QueryDef((s, d) => qualityEnsemble(s, d), Some(
       s"""WITH q AS (${TextAnalysis.qualityScoreSelect}),
          |${TextAnalysis.langBestCte},
          |pl AS (${TextAnalysis.predLangSelect}),
-         |rbase AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |rb AS (SELECT doc_id, t FROM rbase WHERE len(t) >= 2),
-         |tc AS (SELECT doc_id, tok, count(*) AS c
-         |       FROM (SELECT doc_id, unnest(t) AS tok FROM rb) GROUP BY 1, 2),
-         |ragg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tok
-         |         FROM tc GROUP BY 1),
-         |g2 AS (SELECT doc_id, len(t) - 1 AS n_2g,
-         |         len(list_distinct(list_transform(range(len(t) - 1),
-         |           i -> t[i + 1] || ' ' || t[i + 2]))) AS n_2g_distinct
-         |       FROM rb),
-         |rep AS (SELECT a.doc_id,
-         |          ${R("CAST(top_c AS DOUBLE) / n_tok", 4)} AS top_tok_frac,
-         |          ${R("CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g", 4)} AS dup_2gram_frac
-         |        FROM ragg a JOIN g2 USING (doc_id)),
-         |lbn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
-         |ltf AS (SELECT doc_id, tok, count(*) AS tf
-         |        FROM (SELECT doc_id, unnest(t) AS tok FROM lbn) GROUP BY doc_id, tok),
-         |llm AS (SELECT tok, sum(tf) AS c FROM ltf GROUP BY tok),
-         |ltot AS (SELECT sum(c) AS tot FROM llm),
-         |lcontrib AS (SELECT doc_id,
-         |    ${graft.OracleSql.roundDec("tf * -log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb, tf
-         |  FROM ltf JOIN llm USING (tok) CROSS JOIN ltot),
-         |lpd AS (SELECT doc_id, sum(cb) AS bits, CAST(sum(tf) AS BIGINT) AS n_tokens
-         |        FROM lcontrib GROUP BY doc_id),
-         |lmx AS (SELECT doc_id, ${R("CAST(bits AS DOUBLE) / n_tokens", 4)} AS xent_bits FROM lpd)
+         |${TextAnalysis.repetitionCtes()},
+         |${TextAnalysis.lmXentCtes("l")}
          |SELECT q.doc_id, q.quality_score, pl.pred_lang,
-         |       rep.top_tok_frac, rep.dup_2gram_frac, lmx.xent_bits,
+         |       rep.top_tok_frac, rep.dup_2gram_frac, lx.xent_bits,
          |       (q.quality_score >= 0.35 AND pl.pred_lang = 'en' AND
          |        rep.top_tok_frac <= 0.2 AND rep.dup_2gram_frac <= 0.2 AND
-         |        lmx.xent_bits <= 4.93) AS keep
-         |FROM q JOIN pl USING (doc_id) JOIN rep USING (doc_id) JOIN lmx USING (doc_id)
-         |ORDER BY q.doc_id""".stripMargin
-    }))
+         |        lx.xent_bits <= 4.93) AS keep
+         |FROM q JOIN pl USING (doc_id) JOIN rep USING (doc_id) JOIN lx USING (doc_id)
+         |ORDER BY q.doc_id""".stripMargin)))
 }

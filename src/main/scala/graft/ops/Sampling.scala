@@ -82,7 +82,10 @@ object Sampling {
     * bounded top-n merge. */
   def weightedSampleDocs(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
     val h = graft.functions.textFunctions.m61_fmix_hash63(col("doc_id"))
-    val u = (h + lit(1L)).cast("double") / lit(9.223372036854775808e18)
+    // cast BEFORE the +1: h + 1L overflows Long (ANSI exception) for
+    // the one-in-2^63 hash equal to Long.MaxValue; the double add never
+    // does, and the oracle mirrors the cast-then-add order exactly
+    val u = (h.cast("double") + 1.0) / lit(9.223372036854775808e18)
     Tables(s, dir, "documents")
       .withColumn("wkey", round(log(u) / col("n_chars").cast("double"), 9))
       .select(col("doc_id"), col("n_chars"), col("wkey"))
@@ -95,7 +98,7 @@ object Sampling {
       s"""WITH ${graft.OracleSql.m61FmixScalarCtes("documents", "CAST(doc_id AS VARCHAR)")}
          |SELECT doc_id, n_chars,
          |  ${graft.OracleSql.round(
-             "ln(CAST((h & 9223372036854775807) + 1 AS DOUBLE) / 9223372036854775808.0) / CAST(n_chars AS DOUBLE)", 9)} AS wkey
+             "ln((CAST(h & 9223372036854775807 AS DOUBLE) + 1.0) / 9223372036854775808.0) / CAST(n_chars AS DOUBLE)", 9)} AS wkey
          |FROM mh ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin)),
     "sample_split_assign" -> QueryDef((s, d) => splitAssign(s, d), Some(
       """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

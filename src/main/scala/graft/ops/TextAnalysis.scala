@@ -456,22 +456,11 @@ object TextAnalysis {
          |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin)),
     "text_repetition" -> QueryDef(repetitionStats, Some(
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |base AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
-         |tc AS (SELECT doc_id, tok, count(*) AS c
-         |       FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1, 2),
-         |agg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tok
-         |        FROM tc GROUP BY 1),
-         |g2 AS (SELECT doc_id, len(t) - 1 AS n_2g,
-         |         len(list_distinct(list_transform(range(len(t) - 1),
-         |           i -> t[i + 1] || ' ' || t[i + 2]))) AS n_2g_distinct
-         |       FROM base)
-         |SELECT a.doc_id, n_tok AS n_tokens,
-         |  ${R("CAST(top_c AS DOUBLE) / n_tok", 4)} AS top_tok_frac,
-         |  ${R("CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g", 4)} AS dup_2gram_frac,
+      s"""WITH ${repetitionCtes()}
+         |SELECT doc_id, n_tok AS n_tokens, top_tok_frac, dup_2gram_frac,
          |  (CAST(top_c AS DOUBLE) / n_tok <= 0.2 AND
          |   CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g <= 0.2) AS keep
-         |FROM agg a JOIN g2 USING (doc_id) ORDER BY a.doc_id""".stripMargin)),
+         |FROM rep ORDER BY doc_id""".stripMargin)),
     "text_fingerprints" -> QueryDef(fingerprints, Some(
       s"""$fpCte
          |SELECT doc_id, len(fps) AS n_fingerprints,
@@ -491,19 +480,7 @@ object TextAnalysis {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin)),
     "text_lm_surprisal" -> QueryDef((s, d) => lmSurprisal(s, d), Some(
-      s"""WITH bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |            WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf
-         |       FROM (SELECT doc_id, unnest(t) AS tok FROM bn) GROUP BY doc_id, tok),
-         |lm AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
-         |tot AS (SELECT sum(c) AS tot FROM lm),
-         |contrib AS (SELECT doc_id,
-         |    ${OracleSql.roundDec("tf * -log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb, tf
-         |  FROM tf JOIN lm USING (tok) CROSS JOIN tot),
-         |pd AS (SELECT doc_id, sum(cb) AS bits, CAST(sum(tf) AS BIGINT) AS n_tokens
-         |       FROM contrib GROUP BY doc_id),
-         |x AS (SELECT doc_id, n_tokens,
-         |        ${OracleSql.round("CAST(bits AS DOUBLE) / n_tokens", 4)} AS xent_bits FROM pd)
+      s"""WITH ${lmXentCtes()}
          |SELECT doc_id, n_tokens, xent_bits, xent_bits <= 4.93 AS keep
          |FROM x ORDER BY doc_id""".stripMargin)),
     "text_lm_bigram" -> QueryDef((s, d) => lmBigramSurprisal(s, d), Some(
@@ -538,6 +515,47 @@ object TextAnalysis {
          |FROM co JOIN dfreq da ON co.tok_a = da.tok JOIN dfreq db ON co.tok_b = db.tok
          |CROSS JOIN n
          |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin)))
+
+  /** Unigram-LM surprisal CTE chain (no WITH): CTEs
+    * `${p}bn/${p}tf/${p}lm/${p}tot/${p}contrib/${p}pd/${p}x`, final
+    * `${p}x` = (doc_id, n_tokens, xent_bits). ONE source for the
+    * standalone `text_lm_surprisal` oracle and every composed oracle
+    * (the quality ensemble) — a fix here propagates to both. */
+  private[ops] def lmXentCtes(p: String = ""): String =
+    s"""${p}bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |            WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+       |${p}tf AS (SELECT doc_id, tok, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS tok FROM ${p}bn) GROUP BY doc_id, tok),
+       |${p}lm AS (SELECT tok, sum(tf) AS c FROM ${p}tf GROUP BY tok),
+       |${p}tot AS (SELECT sum(c) AS tot FROM ${p}lm),
+       |${p}contrib AS (SELECT doc_id,
+       |    ${OracleSql.roundDec("tf * -log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb, tf
+       |  FROM ${p}tf JOIN ${p}lm USING (tok) CROSS JOIN ${p}tot),
+       |${p}pd AS (SELECT doc_id, sum(cb) AS bits, CAST(sum(tf) AS BIGINT) AS n_tokens
+       |       FROM ${p}contrib GROUP BY doc_id),
+       |${p}x AS (SELECT doc_id, n_tokens,
+       |        ${OracleSql.round("CAST(bits AS DOUBLE) / n_tokens", 4)} AS xent_bits FROM ${p}pd)""".stripMargin
+
+  /** Gopher-repetition CTE chain (no WITH): CTEs
+    * `${p}rtok/${p}rb/${p}tc/${p}ragg/${p}g2/${p}rep`, final `${p}rep`
+    * = (doc_id, top_c, n_tok, n_2g, n_2g_distinct, top_tok_frac,
+    * dup_2gram_frac) — raw columns included so the standalone oracle
+    * can apply its raw-ratio keep gate. Shared with the ensemble. */
+  private[ops] def repetitionCtes(p: String = ""): String =
+    s"""${p}rtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |${p}rb AS (SELECT doc_id, t FROM ${p}rtok WHERE len(t) >= 2),
+       |${p}tc AS (SELECT doc_id, tok, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(t) AS tok FROM ${p}rb) GROUP BY 1, 2),
+       |${p}ragg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tok
+       |        FROM ${p}tc GROUP BY 1),
+       |${p}g2 AS (SELECT doc_id, len(t) - 1 AS n_2g,
+       |         len(list_distinct(list_transform(range(len(t) - 1),
+       |           i -> t[i + 1] || ' ' || t[i + 2]))) AS n_2g_distinct
+       |       FROM ${p}rb),
+       |${p}rep AS (SELECT a.doc_id, top_c, n_tok, n_2g, n_2g_distinct,
+       |          ${R("CAST(top_c AS DOUBLE) / n_tok", 4)} AS top_tok_frac,
+       |          ${R("CAST(n_2g - n_2g_distinct AS DOUBLE) / n_2g", 4)} AS dup_2gram_frac
+       |        FROM ${p}ragg a JOIN ${p}g2 USING (doc_id))""".stripMargin
 
   /** DuckDB reimplementation of [[graft.functions.WinnowTokenFingerprints]]
     * (k=5, w=4): same Mersenne-61 shift-polynomial hashes via HUGEINT

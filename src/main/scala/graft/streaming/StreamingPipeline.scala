@@ -38,12 +38,39 @@ object StreamingPipeline {
     * `start()`; driver rows run serially (Verify/Bench), making the
     * temporary session-conf mutation safe. A real deployment sizes
     * this to key cardinality instead. */
-  def withStreamingPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
+  def withStreamingPartitions[T](spark: SparkSession, n: Int)(f: => T): T =
+    // serialized: the override is session-GLOBAL state, and two
+    // interleaved save/restores would strand the session at the
+    // temporary value (A saves 32→4, B saves 4, A restores 32, B
+    // "restores" 4). The monitor is reentrant, so nesting is safe.
+    confLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, old)
+    }
+
+  private val confLock = new Object
+
+  /** The whole one-shot recipe in one place: scoped partitions →
+    * memory sink under a fresh collision-free name → AvailableNow →
+    * await → failure-safe drain. Every bounded streaming driver row
+    * routes through here so the drain/naming/partition contract has
+    * exactly one implementation. */
+  def runOneShot(df: DataFrame, namePrefix: String, mode: String,
+                 sortCols: Seq[String], partitions: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    withStreamingPartitions(spark, partitions) {
+      val name = s"${namePrefix}_${oneShotSeq.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      awaitAndDrain(q, spark, name, sortCols: _*)
+    }
   }
+
+  private val oneShotSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Materialize a terminated memory-sink query's (bounded) result,
     * drop the sink view, and unload the query's state store

@@ -143,17 +143,19 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("daily error rate: trailing-7 equals a direct frame recompute") {
+  test("daily error rate: trailing-7 is a CALENDAR frame, recomputed directly") {
     val rows = EventQueries.dailyErrorRate(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
       .sortBy(_._1)
     assert(rows.nonEmpty)
-    for (i <- rows.indices) {
-      val frame = rows.slice(math.max(0, i - 6), i + 1)
+    def ordinal(day: String): Long = java.time.LocalDate.parse(day).toEpochDay
+    for ((day, _, _, _, t7) <- rows) {
+      val o = ordinal(day)
+      val frame = rows.filter(r => { val x = ordinal(r._1); x >= o - 6 && x <= o })
       val want = BigDecimal.decimal(
           frame.map(_._3).sum.toDouble / frame.map(_._2).sum)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(rows(i)._5 == want, s"day ${rows(i)._1}: ${rows(i)._5} != $want")
+      assert(t7 == want, s"day $day: $t7 != $want")
     }
     // day one's trailing average IS its rate
     assert(rows.head._4 == rows.head._5)
