@@ -306,6 +306,31 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Stream-STATIC join through the micro-batch engine: the streaming
+    * event feed enriched against a BATCH dimension (each user's
+    * first-ever event time, computed from the batch table) — the
+    * lookup/enrichment shape every streaming deployment runs, and the
+    * remaining §2.10 join flavor (stream-stream is
+    * [[streamIntervalJoin]]). Stream-static inner joins are STATELESS
+    * (the static side is just re-planned per micro-batch; no
+    * watermark, no state store), so the output is the complete
+    * deterministic join result. Surfaces per event the ms elapsed
+    * since its user's first batch-known event, aggregated per user to
+    * keep the sink bounded. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(unix_millis(min(col("ts"))).as("first_ms"))
+    val src = graft.streaming.StreamingPipeline.readEvents(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val enriched = src.join(dim, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ms") - col("first_ms")).as("max_age_ms"))
+    graft.streaming.StreamingPipeline.runOneShot(
+      enriched, "stream_static_enrich", "complete", Seq("user_id"))
+  }
+
   /** Per-user gap sessions via Spark's NATIVE `session_window`
     * operator (merge-on-overlap session aggregation — the engine
     * feature, vs [[eventSessions]]' hand-rolled lag/running-sum
@@ -530,6 +555,12 @@ object EventQueries {
       """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
         |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
         |ORDER BY event_type NULLS FIRST, day_of_week NULLS FIRST""".stripMargin)),
+    "stream_static_enrich" -> QueryDef((s, d) => streamStaticEnrich(s, d), Some(
+      """WITH dim AS (SELECT user_id, epoch_ms(min(ts)) AS first_ms FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_events,
+        |       max(epoch_ms(e.ts) - d.first_ms) AS max_age_ms
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
     "session_window_stats" -> QueryDef((s, d) => sessionWindowStats(s, d), Some(
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |o AS (SELECT user_id, us,

@@ -140,6 +140,21 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("stream-static enrichment equals the batch join exactly") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventQueries.streamStaticEnrich(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ms", expr("(ts DIV 1000) DIV 1000"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("ms")).as("first_ms"))
+    val want = ev.join(dim, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("ms") - col("first_ms")).as("age"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(spark.streams.active.isEmpty)
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
