@@ -83,7 +83,20 @@ object ScaleProbe {
       "text_pmi_pairs",        // per-row pair generate + pair groupBy
       "embedding_semantic_dedup", // per-cell pairwise prune
       "sample_split_assign",   // scan-stage md5 bucket routing
-      "dedup_span_stats")      // span-hash postings, 2 hash shuffles
+      "dedup_span_stats",      // span-hash postings, 2 hash shuffles
+      "text_lm_bigram",        // per-row bigram gen + vocab^2 count join
+      "funnel_conversion",     // chained user-keyed joins + min-aggs
+      "cohort_retention",      // first-day agg + join back + count
+      "session_window_stats",  // native merge-on-overlap sessions
+      "daily_error_rate",      // daily agg + range frame over days
+      "trailing_hour_value",   // per-user RANGE frame over event time
+      "dedup_fuzzy_pairs",     // posting candidates + bounded edit dist
+      "dedup_ingest_verdicts", // hash semi-join + cross-side jaccard
+      "pipeline_quality_ensemble", // four signal lineages, doc-keyed joins
+      "source_mixture",        // groupBy + broadcast total
+      "sample_docs_weighted",  // scan-stage keys + TakeOrdered
+      "dq_profile_events",     // one agg pass, multi-distinct Expand
+      "dq_checks")             // five aggregate/anti-join gates
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries) {
       val t1 = time(q, src)
