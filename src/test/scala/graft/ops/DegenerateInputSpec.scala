@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input smoke: every generic operator must return an
+  * EMPTY (or identity) result on an empty corpus and survive
+  * single-row / single-token inputs — not throw. These are the shapes
+  * a real pipeline hits on an empty partition, a fresh ingest
+  * directory, or a filtered-to-nothing stage boundary. */
+class DegenerateInputSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  private val empty = Seq.empty[(Long, String)]
+  private val one = Seq((0L, "single"))
+  private val short = Seq((0L, "a"), (1L, "b c"))
+
+  test("text/dedup operators are empty-safe and single-row-safe") {
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("jaccardPairs", d => Dedup.jaccardPairsOn(d)),
+      ("spanDupStats", d => Dedup.spanDupStatsOn(d)),
+      ("fuzzyPairs", d => Dedup.fuzzyPairsOn(d)),
+      ("ingestDedup", d => Dedup.ingestDedupOn(d, splitId = 1L)),
+      ("lmSurprisal", d => TextAnalysis.lmSurprisalOn(d)),
+      ("lmBigram", d => TextAnalysis.lmBigramSurprisalOn(d)),
+      ("pmiPairs", d => TextAnalysis.pmiPairsOn(d, minCoDf = 1)),
+      ("bm25", d => Retrieval.bm25TopKOn(d)),
+      ("docChunks", d => Curation.docChunksOn(d)),
+      ("vocabOov", d => Curation.vocabOovRateOn(d)),
+      ("qualityEnsembleSignalsViaChunks", d => Curation.docChunksOn(d)))
+    for ((name, op) <- ops) {
+      assert(op(docs(empty)).count() == 0L, s"$name on empty corpus")
+      op(docs(one)).count() // must not throw
+      op(docs(short)).count() // must not throw
+    }
+  }
+
+  test("pair operators emit nothing for a corpus with no qualifying docs") {
+    // every doc below the shingle/span minimum token counts
+    val tiny = docs(Seq((0L, "a b"), (1L, "c d")))
+    assert(Dedup.jaccardPairsOn(tiny).count() == 0L)
+    assert(Dedup.spanDupStatsOn(tiny).collect().forall(_.getLong(3) == 0L))
+    assert(TextAnalysis.pmiPairsOn(tiny, minCoDf = 5).count() == 0L)
+  }
+
+  test("cluster and semantic dedup handle an empty edge/vector set") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clustersFromEdges(noEdges).count() == 0L)
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    assert(Similarity.semanticDedupOn(noVecs).count() == 0L)
+    assert(Similarity.clusterAssignOn(noVecs).count() == 0L)
+  }
+
+  test("sampling and splits on an empty frame are empty, not errors") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars")
+    assert(Curation.mixtureBalanceOn(e, "lang", "doc_id").count() == 0L)
+  }
+}
