@@ -140,6 +140,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("streaming session_window: closed sessions converge to the batch session set") {
+    import org.apache.spark.sql.functions._
+    // session windows in streaming require a watermark and emit a
+    // session only once the watermark passes its close — append mode
+    // holds back each user's final session at end-of-stream, so the
+    // emitted set is a strict subset of the batch sessions (which is
+    // why the DRIVER row is the batch session_window_stats; this spec
+    // pins the streaming flavor's semantics instead)
+    val q = StreamingPipeline.readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("first_ms"))
+      .select(col("user_id"), col("first_ms"), col("n_events"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("sw_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.EventQueries.sessionWindowStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got.subsetOf(batch), s"streaming emitted sessions not in batch: ${got -- batch}")
+    // substantial coverage: everything but the per-user tail session
+    val users = batch.map(_._1).size
+    assert(got.size >= batch.size - users - 5, s"${got.size}/${batch.size} (${users} users)")
+    spark.catalog.dropTempView("sw_out")
+  }
+
   test("stream-static enrichment equals the batch join exactly") {
     import org.apache.spark.sql.functions._
     val got = graft.ops.EventQueries.streamStaticEnrich(spark, dir)
