@@ -415,6 +415,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** [[vectorNorms]] expressed ENTIRELY through the SQL entry path —
+    * temp view + `spark.sql` text calling the registered native
+    * `l2_norm` — so the driver gate covers the surface a pure-SQL
+    * user (thrift/connect/`spark-sql`) actually runs, not just the
+    * DataFrame DSL. Same plan, same oracle as the DSL flavor:
+    * Catalyst resolves the registered function to the identical
+    * codegen'd expression. Registration is idempotent
+    * (createOrReplaceTempFunction), and the view name is suffixed so
+    * concurrent sessions cannot collide. */
+  def vectorNormsSql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.vectorFunctions.register(s)
+    val view = s"embeddings_sqlview_${sqlViewSeq.incrementAndGet()}"
+    emb(s, dir).createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT vec_id, label, round(l2_norm(v), 6) AS norm
+         |FROM $view ORDER BY vec_id""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
+  private val sqlViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Per-vector L2 norms (array-math smoke surface, oracle-checked). */
   def vectorNorms(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
@@ -453,6 +474,10 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+    "vector_norms_sql" -> QueryDef((s, d) => vectorNormsSql(s, d), Some(
+      s"""SELECT vec_id, label,
+         |  ${R("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin)),
     "vector_norms" -> QueryDef(vectorNorms, Some(
       s"""SELECT vec_id, label,
          |  ${R("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS norm
