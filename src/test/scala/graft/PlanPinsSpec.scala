@@ -157,6 +157,31 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("dynamic partition pruning fires on a partitioned-layout join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the cid-partitioned persisted-index layout (Ivf.writeIndex's
+    // shape): joining it to a FILTERED small dimension must prune the
+    // fact scan at runtime via DPP — the mechanism that makes
+    // partitioned layouts pay off when the cell list is not a literal
+    val dir2 = "target/scratch/dpp_demo"
+    (0L until 20000L).map(i => (i, i % 16, "p" * 64 + i))
+      .toDF("id", "cid", "payload")
+      .write.mode("overwrite").partitionBy("cid").parquet(dir2)
+    val fact = spark.read.parquet(dir2)
+    // the dim must be a real scan: a LocalRelation constant-folds its
+    // filter away and DPP's selective-predicate detection never sees it
+    (0L until 16L).map(i => (i, i % 4)).toDF("cid", "grp")
+      .write.mode("overwrite").parquet("target/scratch/dpp_dim")
+    val dim = spark.read.parquet("target/scratch/dpp_dim")
+    val joined = fact.join(dim.filter(col("grp") === 1), Seq("cid"))
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    assert(joined.count() == 4 * 1250)
+  }
+
   test("span dedup: spans shuffle as hashes, the text column never does") {
     val p = plan("dedup_span_stats")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
