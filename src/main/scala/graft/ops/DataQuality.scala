@@ -75,6 +75,39 @@ object DataQuality {
       .orderBy(col("check_name"))
   }
 
+  /** Pearson chi-square test of independence for the (lang, source)
+    * contingency table — the "is provenance confounded with language"
+    * check a mixture rebalance should consult. The full grid
+    * (including zero-count cells, which still contribute their
+    * expected count) is the margins' cross join; per-cell
+    * contributions (n−e)²/e are exact IEEE doubles over integer
+    * margins, rounded to 9dp DECIMAL before the order-free sum (the
+    * [[graft.OracleSql.roundDec]] ruling). Output: one row
+    * (n_cells, dof, chi2). */
+  def chiSquareLangSource(s: SparkSession, dir: String): DataFrame =
+    chiSquareOn(Tables(s, dir, "documents"), "lang", "source")
+
+  /** Generic variant: independence of any two categorical columns. */
+  def chiSquareOn(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val docs = df.select(col(aCol).as("lang"), col(bCol).as("source"))
+    val ct = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val r = ct.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+    val c = ct.groupBy(col("source")).agg(sum(col("n")).as("cn"))
+    val t = ct.agg(sum(col("n")).as("tot"))
+    val grid = r.crossJoin(c).crossJoin(broadcast(t))
+      .join(ct, Seq("lang", "source"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("e",
+        col("rn").cast("double") * col("cn").cast("double") / col("tot").cast("double"))
+      .withColumn("cb", round(
+        (col("n").cast("double") - col("e")) * (col("n").cast("double") - col("e")) / col("e"),
+        9).cast("decimal(20,9)"))
+    grid.agg(
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1)).as("dof"),
+        round(sum(col("cb")).cast("double"), 4).as("chi2"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, QueryDef] = Map(
@@ -86,6 +119,24 @@ object DataQuality {
         |UNION ALL SELECT 'value', count(*) FILTER (WHERE value IS NULL), count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*) FILTER (WHERE props IS NULL), count(DISTINCT props) FROM events
         |ORDER BY column_name""".stripMargin)),
+    "dq_chi_square" -> QueryDef((s, d) => chiSquareLangSource(s, d), Some(
+      s"""WITH ct AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, sum(n) AS rn FROM ct GROUP BY 1),
+         |c AS (SELECT source, sum(n) AS cn FROM ct GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM ct),
+         |grid AS (SELECT r.lang, c.source, rn, cn, tot, coalesce(ct.n, 0) AS n
+         |         FROM r CROSS JOIN c CROSS JOIN t
+         |         LEFT JOIN ct ON r.lang = ct.lang AND c.source = ct.source),
+         |cb AS (SELECT lang, source,
+         |         ${graft.OracleSql.roundDec(
+                    "(CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE)) * " +
+                    "(CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE)) / " +
+                    "(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb
+         |       FROM grid)
+         |SELECT count(*) AS n_cells,
+         |  (SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) FROM documents) AS dof,
+         |  ${graft.OracleSql.round("CAST(sum(cb) AS DOUBLE)", 4)} AS chi2
+         |FROM cb""".stripMargin)),
     "dq_checks" -> QueryDef((s, d) => checks(s, d), Some(
       """WITH fk AS (SELECT CAST(count(*) AS BIGINT) AS m
         |            FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey),

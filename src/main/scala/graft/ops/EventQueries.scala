@@ -421,6 +421,27 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Equi-width 10-bin histogram of `value` per event type (bounds
+    * from each type's own min/max — the profiling/reporting shape).
+    * Bin arithmetic is plain IEEE double ops over exact inputs, so
+    * both engines bin identically; the degenerate all-equal-values
+    * type (width 0) collapses to bin 0. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bounds = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    events(s, dir)
+      .join(broadcast(bounds), "event_type")
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * 10).cast("long"),
+            lit(9L))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -623,6 +644,15 @@ object EventQueries {
         |  round(CAST(sum(v2) OVER (PARTITION BY user_id ORDER BY ms
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS hour_sum
         |FROM ev ORDER BY user_id, event_id""".stripMargin)),
+    "value_histogram" -> QueryDef((s, d) => valueHistogram(s, d), Some(
+      """WITH b AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CASE WHEN b.vmax = b.vmin THEN 0
+        |       ELSE least(CAST(floor((e.value - b.vmin) / (b.vmax - b.vmin) * 10) AS BIGINT), 9) END AS bin,
+        |  count(*) AS n
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
     "value_percentiles" -> QueryDef(valuePercentiles, Some(
       s"""SELECT event_type,
          |  ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,

@@ -46,6 +46,31 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got("docs_text_nonempty") == ((2L, false)))
   }
 
+  test("chi-square: exactly 0 under perfect independence, n under perfect 2x2 association") {
+    import spark.implicits._
+    // perfectly proportional: every (lang, source) cell = 5 → chi2 = 0
+    val indep = (for (l <- Seq("a", "b"); s0 <- Seq("x", "y"); _ <- 1 to 5)
+      yield (l, s0)).toDF("lang", "source")
+    val r1 = DataQuality.chiSquareOn(indep, "lang", "source").head()
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 1 && r1.getDouble(2) == 0.0)
+    // perfect diagonal association in 2×2: chi2 = n
+    val dep = ((1 to 10).map(_ => ("a", "x")) ++ (1 to 10).map(_ => ("b", "y")))
+      .toDF("lang", "source")
+    val r2 = DataQuality.chiSquareOn(dep, "lang", "source").head()
+    assert(r2.getLong(0) == 4 && r2.getDouble(2) == 20.0, s"${r2.getDouble(2)}")
+  }
+
+  test("value histogram: bins partition each type's count, bounds respected") {
+    val rows = EventQueries.valueHistogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 9))
+    val totals = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = EventQueries.serviceCount(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == want, "histogram bins must partition each type's events")
+  }
+
   test("checks: the driver testdata passes every check") {
     val got = DataQuality.checks(spark, dir).collect()
       .map(r => (r.getString(0), r.getBoolean(2)))
