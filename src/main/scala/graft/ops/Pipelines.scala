@@ -43,6 +43,38 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** PER-LANGUAGE token-budget selection: within each language, keep
+    * the highest-quality documents until `frac` of that language's
+    * token mass is reached — the grouped flavor of
+    * [[tokenBudgetSelect]], and the primitive a mixture target is
+    * enforced with ("at most half of each language's tokens, best
+    * first"). Unlike the GLOBAL budget — which needs the two-phase
+    * distributed prefix sum because a partition-less window collapses
+    * to one task — the per-group cumulative sum is an ordinary window
+    * PARTITIONED BY language: every group runs parallel, which is
+    * exactly when the window primitive is the right tool. Budgets
+    * derive from per-language totals (floor(frac·total), exact IEEE
+    * over integer totals on both engines). */
+  def tokenBudgetPerLang(s: SparkSession, dir: String,
+                         frac: Double = 0.5): DataFrame = {
+    val scored = TextAnalysis.withQuality(
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val budgets = scored.groupBy(col("lang"))
+      .agg(floor(sum(col("n_tokens")).cast("double") * frac).cast("long").as("budget"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("quality_score"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), "lang")
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("lang"), col("doc_id"), col("quality_score"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   /** The multi-signal quality filter stack real curation pipelines
     * gate on — four independent per-doc signals joined on doc_id and
     * combined into one keep decision: heuristic quality score
@@ -494,6 +526,24 @@ object Pipelines {
          |           FROM surv3)
          |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
          |FROM ranked WHERE cum_tokens <= 5000 ORDER BY cum_tokens""".stripMargin)),
+    "pipeline_token_budget_per_lang" -> QueryDef((s, d) => tokenBudgetPerLang(s, d), Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.qualityScoreSql} AS quality_score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT lang, CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 0.5) AS BIGINT) AS budget
+         |      FROM q GROUP BY lang),
+         |ranked AS (
+         |  SELECT doc_id, lang, quality_score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT r.lang, doc_id, quality_score, n_tokens, cum_tokens
+         |FROM ranked r JOIN b ON r.lang = b.lang
+         |WHERE cum_tokens <= budget
+         |ORDER BY r.lang, cum_tokens""".stripMargin)),
     // the repetition/LM fragments are the SAME strings the standalone
     // text_repetition / text_lm_surprisal oracles are built from
     // (TextAnalysis.repetitionCtes/lmXentCtes) — a fix there

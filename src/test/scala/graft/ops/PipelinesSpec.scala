@@ -99,6 +99,32 @@ class PipelinesSpec extends AnyFunSuite {
     assert(got == all -- removedExpected)
   }
 
+  test("per-lang token budget: greedy-maximal within every language") {
+    import org.apache.spark.sql.functions.col
+    val rows = Pipelines.tokenBudgetPerLang(spark, dir, frac = 0.5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val all = TextAnalysis.withQuality(
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"), col("text")))
+      .select(col("lang"), col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byLangAll = all.groupBy(_._1)
+    for ((lang, rs) <- rows.groupBy(_._1)) {
+      val budget = math.floor(byLangAll(lang).map(_._4).sum.toDouble * 0.5).toLong
+      // within budget, cumulative sums consistent
+      var run = 0L
+      for ((_, _, _, nt, cum) <- rs.sortBy(_._5)) {
+        run += nt; assert(cum == run && cum <= budget, s"$lang cum $cum budget $budget")
+      }
+      // greedy-maximal: the best unselected doc of this lang would not fit
+      val selected = rs.map(_._2).toSet
+      val next = byLangAll(lang).filter(d => !selected.contains(d._2))
+        .sortBy(d => (-d._3, d._2)).headOption
+      for ((_, _, _, nt) <- next) assert(run + nt > budget, s"$lang not maximal")
+    }
+  }
+
   test("quality ensemble = componentwise AND of its four signals") {
     import org.apache.spark.sql.functions.col
     val ens = Pipelines.qualityEnsemble(spark, dir).collect()
