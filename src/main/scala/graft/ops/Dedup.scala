@@ -464,6 +464,49 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -------------------------------------------------------- containment
+
+  /** ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| —
+    * the measure that catches a short document CONTAINED in a long
+    * one (quoted excerpts, partial copies), which symmetric Jaccard
+    * structurally misses (the long side inflates the union: a 30-gram
+    * doc fully inside a 300-gram doc has C = 1.0 but J ≈ 0.1). Same
+    * bounded inverted-index posting join as [[jaccardPairs]] — the
+    * only new arithmetic is dividing the shared count by EACH side's
+    * size instead of the union. Keeps pairs where either direction's
+    * containment ≥ `threshold`. */
+  def containmentPairs(s: SparkSession, dir: String,
+                       threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame =
+    containmentPairsOn(docs(s, dir), threshold, maxBucket)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def containmentPairsOn(docsDf: DataFrame, threshold: Double = 0.9,
+                         maxBucket: Int = 1000): DataFrame = {
+    val sh = shingledOn(docsDf)
+    val posting = sh.select(col("doc_id"),
+      explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+    val hot = posting.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucket)
+      .select(col("g"))
+    val bounded = posting.join(broadcast(hot), Seq("g"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    bounded.as("a").join(bounded.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("cont_a",
+        round(col("n_shared").cast("double") / col("sz_a"), 6))
+      .withColumn("cont_b",
+        round(col("n_shared").cast("double") / col("sz_b"), 6))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --------------------------------------------------------- fuzzy dedup
 
   /** Edit-distance near-dup pairs: inverted-index candidates at a LOW
@@ -657,6 +700,23 @@ object Dedup {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+    "dedup_containment_pairs" -> QueryDef((s, d) => containmentPairs(s, d), Some(
+      s"""WITH ${shingleHashCtes},
+         |ex AS (SELECT doc_id, unnest(th) AS g FROM th),
+         |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
+         |exb AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM exb GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |           FROM exb a JOIN exb b ON a.g = b.g AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |scored AS (SELECT doc_a, doc_b,
+         |             ${graft.OracleSql.round("CAST(n_shared AS DOUBLE) / x.sz", 6)} AS cont_a,
+         |             ${graft.OracleSql.round("CAST(n_shared AS DOUBLE) / y.sz", 6)} AS cont_b
+         |           FROM shared JOIN sz x ON doc_a = x.doc_id
+         |                       JOIN sz y ON doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM scored
+         |WHERE cont_a >= 0.9 OR cont_b >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin)),
     "dedup_fuzzy_pairs" -> QueryDef((s, d) => fuzzyPairs(s, d), Some(
       s"""WITH pairs AS (${boundedJaccardSqlFrom("documents", 0.3)}),
          |t AS (SELECT doc_id, text FROM documents)

@@ -162,6 +162,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
   }
 
+  test("containment catches a short doc inside a long one where jaccard cannot") {
+    import spark.implicits._
+    val short30 = (1 to 30).map(i => s"s$i").mkString(" ")
+    val long300 = short30 + " " + (1 to 270).map(i => s"L$i").mkString(" ")
+    val other = (1 to 30).map(i => s"o$i").mkString(" ")
+    val docs = Seq((0L, short30), (1L, long300), (2L, other))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsOn(docs, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // all 28 of the short doc's 3-gram shingles appear in the long one
+    assert(cont.contains((0L, 1L)), s"containment missed: $cont")
+    assert(cont((0L, 1L))._1 == 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // symmetric jaccard is structurally blind to this pair
+    val jac = Dedup.jaccardPairsOn(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)), "jaccard should miss the contained pair")
+  }
+
   test("fuzzy pairs: bounded edit distance refines the candidate stage") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
