@@ -464,6 +464,27 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------- multi-signal
+
+  /** Multi-signal near-dup clusters — the shape production dedup
+    * actually runs: THREE independent candidate generators (exact
+    * n-gram Jaccard, SimHash Hamming, semantic embedding similarity
+    * over the deterministic cluster assignment) contribute pair
+    * evidence, the union feeds one connected-components pass, and a
+    * downstream keep policy acts per cluster. Any single signal
+    * misses a class of duplicates (token overlap: paraphrases;
+    * simhash: heavy edits; embeddings: verbatim-but-OOV); the union
+    * is what real curation merges before collapsing. Embeddings here
+    * are document embeddings — vec_id ≡ doc_id on the driver tables.
+    * Each generator is the already-audited sub-linear plan; the union
+    * is pair-graph-sized, ≪ corpus. */
+  def multiSignalClusters(s: SparkSession, dir: String): DataFrame = {
+    val j = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val sh = simhashPairs(s, dir, maxHamming = 8).select(col("doc_a"), col("doc_b"))
+    val se = Similarity.semanticPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    clustersFromEdges(j.union(sh).union(se).distinct())
+  }
+
   // -------------------------------------------------------- containment
 
   /** ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| —
@@ -690,6 +711,25 @@ object Dedup {
       Some(simhashPairsSql)),
     "dedup_neardup_clusters" -> QueryDef((s, d) => neardupClusters(s, d), Some(
       s"""WITH RECURSIVE pairs AS ($boundedJaccardSql),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+    "dedup_multi_signal_clusters" -> QueryDef((s, d) => multiSignalClusters(s, d), Some(
+      s"""WITH RECURSIVE
+         |pj AS ($boundedJaccardSql),
+         |ps AS ($simhashPairsSql),
+         |pe AS (WITH ${Similarity.semanticAvCtes}
+         |       ${Similarity.semanticPairSelect}),
+         |pairs AS (SELECT doc_a, doc_b FROM pj
+         |          UNION SELECT doc_a, doc_b FROM ps
+         |          UNION SELECT doc_a, doc_b FROM pe),
          |nodes AS (SELECT DISTINCT id FROM
          |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -341,20 +341,39 @@ object Similarity {
                     k: Int = 8, threshold: Double = 0.45): DataFrame =
     semanticDedupOn(emb(s, dir).select(col("vec_id"), col("v")), k, threshold)
 
+  /** The within-cell above-threshold pair set the semantic dedup
+    * prunes on — exposed for multi-signal composition
+    * ([[graft.ops.Dedup.multiSignalClusters]]). */
+  def semanticPairs(s: SparkSession, dir: String,
+                    k: Int = 8, threshold: Double = 0.45): DataFrame =
+    semanticPairsOn(emb(s, dir).select(col("vec_id"), col("v")), k, threshold)
+
   /** Generic variant over any (vec_id, v) frame. */
-  def semanticDedupOn(vecs: DataFrame, k: Int = 8,
+  def semanticPairsOn(vecs: DataFrame, k: Int = 8,
                       threshold: Double = 0.45): DataFrame = {
     val av = vecs
       .join(clusterAssignOn(vecs, k).select(col("vec_id"), col("centroid_id")),
         "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = av.as("a").join(av.as("b"),
+    av.as("a").join(av.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id") &&
           cosine(col("a.v"), col("b.v")) > threshold)
-      .select(col("b.vec_id").as("vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        col("a.centroid_id").as("centroid_id"))
+  }
+
+  /** Generic variant over any (vec_id, v) frame. */
+  def semanticDedupOn(vecs: DataFrame, k: Int = 8,
+                      threshold: Double = 0.45): DataFrame = {
+    val assigned = vecs
+      .join(clusterAssignOn(vecs, k).select(col("vec_id"), col("centroid_id")),
+        "vec_id")
+      .select(col("vec_id"), col("centroid_id"))
+    val pruned = semanticPairsOn(vecs, k, threshold)
+      .select(col("doc_b").as("vec_id"))
       .distinct()
-    av.join(pruned, Seq("vec_id"), "left_anti")
+    assigned.join(pruned, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("centroid_id"))
       .orderBy(col("vec_id"))
   }
@@ -559,25 +578,36 @@ object Similarity {
          |SELECT vec_id, centroid_id, ${R("sim", 6)} AS sim FROM ranked
          |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
     "embedding_semantic_dedup" -> QueryDef((s, d) => semanticDedup(s, d), Some(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},
-         |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM sh
-         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
-         |ranked AS (
-         |  SELECT vec_id, centroid_id,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY
-         |           list_sum(list_transform(list_zip(e.v, s.cv), x -> x[1] * x[2])) /
-         |             (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.cv, x -> x * x)))) DESC,
-         |           centroid_id) AS rnk
-         |  FROM e CROSS JOIN seeds s),
-         |av AS (SELECT e.vec_id, e.v, r.centroid_id
-         |       FROM e JOIN (SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1) r USING (vec_id)),
-         |pruned AS (SELECT DISTINCT b.vec_id
-         |           FROM av a JOIN av b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |           WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
-         |                   (sqrt(list_sum(list_transform(a.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.45)
+      s"""WITH $semanticAvCtes,
+         |pruned AS (SELECT DISTINCT doc_b AS vec_id FROM ($semanticPairSelect))
          |SELECT vec_id, centroid_id FROM av ANTI JOIN pruned p ON av.vec_id = p.vec_id
          |ORDER BY vec_id""".stripMargin)))
+
+  /** Semantic-clustering CTE chain (no WITH; final CTE `av` =
+    * (vec_id, v, centroid_id)) and the within-cell above-threshold
+    * pair SELECT over it — ONE source shared by the
+    * `embedding_semantic_dedup` oracle and the multi-signal cluster
+    * oracle in [[graft.ops.Dedup]]. */
+  private[ops] lazy val semanticAvCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},
+       |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM sh
+       |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
+       |ranked AS (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY
+       |           list_sum(list_transform(list_zip(e.v, s.cv), x -> x[1] * x[2])) /
+       |             (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.cv, x -> x * x)))) DESC,
+       |           centroid_id) AS rnk
+       |  FROM e CROSS JOIN seeds s),
+       |av AS (SELECT e.vec_id, e.v, r.centroid_id
+       |       FROM e JOIN (SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1) r USING (vec_id))""".stripMargin
+
+  private[ops] lazy val semanticPairSelect: String =
+    """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |           FROM av a JOIN av b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      |           WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+      |                   (sqrt(list_sum(list_transform(a.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.45""".stripMargin
 
   /** Quantization CTEs mirroring [[withQuantized]] operation-for-
     * operation: same (x·127.0)/maxabs order, same floor-half-up, same

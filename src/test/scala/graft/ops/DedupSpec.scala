@@ -162,6 +162,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
   }
 
+  test("multi-signal clusters honor every contributing signal's pairs") {
+    val labels = Dedup.multiSignalClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    def coClustered(pairs: Array[(Long, Long)], name: String): Unit =
+      for ((a, b) <- pairs)
+        assert(labels.get(a) == labels.get(b) && labels.contains(a),
+          s"$name pair ($a,$b) not co-clustered")
+    coClustered(Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), "jaccard")
+    coClustered(Dedup.simhashPairs(spark, dir, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), "simhash")
+    coClustered(Similarity.semanticPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), "semantic")
+    // the union must cover at least the jaccard-only node set
+    val jaccardOnly = Dedup.neardupClusters(spark, dir).count()
+    assert(labels.size >= jaccardOnly,
+      s"multi-signal ${labels.size} < jaccard-only $jaccardOnly")
+  }
+
   test("containment catches a short doc inside a long one where jaccard cannot") {
     import spark.implicits._
     val short30 = (1 to 30).map(i => s"s$i").mkString(" ")
