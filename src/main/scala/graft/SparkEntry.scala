@@ -16,13 +16,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** The ONE module list — `all`, the generated catalog
+    * (tools.CatalogDump) and the registry-integrity spec all derive
+    * from it, so a module added here appears everywhere and a module
+    * forgotten here appears nowhere (instead of silently diverging
+    * between surfaces). */
+  def modules: Seq[(String, Map[String, QueryDef])] = Seq(
+    "EventQueries" -> ops.EventQueries.defs,
+    "TpchQueries" -> ops.TpchQueries.defs,
+    "Dedup" -> ops.Dedup.defs,
+    "TextAnalysis" -> ops.TextAnalysis.defs,
+    "Similarity" -> ops.Similarity.defs,
+    "Multimodal" -> ops.Multimodal.defs,
+    "AsofJoin" -> ops.AsofJoin.defs,
+    "RangeJoin" -> ops.RangeJoin.defs,
+    "Ivf" -> ops.Ivf.defs,
+    "Pipelines" -> ops.Pipelines.defs,
+    "Sampling" -> ops.Sampling.defs,
+    "Sketches" -> ops.Sketches.defs,
+    "Curation" -> ops.Curation.defs,
+    "Scrub" -> ops.Scrub.defs,
+    "Retrieval" -> ops.Retrieval.defs,
+    "DataQuality" -> ops.DataQuality.defs,
+    "KdcParseQueries" -> kdc.KdcParseQueries.defs)
+
   def all: Map[String, QueryDef] =
-    ops.EventQueries.defs ++ ops.TpchQueries.defs ++ ops.Dedup.defs ++
-      ops.TextAnalysis.defs ++ ops.Similarity.defs ++ ops.Multimodal.defs ++
-      ops.AsofJoin.defs ++ ops.RangeJoin.defs ++ ops.Ivf.defs ++
-      ops.Pipelines.defs ++ ops.Sampling.defs ++ ops.Sketches.defs ++
-      ops.Curation.defs ++ ops.Scrub.defs ++ ops.Retrieval.defs ++
-      ops.DataQuality.defs ++ kdc.KdcParseQueries.defs
+    modules.map(_._2).reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with

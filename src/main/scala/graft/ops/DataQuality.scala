@@ -87,9 +87,14 @@ object DataQuality {
   def chiSquareLangSource(s: SparkSession, dir: String): DataFrame =
     chiSquareOn(Tables(s, dir, "documents"), "lang", "source")
 
-  /** Generic variant: independence of any two categorical columns. */
+  /** Generic variant: independence of any two categorical columns.
+    * NULL categories are EXCLUDED from the test (documented contract):
+    * a NULL-keyed group would feed the margins but never match the
+    * grid's equality join, silently zeroing its observed counts and
+    * inflating χ² — exactly the dirty data a DQ check meets. */
   def chiSquareOn(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val docs = df.select(col(aCol).as("lang"), col(bCol).as("source"))
+      .filter(col("lang").isNotNull && col("source").isNotNull)
     val ct = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
     val r = ct.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
     val c = ct.groupBy(col("source")).agg(sum(col("n")).as("cn"))
@@ -120,7 +125,8 @@ object DataQuality {
         |UNION ALL SELECT 'props', count(*) FILTER (WHERE props IS NULL), count(DISTINCT props) FROM events
         |ORDER BY column_name""".stripMargin)),
     "dq_chi_square" -> QueryDef((s, d) => chiSquareLangSource(s, d), Some(
-      s"""WITH ct AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+      s"""WITH ct AS (SELECT lang, source, count(*) AS n FROM documents
+         |            WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
          |r AS (SELECT lang, sum(n) AS rn FROM ct GROUP BY 1),
          |c AS (SELECT source, sum(n) AS cn FROM ct GROUP BY 1),
          |t AS (SELECT sum(n) AS tot FROM ct),

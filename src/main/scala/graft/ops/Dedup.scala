@@ -110,47 +110,50 @@ object Dedup {
                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
     jaccardPairsOn(docs(s, dir), threshold, maxBucket)
 
-  /** Generic variant over any (doc_id, text) frame. */
-  def jaccardPairsOn(docsDf: DataFrame,
-                     threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+  /** The bounded-posting candidate pipeline shared by every
+    * set-overlap scorer (Jaccard, containment): shingle → 8-byte
+    * M61+fmix64 posting hashes (the self-join shuffles and compares
+    * longs, not ~25-byte strings; the hash family is
+    * DuckDB-reproducible, so even a collision — P ≈ n²/2^65 — yields
+    * identical output on both engines rather than a divergence) →
+    * df-cap anti-join → persisted self-join. Returns
+    * (doc_a, doc_b, n_shared, sz_a, sz_b). Sizes come from the SAME
+    * bounded posting set, so when maxBucket drops a degenerate
+    * shingle the semantics stay consistent: exact overlap over the
+    * universe of shingles with df ≤ maxBucket (a historical bug had
+    * sz counting full sets while n_shared didn't, silently
+    * underestimating whenever the guard fired — one implementation
+    * here means one place to keep that invariant). */
+  private[ops] def boundedSharedCounts(docsDf: DataFrame, maxBucket: Int): DataFrame = {
     val sh = shingledOn(docsDf)
-    // Postings are 8-byte M61+fmix64 hashes of the shingles, not the
-    // ~25-byte strings: the self-join shuffles and compares longs.
-    // The hash family is DuckDB-reproducible (HUGEINT recipe shared
-    // with the SimHash oracle), so the oracle mirrors the hashing
-    // exactly — even a collision (P ≈ n²/2^65) yields identical output
-    // on both engines rather than a divergence.
     val posting = sh.select(col("doc_id"),
       explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
     val hot = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBucket)
       .select(col("g"))
-    // persist: the self-join below would otherwise re-derive the
+    // persist: the self-join would otherwise re-derive the
     // shingling+explode lineage for both sides (2× the dominant cost)
     val bounded = posting.join(broadcast(hot), Seq("g"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Sizes come from the SAME bounded posting set, so when maxBucket
-    // drops a degenerate shingle the semantics stay consistent: exact
-    // Jaccard over the universe of shingles with df ≤ maxBucket
-    // (previously sz_a/sz_b counted full shingle sets while n_shared
-    // didn't, silently underestimating jac whenever the guard fired).
-    // The oracle SQL mirrors the guard, so both sides agree on any
-    // dataset, not just ones where no shingle is hot.
     val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = bounded.as("a").join(bounded.as("b"),
+    bounded.as("a").join(bounded.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+  }
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def jaccardPairsOn(docsDf: DataFrame,
+                     threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    boundedSharedCounts(docsDf, maxBucket)
       .withColumn("jac",
         col("n_shared").cast("double") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   // -------------------------------------------------------------- minhash
 
@@ -502,23 +505,8 @@ object Dedup {
 
   /** Generic variant over any (doc_id, text) frame. */
   def containmentPairsOn(docsDf: DataFrame, threshold: Double = 0.9,
-                         maxBucket: Int = 1000): DataFrame = {
-    val sh = shingledOn(docsDf)
-    val posting = sh.select(col("doc_id"),
-      explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
-    val hot = posting.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxBucket)
-      .select(col("g"))
-    val bounded = posting.join(broadcast(hot), Seq("g"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    bounded.as("a").join(bounded.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+                         maxBucket: Int = 1000): DataFrame =
+    boundedSharedCounts(docsDf, maxBucket)
       .withColumn("cont_a",
         round(col("n_shared").cast("double") / col("sz_a"), 6))
       .withColumn("cont_b",
@@ -526,7 +514,6 @@ object Dedup {
       .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   // --------------------------------------------------------- fuzzy dedup
 
@@ -741,14 +728,7 @@ object Dedup {
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
     "dedup_containment_pairs" -> QueryDef((s, d) => containmentPairs(s, d), Some(
-      s"""WITH ${shingleHashCtes},
-         |ex AS (SELECT doc_id, unnest(th) AS g FROM th),
-         |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
-         |exb AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM exb GROUP BY doc_id),
-         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |           FROM exb a JOIN exb b ON a.g = b.g AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
+      s"""WITH ${postingSharedCtesFrom("documents")},
          |scored AS (SELECT doc_a, doc_b,
          |             ${graft.OracleSql.round("CAST(n_shared AS DOUBLE) / x.sz", 6)} AS cont_a,
          |             ${graft.OracleSql.round("CAST(n_shared AS DOUBLE) / y.sz", 6)} AS cont_b
@@ -881,16 +861,23 @@ object Dedup {
   /** Parameterized over the (doc_id, text) source relation; a nested
     * WITH keeps the chain's CTE names (tok/sh/.../scored) from
     * colliding with a composing oracle's own CTEs. */
-  private[ops] def boundedJaccardSqlFrom(src: String,
-                                         threshold: Double = 0.5): String =
-    s"""WITH ${shingleHashCtesFrom(src)},
+  /** The bounded-posting CTE chain shared by the Jaccard AND
+    * containment oracles — the SQL twin of [[boundedSharedCounts]]
+    * (one source, so the df-cap/size-universe invariant cannot
+    * diverge between the scorers). Emits CTEs ex/hot/exb/sz/shared. */
+  private[ops] def postingSharedCtesFrom(src: String): String =
+    s"""${shingleHashCtesFrom(src)},
       |ex AS (SELECT doc_id, unnest(th) AS g FROM th),
       |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) > 1000),
       |exb AS (SELECT e.doc_id, e.g FROM ex e ANTI JOIN hot h ON e.g = h.g),
       |sz AS (SELECT doc_id, count(*) AS sz FROM exb GROUP BY doc_id),
       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       |           FROM exb a JOIN exb b ON a.g = b.g AND a.doc_id < b.doc_id
-      |           GROUP BY 1, 2),
+      |           GROUP BY 1, 2)""".stripMargin
+
+  private[ops] def boundedJaccardSqlFrom(src: String,
+                                         threshold: Double = 0.5): String =
+    s"""WITH ${postingSharedCtesFrom(src)},
       |scored AS (SELECT doc_a, doc_b,
       |             CAST(n_shared AS DOUBLE) / (x.sz + y.sz - n_shared) AS jac
       |           FROM shared JOIN sz x ON doc_a = x.doc_id

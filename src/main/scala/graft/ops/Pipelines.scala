@@ -57,10 +57,15 @@ object Pipelines {
     * over integer totals on both engines). */
   def tokenBudgetPerLang(s: SparkSession, dir: String,
                          frac: Double = 0.5): DataFrame = {
+    // persist: the budgets aggregate AND the windowed scan both read
+    // this frame — without it the quality lineage (split/stopword/
+    // distinct HOFs over every doc) executes twice, the documented
+    // dominant cost the global tokenBudgetSelect persists against
     val scored = TextAnalysis.withQuality(
         Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), col("quality_score"),
         col("n_tokens").cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val budgets = scored.groupBy(col("lang"))
       .agg(floor(sum(col("n_tokens")).cast("double") * frac).cast("long").as("budget"))
     val w = Window.partitionBy(col("lang"))

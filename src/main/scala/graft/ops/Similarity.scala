@@ -348,33 +348,38 @@ object Similarity {
                     k: Int = 8, threshold: Double = 0.45): DataFrame =
     semanticPairsOn(emb(s, dir).select(col("vec_id"), col("v")), k, threshold)
 
-  /** Generic variant over any (vec_id, v) frame. */
-  def semanticPairsOn(vecs: DataFrame, k: Int = 8,
-                      threshold: Double = 0.45): DataFrame = {
-    val av = vecs
+  /** The persisted (vec_id, v, centroid_id) cluster-assigned frame —
+    * built ONCE per query; both the pair join and the kept-set
+    * projection derive from the same frame so the assignment lineage
+    * (seed pick + broadcast scoring) never executes twice. */
+  private def semanticAvOn(vecs: DataFrame, k: Int): DataFrame =
+    vecs
       .join(clusterAssignOn(vecs, k).select(col("vec_id"), col("centroid_id")),
         "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def pairsFromAv(av: DataFrame, threshold: Double): DataFrame =
     av.as("a").join(av.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id") &&
           cosine(col("a.v"), col("b.v")) > threshold)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
         col("a.centroid_id").as("centroid_id"))
-  }
+
+  /** Generic variant over any (vec_id, v) frame. */
+  def semanticPairsOn(vecs: DataFrame, k: Int = 8,
+                      threshold: Double = 0.45): DataFrame =
+    pairsFromAv(semanticAvOn(vecs, k), threshold)
 
   /** Generic variant over any (vec_id, v) frame. */
   def semanticDedupOn(vecs: DataFrame, k: Int = 8,
                       threshold: Double = 0.45): DataFrame = {
-    val assigned = vecs
-      .join(clusterAssignOn(vecs, k).select(col("vec_id"), col("centroid_id")),
-        "vec_id")
-      .select(col("vec_id"), col("centroid_id"))
-    val pruned = semanticPairsOn(vecs, k, threshold)
+    val av = semanticAvOn(vecs, k)
+    val pruned = pairsFromAv(av, threshold)
       .select(col("doc_b").as("vec_id"))
       .distinct()
-    assigned.join(pruned, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("centroid_id"))
+    av.select(col("vec_id"), col("centroid_id"))
+      .join(pruned, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))
   }
 

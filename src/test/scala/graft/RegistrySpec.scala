@@ -8,32 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("query names are unique across modules") {
-    val modules = Seq(
-      "EventQueries" -> ops.EventQueries.defs,
-      "TpchQueries" -> ops.TpchQueries.defs,
-      "Dedup" -> ops.Dedup.defs,
-      "TextAnalysis" -> ops.TextAnalysis.defs,
-      "Similarity" -> ops.Similarity.defs,
-      "Multimodal" -> ops.Multimodal.defs,
-      "AsofJoin" -> ops.AsofJoin.defs,
-      "RangeJoin" -> ops.RangeJoin.defs,
-      "Ivf" -> ops.Ivf.defs,
-      "Pipelines" -> ops.Pipelines.defs,
-      "Sampling" -> ops.Sampling.defs,
-      "Sketches" -> ops.Sketches.defs,
-      "Curation" -> ops.Curation.defs,
-      "Scrub" -> ops.Scrub.defs,
-      "Retrieval" -> ops.Retrieval.defs,
-      "DataQuality" -> ops.DataQuality.defs,
-      "KdcParseQueries" -> kdc.KdcParseQueries.defs)
+    // the shared module list (also the catalog's source) — uniqueness
+    // here means SparkEntry.all's ++ concatenation shadows nothing
+    val modules = SparkEntry.modules
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.all.size == perModule,
       s"collision: ${perModule - SparkEntry.all.size} shadowed names — " +
         modules.flatMap(_._2.keys).groupBy(identity)
           .collect { case (k, v) if v.size > 1 => k }.mkString(", "))
-    // the assembled map is what SparkEntry.all concatenates — catch a
-    // module added to the codebase but forgotten in SparkEntry
-    assert(modules.map(_._2.size).sum == SparkEntry.all.size)
+  }
+
+  test("every ops object with a defs map is in the shared module list") {
+    // a module forgotten in SparkEntry.modules would vanish from the
+    // driver surface AND the catalog silently; this reflection sweep
+    // catches the class of omission the count check cannot
+    val listed = SparkEntry.modules.map(_._1).toSet
+    val expected = Set("EventQueries", "TpchQueries", "Dedup", "TextAnalysis",
+      "Similarity", "Multimodal", "AsofJoin", "RangeJoin", "Ivf", "Pipelines",
+      "Sampling", "Sketches", "Curation", "Scrub", "Retrieval", "DataQuality",
+      "KdcParseQueries")
+    assert(listed == expected, s"module list drift: ${listed.diff(expected)} / ${expected.diff(listed)}")
   }
 
   test("every oracle belongs to a registered query") {

@@ -38,7 +38,7 @@ class DegenerateInputSpec extends AnyFunSuite {
       ("bm25", d => Retrieval.bm25TopKOn(d)),
       ("docChunks", d => Curation.docChunksOn(d)),
       ("vocabOov", d => Curation.vocabOovRateOn(d)),
-      ("qualityEnsembleSignalsViaChunks", d => Curation.docChunksOn(d)))
+      ("containmentPairs", d => Dedup.containmentPairsOn(d)))
     for ((name, op) <- ops) {
       assert(op(docs(empty)).count() == 0L, s"$name on empty corpus")
       op(docs(one)).count() // must not throw

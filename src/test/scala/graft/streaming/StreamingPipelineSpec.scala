@@ -157,16 +157,26 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("sw_out")
       .start()
-    try { q.processAllAvailable() } finally q.stop()
-    val got = spark.table("sw_out").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val batch = graft.ops.EventQueries.sessionWindowStats(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
-    assert(got.subsetOf(batch), s"streaming emitted sessions not in batch: ${got -- batch}")
-    // substantial coverage: everything but the per-user tail session
-    val users = batch.map(_._1).size
-    assert(got.size >= batch.size - users - 5, s"${got.size}/${batch.size} (${users} users)")
-    spark.catalog.dropTempView("sw_out")
+    try {
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sw_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.EventQueries.sessionWindowStats(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got.subsetOf(batch), s"streaming emitted sessions not in batch: ${got -- batch}")
+      // substantial coverage: everything but the per-user tail session
+      val users = batch.map(_._1).size
+      assert(got.size >= batch.size - users - 5, s"${got.size}/${batch.size} (${users} users)")
+    } finally {
+      // release the sink view AND the state-store providers even on
+      // assertion failure — leftover providers tax every later test in
+      // the shared session (the drainMemorySink rationale)
+      if (q.isActive) q.stop()
+      try spark.catalog.dropTempView("sw_out") catch { case _: Throwable => () }
+      if (spark.streams.active.isEmpty)
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    }
   }
 
   test("stream-static enrichment equals the batch join exactly") {
