@@ -194,6 +194,25 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("concurrent one-shot streams serialize safely and restore the session conf") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // two drained one-shots racing in one session: the conf override
+    // must serialize (interleaved save/restores would strand the
+    // session at the temporary value) and both results must be correct
+    val fa = Future(graft.ops.EventQueries.dailyUserActivityStreaming(spark, dir).count())
+    val fb = Future(graft.ops.EventQueries.userFirstLastStreamingStateful(spark, dir).count())
+    val (na, nb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(na == graft.ops.EventQueries.dailyUserActivity(spark, dir).count())
+    assert(nb == graft.ops.EventQueries.userFirstLast(spark, dir).count())
+    assert(spark.conf.get(key) == before,
+      s"session conf stranded at ${spark.conf.get(key)} (was $before)")
+    assert(spark.streams.active.isEmpty)
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
