@@ -698,35 +698,13 @@ object Dedup {
       Some(simhashPairsSql)),
     "dedup_neardup_clusters" -> QueryDef((s, d) => neardupClusters(s, d), Some(
       s"""WITH RECURSIVE pairs AS ($boundedJaccardSql),
-         |nodes AS (SELECT DISTINCT id FROM
-         |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+         |$ccFromPairsSql
+         |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin)),
     "dedup_multi_signal_clusters" -> QueryDef((s, d) => multiSignalClusters(s, d), Some(
       s"""WITH RECURSIVE
-         |pj AS ($boundedJaccardSql),
-         |ps AS ($simhashPairsSql),
-         |pe AS (WITH ${Similarity.semanticAvCtes}
-         |       ${Similarity.semanticPairSelect}),
-         |pairs AS (SELECT doc_a, doc_b FROM pj
-         |          UNION SELECT doc_a, doc_b FROM ps
-         |          UNION SELECT doc_a, doc_b FROM pe),
-         |nodes AS (SELECT DISTINCT id FROM
-         |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+         |$multiSignalPairsCtes,
+         |$ccFromPairsSql
+         |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin)),
     "dedup_containment_pairs" -> QueryDef((s, d) => containmentPairs(s, d), Some(
       s"""WITH ${postingSharedCtesFrom("documents")},
          |scored AS (SELECT doc_a, doc_b,
@@ -861,6 +839,33 @@ object Dedup {
   /** Parameterized over the (doc_id, text) source relation; a nested
     * WITH keeps the chain's CTE names (tok/sh/.../scored) from
     * colliding with a composing oracle's own CTEs. */
+  /** Connected-components CTE chain over an upstream `pairs` CTE
+    * (requires WITH RECURSIVE upstream; no leading WITH): CTEs
+    * nodes/edges/reach, final `labels` = (doc_id, cluster_id) —
+    * ONE source for every cluster-consuming oracle (near-dup
+    * clusters, multi-signal clusters, both keep-best flavors). */
+  private[ops] def ccFromPairsSql: String =
+    """nodes AS (SELECT DISTINCT id FROM
+      |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** The three-generator pair-union CTE chain (pj/ps/pe → `pairs`),
+    * shared by the multi-signal cluster and keep-best oracles. */
+  private[ops] def multiSignalPairsCtes: String =
+    s"""pj AS ($boundedJaccardSql),
+       |ps AS ($simhashPairsSql),
+       |pe AS (WITH ${Similarity.semanticAvCtes}
+       |       ${Similarity.semanticPairSelect}),
+       |pairs AS (SELECT doc_a, doc_b FROM pj
+       |          UNION SELECT doc_a, doc_b FROM ps
+       |          UNION SELECT doc_a, doc_b FROM pe)""".stripMargin
+
   /** The bounded-posting CTE chain shared by the Jaccard AND
     * containment oracles — the SQL twin of [[boundedSharedCounts]]
     * (one source, so the df-cap/size-universe invariant cannot

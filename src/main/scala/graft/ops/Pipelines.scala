@@ -306,11 +306,26 @@ object Pipelines {
     * nodes only), so the quality join and the per-cluster argmax
     * window both run on that small frame; the corpus-side work is
     * one scan for quality scores and one anti-join. */
-  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestFrom(s, dir, Dedup.neardupClusters(s, dir))
+
+  /** [[dedupKeepBest]] over the MULTI-SIGNAL cluster graph
+    * ([[Dedup.multiSignalClusters]]) — the complete dedup endgame:
+    * three candidate generators merge into one component pass, then
+    * one exemplar (highest quality, id tie-break) survives per
+    * cluster. Same keep policy, richer evidence. */
+  def multiSignalKeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestFrom(s, dir, Dedup.multiSignalClusters(s, dir))
+
+  /** Keep policy shared by both flavors: per-cluster argmax on
+    * quality over any (doc_id, cluster_id) labeling, loners pass
+    * through with n_merged = 1. The window runs on the cluster label
+    * table (≪ corpus). */
+  private def keepBestFrom(s: SparkSession, dir: String,
+                           clusters: DataFrame): DataFrame = {
     val q = TextAnalysis.withQuality(
         Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("quality_score"))
-    val clusters = Dedup.neardupClusters(s, dir) // (doc_id, cluster_id)
     val byCluster = Window.partitionBy(col("cluster_id"))
     val ranked = clusters.join(q, Seq("doc_id"))
       .withColumn("n_merged", count(lit(1)).over(byCluster))
@@ -322,6 +337,25 @@ object Pipelines {
       .select(col("doc_id"), col("quality_score"), lit(1L).as("n_merged"))
     best.unionByName(loners).orderBy(col("doc_id"))
   }
+
+  /** Keep-best tail over an upstream `labels` CTE (q/cl/rk + final
+    * SELECT incl. the loner union) — shared by both keep-best oracle
+    * flavors so the keep policy has one SQL source. */
+  private lazy val keepBestTailSql: String =
+    s"""q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score FROM documents),
+       |cl AS (SELECT lb.doc_id, lb.cluster_id, q.quality_score
+       |       FROM labels lb JOIN q USING (doc_id)),
+       |rk AS (SELECT doc_id, quality_score,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY quality_score DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_merged
+       |       FROM cl)
+       |SELECT doc_id, quality_score, CAST(n_merged AS BIGINT) AS n_merged
+       |FROM rk WHERE rn = 1
+       |UNION ALL
+       |SELECT doc_id, quality_score, CAST(1 AS BIGINT) AS n_merged
+       |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+       |ORDER BY doc_id""".stripMargin
 
   /** [[contaminationReport]] with a BLOOM-FILTER prefilter — the
     * compact form the broadcast degrades to when the eval gram set is
@@ -415,29 +449,13 @@ object Pipelines {
          |FROM h63 ORDER BY ord""".stripMargin)),
     "pipeline_dedup_keep_best" -> QueryDef((s, d) => dedupKeepBest(s, d), Some(
       s"""WITH RECURSIVE pairs AS (${Dedup.boundedJaccardSql}),
-         |nodes AS (SELECT DISTINCT id FROM
-         |  (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
-         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score FROM documents),
-         |cl AS (SELECT lb.doc_id, lb.cluster_id, q.quality_score
-         |       FROM labels lb JOIN q USING (doc_id)),
-         |rk AS (SELECT doc_id, quality_score,
-         |         row_number() OVER (PARTITION BY cluster_id
-         |           ORDER BY quality_score DESC, doc_id) AS rn,
-         |         count(*) OVER (PARTITION BY cluster_id) AS n_merged
-         |       FROM cl)
-         |SELECT doc_id, quality_score, CAST(n_merged AS BIGINT) AS n_merged
-         |FROM rk WHERE rn = 1
-         |UNION ALL
-         |SELECT doc_id, quality_score, CAST(1 AS BIGINT) AS n_merged
-         |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM labels)
-         |ORDER BY doc_id""".stripMargin)),
+         |${Dedup.ccFromPairsSql},
+         |$keepBestTailSql""".stripMargin)),
+    "pipeline_multi_signal_keep_best" -> QueryDef((s, d) => multiSignalKeepBest(s, d), Some(
+      s"""WITH RECURSIVE
+         |${Dedup.multiSignalPairsCtes},
+         |${Dedup.ccFromPairsSql},
+         |$keepBestTailSql""".stripMargin)),
     "pipeline_contamination_bloom" -> QueryDef((s, d) => contaminationBloom(s, d), Some(
       s"""WITH $contamCte
          |SELECT c.doc_id, count(*) AS n_shared_grams
