@@ -201,7 +201,14 @@ object Dedup {
                       threshold: Double = 0.5,
                       bands: Int = 32, rows: Int = 2): DataFrame = {
     require(bands * rows <= 64, "banding exceeds the 64-hash signature")
-    val sig = minhashSignatures(s, dir)
+    // ONE shingling pass feeds both the signature path and the
+    // verification postings below (shingling is the dominant
+    // per-document cost; deriving it twice measured ~1 s extra at
+    // sf0.1).
+    val sh = shingledOn(docs(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+      graft.functions.textFunctions.minhash_sig(col("shingles"), coeffs, P).as("sig"))
     val bandsDf = sig.selectExpr("doc_id",
       s"""explode(transform(sequence(0, ${bands - 1}),
          |  b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))) AS bh)
@@ -213,13 +220,35 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(s, dir)
+    // Exact verification via a FULL-UNIVERSE posting-count join — the
+    // uncapped twin of [[boundedSharedCounts]], restricted to candidate
+    // docs. |A∩B| falls out of a (doc, g) equi-join on 8-byte
+    // M61+fmix64 shingle hashes and |A∪B| = sz_a + sz_b − n_shared
+    // from per-doc posting sizes, so verification shuffles longs —
+    // never whole shingle arrays per candidate (the prior
+    // array_intersect formulation put hundreds of strings on the wire
+    // per pair). Shingles are distinct per doc (word_ngrams dedupes),
+    // so counts ARE set sizes; precision 1 vs exact Jaccard is
+    // unchanged. Zero-overlap band collisions drop out of the inner
+    // join — indistinguishable from jac = 0 at any threshold > 0.
+    // Postings derive from the SAME persisted shingle lineage as the
+    // signatures (an explode is a cheap map over the cache; no second
+    // scan or shingling pass), and the cand join itself restricts them
+    // to colliding docs — the one full-posting shuffle moves 16-byte
+    // (doc_id, g) rows, which is the point. Set sizes come straight
+    // from size(shingles) on the cached frame: zero extra shuffles.
+    val posting = sh.select(col("doc_id"),
+      explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(posting.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(posting.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jac",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))))
+        col("n_shared").cast("double") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -924,8 +953,10 @@ object Dedup {
   }
 
   /** Exact full-universe word-3-gram Jaccard pairs at 0.5 — the oracle
-    * for `dedup_minhash_lsh`, whose verification intersects full
-    * shingle sets (no posting guard). */
+    * for `dedup_minhash_lsh`. Deliberately written over RAW shingle
+    * strings (list_intersect on string sets, no hashing, no posting
+    * guard) so it checks the engine's hashed posting-count
+    * verification from an independent formulation. */
   private lazy val exactJaccardSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
