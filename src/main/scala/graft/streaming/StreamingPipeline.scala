@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   *     extract is stateless and the count is a windowed agg).
   *
   * Scale posture: state is per-key O(1) (three longs), watermark bounds
-  * the window state store; at 100 TB/day this runs with shuffle
-  * partitions sized to the key cardinality and RocksDB state store —
-  * no unbounded buffering anywhere.
+  * the window state store, and every one-shot driver row runs on the
+  * RocksDB state store (wired in [[runOneShot]], pinned by
+  * StreamingPipelineSpec) — at 100 TB/day this runs with shuffle
+  * partitions sized to the key cardinality; no unbounded buffering and
+  * no state-in-heap anywhere.
   */
 object StreamingPipeline {
 
@@ -50,7 +52,43 @@ object StreamingPipeline {
       try f finally spark.conf.set(key, old)
     }
 
+  /** The production state-store backend: RocksDB keeps state
+    * off-heap and on local disk instead of in the executor heap
+    * (HDFSBackedStateStoreProvider holds every version of every key
+    * in a JVM map — at 100 TB/day key cardinalities that is an OOM,
+    * not a tuning problem). Changelog checkpointing keeps commit
+    * latency flat as state grows. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Scoped streaming confs: shuffle partitions AND the RocksDB state
+    * store provider, both baked into the query at `start()`, both
+    * restored afterwards. Same serialization contract as
+    * [[withStreamingPartitions]]. */
+  def withStreamingConfs[T](spark: SparkSession, n: Int,
+                            provider: Option[String])(f: => T): T =
+    confLock.synchronized {
+      withStreamingPartitions(spark, n) {
+        provider match {
+          case None => f
+          case Some(p) =>
+            val key = "spark.sql.streaming.stateStore.providerClass"
+            val old = spark.conf.getOption(key)
+            spark.conf.set(key, p)
+            try f
+            finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+        }
+      }
+    }
+
   private val confLock = new Object
+
+  /** Progress of the most recent one-shot run — observability seam so
+    * tests can pin what backend actually served the state operators
+    * (RocksDB announces itself via `rocksdb*` custom metrics). Driver
+    * rows run serially, so last-write-wins is well-defined. */
+  @volatile private[graft] var lastOneShotProgress:
+    Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
 
   /** The whole one-shot recipe in one place: scoped partitions →
     * memory sink under a fresh collision-free name → AvailableNow →
@@ -58,15 +96,18 @@ object StreamingPipeline {
     * routes through here so the drain/naming/partition contract has
     * exactly one implementation. */
   def runOneShot(df: DataFrame, namePrefix: String, mode: String,
-                 sortCols: Seq[String], partitions: Int = 4): DataFrame = {
+                 sortCols: Seq[String], partitions: Int = 4,
+                 provider: Option[String] = Some(RocksDbProvider)): DataFrame = {
     val spark = df.sparkSession
-    withStreamingPartitions(spark, partitions) {
+    withStreamingConfs(spark, partitions, provider) {
       val name = s"${namePrefix}_${oneShotSeq.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      awaitAndDrain(q, spark, name, sortCols: _*)
+      val out = awaitAndDrain(q, spark, name, sortCols: _*)
+      lastOneShotProgress = Option(q.lastProgress)
+      out
     }
   }
 

@@ -131,6 +131,25 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("daily_activity_stream_1"))
   }
 
+  test("one-shot driver rows run on the RocksDB state store (provider pinned)") {
+    // a stateful one-shot row through the shared runOneShot recipe —
+    // RocksDB announces itself in the state operators' custom metrics
+    val out = graft.ops.EventQueries.dailyUserActivityStreaming(spark, dir)
+    assert(out.count() > 0)
+    val progress = StreamingPipeline.lastOneShotProgress
+      .getOrElse(fail("runOneShot did not record progress"))
+    val stateOps = progress.stateOperators
+    assert(stateOps.nonEmpty, "expected a stateful operator in the one-shot run")
+    val metricKeys = stateOps.flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+    assert(metricKeys.exists(_.startsWith("rocksdb")),
+      s"no rocksdb* custom metric — state store is not RocksDB; saw: ${metricKeys.mkString(",")}")
+    // and the scoped override did not leak into the session (getOption
+    // surfaces the registered default — HDFSBacked — when unset, so
+    // pin "anything but RocksDB" rather than emptiness)
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+  }
+
   test("stateful streaming driver row equals the batch user_first_last exactly") {
     val got = graft.ops.EventQueries.userFirstLastStreamingStateful(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
