@@ -341,14 +341,109 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
       .orderBy(col("kind"))
 
+  // ------------------------------------------------- stub-signal oracles
+  //
+  // [[StubCodec]]'s pseudo-signal is DETERMINISTIC (a splitmix64-style
+  // stream seeded by a byte fold over the payload), and the driver
+  // payloads are ASCII text stand-ins — so the whole signal is
+  // SQL-expressible in DuckDB with the same HUGEINT mod-2^64 recipes
+  // that made ann_quantized_topk and simhash bit-exact. The byte fold
+  // is mirrored via codepoints, which equals UTF-8 bytes exactly for
+  // ASCII payloads (testdata verified ASCII at every SF; real media
+  // bytes route through JdkCodec and are spec-checked instead).
+
+  /** 0x9e3779b97f4a7c15 — the seed/stream increment. */
+  private val G = "11400714819323198485"
+
+  /** DuckDB twin of the payload seed fold
+    * `a ← (a * 31) mod 2^64 XOR byte` (bytes < 0x80 for ASCII, so the
+    * sign-extension branch of the JVM's widening never fires). */
+  private def seedFold: String =
+    s"""list_reduce([CAST($G AS HUGEINT)] ||
+       |    list_filter(list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS HUGEINT)), c -> c >= 0),
+       |    (a, b) -> xor((a * 31) % ${graft.OracleSql.two64}, b))""".stripMargin
+
+  /** Staged CTEs applying [[StubCodec]]'s finalizer to column `z`
+    * (HUGEINT state in [0, 2^64)) of `src`, ending in CTE `ev` where
+    * `z` is the decoded double in [0, 1]. Staged because every
+    * xor(z, z >> k) uses z twice — inlining would explode the
+    * expression (same pattern as OracleSql.m61FmixScalarCtes). */
+  private def mixCtes(src: String): String =
+    s"""e1 AS (SELECT * REPLACE (xor(z, z >> 30) AS z) FROM $src),
+       |e2 AS (SELECT * REPLACE (${graft.OracleSql.mulmod("z", 0xbf58476d1ce4e5b9L)} AS z) FROM e1),
+       |e3 AS (SELECT * REPLACE (xor(z, z >> 27) AS z) FROM e2),
+       |e4 AS (SELECT * REPLACE (${graft.OracleSql.mulmod("z", 0x94d049bb133111ebL)} AS z) FROM e3),
+       |ev AS (SELECT * REPLACE (CAST(xor(z, z >> 31) % 65536 AS DOUBLE) / 65535.0 AS z) FROM e4)""".stripMargin
+
+  /** media_features oracle: regenerate each record's pseudo-signal,
+    * then fold mean/std with list_reduce — an explicitly SEQUENTIAL
+    * left fold in element order, bit-identical to the Scala kernel's
+    * Array sum (a parallel SQL sum() could re-associate the float
+    * additions and flip a 6dp rounding). sqrt is IEEE
+    * correctly-rounded on both engines. */
+  private def featuresOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    text,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+       |  FROM documents),
+       |sd AS (SELECT media_id, kind, n_bytes, $seedFold AS s0,
+       |         GREATEST(LEAST(CASE CAST(media_id % 3 AS INTEGER)
+       |             WHEN 0 THEN 64 * GREATEST(n_bytes // 64, 1)
+       |             WHEN 1 THEN 160
+       |             ELSE GREATEST(n_bytes // 100, 1) * 16 END, 4096), 1) AS n
+       |       FROM src),
+       |el AS (SELECT media_id, kind, n_bytes, n, i,
+       |         ((s0 + (CAST(i AS HUGEINT) + 1) * $G) % ${graft.OracleSql.two64}) AS z
+       |       FROM (SELECT *, unnest(range(n)) AS i FROM sd)),
+       |${mixCtes("el")},
+       |lv AS (SELECT media_id, kind, n_bytes, n, list(z ORDER BY i) AS vs
+       |       FROM ev GROUP BY 1, 2, 3, 4),
+       |st AS (SELECT *, list_reduce(vs, (a, b) -> a + b) / n AS mean FROM lv)
+       |SELECT media_id, kind, n_bytes,
+       |  ${graft.OracleSql.round("mean", 6)} AS mean,
+       |  ${graft.OracleSql.round(
+                "sqrt(list_reduce(list_transform(vs, x -> (x - mean) * (x - mean)), (a, b) -> a + b) / n)",
+                6)} AS std
+       |FROM st ORDER BY media_id""".stripMargin
+
+  /** media_frame_samples oracle: stride-2/max-8 frame indices per
+    * video, each checksummed from the signal element at i mod
+    * sig_len. trunc() mirrors Double.toLong (DuckDB's bare
+    * double→BIGINT cast rounds instead). */
+  private def framesOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS media_id, text,
+       |    octet_length(CAST(text AS BLOB)) AS n_bytes
+       |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+       |sd AS (SELECT media_id, $seedFold AS s0,
+       |         GREATEST(n_bytes // 100, 1) AS n_frames,
+       |         GREATEST(LEAST(GREATEST(n_bytes // 100, 1) * 16, 4096), 1) AS sig_len
+       |       FROM src),
+       |fr AS (SELECT media_id, s0, sig_len, i
+       |       FROM sd, (SELECT unnest([0, 2, 4, 6, 8, 10, 12, 14]) AS i)
+       |       WHERE i < n_frames),
+       |el AS (SELECT media_id, i,
+       |         ((s0 + (CAST(i % sig_len AS HUGEINT) + 1) * $G) % ${graft.OracleSql.two64}) AS z
+       |       FROM fr),
+       |${mixCtes("el")}
+       |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+       |  CAST(i * 40 AS BIGINT) AS offset_ms,
+       |  CAST(trunc(z * 1000000000.0) AS BIGINT) AS checksum
+       |FROM ev ORDER BY media_id, frame_idx""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "media_inventory" -> QueryDef(inventoryQuery, Some(
       """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  count(*) AS n_media, CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
-    // Stub-codec outputs: rows-only; shape/determinism in MultimodalSpec.
-    "media_features" -> QueryDef(featureQuery),
-    "media_frame_samples" -> QueryDef(frameQuery),
+    // Stub-codec outputs over deterministic stand-in payloads: the
+    // pseudo-signal itself is mirrored in DuckDB, so both rows are
+    // fully hash-checked (shape/once-per-partition-init still in
+    // MultimodalSpec).
+    "media_features" -> QueryDef(featureQuery, Some(featuresOracle)),
+    "media_frame_samples" -> QueryDef(frameQuery, Some(framesOracle)),
     // rows-only: the hash is a function of DECODED bytes (real-PNG
     // near-dup behavior pinned in MultimodalSpec on genuine images)
     "media_ahash" -> QueryDef((s, d) =>
