@@ -594,8 +594,10 @@ object Dedup {
     * Scale posture: the exact check is a hash semi-join (16-byte keys);
     * the near check reuses [[jaccardPairsOn]]'s bounded inverted-index
     * join over the union and keeps only cross-side pairs — the
-    * existing side's postings are the "index", re-derived here but
-    * persisted once in a production ingest loop. */
+    * existing side's postings are the "index", re-derived here. The
+    * production ingest loop persists it instead: see
+    * [[writePostingIndex]]/[[ingestDedupIndexed]], which produce
+    * identical verdicts from a gb-partitioned parquet index. */
   def ingestDedup(s: SparkSession, dir: String, splitId: Long = 400L,
                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
     ingestDedupOn(docs(s, dir), splitId, threshold, maxBucket)
@@ -629,6 +631,150 @@ object Dedup {
         (coalesce(col("e"), lit(false)) === false &&
           coalesce(col("n"), lit(false)) === false).as("admit"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------ persisted ingest index
+
+  /** Materialize the EXISTING corpus's dedup index once, so every later
+    * ingest batch checks against parquet instead of re-shingling the
+    * (ever-growing) corpus — the "persisted once in a production ingest
+    * loop" posture [[ingestDedupOn]] documents, implemented. Layout
+    * (mirrors [[Ivf.writeIndex]]'s partitioned-for-pruning shape):
+    *
+    *  - `exact/`    distinct md5 content hashes,
+    *  - `postings/` (doc_id, g) UNCAPPED 8-byte shingle hashes,
+    *    partitioned by `gb = pmod(g, nBuckets)` so a query batch reads
+    *    only the buckets its own grams touch (PartitionFilters at the
+    *    scan — pinned in PlanPinsSpec),
+    *  - `dfreq/`    (g, df) per-gram document frequency, same
+    *    partitioning (the union df-cap needs existing dfs without
+    *    scanning postings),
+    *  - `sizes/`    (doc_id, sz0) posting-set sizes under the
+    *    EXISTING-ONLY df ≤ `maxBucket` cap; queries correct these for
+    *    grams the incoming batch pushes over the cap.
+    *
+    * Postings stay uncapped on disk because the df-cap is a property of
+    * the UNION of corpus + batch: a gram under the cap today can go
+    * over it after any batch, and the capped-universe size bookkeeping
+    * (the [[boundedSharedCounts]] invariant) must follow. */
+  def writePostingIndex(s: SparkSession, existing: DataFrame, path: String,
+                        maxBucket: Int = 1000, nBuckets: Int = 32): Unit = {
+    val ex = existing.select(col("doc_id"), col("text"))
+    ex.select(md5(col("text")).as("content_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$path/exact")
+    val posting = shingledOn(ex)
+      .select(col("doc_id"),
+        explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+      .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      posting.write.mode("overwrite").partitionBy("gb").parquet(s"$path/postings")
+      val dfreq = posting.groupBy(col("g"), col("gb")).agg(count(lit(1)).as("df"))
+      dfreq.write.mode("overwrite").partitionBy("gb").parquet(s"$path/dfreq")
+      posting.join(
+          s.read.parquet(s"$path/dfreq").filter(col("df") <= maxBucket).select(col("g")),
+          Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz0"))
+        .write.mode("overwrite").parquet(s"$path/sizes")
+    } finally posting.unpersist()
+  }
+
+  /** Ingest-dedup a batch against a [[writePostingIndex]] index —
+    * result identical to [[ingestDedupOn]] over (existing ∪ incoming)
+    * restricted to cross-side near-pairs, without touching the
+    * existing corpus' text. `maxBucket`/`nBuckets` must match the
+    * index build.
+    *
+    * Union df-cap reconstruction: df_union(g) = df_ex(g) + df_in(g).
+    * Grams ABSENT from the batch keep their build-time hot status
+    * (df_union = df_ex), so the stored `sz0` sizes are correct except
+    * for grams the batch pushes over the cap ("newly hot" — all of
+    * which appear in the batch, hence in the touched buckets); their
+    * per-doc counts are subtracted. Shared counts join existing
+    * postings to cap-surviving batch postings on g, so only cross
+    * pairs are ever enumerated.
+    *
+    * Scale posture: everything on the wire is 8-byte gram hashes or
+    * (doc, count) rows; the index scans prune to the batch's gram
+    * buckets (a small batch touches few — the incremental-ingest
+    * shape); the one collect is ≤ nBuckets ints for the pruning
+    * literals. Persisted intermediates live until the session drops
+    * them (serial driver-session assumption, as elsewhere in this
+    * module). */
+  def ingestDedupIndexed(s: SparkSession, path: String, incoming: DataFrame,
+                         threshold: Double = 0.5, maxBucket: Int = 1000,
+                         nBuckets: Int = 32): DataFrame = {
+    val inc = incoming.select(col("doc_id"), col("text"))
+    val inPost = shingledOn(inc)
+      .select(col("doc_id"),
+        explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+      .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = inPost.select(col("gb")).distinct().collect().map(_.getInt(0))
+    val bLits = buckets.map(Integer.valueOf)
+    val dfIn = inPost.groupBy(col("g")).agg(count(lit(1)).as("df_in"))
+    val dfEx = s.read.parquet(s"$path/dfreq")
+      .filter(col("gb").isin(bLits: _*))
+      .select(col("g"), col("df").as("df_ex"))
+    val dfU = dfIn.join(dfEx, Seq("g"), "left")
+      .select(col("g"), coalesce(col("df_ex"), lit(0L)).as("df_ex"),
+        (col("df_in") + coalesce(col("df_ex"), lit(0L))).as("df_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unionHot = dfU.filter(col("df_u") > maxBucket).select(col("g"))
+    val newlyHot = dfU.filter(col("df_u") > maxBucket && col("df_ex") <= maxBucket)
+      .select(col("g"))
+    val inB = inPost.join(unionHot, Seq("g"), "left_anti")
+    // pruned scans (no persist: re-reading a pruned parquet scan is
+    // cheaper than caching it for two uses)
+    def exPost = s.read.parquet(s"$path/postings")
+      .filter(col("gb").isin(bLits: _*))
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val shared = exPost
+      .join(inB.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    val corr = exPost.join(newlyHot, Seq("g"), "left_semi")
+      .groupBy(col("doc_a")).agg(count(lit(1)).as("corr"))
+    val szA = s.read.parquet(s"$path/sizes")
+      .select(col("doc_id").as("doc_a"), col("sz0"))
+      .join(corr, Seq("doc_a"), "left")
+      .select(col("doc_a"), (col("sz0") - coalesce(col("corr"), lit(0L))).as("sz_a"))
+    val szB = inB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_b"))
+      .select(col("doc_id").as("doc_b"), col("sz_b"))
+    val nearDup = shared.join(szA, "doc_a").join(szB, "doc_b")
+      .withColumn("jac",
+        col("n_shared").cast("double") / (col("sz_a") + col("sz_b") - col("n_shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("n"))
+    val exactDup = inc.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(s.read.parquet(s"$path/exact"), Seq("content_hash"), "left_semi")
+      .select(col("doc_id"), lit(true).as("e"))
+    inc.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        coalesce(col("n"), lit(false)).as("near_dup"),
+        (coalesce(col("e"), lit(false)) === false &&
+          coalesce(col("n"), lit(false)) === false).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Monotonic per-invocation suffix for scratch paths (same
+    * concurrent-run collision rationale as [[Ivf.ivfIndexedQuery]]). */
+  private val ingestScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver row: build the posting index from the existing split,
+    * answer the incoming split through it — must equal
+    * [[ingestDedup]]'s verdicts row for row (same oracle SQL). */
+  def ingestDedupIndexedQuery(s: SparkSession, dir: String,
+                              splitId: Long = 400L): DataFrame = {
+    val all = docs(s, dir)
+    val path = new java.io.File(
+      s"target/scratch/ingest_index_${s.sparkContext.applicationId}_${ingestScratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    writePostingIndex(s, all.filter(col("doc_id") < splitId), path)
+    ingestDedupIndexed(s, path, all.filter(col("doc_id") >= splitId))
   }
 
   // ----------------------------------------------------------- span dedup
@@ -751,20 +897,12 @@ object Dedup {
          |FROM pairs JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id
          |WHERE levenshtein(a.text, b.text) <= 7
          |ORDER BY doc_a, doc_b""".stripMargin)),
-    "dedup_ingest_verdicts" -> QueryDef((s, d) => ingestDedup(s, d), Some(
-      s"""WITH pairs AS (${boundedJaccardSql}),
-         |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
-         |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
-         |exact AS (SELECT doc_id FROM inc WHERE h IN (SELECT h FROM ex)),
-         |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
-         |         WHERE doc_a < 400 AND doc_b >= 400)
-         |SELECT i.doc_id,
-         |       e.doc_id IS NOT NULL AS exact_dup,
-         |       n.doc_id IS NOT NULL AS near_dup,
-         |       (e.doc_id IS NULL AND n.doc_id IS NULL) AS admit
-         |FROM inc i LEFT JOIN exact e ON i.doc_id = e.doc_id
-         |           LEFT JOIN near n ON i.doc_id = n.doc_id
-         |ORDER BY i.doc_id""".stripMargin)),
+    "dedup_ingest_verdicts" -> QueryDef((s, d) => ingestDedup(s, d), Some(ingestVerdictsSql)),
+    // Same verdicts through the PERSISTED posting index — the oracle is
+    // deliberately the SAME SQL: index build + pruned reads + union-df-cap
+    // reconstruction must be invisible in the output.
+    "dedup_ingest_indexed" -> QueryDef((s, d) => ingestDedupIndexedQuery(s, d),
+      Some(ingestVerdictsSql)),
     // Independent DuckDB reimplementation of the k-gram span-hash
     // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the
     // winnow oracle's chain without the window minimum) plus the
@@ -951,6 +1089,23 @@ object Dedup {
        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Ingest-verdict oracle, shared by the rederiving AND the indexed
+    * implementation (they must be indistinguishable in output). */
+  private lazy val ingestVerdictsSql: String =
+    s"""WITH pairs AS (${boundedJaccardSql}),
+       |ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
+       |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400),
+       |exact AS (SELECT doc_id FROM inc WHERE h IN (SELECT h FROM ex)),
+       |near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+       |         WHERE doc_a < 400 AND doc_b >= 400)
+       |SELECT i.doc_id,
+       |       e.doc_id IS NOT NULL AS exact_dup,
+       |       n.doc_id IS NOT NULL AS near_dup,
+       |       (e.doc_id IS NULL AND n.doc_id IS NULL) AS admit
+       |FROM inc i LEFT JOIN exact e ON i.doc_id = e.doc_id
+       |           LEFT JOIN near n ON i.doc_id = n.doc_id
+       |ORDER BY i.doc_id""".stripMargin
 
   /** Exact full-universe word-3-gram Jaccard pairs at 0.5 — the oracle
     * for `dedup_minhash_lsh`. Deliberately written over RAW shingle

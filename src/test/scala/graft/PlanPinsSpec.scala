@@ -28,6 +28,15 @@ class PlanPinsSpec extends AnyFunSuite {
       s"no shipdate pushdown:\n$p")
   }
 
+  test("ingest index: batch reads prune to the batch's gram buckets") {
+    // the whole point of the gb-partitioned posting index: an ingest
+    // batch's scans carry PartitionFilters, so index I/O follows the
+    // batch's gram coverage, not the corpus size
+    val p = plan("dedup_ingest_indexed")
+    assert("""PartitionFilters: \[[^\]]*gb""".r.findFirstIn(p).isDefined,
+      s"no gb partition pruning in the indexed ingest plan:\n$p")
+  }
+
   test("top_orders: TakeOrderedAndProject, never a global sort") {
     val p = plan("top_orders")
     assert(p.contains("TakeOrderedAndProject"), s"no bounded top-N:\n$p")

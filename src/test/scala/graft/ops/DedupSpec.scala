@@ -243,6 +243,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got(103L) == ((false, false, true)), s"${got(103L)}")
   }
 
+  test("indexed ingest dedup equals the rederiving path, including union-df-cap flips") {
+    import spark.implicits._
+    // maxBucket = 3 so the df-cap machinery actually fires:
+    //  - "h1 h2 h3" in 4 existing docs  -> hot at BUILD time (df_ex > 3)
+    //  - "n1 n2 n3" in 2 existing + 2 incoming -> newly hot only under
+    //    the UNION (df_ex = 2 <= 3 < 4 = df_u) — the stored sizes must
+    //    be corrected for it at query time
+    // threshold = 0.05 so a single wrongly-counted shared gram (e.g. a
+    // newly-hot one that an implementation forgot to drop) flips a
+    // verdict instead of hiding under a high bar.
+    val docs = Seq(
+      0L -> "h1 h2 h3 a1 a2 a3 n1 n2 n3",
+      1L -> "h1 h2 h3 b1 b2 b3 n1 n2 n3",
+      2L -> "h1 h2 h3 c1 c2 c3 c4 c5 c6",
+      3L -> "h1 h2 h3 d1 d2 d3 d4 d5 d6",
+      4L -> (1 to 30).map(i => s"w$i").mkString(" "),
+      100L -> "h1 h2 h3 x1 x2 x3 n1 n2 n3",
+      101L -> ("n1 n2 n3 " + (1 to 6).map(i => s"y$i").mkString(" ")),
+      102L -> ((1 to 27).map(i => s"w$i").mkString(" ") + " x1 x2 x3"),
+      103L -> (1 to 30).map(i => s"q$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val direct = Dedup.ingestDedupOn(docs, splitId = 100L,
+        threshold = 0.05, maxBucket = 3)
+      .collect().toSeq
+    val path = "target/scratch/ingest_index_spec"
+    Dedup.writePostingIndex(spark, docs.filter($"doc_id" < 100), path, maxBucket = 3)
+    val viaIndex = Dedup.ingestDedupIndexed(spark, path,
+      docs.filter($"doc_id" >= 100), threshold = 0.05, maxBucket = 3)
+    assert(viaIndex.collect().toSeq == direct)
+    val got = direct.map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // 100/101 share ONLY hot or newly-hot grams with the corpus — both
+    // cap classes must vanish from the shared counts
+    assert(got(100L) == ((false, false, true)), s"${got(100L)}")
+    assert(got(101L) == ((false, false, true)), s"${got(101L)}")
+    assert(got(102L) == ((false, true, false)), s"${got(102L)}")
+    assert(got(103L) == ((false, false, true)), s"${got(103L)}")
+    // and the pruned index reads carry a partition filter on gb
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*gb""".r.findFirstIn(plan).isDefined,
+      s"no gb partition pruning in plan:\n$plan")
+  }
+
   test("span dedup: an exact duplicate pair is fully covered") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"t$i").mkString(" ")
