@@ -140,7 +140,7 @@ object DataQuality {
                     "(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE))", 9)} AS cb
          |       FROM grid)
          |SELECT count(*) AS n_cells,
-         |  (SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) FROM documents) AS dof,
+         |  (SELECT (count(*) - 1) FROM r) * (SELECT (count(*) - 1) FROM c) AS dof,
          |  ${graft.OracleSql.round("CAST(sum(cb) AS DOUBLE)", 4)} AS chi2
          |FROM cb""".stripMargin)),
     "dq_checks" -> QueryDef((s, d) => checks(s, d), Some(

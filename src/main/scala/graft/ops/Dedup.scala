@@ -133,7 +133,17 @@ object Dedup {
       .filter(col("df") > maxBucket)
       .select(col("g"))
     // persist: the self-join would otherwise re-derive the
-    // shingling+explode lineage for both sides (2× the dominant cost)
+    // shingling+explode lineage for both sides (2× the dominant cost).
+    //
+    // CACHE LIFETIME CONTRACT (applies to every mid-plan persist in
+    // graft.ops): the cached block backs the RETURNED lazy plan, so
+    // the operator cannot unpersist it before the caller's action.
+    // The serial driver sessions (Verify/Bench/PlanProbe) call
+    // spark.catalog.clearCache() between queries, which reclaims
+    // these; a caller embedding an operator in a long-lived session
+    // owns the same cleanup (clearCache, or unpersist after its
+    // consuming action). Composed queries (multi-signal) accumulate
+    // at most their generators' caches within one query lifetime.
     val bounded = posting.join(broadcast(hot), Seq("g"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -512,7 +522,13 @@ object Dedup {
     * is pair-graph-sized, ≪ corpus. */
   def multiSignalClusters(s: SparkSession, dir: String): DataFrame = {
     val j = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val sh = simhashPairs(s, dir, maxHamming = 8).select(col("doc_a"), col("doc_b"))
+    // maxHamming = 6, NOT 8: the 28-table 2-block candidate scheme is
+    // complete only to h ≤ 6 (hamming64Pairs' contract); at 7-8 a pair
+    // surfaces only when it happens to share two clean blocks, and a
+    // "union of generators" whose simhash leg has incidental recall
+    // would overstate the endgame's guarantee. The standalone
+    // dedup_simhash_pairs row keeps 8 with that caveat documented.
+    val sh = simhashPairs(s, dir, maxHamming = 6).select(col("doc_a"), col("doc_b"))
     val se = Similarity.semanticPairs(s, dir).select(col("doc_a"), col("doc_b"))
     clustersFromEdges(j.union(sh).union(se).distinct())
   }
@@ -814,7 +830,8 @@ object Dedup {
         posexplode(graft.functions.textFunctions.kgram_span_hashes(col("t"), k))
           .as(Seq("pos", "sh")))
       // the hot-span set derives from this same frame; persist so the
-      // semi-join does not re-derive the kernel lineage twice
+      // semi-join does not re-derive the kernel lineage twice (cache
+      // lifetime: boundedSharedCounts' contract)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupSet = spans.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1023,10 +1040,12 @@ object Dedup {
       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   /** The three-generator pair-union CTE chain (pj/ps/pe → `pairs`),
-    * shared by the multi-signal cluster and keep-best oracles. */
+    * shared by the multi-signal cluster and keep-best oracles. The
+    * simhash leg mirrors the engine's maxHamming = 6 (the complete
+    * range of the block-pair scheme — see multiSignalClusters). */
   private[ops] def multiSignalPairsCtes: String =
     s"""pj AS ($boundedJaccardSql),
-       |ps AS ($simhashPairsSql),
+       |ps AS (${simhashPairsSqlAt(6)}),
        |pe AS (WITH ${Similarity.semanticAvCtes}
        |       ${Similarity.semanticPairSelect}),
        |pairs AS (SELECT doc_a, doc_b FROM pj
@@ -1068,7 +1087,9 @@ object Dedup {
     * mix, and convert to two's-complement BIGINT (− 2^64 when ≥ 2^63)
     * before bit votes; arithmetic >> plus & masks extract bits
     * identically to Java's >>> on both engines. */
-  private lazy val simhashPairsSql: String = {
+  private lazy val simhashPairsSql: String = simhashPairsSqlAt(8)
+
+  private def simhashPairsSqlAt(maxHamming: Int): String = {
     s"""WITH $shingleHashCtes,
        |sim AS (SELECT doc_id,
        |         CAST(CASE WHEN ssum >= $two63 THEN ssum - $two64 ELSE ssum END AS BIGINT) AS simhash
@@ -1086,7 +1107,7 @@ object Dedup {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |         FROM ch a JOIN ch b ON a.tbl = b.tbl AND a.chv = b.chv AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

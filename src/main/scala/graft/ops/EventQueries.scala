@@ -425,12 +425,16 @@ object EventQueries {
     * from each type's own min/max — the profiling/reporting shape).
     * Bin arithmetic is plain IEEE double ops over exact inputs, so
     * both engines bin identically; the degenerate all-equal-values
-    * type (width 0) collapses to bin 0. */
+    * type (width 0) collapses to bin 0. NULL values are excluded on
+    * BOTH sides (a histogram of values has no NULL bin; and a NULL
+    * bin's position would hinge on engine NULL-ordering defaults —
+    * Spark sorts NULLS FIRST, DuckDB LAST). */
   def valueHistogram(s: SparkSession, dir: String): DataFrame = {
     val bounds = events(s, dir)
       .groupBy(col("event_type"))
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     events(s, dir)
+      .filter(col("value").isNotNull)
       .join(broadcast(bounds), "event_type")
       .withColumn("bin",
         when(col("vmax") === col("vmin"), lit(0L))
@@ -652,6 +656,7 @@ object EventQueries {
         |       ELSE least(CAST(floor((e.value - b.vmin) / (b.vmax - b.vmin) * 10) AS BIGINT), 9) END AS bin,
         |  count(*) AS n
         |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
     "value_percentiles" -> QueryDef(valuePercentiles, Some(
       s"""SELECT event_type,

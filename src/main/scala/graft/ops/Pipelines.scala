@@ -61,6 +61,7 @@ object Pipelines {
     // this frame — without it the quality lineage (split/stopword/
     // distinct HOFs over every doc) executes twice, the documented
     // dominant cost the global tokenBudgetSelect persists against
+    // (cache lifetime: Dedup.boundedSharedCounts' contract)
     val scored = TextAnalysis.withQuality(
         Tables(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), col("quality_score"),

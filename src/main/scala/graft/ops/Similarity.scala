@@ -356,6 +356,9 @@ object Similarity {
     vecs
       .join(clusterAssignOn(vecs, k).select(col("vec_id"), col("centroid_id")),
         "vec_id")
+      // cache lifetime: see Dedup.boundedSharedCounts' contract — the
+      // serial drivers clearCache between queries; embedding callers
+      // own unpersist/clearCache after their consuming action
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def pairsFromAv(av: DataFrame, threshold: Double): DataFrame =
