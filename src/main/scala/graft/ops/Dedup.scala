@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   *    (stopword-like shingles) that would go quadratic — standard
   *    practice, and exact-dup collapse should run first so identical
   *    docs don't flood one bucket.
+  *  - SKEW below the guard: maxBucket caps per-bucket JOIN cost
+  *    (≤ maxBucket² rows from one gram), but a shuffle PARTITION still
+  *    aggregates many surviving buckets, and natural-language gram
+  *    frequencies are Zipfian — a task can draw several near-cap grams.
+  *    First line of defense is AQE's skew-join split
+  *    (spark.sql.adaptive.skewJoin — on by default, runs under the
+  *    posting self-join's sort-merge plan; pinned executable in
+  *    PlanPinsSpec), which re-splits oversized partitions at runtime
+  *    without changing results. If a deployment sees residual
+  *    stragglers (very low maxBucket budgets concentrate mass), the
+  *    fallback is standard hot-band salting: append `pmod(hash(doc_id),
+  *    S)` to the join key of grams whose df exceeds maxBucket/S and
+  *    replicate the other side S ways — recall unchanged, the hot
+  *    bucket's Σ² cost spread over S tasks.
   *  - All shingle/minhash/simhash computation is Catalyst higher-order
   *    functions over arrays (codegen'd, no UDFs); signatures are
   *    fixed-width arrays of longs, columnar-friendly.

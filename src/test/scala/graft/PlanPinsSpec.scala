@@ -28,6 +28,29 @@ class PlanPinsSpec extends AnyFunSuite {
       s"no shipdate pushdown:\n$p")
   }
 
+  test("posting self-join runs shuffled under AQE with skew-join armed") {
+    // Zipfian gram frequencies make the posting self-join the skew
+    // candidate; AQE's skew split is the documented first line of
+    // defense (Dedup scaladoc), so pin that it is actually armed and
+    // that the join is the shuffled (= skew-splittable) shape, not a
+    // broadcast that skew handling cannot touch at corpus scale.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // at sf0.001 every side fits a broadcast, which hides the at-scale
+    // join shape — disable auto-broadcast to see the plan a 100 TB
+    // corpus would get
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("dedup_jaccard_pairs")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan"), s"no AQE in plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"posting self-join is not a shuffled join:\n$p")
+    } finally spark.conf.set(key, old)
+  }
+
   test("ingest index: batch reads prune to the batch's gram buckets") {
     // the whole point of the gb-partitioned posting index: an ingest
     // batch's scans carry PartitionFilters, so index I/O follows the
