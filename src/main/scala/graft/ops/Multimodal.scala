@@ -254,10 +254,11 @@ object Multimodal {
   /** Frame sampling for videos: every `stride`-th frame up to `maxFrames`,
     * one output row per sampled frame (Generator-shaped: flatMap). */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2,
-                   maxFrames: Int = 8, batchSize: Int = 64): Dataset[FrameSample] = {
+                   maxFrames: Int = 8, batchSize: Int = 64,
+                   codec: () => MediaCodec = () => new StubCodec): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
-      .mapPartitions(inBatches[MediaRecord, FrameSample](new StubCodec, batchSize) {
+      .mapPartitions(inBatches[MediaRecord, FrameSample](codec(), batchSize) {
         (codec, batch) =>
           batch.iterator.flatMap { rec =>
             val sig = codec.decode(rec)
