@@ -78,6 +78,41 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned bm25: exact scores for candidates, common-term-only docs dropped") {
+    import spark.implicits._
+    // query = doc 0's terms: rare, mid, com1, com2. dfs: rare=2 < mid=3
+    // < com1=com2 (most of the corpus) → informative = {rare, mid}.
+    // doc 20 matches ONLY the common terms: full bm25 scores it, the
+    // pruned variant must not open it. doc 21 matches `mid` (plus a
+    // common term): it survives, and its score must include the common
+    // term's contribution too — pruning gates candidacy, never scoring.
+    val corpus = Seq(
+      (0L, "rare mid com1 com2"),
+      (20L, "com1 com2 pad pad"),
+      (21L, "mid com1 pad pad"),
+      (22L, "rare pad pad pad"),
+      (23L, "com1 com2 pad pad"),
+      (24L, "com1 com2 pad pad"),
+      (25L, "mid com2 pad pad"))
+    val df = corpus.toDF("doc_id", "text")
+    val full = Retrieval.bm25TopKOn(df, nQueries = 1, qLen = 4, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val pruned = Retrieval.bm25TopKPrunedOn(df, nQueries = 1, qLen = 4, k = 10,
+        nInformative = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(full.contains(20L), "full bm25 should score the common-only doc")
+    assert(!pruned.contains(20L), "pruned bm25 must not open a common-term-only doc")
+    assert(!pruned.contains(23L) && !pruned.contains(24L))
+    // every surviving candidate keeps its EXACT full-bm25 score
+    for ((id, sc) <- pruned)
+      assert(sc == full(id), s"doc $id: pruned $sc != full ${full(id)}")
+    assert(pruned.keySet == Set(0L, 21L, 22L, 25L), s"candidates: ${pruned.keySet}")
+    // ranks within the survivors follow the full ordering restricted
+    // to them (scores are identical, so this is implied; spot-check
+    // the winner)
+    assert(pruned(0L) == full(0L))
+  }
+
   test("a query's terms all appearing in one doc outranks partial matches") {
     import spark.implicits._
     // doc 10 has both rare terms once; 11/12 only one each, padded to
