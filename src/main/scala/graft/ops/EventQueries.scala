@@ -484,7 +484,12 @@ object EventQueries {
     * 0.02 leaves the 5% contract ≈2.5σ of headroom while the sketch
     * stays trivially broadcast/merge-sized. */
   def approxUserCardinality(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    approxUserCardinalityOn(events(s, dir))
+
+  /** Generic variant over any frame with (event_type, user_id) — the
+    * 10×-cardinality error-bound spec replicates events through this. */
+  def approxUserCardinalityOn(ev: DataFrame): DataFrame =
+    ev
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),

@@ -57,4 +57,28 @@ class SkewUtilsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("approx cardinality holds 5% on the 10x-replicated probe data") {
+    // the ScaleProbe replication recipe inline: 10 shifted copies of
+    // sf0.1's events → 10× DISTINCT users per type (~50k, squarely in
+    // the dense-HLL regime the rsd=0.02 headroom argument targets)
+    val ev = EventQueries.events(spark, "/root/testdata/sf0.1")
+      .select("event_type", "user_id")
+    val big = (0 until 10)
+      .map(i => ev.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val approx = EventQueries.approxUserCardinalityOn(big).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val exact = big.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(exact.values.forall(_ >= 10000), s"replication too small: $exact")
+      for ((k, e) <- exact) {
+        val a = approx(k)
+        assert(math.abs(a - e).toDouble / e <= 0.05, s"10x $k: approx=$a exact=$e")
+      }
+    } finally big.unpersist()
+  }
 }
