@@ -698,9 +698,15 @@ object Dedup {
       .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      posting.write.mode("overwrite").partitionBy("gb").parquet(s"$path/postings")
+      // repartition by the partition column first: otherwise EVERY
+      // write task opens a file in EVERY bucket dir (tasks × buckets
+      // small files); clustered, each bucket gets one contiguous file
+      // — fewer open files at write, fewer splits at pruned read
+      posting.repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb").parquet(s"$path/postings")
       val dfreq = posting.groupBy(col("g"), col("gb")).agg(count(lit(1)).as("df"))
-      dfreq.write.mode("overwrite").partitionBy("gb").parquet(s"$path/dfreq")
+      dfreq.repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb").parquet(s"$path/dfreq")
       posting.join(
           s.read.parquet(s"$path/dfreq").filter(col("df") <= maxBucket).select(col("g")),
           Seq("g"), "left_semi")
