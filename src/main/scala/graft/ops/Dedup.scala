@@ -796,6 +796,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Admit an ingested batch into the index: append exact hashes and
+    * postings, then COMPACT — re-derive dfreq/ and sizes/ from the
+    * appended posting set so the stored baseline is again consistent
+    * with the full universe (the query-time union-df-cap correction
+    * in [[ingestDedupIndexed]] is exact only against a consistent
+    * baseline). Appends are cheap (new files into existing gb dirs);
+    * the compaction rewrites the two aggregate tables, which are
+    * gram- and doc-sized, not posting-sized. A production loop can
+    * batch several appends per compaction, at the price of carrying
+    * the un-compacted delta in the query (not implemented — the
+    * per-append compaction keeps exactly one code path exact). */
+  def appendToPostingIndex(s: SparkSession, admitted: DataFrame, path: String,
+                           maxBucket: Int = 1000, nBuckets: Int = 32): Unit = {
+    val ad = admitted.select(col("doc_id"), col("text"))
+    ad.select(md5(col("text")).as("content_hash")).distinct()
+      .write.mode("append").parquet(s"$path/exact")
+    shingledOn(ad)
+      .select(col("doc_id"),
+        explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+      .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
+      .repartition(col("gb"))
+      .write.mode("append").partitionBy("gb").parquet(s"$path/postings")
+    val posting = s.read.parquet(s"$path/postings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfreq = posting.groupBy(col("g"), col("gb")).agg(count(lit(1)).as("df"))
+      dfreq.repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb").parquet(s"$path/dfreq")
+      posting.join(
+          s.read.parquet(s"$path/dfreq").filter(col("df") <= maxBucket).select(col("g")),
+          Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz0"))
+        .write.mode("overwrite").parquet(s"$path/sizes")
+    } finally posting.unpersist()
+  }
+
   /** Monotonic per-invocation suffix for scratch paths (same
     * concurrent-run collision rationale as [[Ivf.ivfIndexedQuery]]). */
   private val ingestScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -811,6 +847,49 @@ object Dedup {
     ).getAbsolutePath
     writePostingIndex(s, all.filter(col("doc_id") < splitId), path)
     ingestDedupIndexed(s, path, all.filter(col("doc_id") >= splitId))
+  }
+
+  /** Driver row: the COMPLETE production ingest loop over two epochs —
+    * build the index from docs < 400, verdict epoch 1 (400-449)
+    * against it, admit epoch 1's survivors into the index
+    * ([[appendToPostingIndex]]), verdict epoch 2 (450-499) against the
+    * GROWN index. Epoch 2's near/exact checks therefore see admitted
+    * epoch-1 docs as corpus — the semantics that distinguish a loop
+    * from two independent batches (and what the oracle mirrors with a
+    * second posting universe of docs<400 ∪ admitted₁ ∪ epoch₂).
+    *
+    * Epoch-1 verdicts are collected before the index mutates under
+    * their lazy plan — bounded (one row per batch doc; a production
+    * loop persists verdicts to a table between epochs anyway). */
+  def ingestEpochsQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/scratch/ingest_epochs_${s.sparkContext.applicationId}_${ingestScratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    ingestEpochsOn(s, docs(s, dir), path, split1 = 400L, split2 = 450L)
+  }
+
+  /** Generic epoch loop over any (doc_id, text) frame: existing =
+    * ids < split1, epoch 1 = [split1, split2), epoch 2 = ≥ split2. */
+  def ingestEpochsOn(s: SparkSession, all: DataFrame, path: String,
+                     split1: Long, split2: Long,
+                     threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    writePostingIndex(s, all.filter(col("doc_id") < split1), path, maxBucket)
+    val v1 = ingestDedupIndexed(s, path,
+      all.filter(col("doc_id") >= split1 && col("doc_id") < split2),
+      threshold, maxBucket)
+    val r1 = v1.collect()
+    val v1df = s.createDataFrame(java.util.Arrays.asList(r1: _*), v1.schema)
+    val admitted1 = r1.filter(_.getAs[Boolean]("admit")).map(_.getAs[Long]("doc_id"))
+    appendToPostingIndex(s,
+      all.filter(col("doc_id").isin(admitted1.map(java.lang.Long.valueOf): _*)),
+      path, maxBucket)
+    val v2 = ingestDedupIndexed(s, path, all.filter(col("doc_id") >= split2),
+      threshold, maxBucket)
+    v1df.withColumn("epoch", lit(1L))
+      .unionByName(v2.withColumn("epoch", lit(2L)))
+      .select(col("doc_id"), col("epoch"),
+        col("exact_dup"), col("near_dup"), col("admit"))
+      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------------- span dedup
@@ -940,6 +1019,10 @@ object Dedup {
     // reconstruction must be invisible in the output.
     "dedup_ingest_indexed" -> QueryDef((s, d) => ingestDedupIndexedQuery(s, d),
       Some(ingestVerdictsSql)),
+    // The complete loop: verdict epoch 1, ADMIT its survivors into the
+    // index, verdict epoch 2 against the grown index.
+    "dedup_ingest_epochs" -> QueryDef((s, d) => ingestEpochsQuery(s, d),
+      Some(ingestEpochsSql)),
     // Independent DuckDB reimplementation of the k-gram span-hash
     // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the
     // winnow oracle's chain without the window minimum) plus the
@@ -1147,6 +1230,42 @@ object Dedup {
        |FROM inc i LEFT JOIN exact e ON i.doc_id = e.doc_id
        |           LEFT JOIN near n ON i.doc_id = n.doc_id
        |ORDER BY i.doc_id""".stripMargin
+
+  /** Two-epoch ingest-loop oracle. Each epoch gets its own complete
+    * bounded-Jaccard chain (nested WITH, so the fixed CTE names don't
+    * collide) over that epoch's posting universe: epoch 1 over
+    * docs < 450; epoch 2 over docs<400 ∪ admitted₁ ∪ epoch₂ — the
+    * grown index the engine queries after [[appendToPostingIndex]].
+    * Non-admitted epoch-1 docs are absent from universe 2, exactly as
+    * they are absent from the engine's index. */
+  private lazy val ingestEpochsSql: String = {
+    val u1 = "(SELECT * FROM documents WHERE doc_id < 450)"
+    val u2 = "(SELECT * FROM documents WHERE doc_id < 400 OR doc_id >= 450 " +
+      "OR doc_id IN (SELECT doc_id FROM adm1))"
+    s"""WITH p1 AS (${boundedJaccardSqlFrom(u1)}),
+       |ex1 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
+       |inc1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+       |near1 AS (SELECT DISTINCT doc_b AS doc_id FROM p1 WHERE doc_a < 400 AND doc_b >= 400),
+       |v1 AS (SELECT i.doc_id, 1 AS epoch,
+       |              i.h IN (SELECT h FROM ex1) AS exact_dup,
+       |              n.doc_id IS NOT NULL AS near_dup,
+       |              (NOT i.h IN (SELECT h FROM ex1)) AND n.doc_id IS NULL AS admit
+       |       FROM inc1 i LEFT JOIN near1 n USING (doc_id)),
+       |adm1 AS (SELECT doc_id FROM v1 WHERE admit),
+       |p2 AS (${boundedJaccardSqlFrom(u2)}),
+       |ex2 AS (SELECT DISTINCT md5(text) AS h FROM documents
+       |        WHERE doc_id < 400 OR doc_id IN (SELECT doc_id FROM adm1)),
+       |inc2 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 450),
+       |near2 AS (SELECT DISTINCT doc_b AS doc_id FROM p2 WHERE doc_a < 450 AND doc_b >= 450),
+       |v2 AS (SELECT i.doc_id, 2 AS epoch,
+       |              i.h IN (SELECT h FROM ex2) AS exact_dup,
+       |              n.doc_id IS NOT NULL AS near_dup,
+       |              (NOT i.h IN (SELECT h FROM ex2)) AND n.doc_id IS NULL AS admit
+       |       FROM inc2 i LEFT JOIN near2 n USING (doc_id))
+       |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, exact_dup, near_dup, admit
+       |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Exact full-universe word-3-gram Jaccard pairs at 0.5 — the oracle
     * for `dedup_minhash_lsh`. Deliberately written over RAW shingle

@@ -285,6 +285,44 @@ class DedupSpec extends AnyFunSuite {
       s"no gb partition pruning in plan:\n$plan")
   }
 
+  test("epoch ingest loop: admitted docs join the corpus, rejected docs don't") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val freshF = (1 to 30).map(i => s"f$i").mkString(" ")
+    val freshG = (1 to 30).map(i => s"g$i").mkString(" ")
+    val nearOfBase = (1 to 27).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val nearOfNear = (1 to 27).map(i => s"w$i").mkString(" ") + " x1 x2 y3"
+    val docs = Seq(
+      0L -> base,                // existing
+      1L -> (1 to 30).map(i => s"z$i").mkString(" "), // existing, unrelated
+      // epoch 1 (ids in [100, 200)):
+      100L -> freshF,            // admit
+      101L -> nearOfBase,        // near dup of 0 → rejected
+      102L -> freshG,            // admit
+      // epoch 2 (ids >= 200):
+      200L -> freshF,            // exact dup of ADMITTED 100 → loop must flag
+      201L -> nearOfNear,        // near dup of 0 (and of rejected 101) → reject
+      202L -> (1 to 30).map(i => s"q$i").mkString(" "))  // admit
+      .toDF("doc_id", "text")
+    val path = "target/scratch/ingest_epochs_spec"
+    val got = Dedup.ingestEpochsOn(spark, docs, path, split1 = 100L, split2 = 200L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got(100L) == ((1L, false, false, true)), s"${got(100L)}")
+    assert(got(101L) == ((1L, false, true, false)), s"${got(101L)}")
+    assert(got(102L) == ((1L, false, false, true)), s"${got(102L)}")
+    // 200 duplicates an epoch-1 ADMIT — only the grown index can know
+    assert(got(200L) == ((2L, true, true, false)), s"${got(200L)}")
+    assert(got(201L) == ((2L, false, true, false)), s"${got(201L)}")
+    assert(got(202L) == ((2L, false, false, true)), s"${got(202L)}")
+    // rejected and epoch-2 docs never joined the index: after the loop
+    // its postings hold exactly existing ∪ epoch-1 admits
+    val indexed = spark.read.parquet(s"$path/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 1L, 100L, 102L), s"index contains $indexed")
+  }
+
   test("span dedup: an exact duplicate pair is fully covered") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"t$i").mkString(" ")
