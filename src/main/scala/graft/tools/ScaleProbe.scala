@@ -37,6 +37,11 @@ object ScaleProbe {
       replicate("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
       replicate("documents", Map("doc_id" -> 1000000L))
       replicate("embeddings", Map("vec_id" -> 1000000L))
+      // dq_checks' FK gate reads these; o_custkey shifts in lockstep
+      // with c_custkey so the orphan ratio is scale-invariant
+      replicate("customer", Map("c_custkey" -> 10000000L))
+      replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
+      replicate("lineitem", Map("l_orderkey" -> 100000000L))
     }
 
     def time(name: String, dir: String): Double = {
@@ -96,7 +101,10 @@ object ScaleProbe {
       "source_mixture",        // groupBy + broadcast total
       "sample_docs_weighted",  // scan-stage keys + TakeOrdered
       "dq_profile_events",     // one agg pass, multi-distinct Expand
-      "dq_checks")             // five aggregate/anti-join gates
+      "dq_checks",             // five aggregate/anti-join gates
+      "dedup_ingest_indexed",  // persisted index build + pruned batch reads
+      "bm25_topk_pruned",      // rare-term candidate prune + exact rescore
+      "media_features")        // batched mapPartitions decode kernels
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries) {
       val t1 = time(q, src)
