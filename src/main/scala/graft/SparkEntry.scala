@@ -38,6 +38,7 @@ object SparkEntry {
     "Scrub" -> ops.Scrub.defs,
     "Retrieval" -> ops.Retrieval.defs,
     "DataQuality" -> ops.DataQuality.defs,
+    "Bucketing" -> ops.Bucketing.defs,
     "KdcParseQueries" -> kdc.KdcParseQueries.defs)
 
   def all: Map[String, QueryDef] =

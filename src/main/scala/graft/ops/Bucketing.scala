@@ -52,4 +52,53 @@ object Bucketing {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Monotonic per-invocation suffix so repeated driver calls never
+    * collide on table names (same contract as Ivf's scratch paths). */
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver row: bucket both fact tables (EXTERNAL, under the repo
+    * scratch dir), then run the revenue join over the bucketed
+    * layout. The oracle is the PLAIN join SQL — bucketing must be
+    * invisible in the output; only the physical plan changes (the
+    * zero-exchange pin lives in BucketingSpec). Revenue is an exact
+    * DECIMAL sum, so the result is independent of bucket/task order.
+    *
+    * At 100 TB the write happens once per ingest, not per query —
+    * this row pays it inline to keep the driver check hermetic. */
+  def bucketedOrderRevenueQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = s"${s.sparkContext.applicationId}_${scratchSeq.incrementAndGet()}"
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    def write(name: String, key: String): String = {
+      val table = s"${name}_bq_$id"
+      graft.Tables(s, dir, name).write
+        .mode(SaveMode.Overwrite)
+        .bucketBy(8, key)
+        .sortBy(key)
+        .option("path", s"target/scratch/bucketed_${table}")
+        .format("parquet")
+        .saveAsTable(table)
+      table
+    }
+    val li = s.table(write("lineitem", "l_orderkey"))
+    val o = s.table(write("orders", "o_orderkey"))
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
+      .select(col("o_orderkey"),
+        round(col("rev_dec").cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  import graft.QueryDef
+
+  val defs: Map[String, QueryDef] = Map(
+    "bucketed_order_revenue" -> QueryDef(bucketedOrderRevenueQuery, Some(
+      """SELECT o_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin)))
 }

@@ -51,6 +51,84 @@ object Sketches {
   def kmvUserCardinality(s: SparkSession, dir: String, k: Int = 32): DataFrame =
     kmvDistinct(Tables(s, dir, "events"), col("user_id"), k)
 
+  /** Misra-Gries candidate keys, one bounded summary per partition.
+    *
+    * Per-partition guarantee (Misra-Gries '82): a key occurring more
+    * than n_p/(k+1) times in partition p survives p's summary; summing
+    * the contrapositive over partitions, any key with GLOBAL frequency
+    * > N/(k+1) survives in at least one partition — so the union of
+    * the per-partition summaries is a SUPERSET of every φ-heavy key
+    * whenever φ ≥ 1/(k+1). Decrement-all is amortized O(1): a
+    * decrement round destroys k units of count and counts grow one
+    * unit per arrival, so there are at most n/k rounds of O(k) work.
+    *
+    * Scale posture: state is ≤ k keys per partition (k·P keys total
+    * on the wire — thousands, not the key domain), one pass, no
+    * shuffle; exactly the shape that survives a 100 TB scan. */
+  def mgCandidates(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(key.cast("string").as("k")).filter(col("k").isNotNull)
+      .as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { x =>
+          counts.get(x) match {
+            case Some(c) => counts(x) = c + 1
+            case None if counts.size < k => counts(x) = 1L
+            case None =>
+              // in-place value updates are safe mid-iteration (no
+              // structural change); removals are deferred past it
+              val dead = List.newBuilder[String]
+              counts.foreach { case (kk, c) =>
+                if (c == 1L) dead += kk else counts(kk) = c - 1
+              }
+              dead.result().foreach(counts.remove)
+          }
+        }
+        counts.keysIterator
+      }
+      .toDF("k").distinct()
+  }
+
+  /** Exact φ-heavy hitters via sketch-then-verify: Misra-Gries
+    * candidate generation (bounded per-partition state, no false
+    * negatives for φ ≥ 1/(k+1)) followed by an exact recount of the
+    * candidates only, so false positives are filtered and the emitted
+    * counts are EXACT — which is what makes the row oracle-checkable
+    * against a plain GROUP BY ... HAVING even though a sketch did the
+    * heavy lifting. φ is a rational `phiNum/phiDen` and the gate is
+    * the cross-multiplied ALL-INTEGER compare `cnt·phiDen > N·phiNum`
+    * — no float threshold to flip at a boundary.
+    *
+    * Scale posture: the candidate set (≤ k·P keys) broadcasts to a
+    * semi-join, so the recount shuffles only candidate keys'
+    * partial counts; the 1-row total broadcasts into the gate. */
+  def heavyHitters(df: DataFrame, key: Column, phiNum: Long, phiDen: Long,
+                   k: Int): DataFrame = {
+    require(phiNum * (k + 1) >= phiDen,
+      s"phi=$phiNum/$phiDen below the Misra-Gries guarantee 1/(k+1) for k=$k")
+    val keys = df.select(key.cast("string").as("k")).filter(col("k").isNotNull)
+    val cand = mgCandidates(df, key, k)
+    val total = keys.agg(count(lit(1)).as("n_total"))
+    keys.join(broadcast(cand), Seq("k"), "left_semi")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * phiDen > col("n_total") * phiNum)
+      .select(col("k"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_total").cast("double"), 4).as("share"))
+      .orderBy(desc("cnt"), col("k"))
+  }
+
+  /** Driver row: event types holding > 10% share. The synthetic
+    * domain is small, so the sketch is exact here — the planted-Zipf
+    * SketchesSpec case is where candidate pruning actually bites. */
+  def heavyHitterEventTypes(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables(s, dir, "events"), col("event_type"),
+      phiNum = 1, phiDen = 10, k = 16)
+      .withColumnRenamed("k", "event_type")
+
   val defs: Map[String, QueryDef] = Map(
     "sketch_kmv_users" -> QueryDef((s, d) => kmvUserCardinality(s, d), Some(
       s"""WITH du AS (SELECT DISTINCT user_id FROM events),
@@ -61,5 +139,13 @@ object Sketches {
          |SELECT k_eff, kth_hash,
          |  ${OracleSql.round(
              "CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE) ELSE 31.0 * 9223372036854775808.0 / CAST(kth_hash AS DOUBLE) END", 4)} AS est_users
-         |FROM agg""".stripMargin)))
+         |FROM agg""".stripMargin)),
+    "heavy_hitter_event_types" -> QueryDef(heavyHitterEventTypes, Some(
+      s"""WITH n AS (SELECT count(*) AS n_total FROM events WHERE event_type IS NOT NULL)
+         |SELECT event_type, count(*) AS cnt,
+         |  ${OracleSql.round("CAST(count(*) AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM n)", 4)} AS share
+         |FROM events WHERE event_type IS NOT NULL
+         |GROUP BY event_type
+         |HAVING count(*) * 10 > (SELECT n_total FROM n) * 1
+         |ORDER BY cnt DESC, event_type""".stripMargin)))
 }

@@ -202,6 +202,112 @@ object TpchQueries {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** TPC-H Q14 shape: promo revenue share per ship month. One fact
+    * scan ⋈ broadcast(part); the conditional numerator and the total
+    * are EXACT decimal sums, so the surfaced double ratio is a
+    * deterministic function of two order-independent values (the
+    * division itself is one IEEE op — identical in every engine). */
+  def promoRevenueRatio(s: SparkSession, dir: String): DataFrame = {
+    val disc = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("month"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("promo_dec"),
+        sum(disc).as("total_dec"))
+      .select(col("month"),
+        round(col("promo_dec").cast("double"), 2).as("promo_revenue"),
+        round(col("total_dec").cast("double"), 2).as("total_revenue"),
+        round(lit(100) * col("promo_dec").cast("double") / col("total_dec").cast("double"), 4)
+          .as("promo_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** TPC-H Q15 shape: the top supplier(s) by total revenue, selected
+    * by a scalar-max subquery. Revenue is an exact decimal per
+    * supplier, so the max-equality join cannot be split by float
+    * noise; the 1-row max side is broadcast. One fact shuffle on
+    * l_suppkey. */
+  def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_dec").cast("double"), 2).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape: revenue from below-half-average-quantity line
+    * items, per brand. The correlated `l_quantity < 0.5 * avg(...)
+    * per part` predicate is decorrelated into an aggregate ⋈ fact
+    * join on l_partkey — and the threshold compare is kept EXACT by
+    * cross-multiplying integers (`2·qty·cnt < Σqty` over
+    * DECIMAL/LONG) instead of comparing against a float average, so
+    * no boundary row can flip between engines. */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(money(col("l_quantity"))).as("qsum"), count(lit(1)).as("qcnt"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(money(col("l_quantity")) * lit(2) * col("qcnt") < col("qsum"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(money(col("l_extendedprice"))).as("rev_dec"))
+      .select(col("p_brand"), col("n_lines"),
+        round(col("rev_dec").cast("double") / 7, 2).as("avg_weekly_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders (Σqty > 300) with their
+    * customers. The per-order aggregate reduces the fact table FIRST;
+    * the surviving handful of big orders then joins broadcast dims.
+    * l_quantity holds small integers, so its double sum is exact and
+    * the >300 gate is order-independent. */
+  def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    t(s, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(desc("sum_qty"), col("o_orderkey"))
+  }
+
+  /** TPC-H Q21 shape (double correlation): suppliers who were the
+    * SOLE supplier with returned items ('R') in a multi-supplier
+    * order. Both correlated subqueries decorrelate into per-order
+    * aggregates joined semi-style on l_orderkey — three passes over
+    * the same scan, no row-level correlated execution. */
+  def returnedItemSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ret = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+      .filter(col("nsupp") > 1).select(col("l_orderkey"))
+    val solo = ret.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nret"))
+      .filter(col("nret") === 1).select(col("l_orderkey"))
+    ret.join(multi, Seq("l_orderkey"), "left_semi")
+      .join(solo, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+  }
+
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
   /** Exact-decimal discounted price sum (see [[money]]). */
@@ -282,5 +388,58 @@ object TpchQueries {
         |  SELECT c_custkey, count(o_orderkey) AS n_orders
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
-        |GROUP BY n_orders ORDER BY n_orders""".stripMargin)))
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+    "promo_revenue_ratio" -> QueryDef(promoRevenueRatio, Some(
+      s"""SELECT month, ${R("CAST(promo AS DOUBLE)", 2)} AS promo_revenue,
+        |  ${R("CAST(total AS DOUBLE)", 2)} AS total_revenue,
+        |  ${R("100 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)", 4)} AS promo_pct
+        |FROM (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    sum(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |        ELSE 0 END) AS promo,
+        |    $discPriceDec AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |ORDER BY month""".stripMargin)),
+    "top_supplier_revenue" -> QueryDef(topSupplierRevenue, Some(
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, $discPriceDec AS rev_dec FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, ${R("CAST(rev_dec AS DOUBLE)", 2)} AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)),
+    "small_quantity_revenue" -> QueryDef(smallQuantityRevenue, Some(
+      s"""WITH pa AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qsum,
+        |    count(*) AS qcnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_lines,
+        |  ${R("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7", 2)} AS avg_weekly_revenue
+        |FROM lineitem JOIN pa ON l_partkey = pk JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 2 * qcnt < qsum
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+    "large_volume_customers" -> QueryDef(largeVolumeCustomers, Some(
+      s"""WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, ${R("sq", 2)} AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin)),
+    "returned_item_suppliers" -> QueryDef(returnedItemSuppliers, Some(
+      """WITH ret AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |multi AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1),
+        |solo AS (
+        |  SELECT l_orderkey FROM ret GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM ret
+        |JOIN multi USING (l_orderkey)
+        |JOIN solo USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin)))
 }

@@ -30,6 +30,23 @@ class BucketingSpec extends AnyFunSuite {
       s"bucketed join inputs must not shuffle:\n$plan")
   }
 
+  test("driver row plans exchange-free on bucketed scans and matches the plain decimal join") {
+    val df = Bucketing.bucketedOrderRevenueQuery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed driver row must not shuffle:\n$plan")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val dec = (c: String) => col(c).cast("decimal(12,2)")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
+      .select(col("o_orderkey"), round(col("rev_dec").cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderkey")).collect()
+    assert(df.collect().toSeq == plain.toSeq)
+  }
+
   test("bucketed join result equals the plain join result") {
     val bucketed = Bucketing.bucketedOrderRevenue(spark).collect()
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Heavy-hitter sketch guarantees on a planted Zipf stream — the
+  * driver row's tiny event-type domain never exercises candidate
+  * pruning, so this is where the Misra-Gries machinery is actually
+  * proven: a 2000-key domain, ~64-counter summaries, and a result
+  * that must STILL be exactly the brute-force GROUP BY ... HAVING
+  * answer because the exact recount filters every sketch artifact. */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** key_i repeated ~2000/i times, i = 1..2000 (Zipf-ish tail of 1s). */
+  private def zipf = {
+    import spark.implicits._
+    val rows = for {
+      i <- 1 to 2000
+      _ <- 1 to math.max(1, 2000 / i)
+    } yield s"key_$i"
+    rows.toDF("key").repartition(8)
+  }
+
+  test("sketch-then-verify equals brute force exactly on a Zipf stream") {
+    val df = zipf
+    val n = df.count()
+    val got = Sketches.heavyHitters(df, col("key"), 1, 50, k = 64)
+      .select("k", "cnt").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = df.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 50 > n)
+      .orderBy(desc("cnt"), col("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(want.nonEmpty, "fixture must contain true heavy hitters")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("candidate set is sketch-bounded, far below the key domain") {
+    val df = zipf
+    val nCand = Sketches.mgCandidates(df, col("key"), k = 64).count()
+    val domain = df.select("key").distinct().count()
+    assert(domain == 2000)
+    // <= k per partition (8 partitions), and a fraction of the domain
+    assert(nCand <= 64L * 8, s"candidates $nCand exceed k*partitions")
+    assert(nCand < domain / 2, s"sketch did not prune: $nCand of $domain")
+  }
+
+  test("phi below the Misra-Gries guarantee is rejected") {
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(zipf, col("key"), 1, 100, k = 64)
+    }
+  }
+}
