@@ -156,6 +156,17 @@ object EventQueries {
         graft.streaming.StreamingPipeline.readEvents(s, dir)),
       "daily_activity_stream", "complete", Seq("day", "user_id"))
 
+  /** [[sessionWindowStats]] through the REAL micro-batch engine: the
+    * native `session_window` STATE operator (merge-on-overlap session
+    * store), AvailableNow one-shot, complete-mode output so sessions
+    * still open at the final watermark are emitted too — which is
+    * what lets the row share the batch twin's oracle verbatim. */
+  def sessionWindowStatsStreaming(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.sessionWindowStats(
+        graft.streaming.StreamingPipeline.readEvents(s, dir)),
+      "session_window_stream", "complete", Seq("user_id", "first_ms"))
+
   /** Stream-stream interval join through the real micro-batch engine:
     * each purchase joined to the same user's clicks from the preceding
     * hour, watermarks on both sides bounding the join state
@@ -536,6 +547,25 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Shared by the batch and streaming session-window rows: both run
+    * the same 6h-gap semantics, so one oracle checks both. */
+  private val sessionWindowOracle: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |o AS (SELECT user_id, us,
+      |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+      |      FROM ev),
+      |f AS (SELECT user_id, us,
+      |        CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS is_new
+      |      FROM o),
+      |g AS (SELECT user_id, us,
+      |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM f)
+      |SELECT user_id, min(us) // 1000 AS first_ms, max(us) // 1000 AS last_ms,
+      |       count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, first_ms""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "props_typed" -> QueryDef(propsTyped, Some(
       """SELECT event_type,
@@ -591,22 +621,12 @@ object EventQueries {
         |       max(epoch_ms(e.ts) - d.first_ms) AS max_age_ms
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
-    "session_window_stats" -> QueryDef((s, d) => sessionWindowStats(s, d), Some(
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |o AS (SELECT user_id, us,
-        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
-        |      FROM ev),
-        |f AS (SELECT user_id, us,
-        |        CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS is_new
-        |      FROM o),
-        |g AS (SELECT user_id, us,
-        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |      FROM f)
-        |SELECT user_id, min(us) // 1000 AS first_ms, max(us) // 1000 AS last_ms,
-        |       count(*) AS n_events
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, first_ms""".stripMargin)),
+    "session_window_stats" -> QueryDef((s, d) => sessionWindowStats(s, d),
+      Some(sessionWindowOracle)),
+    // the streaming twin runs the SAME semantics through the native
+    // session_window state operator, so it shares the oracle verbatim
+    "session_window_stats_streaming" -> QueryDef(sessionWindowStatsStreaming,
+      Some(sessionWindowOracle)),
     "daily_error_rate" -> QueryDef((s, d) => dailyErrorRate(s, d), Some(
       s"""WITH daily AS (
          |  SELECT CAST(ts AS DATE) AS d,

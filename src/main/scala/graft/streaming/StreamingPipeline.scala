@@ -189,6 +189,23 @@ object StreamingPipeline {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("user_id"), col("n_events"))
 
+  /** Native session windows over the stream: gap sessionization via
+    * the engine's merge-on-overlap `session_window` state operator
+    * (the streaming twin of EventQueries.sessionWindowStats — same
+    * 6-hour gap, same output shape, same oracle). The watermark
+    * bounds session state: a session whose close (last event + gap)
+    * falls behind the watermark can never merge again and is
+    * evictable — that, not the micro-batch cadence, is what keeps
+    * the state store flat at 100 TB/day. */
+  def sessionWindowStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("first_ms"),
+        unix_millis(max(col("ts"))).as("last_ms"))
+      .select(col("user_id"), col("first_ms"), col("last_ms"), col("n_events"))
+
   final case class UserTimes(first_ms: Long, last_ms: Long, n: Long)
   final case class UserTimesOut(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
 

@@ -162,11 +162,12 @@ class StreamingPipelineSpec extends AnyFunSuite {
   test("streaming session_window: closed sessions converge to the batch session set") {
     import org.apache.spark.sql.functions._
     // session windows in streaming require a watermark and emit a
-    // session only once the watermark passes its close — append mode
+    // session only once the watermark passes its close — APPEND mode
     // holds back each user's final session at end-of-stream, so the
-    // emitted set is a strict subset of the batch sessions (which is
-    // why the DRIVER row is the batch session_window_stats; this spec
-    // pins the streaming flavor's semantics instead)
+    // emitted set is a strict subset of the batch sessions. The
+    // driver row (session_window_stats_streaming) therefore runs in
+    // COMPLETE mode, which emits open sessions too (exact-equality
+    // test below); this test pins the append-mode holdback semantics.
     val q = StreamingPipeline.readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
@@ -196,6 +197,15 @@ class StreamingPipelineSpec extends AnyFunSuite {
       if (spark.streams.active.isEmpty)
         org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
     }
+  }
+
+  test("complete-mode session-window driver row equals the batch twin exactly") {
+    val sd = graft.ops.EventQueries.sessionWindowStatsStreaming(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bd = graft.ops.EventQueries.sessionWindowStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sd.sameElements(bd),
+      s"session windows: streaming ${sd.length} rows vs batch ${bd.length}")
   }
 
   test("stream-static enrichment equals the batch join exactly") {
