@@ -434,6 +434,45 @@ object Multimodal {
        |  CAST(trunc(z * 1000000000.0) AS BIGINT) AS checksum
        |FROM ev ORDER BY media_id, frame_idx""".stripMargin
 
+  /** media_ahash oracle: regenerate each image's pseudo-signal, slice
+    * it into the kernel's 64 [lo, hi) cells (an equi-join on the cell
+    * grid — cells can OVERLAP when n < 64, so this is a range join,
+    * not a partition), fold each cell's mean and the cell-mean vector
+    * sequentially with list_reduce (same float order as the Scala
+    * Array loops), then assemble the 64 threshold bits in HUGEINT and
+    * two's-complement to the kernel's signed BIGINT. Validated
+    * bit-exact against the kernel at sf0.001 and sf0.01 before being
+    * wired in. */
+  private def ahashOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS media_id, text,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+       |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+       |sd AS (SELECT media_id, $seedFold AS s0,
+       |         GREATEST(LEAST(64 * GREATEST(n_bytes // 64, 1), 4096), 1) AS n
+       |       FROM src),
+       |el AS (SELECT media_id, n, i,
+       |         ((s0 + (CAST(i AS HUGEINT) + 1) * $G) % ${graft.OracleSql.two64}) AS z
+       |       FROM (SELECT *, unnest(range(n)) AS i FROM sd)),
+       |${mixCtes("el")},
+       |cg AS (SELECT media_id, n, k,
+       |         (n * k) // 64 AS lo,
+       |         LEAST(GREATEST((n * (k + 1)) // 64, (n * k) // 64 + 1), n) AS hi
+       |       FROM (SELECT DISTINCT media_id, n FROM sd), (SELECT unnest(range(64)) AS k)),
+       |ce AS (SELECT c.media_id, c.k,
+       |         list_reduce(list(e.z ORDER BY e.i), (a, b) -> a + b) / (c.hi - c.lo) AS cm
+       |       FROM cg c JOIN ev e ON e.media_id = c.media_id AND e.i >= c.lo AND e.i < c.hi
+       |       GROUP BY c.media_id, c.k, c.lo, c.hi),
+       |mn AS (SELECT media_id, list_reduce(list(cm ORDER BY k), (a, b) -> a + b) / 64 AS mean
+       |       FROM ce GROUP BY media_id),
+       |hu AS (SELECT ce.media_id,
+       |         sum(CASE WHEN ce.cm > mn.mean THEN CAST(1 AS HUGEINT) << ce.k ELSE CAST(0 AS HUGEINT) END) AS h
+       |       FROM ce JOIN mn ON ce.media_id = mn.media_id
+       |       GROUP BY ce.media_id)
+       |SELECT media_id,
+       |  CAST(CASE WHEN h >= ${graft.OracleSql.two63} THEN h - ${graft.OracleSql.two64} ELSE h END AS BIGINT) AS ahash
+       |FROM hu ORDER BY media_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "media_inventory" -> QueryDef(inventoryQuery, Some(
       """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -445,8 +484,7 @@ object Multimodal {
     // MultimodalSpec).
     "media_features" -> QueryDef(featureQuery, Some(featuresOracle)),
     "media_frame_samples" -> QueryDef(frameQuery, Some(framesOracle)),
-    // rows-only: the hash is a function of DECODED bytes (real-PNG
-    // near-dup behavior pinned in MultimodalSpec on genuine images)
     "media_ahash" -> QueryDef((s, d) =>
-      imageAHashes(mediaTable(s, d)).orderBy(col("media_id"))))
+      imageAHashes(mediaTable(s, d)).orderBy(col("media_id")),
+      Some(ahashOracle)))
 }
