@@ -39,6 +39,7 @@ object SparkEntry {
     "Retrieval" -> ops.Retrieval.defs,
     "DataQuality" -> ops.DataQuality.defs,
     "Bucketing" -> ops.Bucketing.defs,
+    "Graph" -> ops.Graph.defs,
     "KdcParseQueries" -> kdc.KdcParseQueries.defs)
 
   def all: Map[String, QueryDef] =

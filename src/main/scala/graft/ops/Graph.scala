@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{OracleSql, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation as declarative Spark plans — the
+  * fixpoint pattern class (beyond Dedup's pointer-jumping connected
+  * components): damped PageRank by power iteration, each round one
+  * join + one aggregation on the edge relation.
+  *
+  * Cross-engine determinism: float math over a distributed sum is
+  * order-dependent, so every per-edge contribution is rounded to 9dp
+  * and cast DECIMAL(20,9) BEFORE the sum (exact, order-independent),
+  * and each new rank is itself re-rounded to 9dp — the same recipe
+  * that made the BM25 and LM scores hash-checkable. The oracle
+  * mirrors each iteration as a generated CTE pair, so the driver row
+  * is a full hash check of a 5-round fixpoint.
+  *
+  * Scale posture: ranks and degrees shuffle by node id; the edge
+  * relation is the only large operand and it participates once per
+  * iteration as a plain equi-join (AQE handles skewed hubs; a
+  * production deployment co-partitions edges and ranks with the
+  * same bucketing so iterations reuse one layout — see
+  * [[Bucketing]]). Iteration count is fixed and small; long chains
+  * would checkpoint every ~10 rounds to chop lineage, noted at the
+  * call site. The ranks frame is node-cardinality-sized, never
+  * collected.
+  */
+object Graph {
+
+  /** Damped PageRank over a directed edge list (`src`, `dst`), every
+    * node assumed to have outdegree ≥ 1 (callers building undirected
+    * graphs emit both directions, which guarantees it — no dangling
+    * mass). Returns (node, rank DECIMAL(20,9)). */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    // reused every iteration — cached under the serial-driver cache
+    // contract documented at Dedup.boundedSharedCounts (Verify/Bench
+    // clearCache between queries; library callers own cleanup)
+    val e = edges.select(col("src"), col("dst")).persist()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val nTotal = deg.agg(count(lit(1)).as("n_total"))
+    var p = deg.crossJoin(broadcast(nTotal))
+      .select(col("node"), col("outdeg"), col("n_total"),
+        round(lit(1.0) / col("n_total").cast("double"), 9)
+          .cast("decimal(20,9)").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = p
+        .join(e, col("src") === col("node"))
+        .select(col("dst"),
+          round(col("rank").cast("double") / col("outdeg").cast("double"), 9)
+            .cast("decimal(20,9)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      p = deg.crossJoin(broadcast(nTotal))
+        .join(contrib, col("dst") === col("node"), "left")
+          .select(col("node"), col("outdeg"), col("n_total"),
+          round(lit(1.0 - damping) / col("n_total").cast("double") +
+            lit(damping) * coalesce(col("sc"), lit(0).cast("decimal(20,9)")).cast("double"), 9)
+            .cast("decimal(20,9)").as("rank"))
+    }
+    p.select(col("node"), col("rank"))
+  }
+
+  /** The customer↔supplier trade graph: an undirected edge per
+    * DISTINCT (customer, supplier) trading pair, encoded into one
+    * numeric node space (customers even, suppliers odd), both
+    * directions emitted. */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("su").as("dst"))
+      .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+  }
+
+  /** Driver row: supplier importance in the trade graph after 5
+    * PageRank rounds. Surfaced per supplier with the exact decimal
+    * rank as a double (a DECIMAL(20,9) converts to the same double in
+    * every engine). */
+  def supplierPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(tradeEdges(s, dir), iterations = 5)
+      .filter(col("node") % 2 === 1)
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+        col("rank").cast("double").as("pagerank"))
+      .join(broadcast(Tables(s, dir, "supplier")), Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("pagerank"))
+      .orderBy(col("s_suppkey"))
+
+  /** Shortest-repr HALF_UP 9dp round for SUB-UNIT values: ranks sit
+    * around 1/N, whose shortest double repr spends up to ~4 digits on
+    * leading zeros and can exceed 18 fractional digits — the shared
+    * OracleSql recipe's DECIMAL(38,18) staging would then round at
+    * digit 18 BEFORE rounding at digit 9 (double rounding: observed
+    * flipping ...4499999... to ...45 → ...5 at sf0.01). Staging at
+    * scale 28 keeps every shortest-repr digit of any |x| < 10^10. */
+  private def roundDecSub(expr: String, n: Int): String =
+    s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,28)), $n) AS DECIMAL(20,$n))"
+
+  /** One oracle iteration: contributions then the damped sum — the
+    * generated-CTE twin of the loop body above, same op order. The
+    * jump constant is embedded from the SAME Scala double the Spark
+    * side computes (`1.0 - damping` is NOT the double "0.15" — its
+    * shortest repr round-trips through the SQL text identically). */
+  private def iterCtes(t: Int, damping: Double): String =
+    s"""c$t AS (SELECT e.dst AS node,
+       |  ${roundDecSub("CAST(p.rank AS DOUBLE) / CAST(p.outdeg AS DOUBLE)", 9)} AS c
+       |  FROM p${t - 1} p JOIN edges e ON e.src = p.node),
+       |p$t AS (SELECT d.node, d.outdeg,
+       |  ${roundDecSub(
+            s"CAST(${1.0 - damping} AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM nt) + " +
+            s"CAST($damping AS DOUBLE) * CAST(coalesce(s.sc, 0) AS DOUBLE)", 9)} AS rank
+       |  FROM deg d LEFT JOIN (SELECT node, sum(c) AS sc FROM c$t GROUP BY 1) s
+       |    ON s.node = d.node)""".stripMargin
+
+  private def pageRankOracle(iterations: Int, damping: Double = 0.85): String = {
+    val iters = (1 to iterations).map(iterCtes(_, damping)).mkString(",\n")
+    s"""WITH eo AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, su AS dst FROM eo
+       |          UNION ALL SELECT su AS src, c AS dst FROM eo),
+       |deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nt AS (SELECT count(*) AS n_total FROM deg),
+       |p0 AS (SELECT node, outdeg,
+       |  ${roundDecSub("CAST(1.0 AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM nt)", 9)} AS rank
+       |  FROM deg),
+       |$iters
+       |SELECT (node - 1) // 2 AS s_suppkey, s_name,
+       |  CAST(rank AS DOUBLE) AS pagerank
+       |FROM p$iterations JOIN supplier ON (node - 1) // 2 = s_suppkey
+       |WHERE node % 2 = 1
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))))
+}

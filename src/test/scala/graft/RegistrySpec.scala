@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite {
     val expected = Set("EventQueries", "TpchQueries", "Dedup", "TextAnalysis",
       "Similarity", "Multimodal", "AsofJoin", "RangeJoin", "Ivf", "Pipelines",
       "Sampling", "Sketches", "Curation", "Scrub", "Retrieval", "DataQuality",
-      "Bucketing", "KdcParseQueries")
+      "Bucketing", "Graph", "KdcParseQueries")
     assert(listed == expected, s"module list drift: ${listed.diff(expected)} / ${expected.diff(listed)}")
   }
 

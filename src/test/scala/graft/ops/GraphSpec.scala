@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank semantics on a planted star graph, cross-checked against
+  * a local power iteration applying the IDENTICAL 9dp-decimal
+  * rounding recipe — so the distributed plan must reproduce the
+  * scalar reference bit-for-bit, not just approximately. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Hub 0 connected to spokes 1..6, plus an off-hub edge 1-2. */
+  private def starEdges = {
+    import spark.implicits._
+    val und = (1 to 6).map(i => (0L, i.toLong)) :+ (1L, 2L)
+    (und ++ und.map(_.swap)).toDF("src", "dst")
+  }
+
+  private def round9(x: Double): BigDecimal =
+    BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Scalar power iteration with the same per-term rounding. */
+  private def reference(und: Seq[(Long, Long)], iters: Int): Map[Long, BigDecimal] = {
+    val edges = und ++ und.map(_.swap)
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = out.keySet
+    val n = nodes.size
+    var p: Map[Long, BigDecimal] = nodes.map(_ -> round9(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (u, _) => round9(p(u).toDouble / out(u).toDouble) }.sum
+      }.toMap
+      p = nodes.map { v =>
+        // (1.0 - 0.85) is NOT the double 0.15 — match the library's op
+        v -> round9((1.0 - 0.85) / n + 0.85 * sums.getOrElse(v, BigDecimal(0)).toDouble)
+      }.toMap
+    }
+    p
+  }
+
+  test("distributed ranks equal the scalar 9dp reference bit-for-bit") {
+    val und = (1 to 6).map(i => (0L, i.toLong)) :+ (1L, 2L)
+    val got = Graph.pageRank(starEdges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val want = reference(und, 5)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(got(k) == v, s"node $k: got ${got(k)} want $v")
+  }
+
+  test("rank mass stays ~1 and the hub dominates") {
+    val ranks = Graph.pageRank(starEdges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"rank mass ${ranks.values.sum}")
+    val hub = ranks(0L)
+    assert((1L to 6L).forall(ranks(_) < hub), s"hub not dominant: $ranks")
+    // spokes 1 and 2 share the extra edge and must outrank 3..6
+    assert((3L to 6L).forall(i => ranks(i) < ranks(1L) && ranks(i) < ranks(2L)))
+  }
+}
