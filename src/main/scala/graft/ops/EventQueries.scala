@@ -457,6 +457,31 @@ object EventQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** Per-user exponentially-weighted moving average of `value`
+    * (s_i = 0.2·v_i + 0.8·s_{i-1}, seeded at 0) — a SEQUENTIAL
+    * recurrence no window frame expresses. Formulated as an ordered
+    * higher-order `aggregate` fold over each user's collected events:
+    * per-key sequential state over a BOUNDED per-user list (event
+    * counts per user, not corpus size; the unbounded-stream flavor of
+    * this shape is the flatMapGroupsWithState row). Every fold step
+    * re-rounds to 9dp, so the float recurrence is a chain of
+    * deterministic IEEE ops on identical inputs in both engines —
+    * order is pinned by the (ms, event_id) sort, not by partitioning. */
+  def userValueEwma(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ms"), col("event_id"), col("value"))))
+          .as("xs"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, x) => round(lit(0.2) * x.getField("value") + lit(0.8) * acc, 9))
+          .as("ewma"))
+      .orderBy(col("user_id"))
+
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -683,6 +708,20 @@ object EventQueries {
         |FROM events e JOIN b USING (event_type)
         |WHERE e.value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin)),
+    // each fold step re-rounds via the shortest-repr recipe at scale
+    // 28 (EWMA values can sit below 1 with long shortest reprs — the
+    // same sub-unit double-rounding hazard Graph.roundDecSub documents)
+    "user_value_ewma" -> QueryDef(userValueEwma, Some(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT user_id, count(*) AS n_events,
+        |        list(value ORDER BY ms, event_id) AS xs
+        |      FROM ev GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  list_reduce([CAST(0 AS DOUBLE)] || xs, (acc, x) ->
+        |    CAST(round(CAST(CAST(0.2 * x + 0.8 * acc AS VARCHAR) AS DECIMAL(38,28)), 9) AS DOUBLE)) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin)),
     "value_percentiles" -> QueryDef(valuePercentiles, Some(
       s"""SELECT event_type,
          |  ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,

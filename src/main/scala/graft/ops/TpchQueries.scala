@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage over the driver's TPC-H-ish star
@@ -308,6 +309,24 @@ object TpchQueries {
       .orderBy(desc("numwait"), col("s_suppkey"))
   }
 
+  /** Distribution-rank window functions over orders: percent_rank,
+    * cume_dist, and quartile (ntile) of order value within each
+    * status. The window orders by (totalprice, orderkey) so ties
+    * cannot make ntile assignment engine-dependent; percent_rank and
+    * cume_dist are single IEEE divisions of identical integer ranks.
+    * One shuffle on the 3-value partition key — at scale the same
+    * shape runs per finer key (day, segment) for balance. */
+  def orderRankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 9).as("pr"),
+        round(cume_dist().over(w), 9).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
   /** Exact-decimal discounted price sum (see [[money]]). */
@@ -428,6 +447,14 @@ object TpchQueries {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin)),
+    "order_rank_stats" -> QueryDef(orderRankStats, Some(
+      s"""SELECT o_orderkey, o_orderstatus,
+        |  ${R("percent_rank() OVER w", 9)} AS pr,
+        |  ${R("cume_dist() OVER w", 9)} AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
     "returned_item_suppliers" -> QueryDef(returnedItemSuppliers, Some(
       """WITH ret AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),

@@ -123,6 +123,24 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("user EWMA equals the scalar sequential fold (order pinned by ms, event_id)") {
+    val got = EventQueries.userValueEwma(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ms", expr("ts DIV 1000000"))
+      .select("user_id", "ms", "event_id", "value")
+      .filter(col("value").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def round9(x: Double): Double =
+      BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      rows.sortBy(t => (t._2, t._3)).map(_._4)
+        .foldLeft(0.0)((acc, v) => round9(0.2 * v + 0.8 * acc))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((u, w) <- want) assert(got(u) == w, s"user $u: ${got(u)} vs $w")
+  }
+
   test("trailing hour value: range frame equals brute-force recompute") {
     val rows = EventQueries.trailingHourValue(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
