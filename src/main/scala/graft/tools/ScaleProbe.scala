@@ -42,6 +42,11 @@ object ScaleProbe {
       replicate("customer", Map("c_custkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
       replicate("lineitem", Map("l_orderkey" -> 100000000L))
+      // supplier is a dim: l_suppkey is NOT shifted, so the 10x world
+      // keeps the same suppliers (each gaining 10x edges — deliberate
+      // hub growth for the graph/Q21 probes), copied unreplicated
+      graft.Tables(spark, src, "supplier").write.mode("overwrite")
+        .parquet(s"$big/supplier.parquet")
     }
 
     def time(name: String, dir: String): Double = {
@@ -58,6 +63,9 @@ object ScaleProbe {
       ts.min
     }
 
+    // non-flag args = probe only those queries (new-row triage;
+    // no args = the full representative suite)
+    val only = args.filterNot(_.startsWith("--")).toSet
     val queries = Seq(
       "user_first_last",       // scan + single-shuffle agg
       "event_sessions",        // two stacked windows + agg
@@ -104,9 +112,13 @@ object ScaleProbe {
       "dq_checks",             // five aggregate/anti-join gates
       "dedup_ingest_indexed",  // persisted index build + pruned batch reads
       "bm25_topk_pruned",      // rare-term candidate prune + exact rescore
-      "media_features")        // batched mapPartitions decode kernels
+      "media_features",        // batched mapPartitions decode kernels
+      "supplier_pagerank",     // 5 join+agg rounds over the edge list
+      "heavy_hitter_event_types", // MG mapPartitions + candidate recount
+      "returned_item_suppliers",  // three-pass per-order aggregates
+      "user_value_ewma")       // per-user ordered collect + HOF fold
     println("query,t1x_sec,t10x_sec,ratio")
-    for (q <- queries) {
+    for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
       val t10 = time(q, big)
       println(f"SCALE $q,$t1%.2f,$t10%.2f,${t10 / t1}%.1f")
