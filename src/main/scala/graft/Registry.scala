@@ -44,6 +44,16 @@ object OracleSql {
   def roundDec(expr: String, n: Int): String =
     s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,18)), $n) AS DECIMAL(20,$n))"
 
+  /** [[roundDec]] for SUB-UNIT magnitudes: a double < 1 spends
+    * shortest-repr digits on leading zeros, so its full repr can
+    * exceed 18 fractional digits — DECIMAL(38,18) staging then rounds
+    * at digit 18 BEFORE the n-dp round (double rounding; it flipped a
+    * PageRank half-way case at sf0.01). Scale-28 staging keeps every
+    * shortest-repr digit of any |x| < 10^10; prefer this variant
+    * whenever the value can sit below 1. */
+  def roundDecSub(expr: String, n: Int): String =
+    s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,28)), $n) AS DECIMAL(20,$n))"
+
   /** DuckDB constants/recipes for reproducing the library's M61+fmix64
     * hash family ([[graft.functions.M61TokenHashes]]) with HUGEINT
     * modular arithmetic. */

@@ -457,6 +457,60 @@ object EventQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** Mergeable per-user rollup: count, min/max epoch-ms, and an exact
+    * 9dp-decimal value sum — every field merges associatively, which
+    * is the property incremental maintenance needs. */
+  private def userStatsAgg(df: DataFrame): DataFrame =
+    df.select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("first_ms"),
+        max(col("ms")).as("last_ms"),
+        sum(round(col("value"), 9).cast("decimal(20,9)")).as("sv"))
+
+  /** Fold a batch's partial aggregate into persisted state with one
+    * per-key full-outer merge. `least`/`greatest` skip NULLs, decimal
+    * sums are exact — merged state is BIT-IDENTICAL to a full
+    * recompute, regardless of how history was split into batches. */
+  private def mergeUserStats(state: DataFrame, batch: DataFrame): DataFrame = {
+    val st = state.select(col("user_id"), col("n_events").as("n1"),
+      col("first_ms").as("f1"), col("last_ms").as("l1"), col("sv").as("s1"))
+    val ba = batch.select(col("user_id"), col("n_events").as("n2"),
+      col("first_ms").as("f2"), col("last_ms").as("l2"), col("sv").as("s2"))
+    st.join(ba, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_events"),
+        least(col("f1"), col("f2")).as("first_ms"),
+        greatest(col("l1"), col("l2")).as("last_ms"),
+        (coalesce(col("s1"), lit(0).cast("decimal(20,9)")) +
+          coalesce(col("s2"), lit(0).cast("decimal(20,9)"))).as("sv"))
+  }
+
+  private val stateScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Incremental aggregate maintenance — the production rollup shape
+    * at 100 TB: historical state is PERSISTED once (parquet keyed by
+    * user) and each arriving batch folds in with a state-sized outer
+    * merge, so the per-ingest cost is O(batch + state keys), never a
+    * recompute over the full corpus. The driver row splits events
+    * into history (event_id % 4 != 0, written to scratch as state)
+    * and a batch (the rest), merges, and must equal the PLAIN
+    * full-corpus GROUP BY — the oracle can't see the split, so any
+    * merge defect (null handling, double-count, float drift) is a
+    * hash mismatch. */
+  def userStatsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val path = s"target/scratch/user_stats_state_" +
+      s"${s.sparkContext.applicationId}_${stateScratchSeq.incrementAndGet()}"
+    userStatsAgg(ev.filter(col("event_id") % 4 =!= 0))
+      .write.mode("overwrite").parquet(path)
+    val merged = mergeUserStats(s.read.parquet(path),
+      userStatsAgg(ev.filter(col("event_id") % 4 === 0)))
+    merged.select(col("user_id"), col("n_events"), col("first_ms"),
+        col("last_ms"), col("sv").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user exponentially-weighted moving average of `value`
     * (s_i = 0.2·v_i + 0.8·s_{i-1}, seeded at 0) — a SEQUENTIAL
     * recurrence no window frame expresses. Formulated as an ordered
@@ -481,6 +535,32 @@ object EventQueries {
           (acc, x) => round(lit(0.2) * x.getField("value") + lit(0.8) * acc, 9))
           .as("ewma"))
       .orderBy(col("user_id"))
+
+  /** Quantile-bucket feature assignment: exact per-type quartile
+    * thresholds (one aggregate), broadcast back to the scan, each
+    * event bucketed 1-4 by comparison — aggregate → broadcast →
+    * scan-stage assignment, the binning shape that avoids any per-row
+    * window. Thresholds are rounded to 4dp on BOTH engines before
+    * comparing (the interpolated percentile itself is only proven
+    * cross-engine-identical at 4dp by the value_percentiles row; raw
+    * ulps could flip a boundary event). */
+  def valueQuartileAssign(s: SparkSession, dir: String): DataFrame = {
+    val v = events(s, dir).filter(col("value").isNotNull)
+    val th = v.groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("et"), round(element_at(col("p"), 1), 4).as("p25"),
+        round(element_at(col("p"), 2), 4).as("p50"),
+        round(element_at(col("p"), 3), 4).as("p75"))
+    v.join(broadcast(th), col("event_type") === col("et"))
+      .withColumn("bucket",
+        when(col("value") <= col("p25"), 1L)
+          .when(col("value") <= col("p50"), 2L)
+          .when(col("value") <= col("p75"), 3L)
+          .otherwise(4L))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 
   /** Exact interpolated percentiles of `value` per event type. */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
@@ -722,6 +802,24 @@ object EventQueries {
         |  list_reduce([CAST(0 AS DOUBLE)] || xs, (acc, x) ->
         |    CAST(round(CAST(CAST(0.2 * x + 0.8 * acc AS VARCHAR) AS DECIMAL(38,28)), 9) AS DOUBLE)) AS ewma
         |FROM l ORDER BY user_id""".stripMargin)),
+    "user_stats_incremental" -> QueryDef(userStatsIncremental, Some(
+      s"""SELECT user_id, count(*) AS n_events,
+         |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+         |  CAST(sum(${graft.OracleSql.roundDecSub("value", 9)}) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    "value_quartile_assign" -> QueryDef(valueQuartileAssign, Some(
+      s"""WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |th AS (SELECT event_type AS et,
+         |         ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,
+         |         ${graft.OracleSql.round("quantile_cont(value, 0.5)", 4)} AS p50,
+         |         ${graft.OracleSql.round("quantile_cont(value, 0.75)", 4)} AS p75
+         |       FROM v GROUP BY 1)
+         |SELECT event_type,
+         |  CAST(CASE WHEN value <= p25 THEN 1 WHEN value <= p50 THEN 2
+         |       WHEN value <= p75 THEN 3 ELSE 4 END AS BIGINT) AS bucket,
+         |  count(*) AS n
+         |FROM v JOIN th ON event_type = et
+         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin)),
     "value_percentiles" -> QueryDef(valuePercentiles, Some(
       s"""SELECT event_type,
          |  ${graft.OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,

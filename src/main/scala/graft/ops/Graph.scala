@@ -64,6 +64,40 @@ object Graph {
     p.select(col("node"), col("rank"))
   }
 
+  /** Bounded-horizon BFS: minimum hop count from a seed set by
+    * `maxHops` rounds of relaxation (extend every known distance one
+    * edge, keep the per-node min). Unreached nodes are absent. A
+    * production frontier implementation propagates only the delta per
+    * round; the full re-relaxation here keeps the plan a pure
+    * join+agg chain, fine for small fixed horizons. */
+  def shortestHops(edges: DataFrame, sources: DataFrame,
+                   maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var dist = sources.select(col("node"), lit(0L).as("hops"))
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(e, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+    }
+    dist
+  }
+
+  /** Driver row: how much of the trade graph the FIRST supplier
+    * (minimum suppkey — a deterministic seed) reaches per hop count,
+    * horizon 4. The oracle is a recursive-CTE BFS with the same hop
+    * cap — an independent formulation of the same fixpoint. */
+  def supplierReachHops(s: SparkSession, dir: String): DataFrame = {
+    val seed = Tables(s, dir, "supplier")
+      .agg(min(col("s_suppkey")).as("mn"))
+      .select((col("mn") * 2 + 1).as("node"))
+    shortestHops(tradeEdges(s, dir), seed, maxHops = 4)
+      .groupBy(col("hops"))
+      .agg(sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy(col("hops"))
+  }
+
   /** The customer↔supplier trade graph: an undirected edge per
     * DISTINCT (customer, supplier) trading pair, encoded into one
     * numeric node space (customers even, suppliers odd), both
@@ -90,15 +124,11 @@ object Graph {
       .select(col("s_suppkey"), col("s_name"), col("pagerank"))
       .orderBy(col("s_suppkey"))
 
-  /** Shortest-repr HALF_UP 9dp round for SUB-UNIT values: ranks sit
-    * around 1/N, whose shortest double repr spends up to ~4 digits on
-    * leading zeros and can exceed 18 fractional digits — the shared
-    * OracleSql recipe's DECIMAL(38,18) staging would then round at
-    * digit 18 BEFORE rounding at digit 9 (double rounding: observed
-    * flipping ...4499999... to ...45 → ...5 at sf0.01). Staging at
-    * scale 28 keeps every shortest-repr digit of any |x| < 10^10. */
+  /** Ranks sit around 1/N — sub-unit, so every oracle round here uses
+    * the scale-28 staging variant (see [[OracleSql.roundDecSub]]; the
+    * double-rounding flip was first observed on THIS query). */
   private def roundDecSub(expr: String, n: Int): String =
-    s"CAST(round(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,28)), $n) AS DECIMAL(20,$n))"
+    OracleSql.roundDecSub(expr, n)
 
   /** One oracle iteration: contributions then the damped sum — the
     * generated-CTE twin of the loop body above, same op order. The
@@ -137,5 +167,22 @@ object Graph {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))))
+    "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))),
+    "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
+      """WITH RECURSIVE eo AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, su AS dst FROM eo
+        |          UNION ALL SELECT su AS src, c AS dst FROM eo),
+        |seed AS (SELECT min(s_suppkey) * 2 + 1 AS node FROM supplier),
+        |bfs AS (
+        |  SELECT node, 0 AS hops FROM seed
+        |  UNION
+        |  SELECT e.dst AS node, b.hops + 1 AS hops
+        |  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.hops < 4),
+        |d AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY 1)
+        |SELECT CAST(hops AS BIGINT) AS hops,
+        |  CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_customers,
+        |  CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_suppliers
+        |FROM d GROUP BY 1 ORDER BY hops""".stripMargin)))
 }

@@ -55,6 +55,18 @@ class GraphSpec extends AnyFunSuite {
       assert(got(k) == v, s"node $k: got ${got(k)} want $v")
   }
 
+  test("shortestHops: path-graph distances, horizon cap, unreachable absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7 plus isolated pair 10-11
+    val und = (1L to 6L).map(i => (i, i + 1)) :+ (10L, 11L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seed = Seq(1L).toDF("node")
+    val got = Graph.shortestHops(edges, seed, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nodes 1..5 at hops 0..4; 6,7 beyond horizon; 10,11 unreachable
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L), s"$got")
+  }
+
   test("rank mass stays ~1 and the hub dominates") {
     val ranks = Graph.pageRank(starEdges, iterations = 5).collect()
       .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap

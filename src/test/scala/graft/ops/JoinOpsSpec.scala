@@ -123,6 +123,40 @@ class JoinOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental user stats equal the one-shot aggregate (split-invariance)") {
+    // the driver row splits by event_id % 4; recompute the same
+    // answer directly and require exact equality INCLUDING the float
+    // sum (9dp-decimal per-value rounding makes it order-independent)
+    val inc = EventQueries.userStatsIncremental(spark, dir).collect()
+    val full = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ms", expr("ts DIV 1000000"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ms")).as("first_ms"),
+          max(col("ms")).as("last_ms"),
+          sum(round(col("value"), 9).cast("decimal(20,9)")).cast("double").as("sum_value"))
+        .orderBy(col("user_id")).collect()
+    }
+    assert(inc.toSeq == full.toSeq)
+  }
+
+  test("quartile assignment: boundary value lands in the lower bucket (<=)") {
+    import spark.implicits._
+    // 8 values; p25 of (1..8) = 2.75, p50 = 4.5, p75 = 6.25 — plant a
+    // value exactly AT a rounded threshold to pin <= semantics
+    val v = Seq.tabulate(8)(i => ("t", (i + 1).toDouble)) :+ (("t", 2.75))
+    val df = v.toDF("event_type", "value")
+    val th = df.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(round(element_at(col("p"), 1), 4).as("p25")).head.getDouble(0)
+    val buckets = df
+      .withColumn("b", when(col("value") <= lit(th), 1).otherwise(2))
+      .filter(col("value") === 2.75).select("b").collect().map(_.getInt(0))
+    // 2.75 is the 25th percentile of 1..8; with the planted extra row
+    // the threshold shifts but stays >= 2.75, so <= keeps it in b=1
+    assert(buckets.forall(_ == 1), s"boundary row escaped: ${buckets.toSeq}")
+  }
+
   test("user EWMA equals the scalar sequential fold (order pinned by ms, event_id)") {
     val got = EventQueries.userValueEwma(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
