@@ -457,6 +457,23 @@ object EventQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** The [[streamStaticEnrich]] join under SALTING
+    * ([[SkewUtils.saltedJoin]]): big side salted, dim side replicated
+    * nSalts×, joined on (user_id, salt) — the static fallback for a
+    * hot key one reducer can't hold even after AQE's runtime split.
+    * Same oracle SHAPE as the plain join: salting must be invisible
+    * in output. */
+  def userEnrichSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("ms")).as("first_ms"))
+    SkewUtils.saltedJoin(ev, dim, "user_id", nSalts = 8)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ms") - col("first_ms")).as("max_age_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** Mergeable per-user rollup: count, min/max epoch-ms, and an exact
     * 9dp-decimal value sum — every field merges associatively, which
     * is the property incremental maintenance needs. */
@@ -802,6 +819,12 @@ object EventQueries {
         |  list_reduce([CAST(0 AS DOUBLE)] || xs, (acc, x) ->
         |    CAST(round(CAST(CAST(0.2 * x + 0.8 * acc AS VARCHAR) AS DECIMAL(38,28)), 9) AS DOUBLE)) AS ewma
         |FROM l ORDER BY user_id""".stripMargin)),
+    "user_enrich_salted" -> QueryDef(userEnrichSalted, Some(
+      """WITH dim AS (SELECT user_id, epoch_ms(min(ts)) AS first_ms FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_events,
+        |       max(epoch_ms(e.ts) - d.first_ms) AS max_age_ms
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
     "user_stats_incremental" -> QueryDef(userStatsIncremental, Some(
       s"""SELECT user_id, count(*) AS n_events,
          |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,

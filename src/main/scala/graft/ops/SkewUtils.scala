@@ -34,6 +34,23 @@ object SkewUtils {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(resultCol))
 
+  /** Salted equi-join for skewed keys: the BIG side gets a
+    * deterministic row salt in [0, nSalts); the small side replicates
+    * each row nSalts times; joining on (key, salt) spreads one hot
+    * key's rows over nSalts reducers. Output is EXACTLY the plain
+    * join (every big row matches exactly its one salt replica).
+    * Complements AQE's skew split: salting is the static fallback
+    * when a hot key exceeds what runtime splitting can rebalance
+    * (documented at Dedup's maxBucket math). Costs nSalts× the small
+    * side on the wire — use when small·nSalts ≪ big. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 nSalts: Int = 8): DataFrame = {
+    val salted = big.withColumn("__salt", rowSalt(big, nSalts))
+    val repl = small.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    salted.join(repl, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted sum/min/max/count bundle — the UserTimeRec shape
     * (first/last/count) under skew. */
   def saltedUserTimes(df: DataFrame, key: String, tsCol: String,

@@ -98,6 +98,24 @@ object TextAnalysis {
         round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("lang"))
 
+  /** Per-language corpus vocabulary stats: token volume, distinct
+    * types, docs, and type-token ratio — the corpus-composition
+    * report a mixture designer reads next to [[langHistogram]]. One
+    * explode + one aggregate; the distinct-count is per language, so
+    * partial aggregation bounds the shuffle at vocabulary size. */
+  def langTokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+          .as("ttr"))
+      .orderBy(col("lang"))
+
   // ------------------------------------------------------------- lang-id
 
   /** Profiles live in [[graft.functions.LangProfiles]] (shared with
@@ -441,6 +459,14 @@ object TextAnalysis {
     }),
     "lang_histogram" -> QueryDef(langHistogram, Some(
       s"SELECT lang, count(*) AS n_docs, ${R("avg(n_chars)", 2)} AS avg_chars FROM documents GROUP BY lang ORDER BY lang")),
+    "lang_token_stats" -> QueryDef(langTokenStats, Some(
+      s"""WITH tk AS (
+         |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT * FROM tk WHERE tok <> '')
+         |SELECT lang, count(*) AS n_tokens,
+         |  count(DISTINCT tok) AS n_types, count(DISTINCT doc_id) AS n_docs,
+         |  ${R("CAST(count(DISTINCT tok) AS DOUBLE) / count(*)", 6)} AS ttr
+         |FROM tf GROUP BY lang ORDER BY lang""".stripMargin)),
     "text_langid" -> QueryDef(langIdQuery, Some(langIdOracle)),
     "text_tfidf_top_terms" -> QueryDef((s, d) => tfidfTopTerms(s, d), Some(
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -309,6 +309,21 @@ object TpchQueries {
       .orderBy(desc("numwait"), col("s_suppkey"))
   }
 
+  /** TPC-H Q6 shape: forecast-revenue-change — a pure filter +
+    * single-row aggregate, the simplest plan that must STILL push
+    * every predicate into the scan (PushedFilters carries the date
+    * range; the decimal band compare keeps boundary rows
+    * engine-exact). */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        money(col("l_discount")).between(lit(0.05).cast("decimal(12,2)"),
+          lit(0.07).cast("decimal(12,2)")) &&
+        col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * money(col("l_discount"))).as("r"))
+      .select(round(col("r").cast("double"), 2).as("revenue"))
+
   /** Distribution-rank window functions over orders: percent_rank,
     * cume_dist, and quartile (ntile) of order value within each
     * status. The window orders by (totalprice, orderkey) so ties
@@ -447,6 +462,12 @@ object TpchQueries {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin)),
+    "forecast_revenue" -> QueryDef(forecastRevenue, Some(
+      s"""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)),
     "order_rank_stats" -> QueryDef(orderRankStats, Some(
       s"""SELECT o_orderkey, o_orderstatus,
         |  ${R("percent_rank() OVER w", 9)} AS pr,

@@ -29,6 +29,21 @@ class SkewUtilsSpec extends AnyFunSuite {
     assert(salted("krbtgt") == 10000L)
   }
 
+  test("salted join equals the plain join exactly, incl. a skewed key") {
+    import spark.implicits._
+    val big = (Seq.tabulate(5000)(i => ("hot", i.toLong)) ++
+      Seq.tabulate(60)(i => (s"k_$i", i.toLong))).toDF("key", "x")
+    val small = (("hot", 99L) +: Seq.tabulate(60)(i => (s"k_$i", i.toLong)))
+      .toDF("key", "tag")
+    val salted = SkewUtils.saltedJoin(big, small, "key", nSalts = 8)
+      .select("key", "x", "tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val plain = big.join(small, Seq("key"))
+      .select("key", "x", "tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted.length == plain.length && salted.sameElements(plain))
+  }
+
   test("salted user-times equals plain min/max/count on real events") {
     val ev = EventQueries.events(spark, dir)
       .withColumn("ms", unix_millis(col("ts"))).select("user_id", "ms")
