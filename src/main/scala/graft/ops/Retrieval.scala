@@ -172,31 +172,88 @@ object Retrieval {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion of the lexical (BM25) and semantic
+    * (embedding cosine) top-k lists: rrf = Σ 1/(60 + rank) over the
+    * lists a doc appears in — the standard score-free hybrid, fully
+    * deterministic because it consumes only the INTEGER ranks of two
+    * already-hash-checked components (doc_id and vec_id share one id
+    * space in this corpus). Full-outer on (query, doc) so a doc found
+    * by either retriever competes; re-ranked on the 9dp-rounded
+    * fused score with a doc_id tie-break. */
+  def hybridTopKRrf(s: SparkSession, dir: String,
+                    nQueries: Int = 3, k: Int = 10): DataFrame = {
+    val lex = bm25TopK(s, dir, nQueries = nQueries, k = k)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("r_lex"))
+    val sem = Similarity.bruteForceTopK(s, dir, nQueries = nQueries, k = k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("r_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf"), col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------ registry
+
+  /** The BM25 ranking CTE chain (through `rnk`) — shared by the
+    * bm25_topk oracle and the hybrid-fusion oracle so the two cannot
+    * drift. */
+  private val bm25RankCtes: String =
+    s"""base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+       |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base WHERE len(t) >= 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS stot FROM bn),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM bn) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice(t, 1, 4))) AS term
+       |      FROM bn WHERE doc_id < 3),
+       |contrib AS (SELECT q.query_id, tf.doc_id,
+       |    ${OracleSql.roundDec(
+             // parenthesized to mirror the Scala evaluation order
+             // exactly — a*b/c associates differently from a*(b/c)
+             // in IEEE doubles
+             "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+               "((tf * 2.2) / (tf + (dl / (CAST(stot AS DOUBLE) / n) * 0.75 + 0.25) * 1.2))", 9)} AS c
+       |  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, sum(c) AS sc FROM contrib GROUP BY query_id, doc_id),
+       |rnk AS (SELECT query_id, doc_id, sc,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk FROM sc)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "bm25_topk" -> QueryDef((s, d) => bm25TopK(s, d), Some(
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
-         |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base WHERE len(t) >= 1),
-         |stats AS (SELECT count(*) AS n, sum(dl) AS stot FROM bn),
-         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-         |       FROM (SELECT doc_id, dl, unnest(t) AS term FROM bn) GROUP BY doc_id, term),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |q AS (SELECT doc_id AS query_id, unnest(list_distinct(list_slice(t, 1, 4))) AS term
-         |      FROM bn WHERE doc_id < 3),
-         |contrib AS (SELECT q.query_id, tf.doc_id,
-         |    ${OracleSql.roundDec(
-               // parenthesized to mirror the Scala evaluation order
-               // exactly — a*b/c associates differently from a*(b/c)
-               // in IEEE doubles
-               "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
-                 "((tf * 2.2) / (tf + (dl / (CAST(stot AS DOUBLE) / n) * 0.75 + 0.25) * 1.2))", 9)} AS c
-         |  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats),
-         |sc AS (SELECT query_id, doc_id, sum(c) AS sc FROM contrib GROUP BY query_id, doc_id),
-         |rnk AS (SELECT query_id, doc_id, sc,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk FROM sc)
+      s"""WITH $bm25RankCtes
          |SELECT query_id, doc_id, ${OracleSql.round("CAST(sc AS DOUBLE)", 4)} AS score, rnk
          |FROM rnk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+    "hybrid_topk_rrf" -> QueryDef((s, d) => hybridTopKRrf(s, d), Some(
+      s"""WITH $bm25RankCtes,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT vq.vec_id AS query_id, vc.vec_id AS doc_id,
+         |         ${Similarity.cosSqlFor("vq", "vc")} AS sim
+         |  FROM e vq JOIN e vc ON vq.vec_id < 3 AND vc.vec_id >= 3),
+         |srnk AS (SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
+         |         FROM scored),
+         |lex AS (SELECT query_id, doc_id, rnk AS r_lex FROM rnk WHERE rnk <= 10),
+         |sem AS (SELECT query_id, doc_id, rnk AS r_sem FROM srnk WHERE rnk <= 10),
+         |fused AS (SELECT coalesce(l.query_id, sm.query_id) AS query_id,
+         |            coalesce(l.doc_id, sm.doc_id) AS doc_id,
+         |            CAST(${OracleSql.roundDecSub(
+                        "coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex), 0) + " +
+                          "coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_sem), 0)", 9)} AS DOUBLE) AS rrf
+         |          FROM lex l FULL OUTER JOIN sem sm
+         |            ON l.query_id = sm.query_id AND l.doc_id = sm.doc_id),
+         |frnk AS (SELECT query_id, doc_id, rrf,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+         |         FROM fused)
+         |SELECT query_id, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
+         |FROM frnk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
     "bm25_topk_pruned" -> QueryDef((s, d) => bm25TopKPruned(s, d), Some(
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
          |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base WHERE len(t) >= 1),

@@ -483,9 +483,13 @@ object Similarity {
 
   // ------------------------------------------------------------ registry
 
-  private val cosSql =
-    """list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
-      |    (sqrt(list_sum(list_transform(q.v, x -> x * x))) * sqrt(list_sum(list_transform(c.v, x -> x * x))))""".stripMargin
+  /** DuckDB cosine over `$a.v` / `$b.v` — shared with Retrieval's
+    * hybrid fusion oracle. */
+  private[ops] def cosSqlFor(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a.v, $b.v), x -> x[1] * x[2])) /
+       |    (sqrt(list_sum(list_transform($a.v, x -> x * x))) * sqrt(list_sum(list_transform($b.v, x -> x * x))))""".stripMargin
+
+  private val cosSql = cosSqlFor("q", "c")
 
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 

@@ -130,4 +130,25 @@ class RetrievalSpec extends AnyFunSuite {
       s"full match did not win: $got")
     assert(!got.contains(13L), "doc with no query term scored")
   }
+
+  test("hybrid RRF equals a scalar recompute from the component ranks") {
+    import org.apache.spark.sql.functions._
+    val lex = Retrieval.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val sem = Similarity.bruteForceTopK(spark, dir, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def round9(x: Double): Double =
+      BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (lex.keySet ++ sem.keySet).map { k =>
+      k -> round9(
+        lex.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          sem.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+    }.toMap
+    val got = Retrieval.hybridTopKRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty && got.keySet.subsetOf(want.keySet))
+    for ((k, v) <- got) assert(v == want(k), s"$k: $v vs ${want(k)}")
+    // fusion actually fuses: rank-1-in-both dominates rank-1-in-one
+    assert(round9(2.0 / 61.0) > round9(1.0 / 61.0))
+  }
 }
