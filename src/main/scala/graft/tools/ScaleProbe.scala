@@ -116,7 +116,12 @@ object ScaleProbe {
       "supplier_pagerank",     // 5 join+agg rounds over the edge list
       "heavy_hitter_event_types", // MG mapPartitions + candidate recount
       "returned_item_suppliers",  // three-pass per-order aggregates
-      "user_value_ewma")       // per-user ordered collect + HOF fold
+      "user_value_ewma",       // per-user ordered collect + HOF fold
+      "user_stats_incremental", // state write + per-key outer merge
+      "user_enrich_salted",    // salted join (dim replicated 8x)
+      "lang_token_stats",      // explode + per-lang distinct agg
+      "supplier_reach_hops",   // 4 BFS relaxation rounds
+      "hybrid_topk_rrf")       // two retriever lineages + rank fusion
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
