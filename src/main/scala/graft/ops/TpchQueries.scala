@@ -309,6 +309,50 @@ object TpchQueries {
       .orderBy(desc("numwait"), col("s_suppkey"))
   }
 
+  /** MERGE INTO (upsert) semantics as one full-outer join — the
+    * lakehouse dimension-maintenance shape: matched keys take the
+    * update, current-only keys keep their row, update-only keys
+    * insert; `action` records which branch fired (via presence
+    * flags, so NULL data values can't masquerade as absence). Value
+    * semantics are PATCH-style: a NULL field in an update row keeps
+    * the current field (spec-pinned) — strict SET-NULL callers pass
+    * a sentinel. One shuffle on the merge key — or zero over
+    * co-bucketed layouts ([[Bucketing]]). */
+  def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(updates.columns.toSet == current.columns.toSet,
+      s"upsert schemas differ: ${current.columns.toSeq} vs ${updates.columns.toSeq}")
+    val valCols = current.columns.filter(_ != key).toSeq
+    val cur = current.select((col(key) +: valCols.map(c => col(c).as(s"__c_$c"))) :+
+      lit(1).as("__c_present"): _*)
+    val upd = updates.select((col(key) +: valCols.map(c => col(c).as(s"__u_$c"))) :+
+      lit(1).as("__u_present"): _*)
+    cur.join(upd, Seq(key), "full_outer")
+      .select((col(key) +:
+        valCols.map(c => coalesce(col(s"__u_$c"), col(s"__c_$c")).as(c))) :+
+        when(col("__u_present").isNotNull && col("__c_present").isNotNull, "update")
+          .when(col("__u_present").isNotNull, "insert")
+          .otherwise("keep").as("action"): _*)
+  }
+
+  /** Driver row: a deterministic update batch (every 5th customer's
+    * balance +100) plus an insert batch (shifted keys for every 7th)
+    * merged into the customer dimension. */
+  def customerDimUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val cur = cust.select(col("c_custkey"),
+      money(col("c_acctbal")).cast("decimal(13,2)").as("acctbal"))
+    val upd = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        (money(col("c_acctbal")) + 100).cast("decimal(13,2)").as("acctbal"))
+      .unionAll(cust.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit(50).cast("decimal(13,2)").as("acctbal")))
+    upsert(cur, upd, "c_custkey")
+      .select(col("c_custkey"), col("acctbal").cast("double").as("acctbal"),
+        col("action"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** TPC-H Q6 shape: forecast-revenue-change — a pure filter +
     * single-row aggregate, the simplest plan that must STILL push
     * every predicate into the scan (PushedFilters carries the date
@@ -462,6 +506,23 @@ object TpchQueries {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin)),
+    "customer_dim_upsert" -> QueryDef(customerDimUpsert, Some(
+      """WITH cur AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(13,2)) AS acctbal
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DECIMAL(13,2)) AS acctbal
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, CAST(50 AS DECIMAL(13,2))
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+        |  CAST(coalesce(u.acctbal, c.acctbal) AS DOUBLE) AS acctbal,
+        |  CASE WHEN u.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'update'
+        |       WHEN u.c_custkey IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+        |FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin)),
     "forecast_revenue" -> QueryDef(forecastRevenue, Some(
       s"""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM lineitem

@@ -60,6 +60,15 @@ class PlanPinsSpec extends AnyFunSuite {
       s"no gb partition pruning in the indexed ingest plan:\n$p")
   }
 
+  test("heavy hitters: candidate set broadcasts into a semi-join; Q6 predicates pushed") {
+    val p = plan("heavy_hitter_event_types")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate recount must be a broadcast semi-join:\n$p")
+    val q6 = plan("forecast_revenue")
+    assert(q6.contains("PushedFilters") && q6.contains("l_shipdate"),
+      s"Q6 date range not pushed:\n$q6")
+  }
+
   test("top_orders: TakeOrderedAndProject, never a global sort") {
     val p = plan("top_orders")
     assert(p.contains("TakeOrderedAndProject"), s"no bounded top-N:\n$p")

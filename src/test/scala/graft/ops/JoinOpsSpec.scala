@@ -140,6 +140,29 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(inc.toSeq == full.toSeq)
   }
 
+  test("incremental merge: state-only and batch-only users survive the outer fold") {
+    import spark.implicits._
+    // the real events table never produces one-sided users (everyone
+    // has ids in both residue classes), so the full-outer NULL
+    // branches — coalesce counts, least/greatest over NULL — are
+    // exercised HERE: user 100 exists only in the batch (ids % 4 == 0),
+    // user 200 only in history, user 300 in both
+    val rows = Seq(
+      (4L, "2024-01-01 10:00:00", 100L, 10.0),
+      (8L, "2024-01-02 10:00:00", 100L, 5.0),
+      (1L, "2024-01-03 10:00:00", 200L, 7.0),
+      (2L, "2024-01-04 10:00:00", 300L, 1.0),
+      (12L, "2024-01-05 10:00:00", 300L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val d = "target/scratch/inc_onesided"
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventQueries.userStatsIncremental(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(got == Map(100L -> ((2L, 15.0)), 200L -> ((1L, 7.0)),
+      300L -> ((2L, 3.0))), s"$got")
+  }
+
   test("quartile assignment: boundary value lands in the lower bucket (<=)") {
     import spark.implicits._
     // 8 values; p25 of (1..8) = 2.75, p50 = 4.5, p75 = 6.25 — plant a

@@ -106,6 +106,20 @@ class TpchClassicsSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("upsert: matched updates, unmatched keeps, inserts; NULL patches keep old value") {
+    import spark.implicits._
+    val cur = Seq((1L, Some("a")), (2L, Some("b"))).toDF("k", "v")
+    val upd = Seq((2L, None: Option[String]), (3L, Some("c"))).toDF("k", "v")
+    val got = TpchQueries.upsert(cur, upd, "k").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((Some("a"), "keep")),
+      // presence flag says update even though the value field is NULL;
+      // patch semantics keep the existing value
+      2L -> ((Some("b"), "update")),
+      3L -> ((Some("c"), "insert"))), s"$got")
+  }
+
   test("Q14 shape: promo-free month reports 0 ratio, not NULL") {
     val got = TpchQueries.promoRevenueRatio(spark, fixture)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).toList
