@@ -78,6 +78,21 @@ object EventQueries {
       .orderBy(desc("n_events"), col("user_id"))
       .limit(10)
 
+  /** [[topUsers]] through the real micro-batch engine: COMPLETE-mode
+    * output is the one streaming mode that supports a global
+    * sort+limit after the aggregation (append/update cannot order a
+    * result that is still growing), so the engine's own
+    * TakeOrdered runs inside the stream and the row shares the batch
+    * oracle. Re-ordered after the drain only because a memory sink
+    * table has no guaranteed row order. */
+  def topUsersStreaming(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.readEvents(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(desc("n_events"), col("user_id")).limit(10),
+      "top_users_stream", "complete", Seq("user_id"))
+      .orderBy(desc("n_events"), col("user_id"))
+
   /** README #6: most common errors — `error` events bucketed by their
     * JSON `props.k` code. Exercises JSON extraction in the scan stage. */
   def commonErrors(s: SparkSession, dir: String): DataFrame =
@@ -862,6 +877,10 @@ object EventQueries {
     "service_first_last" -> QueryDef(serviceFirstLast, Some(
       "SELECT event_type, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type")),
     "top_users" -> QueryDef(topUsers, Some(
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10")),
+    // the 10th streaming row: complete-mode global sort+limit inside
+    // the micro-batch engine, same oracle as the batch twin
+    "top_users_streaming" -> QueryDef(topUsersStreaming, Some(
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10")),
     "common_errors" -> QueryDef(commonErrors, Some(
       "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS err_code, count(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY n_errors DESC, err_code")),
