@@ -514,8 +514,13 @@ object EventQueries {
         (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_events"),
         least(col("f1"), col("f2")).as("first_ms"),
         greatest(col("l1"), col("l2")).as("last_ms"),
-        (coalesce(col("s1"), lit(0).cast("decimal(20,9)")) +
-          coalesce(col("s2"), lit(0).cast("decimal(20,9)"))).as("sv"))
+        // both-NULL must STAY NULL (a user whose every value is NULL
+        // sums to NULL in a full recompute — coalescing to 0 would
+        // diverge from the oracle); one-sided NULL folds to the
+        // present side
+        when(col("s1").isNull && col("s2").isNull, lit(null).cast("decimal(20,9)"))
+          .otherwise(coalesce(col("s1"), lit(0).cast("decimal(20,9)")) +
+            coalesce(col("s2"), lit(0).cast("decimal(20,9)"))).as("sv"))
   }
 
   private val stateScratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -684,6 +689,16 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Shared by the streaming enrich row and its salted-join twin:
+    * same join semantics, one oracle — an edit to one cannot leave
+    * the other stale. */
+  private val enrichOracle: String =
+    """WITH dim AS (SELECT user_id, epoch_ms(min(ts)) AS first_ms FROM events GROUP BY user_id)
+      |SELECT e.user_id, count(*) AS n_events,
+      |       max(epoch_ms(e.ts) - d.first_ms) AS max_age_ms
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
   /** Shared by the batch and streaming session-window rows: both run
     * the same 6h-gap semantics, so one oracle checks both. */
   private val sessionWindowOracle: String =
@@ -752,12 +767,8 @@ object EventQueries {
       """SELECT event_type, strftime(ts, '%A') AS day_of_week, count(*) AS n_events
         |FROM events GROUP BY CUBE(event_type, strftime(ts, '%A'))
         |ORDER BY event_type NULLS FIRST, day_of_week NULLS FIRST""".stripMargin)),
-    "stream_static_enrich" -> QueryDef((s, d) => streamStaticEnrich(s, d), Some(
-      """WITH dim AS (SELECT user_id, epoch_ms(min(ts)) AS first_ms FROM events GROUP BY user_id)
-        |SELECT e.user_id, count(*) AS n_events,
-        |       max(epoch_ms(e.ts) - d.first_ms) AS max_age_ms
-        |FROM events e JOIN dim d ON e.user_id = d.user_id
-        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+    "stream_static_enrich" -> QueryDef((s, d) => streamStaticEnrich(s, d),
+      Some(enrichOracle)),
     "session_window_stats" -> QueryDef((s, d) => sessionWindowStats(s, d),
       Some(sessionWindowOracle)),
     // the streaming twin runs the SAME semantics through the native
@@ -834,12 +845,7 @@ object EventQueries {
         |  list_reduce([CAST(0 AS DOUBLE)] || xs, (acc, x) ->
         |    CAST(round(CAST(CAST(0.2 * x + 0.8 * acc AS VARCHAR) AS DECIMAL(38,28)), 9) AS DOUBLE)) AS ewma
         |FROM l ORDER BY user_id""".stripMargin)),
-    "user_enrich_salted" -> QueryDef(userEnrichSalted, Some(
-      """WITH dim AS (SELECT user_id, epoch_ms(min(ts)) AS first_ms FROM events GROUP BY user_id)
-        |SELECT e.user_id, count(*) AS n_events,
-        |       max(epoch_ms(e.ts) - d.first_ms) AS max_age_ms
-        |FROM events e JOIN dim d ON e.user_id = d.user_id
-        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+    "user_enrich_salted" -> QueryDef(userEnrichSalted, Some(enrichOracle)),
     "user_stats_incremental" -> QueryDef(userStatsIncremental, Some(
       s"""SELECT user_id, count(*) AS n_events,
          |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,

@@ -465,7 +465,8 @@ object TextAnalysis {
          |tf AS (SELECT * FROM tk WHERE tok <> '')
          |SELECT lang, count(*) AS n_tokens,
          |  count(DISTINCT tok) AS n_types, count(DISTINCT doc_id) AS n_docs,
-         |  ${R("CAST(count(DISTINCT tok) AS DOUBLE) / count(*)", 6)} AS ttr
+         |  CAST(${graft.OracleSql.roundDecSub(
+                 "CAST(count(DISTINCT tok) AS DOUBLE) / count(*)", 6)} AS DOUBLE) AS ttr
          |FROM tf GROUP BY lang ORDER BY lang""".stripMargin)),
     "text_langid" -> QueryDef(langIdQuery, Some(langIdOracle)),
     "text_tfidf_top_terms" -> QueryDef((s, d) => tfidfTopTerms(s, d), Some(

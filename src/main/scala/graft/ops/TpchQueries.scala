@@ -335,17 +335,22 @@ object TpchQueries {
   }
 
   /** Driver row: a deterministic update batch (every 5th customer's
-    * balance +100) plus an insert batch (shifted keys for every 7th)
-    * merged into the customer dimension. */
+    * balance +100) plus an insert batch merged into the customer
+    * dimension. Insert keys shift by max(c_custkey) — derived from
+    * the data, not a constant, so they can NEVER collide with a real
+    * key at any scale factor (a fixed 10^7 shift would silently turn
+    * inserts into bogus updates once keys reach it). */
   def customerDimUpsert(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
+    val mx = cust.agg(max(col("c_custkey")).as("mxk"))
     val cur = cust.select(col("c_custkey"),
       money(col("c_acctbal")).cast("decimal(13,2)").as("acctbal"))
     val upd = cust.filter(col("c_custkey") % 5 === 0)
       .select(col("c_custkey"),
         (money(col("c_acctbal")) + 100).cast("decimal(13,2)").as("acctbal"))
       .unionAll(cust.filter(col("c_custkey") % 7 === 0)
-        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        .crossJoin(broadcast(mx))
+        .select((col("c_custkey") + col("mxk")).as("c_custkey"),
           lit(50).cast("decimal(13,2)").as("acctbal")))
     upsert(cur, upd, "c_custkey")
       .select(col("c_custkey"), col("acctbal").cast("double").as("acctbal"),
@@ -365,8 +370,11 @@ object TpchQueries {
         money(col("l_discount")).between(lit(0.05).cast("decimal(12,2)"),
           lit(0.07).cast("decimal(12,2)")) &&
         col("l_quantity") < 24)
+      // round the exact DECIMAL, then cast — the pricing_summary
+      // pairing; cast-then-round would round a double that may no
+      // longer carry the exact .xx50 midpoint at large sums
       .agg(sum(money(col("l_extendedprice")) * money(col("l_discount"))).as("r"))
-      .select(round(col("r").cast("double"), 2).as("revenue"))
+      .select(round(col("r"), 2).cast("double").as("revenue"))
 
   /** Distribution-rank window functions over orders: percent_rank,
     * cume_dist, and quartile (ntile) of order value within each
@@ -515,7 +523,7 @@ object TpchQueries {
         |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DECIMAL(13,2)) AS acctbal
         |  FROM customer WHERE c_custkey % 5 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 10000000, CAST(50 AS DECIMAL(13,2))
+        |  SELECT c_custkey + (SELECT max(c_custkey) FROM customer), CAST(50 AS DECIMAL(13,2))
         |  FROM customer WHERE c_custkey % 7 = 0)
         |SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
         |  CAST(coalesce(u.acctbal, c.acctbal) AS DOUBLE) AS acctbal,
@@ -529,10 +537,12 @@ object TpchQueries {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin)),
+    // pr/cd live in [0,1] — sub-unit, so the scale-28 staging variant
+    // (see OracleSql.roundDecSub) avoids the digit-18 double rounding
     "order_rank_stats" -> QueryDef(orderRankStats, Some(
       s"""SELECT o_orderkey, o_orderstatus,
-        |  ${R("percent_rank() OVER w", 9)} AS pr,
-        |  ${R("cume_dist() OVER w", 9)} AS cd,
+        |  CAST(${graft.OracleSql.roundDecSub("percent_rank() OVER w", 9)} AS DOUBLE) AS pr,
+        |  CAST(${graft.OracleSql.roundDecSub("cume_dist() OVER w", 9)} AS DOUBLE) AS cd,
         |  ntile(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)

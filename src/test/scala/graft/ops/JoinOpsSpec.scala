@@ -148,19 +148,25 @@ class JoinOpsSpec extends AnyFunSuite {
     // exercised HERE: user 100 exists only in the batch (ids % 4 == 0),
     // user 200 only in history, user 300 in both
     val rows = Seq(
-      (4L, "2024-01-01 10:00:00", 100L, 10.0),
-      (8L, "2024-01-02 10:00:00", 100L, 5.0),
-      (1L, "2024-01-03 10:00:00", 200L, 7.0),
-      (2L, "2024-01-04 10:00:00", 300L, 1.0),
-      (12L, "2024-01-05 10:00:00", 300L, 2.0))
+      (4L, "2024-01-01 10:00:00", 100L, Some(10.0)),
+      (8L, "2024-01-02 10:00:00", 100L, Some(5.0)),
+      (1L, "2024-01-03 10:00:00", 200L, Some(7.0)),
+      (2L, "2024-01-04 10:00:00", 300L, Some(1.0)),
+      (12L, "2024-01-05 10:00:00", 300L, Some(2.0)),
+      // user 400: every value NULL, split across both sides — the
+      // merged sum must stay NULL (a full recompute sums to NULL),
+      // not coalesce to 0.0
+      (16L, "2024-01-06 10:00:00", 400L, None: Option[Double]),
+      (3L, "2024-01-07 10:00:00", 400L, None: Option[Double]))
       .toDF("event_id", "ts", "user_id", "value")
       .withColumn("ts", col("ts").cast("timestamp"))
     val d = "target/scratch/inc_onesided"
     rows.write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = EventQueries.userStatsIncremental(spark, d).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
-    assert(got == Map(100L -> ((2L, 15.0)), 200L -> ((1L, 7.0)),
-      300L -> ((2L, 3.0))), s"$got")
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got == Map(100L -> ((2L, Some(15.0))), 200L -> ((1L, Some(7.0))),
+      300L -> ((2L, Some(3.0))), 400L -> ((2L, None))), s"$got")
   }
 
   test("quartile assignment: boundary value lands in the lower bucket (<=)") {
