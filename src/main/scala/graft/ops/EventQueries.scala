@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  /** The events table is nanosecond-precision parquet, which Spark 4
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Our session builders set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, and this loader folds
-    * the long back to a microsecond timestamp (integral DIV — ns values
-    * ≈1.7e18 overflow double math). Truncation ns→µs→ms is consistently
-    * floor, so epoch-millis outputs agree with DuckDB's `epoch_ms` over
-    * the original nanos. */
+  /** Schema-adaptive events loader — the driver's testdata has shipped
+    * ts as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds,
+    * and this single seam absorbs either vintage:
+    *  - NANOS: Spark 4 refuses the type outright
+    *    ([PARQUET_TYPE_ILLEGAL]); our session builders set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` so ts arrives as a
+    *    long, folded back to a µs timestamp here (integral DIV — ns
+    *    values ≈1.7e18 overflow double math). ns→µs→ms truncation is
+    *    consistently floor, so epoch-millis outputs agree with DuckDB.
+    *  - MICROS: read natively as TIMESTAMP_NTZ and cast to the
+    *    session-zone instant (every library session pins UTC, so the
+    *    cast is value-preserving and matches the oracle's
+    *    timezone-free `epoch_ms`). */
   private[ops] def events(s: SparkSession, dir: String): DataFrame = {
     val df = Tables(s, dir, "events")
     df.schema("ts").dataType match {

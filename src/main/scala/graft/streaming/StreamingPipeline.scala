@@ -161,24 +161,46 @@ object StreamingPipeline {
     drainMemorySink(spark, name, sortCols: _*)
   }
 
-  /** events schema as the streaming source sees it (ns timestamps read
-    * as long under nanosAsLong, converted here like the batch path). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events schema as the streaming source sees it, parameterized on
+    * the file's physical ts type: TIMESTAMP(NANOS) vintages of the
+    * testdata surface ts as long (under nanosAsLong) and are folded to
+    * µs below; TIMESTAMP(MICROS) vintages read natively as NTZ —
+    * the same two cases the batch loader (EventQueries.events)
+    * handles. */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The file's ts type, sniffed from the parquet footer with a batch
+    * reader (streaming sources require an explicit schema up front —
+    * this keeps the stream schema in lockstep with whatever vintage
+    * of the testdata is on disk). */
+  def eventsTsType(s: SparkSession, dir: String): DataType =
+    s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+
+  /** ts-vintage normalization shared by batch and stream readers:
+    * long nanos fold to µs timestamps (integral DIV — ns magnitudes
+    * overflow double math); native NTZ casts to the session-zone
+    * instant (all library sessions pin UTC, matching the oracle's
+    * timezone-free epoch_ms). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** Streaming read of the events table (driver parquet laid out as a
     * directory; pathGlobFilter selects the events file). */
   def readEvents(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(
+      s.readStream
+        .schema(eventsSchema(eventsTsType(s, dir)))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
 
   /** 1. Tumbling daily per-user counts with a 1-hour watermark. */
   def dailyUserActivity(events: DataFrame): DataFrame =

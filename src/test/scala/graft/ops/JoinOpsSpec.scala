@@ -129,8 +129,8 @@ class JoinOpsSpec extends AnyFunSuite {
     // sum (9dp-decimal per-value rounding makes it order-independent)
     val inc = EventQueries.userStatsIncremental(spark, dir).collect()
     val full = {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ms", expr("ts DIV 1000000"))
+      val ev = EventQueries.events(spark, dir)
+        .withColumn("ms", unix_millis(col("ts")))
       ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), min(col("ms")).as("first_ms"),
           max(col("ms")).as("last_ms"),
@@ -189,8 +189,8 @@ class JoinOpsSpec extends AnyFunSuite {
   test("user EWMA equals the scalar sequential fold (order pinned by ms, event_id)") {
     val got = EventQueries.userValueEwma(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ms", expr("ts DIV 1000000"))
+    val ev = EventQueries.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
       .select("user_id", "ms", "event_id", "value")
       .filter(col("value").isNotNull)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -209,9 +209,8 @@ class JoinOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     val byUser = rows.groupBy(_._1)
-    import org.apache.spark.sql.functions.{col => c, unix_millis, expr => e}
-    val vals = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(e("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col => c, unix_millis}
+    val vals = EventQueries.events(spark, dir)
       .select(c("user_id"), c("event_id"), unix_millis(c("ts")).as("ms"), c("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val byUserVals = vals.groupBy(_._1)

@@ -64,11 +64,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dir2/events_$i.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val src = spark.readStream
-      .schema(StreamingPipeline.eventsSchema)
-      .parquet(dir2)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val src = StreamingPipeline.normalizeTs(spark.readStream
+      .schema(StreamingPipeline.eventsSchema(
+        StreamingPipeline.eventsTsType(spark, dir)))
+      .parquet(dir2))
     val q = StreamingPipeline.dedupedEvents(src)
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out")
@@ -90,8 +89,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .select("purchase_id", "click_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = StreamingPipeline.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
     val c = ev.filter(col("event_type") === "click")
@@ -116,8 +115,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val sj = graft.ops.EventQueries.streamIntervalJoin(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = StreamingPipeline.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
     val c = ev.filter(col("event_type") === "click")
@@ -212,8 +211,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val got = graft.ops.EventQueries.streamStaticEnrich(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ms", expr("(ts DIV 1000) DIV 1000"))
+    val ev = StreamingPipeline.normalizeTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("ms", unix_millis(col("ts")))
     val dim = ev.groupBy(col("user_id")).agg(min(col("ms")).as("first_ms"))
     val want = ev.join(dim, "user_id")
       .groupBy(col("user_id"))
