@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Determinism rules for oracle-checked queries (SURVEY.md §7.4):
   * stable ORDER BY on both sides, timestamps surfaced as epoch-millis
-  * bigints (the events table is nanosecond parquet — engines disagree
-  * on sub-microsecond display), doubles rounded (2dp money, 4dp ratios),
+  * bigints (engines disagree on timestamp display; the events table
+  * has shipped as both nanosecond and microsecond parquet across
+  * testdata vintages), doubles rounded (2dp money, 4dp ratios),
   * column names aliased identically in Spark and SQL.
   */
 final case class QueryDef(

@@ -47,8 +47,8 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with
-    * its own SparkSession, and events.parquet needs the
-    * `nanosAsLong` legacy flag our builders set (Verify/Bench). */
+    * its own SparkSession, and nanosecond vintages of events.parquet
+    * need the `nanosAsLong` legacy flag our builders set (Verify/Bench). */
   def entry(spark: SparkSession): DataFrame =
     ops.TpchQueries.pricingSummary(spark, "/root/testdata/sf0.001")
 

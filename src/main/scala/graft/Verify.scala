@@ -12,7 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS) which Spark 4 rejects;
+      // harmless for TIMESTAMP(MICROS) testdata vintages; lets
+      // TIMESTAMP(NANOS) vintages (which Spark 4 otherwise rejects)
       // read as long, converted in ops.EventQueries.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * HLL row). Checks are each a single aggregate or anti-join count —
   * the FK check is a broadcast anti-join when the dimension fits.
   *
-  * The events profile reads `ts` in its RAW nanosecond-long form
-  * (never the µs-truncated timestamp): ns→µs truncation is not
-  * bijective, so a distinct count over the converted column could
-  * disagree with an engine that counts native nanosecond values.
+  * The events profile reads `ts` in its RAW on-disk form (never a
+  * converted copy): on nanosecond testdata vintages ns→µs truncation
+  * is not bijective, so a distinct count over a converted column
+  * could disagree with an engine that counts native values; reading
+  * raw keeps both engines counting the same physical values on every
+  * vintage.
   */
 object DataQuality {
 

@@ -35,15 +35,24 @@ object Graph {
     * mass). Returns (node, rank DECIMAL(20,9)). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
-    // reused every iteration — cached under the serial-driver cache
-    // contract documented at Dedup.boundedSharedCounts (Verify/Bench
-    // clearCache between queries; library callers own cleanup)
-    val e = edges.select(col("src"), col("dst")).persist()
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).persist()
-    val nTotal = deg.agg(count(lit(1)).as("n_total"))
-    var p = deg.crossJoin(broadcast(nTotal))
+    // Both static operands are pre-partitioned on their join keys and
+    // cached that way (serial-driver cache contract documented at
+    // Dedup.boundedSharedCounts; Verify/Bench clearCache between
+    // queries, library callers own cleanup). Every iteration's
+    // rank⋈edges join then aligns exchange-free: ranks come out of
+    // the previous iteration partitioned by node (join output
+    // preserves the deg side's hash partitioning) and edges are
+    // already hashed by src, so the only shuffle per round is the
+    // unavoidable transpose (groupBy dst). n_total is folded into the
+    // cached deg frame once, not re-broadcast per round.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val degBase = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nTotal = degBase.agg(count(lit(1)).as("n_total"))
+    val deg = degBase.crossJoin(broadcast(nTotal))
+      .repartition(col("node")).persist()
+    var p = deg
       .select(col("node"), col("outdeg"), col("n_total"),
         round(lit(1.0) / col("n_total").cast("double"), 9)
           .cast("decimal(20,9)").as("rank"))
@@ -54,7 +63,7 @@ object Graph {
           round(col("rank").cast("double") / col("outdeg").cast("double"), 9)
             .cast("decimal(20,9)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      p = deg.crossJoin(broadcast(nTotal))
+      p = deg
         .join(contrib, col("dst") === col("node"), "left")
           .select(col("node"), col("outdeg"), col("n_total"),
           round(lit(1.0 - damping) / col("n_total").cast("double") +
