@@ -81,13 +81,21 @@ object Graph {
     * join+agg chain, fine for small fixed horizons. */
   def shortestHops(edges: DataFrame, sources: DataFrame,
                    maxHops: Int): DataFrame = {
+    // Without the persists the final action re-derives the edge
+    // lineage once per round and the dist lineage doubles per round
+    // (each round references the previous dist twice: relax + union).
+    // Caching makes both appear once per evaluation; frames are
+    // node-cardinality-sized and live under the serial-driver cache
+    // contract (see pageRank above).
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
     var dist = sources.select(col("node"), lit(0L).as("hops"))
     for (_ <- 1 to maxHops) {
       val next = dist.join(e, col("src") === col("node"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
       dist = dist.unionAll(next)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .persist()
     }
     dist
   }
