@@ -229,4 +229,30 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p).isDefined,
       s"raw text shuffles:\n$p")
   }
+
+  test("pageRank: one shuffle per iteration — joins align on the cached operands") {
+    // The power-iteration contract (Graph.pageRank): edges cache
+    // hashed by src, deg by node, so each round's rank⋈edges and
+    // deg⋈contrib joins are exchange-free and only the transpose
+    // (groupBy dst) shuffles. Counted as PHYSICAL TREE NODES (cached
+    // operand plans are InMemoryRelation leaves, so their build-side
+    // exchanges don't inflate the count) in a plain non-adaptive
+    // session with auto-broadcast off — the shape a 100 TB graph
+    // (where nothing broadcasts and AQE re-plans per stage) relies
+    // on. Naive unaligned operands re-shuffle both join sides every
+    // round: ≥3 exchanges per iteration instead of 1.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("supplier_pagerank")(s2, dir)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val iterations = 5
+    assert(shuffles.size >= iterations, // degenerate plan guard
+      s"suspiciously few exchanges (${shuffles.size})")
+    assert(shuffles.size <= iterations + 2,
+      s"${shuffles.size} exchanges for $iterations iterations — " +
+        s"iteration joins are re-shuffling:\n${df.queryExecution.executedPlan}")
+  }
 }
