@@ -33,14 +33,18 @@ object EventQueries {
     *    session-zone instant (every library session pins UTC, so the
     *    cast is value-preserving and matches the oracle's
     *    timezone-free `epoch_ms`). */
-  private[ops] def events(s: SparkSession, dir: String): DataFrame = {
-    val df = Tables(s, dir, "events")
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(Tables(s, dir, "events"))
+
+  /** The vintage seam itself, shared with the streaming reader
+    * (StreamingPipeline.readEvents): long nanos fold to µs
+    * timestamps, native NTZ casts to the session-zone instant. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
-  }
 
   /** README #1: number of authentications per user. */
   def userAuthCount(s: SparkSession, dir: String): DataFrame =

@@ -182,16 +182,14 @@ object StreamingPipeline {
   def eventsTsType(s: SparkSession, dir: String): DataType =
     s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
 
-  /** ts-vintage normalization shared by batch and stream readers:
+  /** ts-vintage normalization shared with the batch loader
+    * (graft.ops.EventQueries.normalizeTs — one seam, one test):
     * long nanos fold to µs timestamps (integral DIV — ns magnitudes
     * overflow double math); native NTZ casts to the session-zone
     * instant (all library sessions pin UTC, matching the oracle's
     * timezone-free epoch_ms). */
   def normalizeTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => df.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    graft.ops.EventQueries.normalizeTs(df)
 
   /** Streaming read of the events table (driver parquet laid out as a
     * directory; pathGlobFilter selects the events file). */
