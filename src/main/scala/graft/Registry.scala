@@ -69,6 +69,24 @@ object OracleSql {
     s"((($h * CAST($hi AS HUGEINT)) % 4294967296) * 4294967296 + $h * CAST($lo AS HUGEINT)) % $two64"
   }
 
+  /** CTE chain applying murmur fmix64 to a NON-NEGATIVE BIGINT key
+    * expression per row of `src` — the integer-key flavor of
+    * [[m61FmixScalarCtes]] (same staged xor/mulmod HUGEINT
+    * arithmetic, minus the string fold). Emits `${p}0..${p}3` and a
+    * final CTE `$p` = all of `src`'s columns plus `$out`
+    * (two's-complement BIGINT, identical to the JVM
+    * [[graft.functions.TextExpressions.fmix64]]). */
+  def fmix64Ctes(src: String, keyExpr: String,
+                 out: String = "h", p: String = "fx"): String =
+    s"""${p}0 AS (SELECT *, xor(CAST($keyExpr AS HUGEINT),
+       |                        CAST($keyExpr AS HUGEINT) >> 33) AS __h FROM $src),
+       |${p}1 AS (SELECT * REPLACE (${mulmod("__h", 0xff51afd7ed558ccdL)} AS __h) FROM ${p}0),
+       |${p}2 AS (SELECT * REPLACE (xor(__h, __h >> 33) AS __h) FROM ${p}1),
+       |${p}3 AS (SELECT * REPLACE (xor(__h, __h >> 33) AS __h) FROM (SELECT * REPLACE (${mulmod("__h", 0xc4ceb9fe1a85ec53L)} AS __h) FROM ${p}2)),
+       |$p AS (SELECT * EXCLUDE (__h),
+       |         CAST(CASE WHEN __h >= $two63 THEN __h - $two64 ELSE __h END AS BIGINT) AS $out
+       |       FROM ${p}3)""".stripMargin
+
   /** CTE chain hashing a SCALAR string expression per row of `src`
     * with M61-polynomial fold + murmur fmix64 — the scalar flavor of
     * Dedup's list-based shingle-hash chain. Emits CTEs `${p}0..${p}4`

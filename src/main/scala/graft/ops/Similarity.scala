@@ -86,12 +86,22 @@ object Similarity {
 
   // --------------------------------------------------------------- LSH
 
-  /** Fixed random hyperplanes: `nTables` tables × `nBits` planes,
-    * dims entries each, seeded (42) for run-to-run determinism. */
-  private[ops] def hyperplanes(nTables: Int, nBits: Int, dims: Int): Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(nTables, nBits, dims)(rnd.nextGaussian())
-  }
+  /** Fixed ±1 (Rademacher) hyperplanes derived from the library's
+    * fmix64 avalanche on the (table, bit, dim) index — signed random
+    * projections only need the component distribution symmetric
+    * around zero (Charikar 2002; Achlioptas 2001 proves the ±1
+    * family's JL guarantees), and a hash-derived sign matrix, unlike
+    * the JVM-PRNG gaussians it replaces, is reproducible in DuckDB
+    * HUGEINT SQL — which is what lets the LSH driver rows be
+    * oracle-checked end to end (the same move that made SimHash
+    * hash-checkable in round 3). The key mixes the indices with
+    * coprime strides so every (t, i, d) gets a distinct fmix input. */
+  private[ops] def hyperplanes(nTables: Int, nBits: Int, dims: Int): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(nTables, nBits, dims) { (t, i, d) =>
+      val h = graft.functions.TextExpressions.fmix64(
+        (t.toLong * 8191L + i) * 8191L + d + 1L)
+      if (h >= 0L) 1.0 else -1.0
+    }
 
   /** (id, table, bucket) signature rows for a (id, v) DataFrame —
     * bucket = sign-bit pattern of the hyperplane dot products, all
@@ -493,6 +503,47 @@ object Similarity {
 
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
+  /** Sequential-fold cosine over two DOUBLE[] expressions — the same
+    * list_sum recipe every hash-checked ANN oracle uses (bit-matches
+    * the native [[graft.functions.CosineSim]] fold order). */
+  private def lshCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |      (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  /** DuckDB mirror of the hash-sign LSH bucketing pipeline
+    * ([[hyperplanes]] + [[graft.functions.LshBucketSigs]]): emits CTEs
+    * ending in `sigs` = (id, t, bucket) over `vecSrc` (an (id, v)
+    * CTE), with bits/tables replicating [[autoBits]]/[[autoTables]]
+    * (both floored at 8) from `prmSrc`'s cardinality and dims from
+    * its shortest vector. The static grid bounds (32 tables × 16
+    * bits × 128 dims, filtered down by the params) cover every gate
+    * scale — tables/bits sit at the floor until n > 2^16, and the
+    * power-law table growth beyond that stays under 32 until
+    * n ≈ 2^24. Signs regenerate via the integer-key fmix64 CTE chain
+    * on the same (t·8191+i)·8191+d+1 key the Scala side uses. */
+  private def lshSigCtes(prmSrc: String, vecSrc: String): String =
+    s"""prm AS (SELECT greatest(8, CAST(ceil(log2(count(*))) AS INT) - 8) AS bits,
+       |               (SELECT min(len(v)) FROM $prmSrc) AS dims FROM $prmSrc),
+       |prm2 AS (SELECT bits, dims,
+       |               greatest(8, CAST(ceil(ln(0.02) / ln(1 - 0.9 ^ bits)) AS INT)) AS tables
+       |         FROM prm),
+       |g0 AS (SELECT tt.range AS t, ii.range AS i, dd.range AS d,
+       |              (tt.range * 8191 + ii.range) * 8191 + dd.range + 1 AS key
+       |       FROM range(32) tt, range(16) ii, range(128) dd
+       |       WHERE tt.range < (SELECT tables FROM prm2)
+       |         AND ii.range < (SELECT bits FROM prm2)
+       |         AND dd.range < (SELECT dims FROM prm2)),
+       |${graft.OracleSql.fmix64Ctes("g0", "key", out = "h", p = "lfx")},
+       |sgn AS (SELECT t, i,
+       |              list(CASE WHEN h >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+       |                   ORDER BY d) AS s
+       |        FROM lfx GROUP BY t, i),
+       |bitv AS (SELECT c.id, g.t, g.i,
+       |               CASE WHEN list_sum(list_transform(list_zip(c.v, g.s), x -> x[1] * x[2])) >= 0
+       |                    THEN CAST(1 AS BIGINT) << g.i ELSE CAST(0 AS BIGINT) END AS bit
+       |         FROM $vecSrc c CROSS JOIN sgn g),
+       |sigs AS (SELECT id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bitv GROUP BY id, t)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ann_brute_topk" -> QueryDef((s, d) => bruteForceTopK(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -538,10 +589,35 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
-    // Hyperplane-seed-dependent: rows-only; recall vs brute force is
-    // asserted in SimilaritySpec on planted clusters.
-    "ann_lsh_topk" -> QueryDef((s, d) => lshTopK(s, d)),
-    "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d)),
+    // Fully oracle-checked since the hyperplanes became hash-derived
+    // ±1 signs (see [[hyperplanes]]): the oracle regenerates the same
+    // sign matrix with fmix64 HUGEINT arithmetic, rebuilds every
+    // (table, bucket) signature, and re-verifies candidates with the
+    // exact cosine — recall vs brute force additionally asserted in
+    // SimilaritySpec on planted clusters.
+    "ann_lsh_topk" -> QueryDef((s, d) => lshTopK(s, d), Some(
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE id >= 5),
+         |${lshSigCtes(prmSrc = "corp", vecSrc = "e")},
+         |cand AS (SELECT DISTINCT sq.id AS query_id, sc.id AS neighbor_id
+         |         FROM sigs sc JOIN sigs sq ON sc.t = sq.t AND sc.bucket = sq.bucket
+         |         WHERE sc.id >= 5 AND sq.id < 5),
+         |scored AS (SELECT query_id, neighbor_id, ${lshCos("eq.v", "ec.v")} AS sim
+         |           FROM cand JOIN e eq ON eq.id = query_id JOIN e ec ON ec.id = neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+    "embedding_neardup_pairs" -> QueryDef((s, d) => neardupPairs(s, d), Some(
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${lshSigCtes(prmSrc = "e", vecSrc = "e")},
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         |pr AS (SELECT c.id_a, c.id_b, ${lshCos("ea.v", "eb.v")} AS sim
+         |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b)
+         |SELECT id_a, id_b, ${R("sim", 6)} AS sim FROM pr
+         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
     "ann_ivf_seeded" -> QueryDef((s, d) => seededIvfTopK(s, d), Some({
       def cos(a: String, b: String) =
         s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
