@@ -54,18 +54,28 @@ object Ivf {
   }
 
   /** Deterministic seed pick: the `k` vectors with the smallest
-    * (xxhash64(id), id) — a pseudo-random-but-reproducible sample that
-    * compiles to TakeOrderedAndProject (per-partition top-k merged on
-    * the driver, k rows on the wire). The earlier formulation ranked
-    * with `row_number()` over a partition-less Window, which funnels
-    * the whole training input through ONE task — the exact
-    * anti-pattern the token-budget selector avoids; plan shape is
-    * pinned in PlanPinsSpec. */
+    * (m61_fmix_hash63(id), id) — a pseudo-random-but-reproducible
+    * sample that compiles to TakeOrderedAndProject (per-partition
+    * top-k merged on the driver, k rows on the wire; plan shape
+    * pinned in PlanPinsSpec). The hash is the library's
+    * DuckDB-reproducible M61+fmix63 family (same pick recipe as the
+    * seeded-IVF sibling), which is what lets the trained rows be
+    * oracle-checked — the earlier xxhash64 was JVM-only. */
   private[graft] def initCentroidsPlan(vecs: DataFrame, k: Int): DataFrame =
-    vecs.orderBy(xxhash64(col("id")), col("id")).limit(k).select(col("v"))
+    vecs.orderBy(graft.functions.textFunctions.m61_fmix_hash63(col("id")),
+        col("id")).limit(k).select(col("v"))
 
   /** Mini-Lloyd training. `vecs`: (id, v: array<double>). Seeding is
-    * deterministic given the data (hash-ordered top-k). */
+    * deterministic given the data (hash-ordered top-k), and the
+    * update step is ORDER-INDEPENDENT: per-component means sum
+    * 9dp-decimal-rounded values exactly (the PageRank recipe) and
+    * re-round the mean to 9dp, so the trained model — hence every
+    * downstream assignment and top-k — is identical across partition
+    * orders AND reproducible in DuckDB decimal SQL (the float `avg`
+    * it replaces made these rows engine-private). The ≤1e-9
+    * per-component perturbation is noise relative to k-means'
+    * own seeding sensitivity; IvfSpec's planted-cluster recall
+    * assertions pin the quality contract. */
   def train(vecs: DataFrame, k: Int = 16, iters: Int = 3): IvfModel = {
     val init = initCentroidsPlan(vecs, k).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -75,7 +85,8 @@ object Ivf {
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(round(sum(round(col("x"), 9).cast("decimal(20,9)")).cast("double") /
+          count(lit(1)), 9).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -220,9 +231,82 @@ object Ivf {
     out
   }
 
+  // ---------------------------------------------------------- oracle
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+  private def c2Sql(c: String): String =
+    s"list_sum(list_transform($c, x -> x * x))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${c2Sql(a)}) * sqrt(${c2Sql(b)}))"
+
+  /** One Lloyd iteration as a CTE triple — the generated twin of the
+    * loop body in [[train]], same op order everywhere: assignment
+    * ranks cells by the identical −2·v·c + |c|² expression (sequential
+    * list folds, ties by cid), the update sums 9dp-decimal components
+    * exactly and re-rounds the mean to 9dp, empty cells carry the
+    * previous centroid via the LEFT JOIN coalesce. */
+  private def lloydIter(t: Int): String = {
+    val mean = graft.OracleSql.roundDecSub(
+      s"CAST(sum(CAST(${graft.OracleSql.roundDecSub("x", 9)} AS DECIMAL(20,9))) AS DOUBLE)" +
+        " / count(*)", 9)
+    s"""asg$t AS (SELECT id, v, cid FROM (
+       |  SELECT e.id, e.v, ct.cid,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      -2.0 * ${dotSql("e.v", "ct.c")} + ${c2Sql("ct.c")}, ct.cid) AS rn
+       |  FROM e CROSS JOIN cent${t - 1} ct) WHERE rn = 1),
+       |upd$t AS (SELECT cid, dim, CAST($mean AS DOUBLE) AS m
+       |  FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS dim FROM asg$t)
+       |  GROUP BY cid, dim),
+       |cent$t AS (SELECT p.cid, coalesce(u.c, p.c) AS c
+       |  FROM cent${t - 1} p LEFT JOIN
+       |    (SELECT cid, list(m ORDER BY dim) AS c FROM upd$t GROUP BY cid) u
+       |  ON u.cid = p.cid)""".stripMargin
+  }
+
+  /** Full-query oracle: M61-hash seed pick (the seeded sibling's
+    * recipe), `iters` generated Lloyd iterations, then the probe /
+    * assign / exact-rescore top-k — shared verbatim by the in-memory
+    * and persisted-index rows (the index round-trips the same doubles
+    * through parquet, so results are identical by construction). */
+  private def ivfOracle(k: Int = 16, iters: Int = 3, nQueries: Int = 5,
+                        topK: Int = 10, nprobe: Int = 3): String = {
+    val itersSql = (1 to iters).map(lloydIter).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(id AS VARCHAR)", p = "sh")},
+       |cent0 AS (SELECT cid, v AS c FROM (
+       |  SELECT id, v, row_number() OVER (ORDER BY h & 9223372036854775807, id) - 1 AS cid
+       |  FROM sh) WHERE cid < $k),
+       |$itersSql,
+       |fin AS (SELECT id, v, cid FROM (
+       |  SELECT c.id, c.v, ct.cid,
+       |    row_number() OVER (PARTITION BY c.id ORDER BY
+       |      -2.0 * ${dotSql("c.v", "ct.c")} + ${c2Sql("ct.c")}, ct.cid) AS rn
+       |  FROM (SELECT * FROM e WHERE id >= $nQueries) c CROSS JOIN cent$iters ct)
+       |  WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, v AS qv, cid FROM (
+       |  SELECT q.id, q.v, ct.cid,
+       |    row_number() OVER (PARTITION BY q.id ORDER BY
+       |      -2.0 * ${dotSql("q.v", "ct.c")} + ${c2Sql("ct.c")}, ct.cid) AS rn
+       |  FROM (SELECT * FROM e WHERE id < $nQueries) q CROSS JOIN cent$iters ct)
+       |  WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, f.id AS neighbor_id,
+       |             ${cosSql("p.qv", "f.v")} AS sim
+       |           FROM fin f JOIN probes p USING (cid)),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY sim DESC, neighbor_id) AS rnk
+       |           FROM scored)
+       |SELECT query_id, neighbor_id,
+       |  ${graft.OracleSql.round("sim", 6)} AS sim, rnk
+       |FROM ranked WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    // centroid training is float-order sensitive → rows-only checks
-    // (always nQueries × k rows); recall asserted in IvfSpec
-    "ann_ivf_topk" -> QueryDef(ivfQuery),
-    "ann_ivf_indexed" -> QueryDef(ivfIndexedQuery))
+    // Fully oracle-checked since training became deterministic
+    // (M61-hash seeds + order-independent decimal means): the oracle
+    // re-runs all of Lloyd as generated CTEs. The persisted-index row
+    // shares the SQL verbatim — disk round-trip cannot change doubles.
+    "ann_ivf_topk" -> QueryDef(ivfQuery, Some(ivfOracle())),
+    "ann_ivf_indexed" -> QueryDef(ivfIndexedQuery, Some(ivfOracle())))
 }
