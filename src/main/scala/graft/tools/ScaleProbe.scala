@@ -121,7 +121,10 @@ object ScaleProbe {
       "user_enrich_salted",    // salted join (dim replicated 8x)
       "lang_token_stats",      // explode + per-lang distinct agg
       "supplier_reach_hops",   // 4 BFS relaxation rounds
-      "hybrid_topk_rrf")       // two retriever lineages + rank fusion
+      "hybrid_topk_rrf",       // two retriever lineages + rank fusion
+      "ann_lsh_topk",          // hash-sign buckets + exact rescore
+      "embedding_neardup_pairs", // LSH self-join + exact verify
+      "ann_ivf_topk")          // decimal-mean Lloyd + probed rescore
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
