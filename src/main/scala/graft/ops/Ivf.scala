@@ -79,6 +79,10 @@ object Ivf {
   def train(vecs: DataFrame, k: Int = 16, iters: Int = 3): IvfModel = {
     val init = initCentroidsPlan(vecs, k).collect()
       .map(_.getSeq[Double](0).toArray)
+    // fail fast with a clear message: a 0-centroid model would
+    // otherwise surface as an obscure analysis error in cellOf
+    require(init.nonEmpty,
+      "Ivf.train requires a non-empty vecs frame (no seed vectors found)")
     var model = IvfModel(init)
     for (_ <- 1 to iters) {
       val assigned = vecs.withColumn("cid", cellOf(model))

@@ -68,4 +68,17 @@ class DegenerateInputSpec extends AnyFunSuite {
     val e = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars")
     assert(Curation.mixtureBalanceOn(e, "lang", "doc_id").count() == 0L)
   }
+
+  test("ANN operators: empty vector frames are empty or fail fast clearly") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(Similarity.neardupPairsOn(noVecs, threshold = 0.4).count() == 0L)
+    assert(Similarity.lshTopKOn(noVecs, noVecs, k = 5).count() == 0L)
+    // a 0-centroid IVF model cannot answer anything — train must say
+    // so instead of failing later inside cellOf's analysis
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.train(noVecs, k = 4, iters = 1)
+    }
+    assert(ex.getMessage.contains("non-empty"))
+  }
 }
