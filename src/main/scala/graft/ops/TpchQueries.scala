@@ -394,6 +394,91 @@ object TpchQueries {
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
   }
 
+  /** TPC-H Q4 shape: per-priority count of orders with at least one
+    * late-shipped item (shipdate > orderdate + 90 days) — an EXISTS
+    * semi-join with a non-equi conjunct riding the orderkey equi-key.
+    * The semi-join shuffles only (orderkey, shipdate) projections;
+    * priorities reduce in one 5-key aggregate. */
+  def lateShipmentOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q7 shape: trade volume between customer and supplier
+    * nations (cross-nation only). Facts join once on their keys; all
+    * four dimension hops (customer, supplier, nation ×2) broadcast,
+    * so the only shuffles are the fact-fact join and the 600-key
+    * final aggregate. Revenue is the exact decimal sum. */
+  def nationPairTrade(s: SparkSession, dir: String): DataFrame = {
+    val disc = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(sum(disc).as("rev_dec"), count(lit(1)).as("n_items"))
+      .select(col("cust_nation"), col("supp_nation"),
+        round(col("rev_dec").cast("double"), 2).as("revenue"), col("n_items"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate over
+    * three (brand, quantity band, size band) brackets — the
+    * disjunctive-pushdown stress: the whole predicate evaluates in
+    * the scan/join stage, never as a post-join filter cascade. */
+  def quantityBandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val disc = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    def bracket(brand: String, qLo: Int, qHi: Int, szHi: Int): Column =
+      col("p_brand") === brand &&
+        col("l_quantity").between(qLo, qHi) && col("p_size").between(1, szHi)
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(bracket("Brand#12", 1, 11, 5) ||
+        bracket("Brand#23", 10, 20, 10) ||
+        bracket("Brand#34", 20, 30, 15))
+      .agg(round(sum(disc).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape: dormant wealth — customers above the average
+    * positive balance with no RECENT order (none since 2000-01-01 —
+    * the unscoped "never ordered" version is degenerate on this data:
+    * nearly every customer has some order), per nation. The threshold
+    * is a 1-row broadcast scalar (decimal-sum/count,
+    * order-independent); the dormancy test is a shuffled anti-join on
+    * custkey with the date predicate pushed into the orders scan
+    * (orders cannot broadcast at scale); nation names broadcast at
+    * the end. */
+  def dormantCustomerBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(money(col("c_acctbal"))).cast("double") / count(lit(1))).as("thr"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(money(col("c_acctbal"))).cast("double"), 2).as("total_balance"))
+      .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("nation"), col("n_customers"), col("total_balance"))
+      .orderBy(col("nation"))
+  }
+
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
   /** Exact-decimal discounted price sum (see [[money]]). */
@@ -401,6 +486,44 @@ object TpchQueries {
     "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
 
   val defs: Map[String, QueryDef] = Map(
+    "late_shipment_orders" -> QueryDef(lateShipmentOrders, Some(
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+    "nation_pair_trade" -> QueryDef(nationPairTrade, Some(
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  CAST(round($discPriceDec, 2) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name <> sn.n_name
+         |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin)),
+    "quantity_band_revenue" -> QueryDef(quantityBandRevenue, Some(
+      s"""SELECT CAST(round($discPriceDec, 2) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin)),
+    "dormant_customer_balance" -> QueryDef(dormantCustomerBalance, Some(
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS thr
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name AS nation, count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > (SELECT thr FROM thr)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY nation""".stripMargin)),
     "order_grouping_sets" -> QueryDef(orderGroupingSets, Some(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))

@@ -128,4 +128,72 @@ class TpchClassicsSpec extends AnyFunSuite {
     val mar = got.find(_._1 == "1995-03").get
     assert(mar._3 == 100.0, s"Mar is all-promo: $mar")
   }
+
+  // The round-5-continuation shapes (Q4/Q7/Q19/Q22 adaptations) are
+  // recomputed independently against the real smallest-scale testdata
+  // — inner-join+distinct vs semi-join, per-bracket sums vs the
+  // disjunction, direct threshold/anti-join recounts.
+
+  private val real = "/root/testdata/sf0.001"
+
+  test("Q4 shape: EXISTS counts an order once regardless of late-line multiplicity") {
+    val got = TpchQueries.lateShipmentOrders(spark, real)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val o = spark.read.parquet(s"$real/orders.parquet")
+    val l = spark.read.parquet(s"$real/lineitem.parquet")
+    val want = o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && got.values.sum > 0, s"$got vs $want")
+  }
+
+  test("Q19 shape: the disjunction partitions into its three brand-disjoint brackets") {
+    // sf0.01, not sf0.001: the smallest scale has no rows in any
+    // bracket, which would vacuously pass the partition equality
+    val real = "/root/testdata/sf0.01"
+    val row = TpchQueries.quantityBandRevenue(spark, real).collect()(0)
+    val l = spark.read.parquet(s"$real/lineitem.parquet")
+    val p = spark.read.parquet(s"$real/part.parquet")
+    def bracket(brand: String, qLo: Int, qHi: Int, szHi: Int): Long =
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === brand &&
+          col("l_quantity").between(qLo, qHi) && col("p_size").between(1, szHi))
+        .count()
+    val parts = bracket("Brand#12", 1, 11, 5) +
+      bracket("Brand#23", 10, 20, 10) + bracket("Brand#34", 20, 30, 15)
+    assert(row.getLong(1) == parts && parts > 0, s"${row.getLong(1)} vs $parts")
+  }
+
+  test("Q22 shape: reported customers exceed the threshold and lack recent orders") {
+    val rows = TpchQueries.dormantCustomerBalance(spark, real).collect()
+    val c = spark.read.parquet(s"$real/customer.parquet")
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+        count(lit(1))).as("t")).collect()(0).getDouble(0)
+    val recent = spark.read.parquet(s"$real/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val want = c.filter(col("c_acctbal") > thr)
+      .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == want && want > 0,
+      s"${rows.map(_.getLong(1)).sum} vs $want")
+  }
+
+  test("Q7 shape: pair rows cover exactly the cross-nation item set") {
+    val rows = TpchQueries.nationPairTrade(spark, real).collect()
+    val l = spark.read.parquet(s"$real/lineitem.parquet")
+    val o = spark.read.parquet(s"$real/orders.parquet")
+    val cu = spark.read.parquet(s"$real/customer.parquet")
+    val su = spark.read.parquet(s"$real/supplier.parquet")
+    val want = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .count()
+    assert(rows.map(_.getLong(3)).sum == want && want > 0,
+      s"${rows.map(_.getLong(3)).sum} vs $want")
+  }
 }
