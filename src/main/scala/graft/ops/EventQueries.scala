@@ -207,6 +207,27 @@ object EventQueries {
         graft.streaming.StreamingPipeline.readEvents(s, dir)),
       "stream_interval_join", "append", Seq("purchase_id", "click_id"))
 
+  /** Stream-stream LEFT OUTER interval join through the real
+    * micro-batch engine — the watermark-gated flavor: unmatched
+    * purchases emit with a NULL click only once both watermarks pass
+    * their window, so the one-shot source appends far-future sentinel
+    * events whose final micro-batch (plus the engine's no-data batch)
+    * flushes every remaining row
+    * ([[graft.streaming.StreamingPipeline.purchasesWithClicksOuter]]).
+    * The drained result equals the batch LEFT JOIN exactly. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.streaming.StreamingPipeline.writeOuterSource(s, dir)
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.purchasesWithClicksOuter(
+        graft.streaming.StreamingPipeline.readEventsThrottled(s, src)),
+      "stream_outer_join", "append", Seq("purchase_id", "click_id"))
+      // sentinel rows filter out POST-drain: in-stream the predicate
+      // would push below the watermark operator (see the operator's
+      // scaladoc) — here it's a plain batch filter
+      .filter(col("purchase_id") >= 0)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Gap-based sessionization: a new session starts after a >6h idle
     * gap. Two stacked windows (lag → boundary flag → running sum) and
     * one aggregation — the standard Spark sessionization plan; all
@@ -929,5 +950,21 @@ object EventQueries {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.us >= p.us - 3600000000 AND c.us <= p.us
-        |ORDER BY purchase_id, click_id""".stripMargin)))
+        |ORDER BY purchase_id, click_id""".stripMargin)),
+    // the LEFT OUTER twin: watermark-gated NULL-click emission,
+    // sentinel-flushed to completeness — same batch oracle as a plain
+    // LEFT JOIN (sentinels are engine-side scaffolding the output
+    // filter removes; user −1 never occurs in the data)
+    "stream_outer_join" -> QueryDef(streamOuterJoin, Some(
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |             epoch_us(ts) AS us, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id,
+        |        epoch_us(ts) AS us, epoch_ms(ts) AS ms
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, c.click_id, p.ms - c.ms AS gap_ms
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.us >= p.us - 3600000000 AND c.us <= p.us
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin)))
 }

@@ -320,6 +320,113 @@ object StreamingPipeline {
     * watermark + interval are evicted) — the streaming sibling of
     * [[graft.ops.AsofJoin]], keeping every qualifying click rather
     * than only the latest. */
+  /** Stream-stream LEFT OUTER interval join: every purchase emits —
+    * paired with each same-user click from the preceding hour, or
+    * once with a NULL click if none arrives before the watermark
+    * closes its join window. Unlike the inner join (which emits pairs
+    * eagerly), OUTER results are watermark-gated: an unmatched
+    * purchase can only emit once both sides' watermarks pass its
+    * window, so a one-shot drain needs the watermark to CLEAR the
+    * data — [[writeOuterSource]] appends a far-future sentinel event
+    * per side (filtered out of the output by id sign) and the
+    * throttled reader makes the sentinel its own final micro-batch,
+    * after which the engine's no-data batch flushes every remaining
+    * unmatched purchase. Result: the drained output equals the batch
+    * LEFT JOIN exactly — oracle-checkable like the inner row. */
+  def purchasesWithClicksOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+    // NOTE: sentinels (negative ids) are NOT filtered here — a
+    // `purchase_id >= 0` predicate is a left-side filter Catalyst
+    // pushes below the EventTimeWatermark operator, which silently
+    // removes the sentinel BEFORE it can advance the purchase-side
+    // watermark (min-policy then stalls the global watermark and the
+    // last hour of unmatched purchases never flushes — observed).
+    // Callers drop sentinel rows AFTER the drain.
+  }
+
+  /** Build the outer-join one-shot source: the real events file plus a
+    * sentinel file holding one far-future purchase and click
+    * (ids −1/−2, user −1 — a user the testdata never emits) 3 h past
+    * the real maximum, in the file's own ts vintage. The sentinel's
+    * mtime is pinned strictly later so the mtime-ordered file source
+    * reads it as the FINAL micro-batch: processing it advances both
+    * sides' watermarks past every real purchase's join window, which
+    * is what lets the outer join flush its unmatched rows before the
+    * drain. Scratch path is per-invocation (same collision rationale
+    * as the state/index scratch paths). */
+  private[graft] def writeOuterSource(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      s"target/scratch/outer_src_${s.sparkContext.applicationId}_${oneShotSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$path/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ev = s.read.parquet(s"$path/events.parquet")
+    val tsType = ev.schema("ts").dataType
+    val maxMs = normalizeTs(ev).agg(max(unix_millis(col("ts"))))
+      .collect()(0).getLong(0)
+    import s.implicits._
+    // TWO staggered sentinel files, not one: eviction in batch N uses
+    // the watermark set at the END of batch N−1, so the batch that
+    // processes sentinel 1 still flushes with the pre-sentinel
+    // watermark (observed: the last hour's unmatched purchases stayed
+    // in state). Sentinel 2's batch runs with sentinel 1's watermark
+    // (real max + 2.5 h) already in force, which clears every real
+    // purchase's window.
+    def writeSentinel(n: Int, ids: (Long, Long), hoursAhead: Int): Unit = {
+      val sentTsN = timestamp_millis(lit(maxMs + hoursAhead * 3600 * 1000L))
+      val tsColN = tsType match {
+        case LongType => (unix_micros(sentTsN) * 1000L).cast(LongType)
+        case t        => sentTsN.cast(t)
+      }
+      val tmp = s"$path/_sentinel_tmp$n"
+      Seq((ids._1, "purchase"), (ids._2, "click")).toDF("event_id", "event_type")
+        .select(col("event_id"), tsColN.as("ts"), lit(-1L).as("user_id"),
+          col("event_type"), lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no sentinel part file under $tmp"))
+      val sentinel = new java.io.File(s"$path/zz_sentinel$n.parquet")
+      java.nio.file.Files.move(part.toPath, sentinel.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      sentinel.setLastModified(
+        new java.io.File(s"$path/events.parquet").lastModified() + n * 60000L)
+    }
+    writeSentinel(1, (-1L, -2L), 3)
+    writeSentinel(2, (-3L, -4L), 6)
+    path
+  }
+
+  /** Streaming read of a prepared source dir, one file per
+    * micro-batch (AvailableNow honors the read limit), so the
+    * sentinel file forms its own final batch. */
+  def readEventsThrottled(s: SparkSession, srcDir: String): DataFrame =
+    normalizeTs(
+      s.readStream
+        .schema(eventsSchema(
+          s.read.parquet(s"$srcDir/events.parquet").schema("ts").dataType))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir))
+
   def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),

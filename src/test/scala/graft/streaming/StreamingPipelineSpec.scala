@@ -207,6 +207,27 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"session windows: streaming ${sd.length} rows vs batch ${bd.length}")
   }
 
+  test("stream-stream LEFT OUTER interval join drains to the batch left join exactly") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventQueries.streamOuterJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.toString))).toSet
+    val ev = StreamingPipeline.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"),
+        "left_outer")
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    // the sentinel flush makes the OUTER drain complete, not a subset
+    // (unlike the inner row's append-tail caveat)
+    assert(got == batch, s"streaming ${got.size} vs batch ${batch.size}")
+    assert(batch.exists(_._2.isEmpty), "fixture has no unmatched purchases")
+  }
+
   test("stream-static enrichment equals the batch join exactly") {
     import org.apache.spark.sql.functions._
     val got = graft.ops.EventQueries.streamStaticEnrich(spark, dir)
