@@ -228,6 +228,24 @@ object EventQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Streaming at-least-once dedup through the real micro-batch
+    * engine: the source delivers every event TWICE (a doubled source
+    * dir — the re-delivering-transport shape) and
+    * `dropDuplicatesWithinWatermark` must collapse the stream back to
+    * exactly the original event set, which is what the oracle checks
+    * (it reads the ORIGINAL single-delivery table; event ids are
+    * unique there, so any surviving duplicate or lost event
+    * hash-fails the row). State is one entry per distinct id within
+    * the watermark horizon — bounded at 100 TB/day. */
+  def streamDedupDelivery(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.streaming.StreamingPipeline.writeDoubledSource(s, dir)
+    graft.streaming.StreamingPipeline.runOneShot(
+      graft.streaming.StreamingPipeline.dedupedEvents(
+        graft.streaming.StreamingPipeline.readEventsAll(s, src))
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      "stream_dedup_delivery", "append", Seq("event_id"))
+  }
+
   /** Gap-based sessionization: a new session starts after a >6h idle
     * gap. Two stacked windows (lag → boundary flag → running sum) and
     * one aggregation — the standard Spark sessionization plan; all
@@ -955,6 +973,9 @@ object EventQueries {
     // sentinel-flushed to completeness — same batch oracle as a plain
     // LEFT JOIN (sentinels are engine-side scaffolding the output
     // filter removes; user −1 never occurs in the data)
+    "stream_dedup_delivery" -> QueryDef(streamDedupDelivery, Some(
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin)),
     "stream_outer_join" -> QueryDef(streamOuterJoin, Some(
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
         |             epoch_us(ts) AS us, epoch_ms(ts) AS ms

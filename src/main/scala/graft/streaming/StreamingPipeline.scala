@@ -427,6 +427,35 @@ object StreamingPipeline {
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir))
 
+  /** Unthrottled variant: every file of the prepared dir lands in the
+    * first micro-batch (the at-least-once re-delivery shape — the
+    * duplicate copies arrive before any watermark has advanced, so
+    * the dedup STATE, not the late-row gate, is what collapses
+    * them). */
+  def readEventsAll(s: SparkSession, srcDir: String): DataFrame =
+    normalizeTs(
+      s.readStream
+        .schema(eventsSchema(
+          s.read.parquet(s"$srcDir/events.parquet").schema("ts").dataType))
+        .parquet(srcDir))
+
+  /** Build an at-least-once delivery source: the events file twice
+    * under one dir — the doubled stream a re-delivering transport
+    * produces, which [[dedupedEvents]] must collapse back to exactly
+    * the original event set. */
+  private[graft] def writeDoubledSource(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      s"target/scratch/doubled_src_${s.sparkContext.applicationId}_${oneShotSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    new java.io.File(path).mkdirs()
+    for (name <- Seq("events.parquet", "events_redelivery.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$path/$name"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    path
+  }
+
   def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
