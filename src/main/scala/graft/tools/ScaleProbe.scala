@@ -42,11 +42,13 @@ object ScaleProbe {
       replicate("customer", Map("c_custkey" -> 10000000L))
       replicate("orders", Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L))
       replicate("lineitem", Map("l_orderkey" -> 100000000L))
-      // supplier is a dim: l_suppkey is NOT shifted, so the 10x world
-      // keeps the same suppliers (each gaining 10x edges — deliberate
-      // hub growth for the graph/Q21 probes), copied unreplicated
-      graft.Tables(spark, src, "supplier").write.mode("overwrite")
-        .parquet(s"$big/supplier.parquet")
+      // pure dims (supplier/nation/region/part) are NOT shifted: the
+      // 10x world keeps the same dimension rows, each fact key gaining
+      // 10x references (deliberate hub growth for the graph/Q21/Q7
+      // probes) — copied unreplicated
+      for (dim <- Seq("supplier", "nation", "region", "part"))
+        graft.Tables(spark, src, dim).write.mode("overwrite")
+          .parquet(s"$big/$dim.parquet")
     }
 
     def time(name: String, dir: String): Double = {
@@ -124,7 +126,10 @@ object ScaleProbe {
       "hybrid_topk_rrf",       // two retriever lineages + rank fusion
       "ann_lsh_topk",          // hash-sign buckets + exact rescore
       "embedding_neardup_pairs", // LSH self-join + exact verify
-      "ann_ivf_topk")          // decimal-mean Lloyd + probed rescore
+      "ann_ivf_topk",          // decimal-mean Lloyd + probed rescore
+      "late_shipment_orders",  // EXISTS semi-join, non-equi conjunct
+      "nation_pair_trade",     // fact-fact join + 4 broadcast dims
+      "dormant_customer_balance") // scalar threshold + anti-join
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
