@@ -868,6 +868,16 @@ object Dedup {
     ingestEpochsOn(s, docs(s, dir), path, split1 = 400L, split2 = 450L)
   }
 
+  /** The docs a verdict frame admitted, selected by SEMI-JOIN against
+    * the verdict rows — never an `isin` literal list: at a production
+    * batch size an In-expression of N doc ids is plan bloat built on
+    * the driver, while the semi-join ships the same N ids as a
+    * (broadcastable) relation. Verdicts are already bounded (one row
+    * per batch doc) wherever this is called. */
+  private[ops] def admittedBatch(all: DataFrame, verdicts: DataFrame): DataFrame =
+    all.join(verdicts.filter(col("admit")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** Generic epoch loop over any (doc_id, text) frame: existing =
     * ids < split1, epoch 1 = [split1, split2), epoch 2 = ≥ split2. */
   def ingestEpochsOn(s: SparkSession, all: DataFrame, path: String,
@@ -879,10 +889,7 @@ object Dedup {
       threshold, maxBucket)
     val r1 = v1.collect()
     val v1df = s.createDataFrame(java.util.Arrays.asList(r1: _*), v1.schema)
-    val admitted1 = r1.filter(_.getAs[Boolean]("admit")).map(_.getAs[Long]("doc_id"))
-    appendToPostingIndex(s,
-      all.filter(col("doc_id").isin(admitted1.map(java.lang.Long.valueOf): _*)),
-      path, maxBucket)
+    appendToPostingIndex(s, admittedBatch(all, v1df), path, maxBucket)
     val v2 = ingestDedupIndexed(s, path, all.filter(col("doc_id") >= split2),
       threshold, maxBucket)
     v1df.withColumn("epoch", lit(1L))

@@ -323,6 +323,23 @@ class DedupSpec extends AnyFunSuite {
     assert(indexed == Set(0L, 1L, 100L, 102L), s"index contains $indexed")
   }
 
+  test("epoch admits are selected by semi-join, never an In-list of doc ids") {
+    import spark.implicits._
+    // the round-5 hazard: ingestEpochsOn used to rebuild the admitted
+    // batch as col("doc_id").isin(<N literals>) — driver-side plan
+    // bloat at production batch sizes. Pin the replacement shape.
+    val all = Seq(0L -> "a", 1L -> "b", 2L -> "c").toDF("doc_id", "text")
+    val verdicts = Seq((0L, false, false, true), (1L, true, false, false),
+        (2L, false, true, false))
+      .toDF("doc_id", "exact_dup", "near_dup", "admit")
+    val batch = Dedup.admittedBatch(all, verdicts)
+    assert(batch.collect().map(_.getLong(0)).toSet == Set(0L))
+    val plan = batch.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join:\n$plan")
+    assert(!plan.contains(" IN (") && !plan.contains("In(doc_id"),
+      s"In-expression of doc ids crept back into the admitted-batch plan:\n$plan")
+  }
+
   test("span dedup: an exact duplicate pair is fully covered") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"t$i").mkString(" ")
