@@ -217,7 +217,10 @@ object EventQueries {
     * The drained result equals the batch LEFT JOIN exactly. */
   def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
     val src = graft.streaming.StreamingPipeline.writeOuterSource(s, dir)
-    graft.streaming.StreamingPipeline.runOneShot(
+    // the drained memory sink is materialized, so the scratch source
+    // dir can go as soon as runOneShot returns — repeated driver runs
+    // in a long-lived session must not grow disk unboundedly
+    try graft.streaming.StreamingPipeline.runOneShot(
       graft.streaming.StreamingPipeline.purchasesWithClicksOuter(
         graft.streaming.StreamingPipeline.readEventsThrottled(s, src)),
       "stream_outer_join", "append", Seq("purchase_id", "click_id"))
@@ -226,6 +229,7 @@ object EventQueries {
       // scaladoc) — here it's a plain batch filter
       .filter(col("purchase_id") >= 0)
       .orderBy(col("purchase_id"), col("click_id"))
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
   }
 
   /** Streaming at-least-once dedup through the real micro-batch
@@ -239,11 +243,12 @@ object EventQueries {
     * the watermark horizon — bounded at 100 TB/day. */
   def streamDedupDelivery(s: SparkSession, dir: String): DataFrame = {
     val src = graft.streaming.StreamingPipeline.writeDoubledSource(s, dir)
-    graft.streaming.StreamingPipeline.runOneShot(
+    try graft.streaming.StreamingPipeline.runOneShot(
       graft.streaming.StreamingPipeline.dedupedEvents(
         graft.streaming.StreamingPipeline.readEventsAll(s, src))
         .select(col("event_id"), col("user_id"), col("event_type")),
       "stream_dedup_delivery", "append", Seq("event_id"))
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
   }
 
   /** Gap-based sessionization: a new session starts after a >6h idle
@@ -969,13 +974,13 @@ object EventQueries {
         | AND p.user_id = c.user_id
         | AND c.us >= p.us - 3600000000 AND c.us <= p.us
         |ORDER BY purchase_id, click_id""".stripMargin)),
+    "stream_dedup_delivery" -> QueryDef(streamDedupDelivery, Some(
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin)),
     // the LEFT OUTER twin: watermark-gated NULL-click emission,
     // sentinel-flushed to completeness — same batch oracle as a plain
     // LEFT JOIN (sentinels are engine-side scaffolding the output
     // filter removes; user −1 never occurs in the data)
-    "stream_dedup_delivery" -> QueryDef(streamDedupDelivery, Some(
-      """SELECT event_id, user_id, event_type FROM events
-        |ORDER BY event_id""".stripMargin)),
     "stream_outer_join" -> QueryDef(streamOuterJoin, Some(
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
         |             epoch_us(ts) AS us, epoch_ms(ts) AS ms

@@ -81,22 +81,37 @@ object Graph {
     * join+agg chain, fine for small fixed horizons. */
   def shortestHops(edges: DataFrame, sources: DataFrame,
                    maxHops: Int): DataFrame = {
-    // Without the persists the final action re-derives the edge
-    // lineage once per round and the dist lineage doubles per round
-    // (each round references the previous dist twice: relax + union).
-    // Caching makes both appear once per evaluation; frames are
-    // node-cardinality-sized and live under the serial-driver cache
-    // contract (see pageRank above).
+    // Each round references the previous dist twice (relax + union),
+    // so a purely declarative loop doubles the lineage per round;
+    // every round is therefore materialized and lineage-truncated
+    // (see the in-loop comment). Frames are node-cardinality-sized.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     var dist = sources.select(col("node"), lit(0L).as("hops"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     for (_ <- 1 to maxHops) {
-      val next = dist.join(e, col("src") === col("node"))
+      val stepped = dist.join(e, col("src") === col("node"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
-      dist = dist.unionAll(next)
+        .unionAll(dist)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .persist()
+      // TRUNCATE lineage each round by round-tripping through a
+      // materialized RDD: the union references the previous round
+      // TWICE, so keeping the plan declarative doubles the logical
+      // tree per round — exponential analysis/explain cost at long
+      // horizons even when caching keeps the physical work linear.
+      // The LogicalRDD-backed frame keeps every round's plan constant
+      // size (the standard iterative-algorithm checkpoint pattern),
+      // and the superseded round's cache is dropped as soon as the
+      // new round is materialized, so a long horizon holds exactly
+      // one node-sized frame at a time.
+      val rdd = stepped.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      dist = edges.sparkSession.createDataFrame(rdd, stepped.schema)
     }
+    e.unpersist(blocking = false) // dist is materialized; lineage safe
     dist
   }
 

@@ -110,11 +110,24 @@ object Similarity {
     * column stack it replaces put nTables·nBits·dims literal nodes in
     * the plan and its analysis/codegen dominated the ANN wall clock). */
   private[ops] def lshBuckets(df: DataFrame, idCol: String, nTables: Int = 8,
-                              nBits: Int = 8, dims: Int = 64): DataFrame =
+                              nBits: Int = 8, dims: Int = 64): DataFrame = {
+    // [[lshSigCtes]]'s oracle regenerates the hyperplane grid from a
+    // static range(32)×range(16)×range(128) — params past those bounds
+    // would silently TRUNCATE the oracle's grid and surface as a
+    // confusing hash-mismatch instead of an error. Fail loudly here,
+    // on the engine side, where every LSH path resolves its params.
+    // (autoBits hits 17 only past n ≈ 2^25; autoTables passes 32 only
+    // past b = 16 — so real corpora inside the oracle's design range
+    // never trip this.)
+    require(nTables <= 32 && nBits <= 16 && dims <= 128,
+      s"LSH params (tables=$nTables, bits=$nBits, dims=$dims) exceed the " +
+        "oracle grid bounds (32 tables × 16 bits × 128 dims); widen lshSigCtes " +
+        "in step or pass explicit in-range params")
     df.select(col(idCol), col("v"),
         posexplode(graft.functions.vectorFunctions.lsh_bucket_sigs(
           col("v"), hyperplanes(nTables, nBits, dims))).as(Seq("tbl", "bucket")))
       .select(col(idCol), col("v"), col("tbl"), col("bucket"))
+  }
 
   /** LSH-bucketed ANN top-k: candidates from any shared (table,
     * bucket), exact cosine on candidates only. Same output shape as
@@ -130,14 +143,17 @@ object Similarity {
   }
 
   /** Embedding dimensionality of a (.., v) frame — one bounded
-    * driver-side lookup of a single row. Hyperplanes must cover every
-    * component: a shorter plane would silently bucket on a prefix of
-    * the vector and degrade recall with no error. An empty frame gets
-    * an arbitrary valid dimensionality (the result is empty anyway)
-    * rather than throwing. */
+    * driver-side aggregate: the SHORTEST vector's length, matching the
+    * oracle's `min(len(v))` contract exactly (an arbitrary-row lookup
+    * would disagree with it nondeterministically on ragged inputs).
+    * Hyperplanes must cover every component of the vectors they
+    * bucket; on ragged inputs the shortest length is the only width
+    * every row supports. An empty frame gets an arbitrary valid
+    * dimensionality (the result is empty anyway) rather than
+    * throwing. */
   private def dimsOf(vecs: DataFrame): Int =
-    vecs.select(size(col("v"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
+    vecs.agg(min(size(col("v")))).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(64)
 
   /** Bucket bits sized to the corpus: the (table, bucket) candidate
     * self-join costs Σ_buckets c² ≈ n²·tables/2^bits when buckets are

@@ -408,8 +408,17 @@ object StreamingPipeline {
       java.nio.file.Files.move(part.toPath, sentinel.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      sentinel.setLastModified(
-        new java.io.File(s"$path/events.parquet").lastModified() + n * 60000L)
+      // the mtime ORDER is load-bearing (the file source batches in
+      // mtime order; a sentinel batched with real data would drain the
+      // outer join against a stale watermark and silently drop the
+      // last hour's unmatched rows) — so a failed setLastModified must
+      // fail LOUDLY, via the throwing NIO variant, not return false
+      val target = new java.io.File(s"$path/events.parquet").lastModified() + n * 60000L
+      if (!sentinel.setLastModified(target))
+        java.nio.file.Files.setLastModifiedTime(sentinel.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(target))
+      if (sentinel.lastModified() != target)
+        sys.error(s"cannot pin sentinel mtime after events file: $sentinel")
     }
     writeSentinel(1, (-1L, -2L), 3)
     writeSentinel(2, (-3L, -4L), 6)

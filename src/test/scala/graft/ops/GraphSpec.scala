@@ -67,6 +67,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L), s"$got")
   }
 
+  test("shortestHops caches only the final distance frame, even at long horizons") {
+    import spark.implicits._
+    val und = (1L to 12L).map(i => (i, i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seed = Seq(1L).toDF("node")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val dist = Graph.shortestHops(edges, seed, maxHops = 10)
+    // superseded per-round frames AND the edge cache are released;
+    // only the returned (materialized) dist remains
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"cached RDDs grew $before -> $after over a 10-hop horizon")
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 11L).map(i => i -> (i - 1)).toMap, s"$got")
+    dist.unpersist()
+  }
+
   test("rank mass stays ~1 and the hub dominates") {
     val ranks = Graph.pageRank(starEdges, iterations = 5).collect()
       .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
