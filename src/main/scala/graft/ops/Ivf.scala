@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * posexplode → groupBy(cell, dim) — the only driver-side collect is
   * the k×dims centroid matrix (bounded, not data).
   *
-  * Scale posture (100 TB): the index pass is one scan + one small
-  * shuffle per Lloyd iteration (train on a sample in practice);
-  * querying scans only ~nprobe/k of the corpus per query batch —
+  * Scale posture (100 TB): training runs on a BOUNDED deterministic
+  * hash-sample ([[train]]'s `trainN`), so the Lloyd loop costs
+  * O(trainN·k·dims) per iteration regardless of corpus size; the full
+  * corpus pays exactly one assignment pass at index time. Querying
+  * scans only ~nprobe/k of the corpus per query batch —
   * the standard sub-linear ANN layout when LSH's data-independent
   * buckets under-perform on clustered embeddings. Candidates are
   * exactly re-scored, so like the LSH path precision is 1; recall is
@@ -65,44 +67,116 @@ object Ivf {
     vecs.orderBy(graft.functions.textFunctions.m61_fmix_hash63(col("id")),
         col("id")).limit(k).select(col("v"))
 
-  /** Mini-Lloyd training. `vecs`: (id, v: array<double>). Seeding is
-    * deterministic given the data (hash-ordered top-k), and the
-    * update step is ORDER-INDEPENDENT: per-component means sum
-    * 9dp-decimal-rounded values exactly (the PageRank recipe) and
-    * re-round the mean to 9dp, so the trained model — hence every
-    * downstream assignment and top-k — is identical across partition
-    * orders AND reproducible in DuckDB decimal SQL (the float `avg`
-    * it replaces made these rows engine-private). The ≤1e-9
-    * per-component perturbation is noise relative to k-means'
-    * own seeding sensitivity; IvfSpec's planted-cluster recall
-    * assertions pin the quality contract. */
-  def train(vecs: DataFrame, k: Int = 16, iters: Int = 3): IvfModel = {
-    val init = initCentroidsPlan(vecs, k).collect()
-      .map(_.getSeq[Double](0).toArray)
+  /** Mini-Lloyd training ON A BOUNDED SAMPLE. `vecs`: (id,
+    * v: array<double>). Training touches only the `trainN` vectors
+    * smallest under the (m61_fmix_hash63(id), id) ordering — the SAME
+    * ordering the seed pick uses, so the seeds are a prefix of the
+    * training sample and the whole pick stays one
+    * TakeOrderedAndProject (per-partition top-N, N rows on the wire).
+    * This is the 100 TB posture made real: per-iteration cost is
+    * O(trainN·k·dims) regardless of corpus size — the full corpus is
+    * touched only by the (unavoidable, single-pass) final assignment
+    * downstream, never by the Lloyd loop. A deterministic hash-sample
+    * rather than `sample()` keeps the model — hence every downstream
+    * assignment and top-k — oracle-reproducible: DuckDB regenerates
+    * the identical sample from the identical hash order.
+    *
+    * Seeding is deterministic given the data, and the update step is
+    * ORDER-INDEPENDENT: per-component means sum 9dp-decimal-rounded
+    * values exactly (the PageRank recipe) and re-round the mean to
+    * 9dp, so the trained model is identical across partition orders
+    * AND reproducible in DuckDB decimal SQL. The ≤1e-9 per-component
+    * perturbation is noise relative to k-means' own seeding
+    * sensitivity; IvfSpec's planted-cluster recall assertions pin the
+    * quality contract (its fixtures sit under `trainN`, so sampling
+    * is exercised by the driver tables, whose corpus exceeds it). */
+  def train(vecs: DataFrame, k: Int = 16, iters: Int = 3,
+            trainN: Int = 256): IvfModel = {
+    require(trainN >= k, s"trainN=$trainN must cover k=$k seed centroids")
+    // ONE distributed job: the hash-ordered top-trainN sample
+    // (TakeOrderedAndProject — trainN rows per partition on the wire,
+    // merged on the driver). The collect is bounded by the trainN
+    // PARAMETER, not the data: ≤ trainN×dims doubles (~128 KB at the
+    // defaults), i.e. the training set itself, same boundedness class
+    // as the k×dims centroid matrix. Lloyd then runs driver-local —
+    // launching a distributed job per iteration over ≤256 cached rows
+    // was pure scheduling overhead at every scale.
+    val rows = vecs
+      .select(col("id"), col("v"),
+        graft.functions.textFunctions.m61_fmix_hash63(col("id")).as("h"))
+      .orderBy(col("h"), col("id")).limit(trainN)
+      .collect()
     // fail fast with a clear message: a 0-centroid model would
     // otherwise surface as an obscure analysis error in cellOf
-    require(init.nonEmpty,
+    require(rows.nonEmpty,
       "Ivf.train requires a non-empty vecs frame (no seed vectors found)")
-    var model = IvfModel(init)
+    val sample: Array[Array[Double]] = rows
+      .sortBy(r => (r.getLong(2), r.getLong(0))) // defensive: the (h, id) contract
+      .map(_.getSeq[Double](1).toArray)
+    // seeds = first k of the SAME ordering (the sample's prefix)
+    var model = IvfModel(sample.take(k))
     for (_ <- 1 to iters) {
-      val assigned = vecs.withColumn("cid", cellOf(model))
-      val updated = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(round(sum(round(col("x"), 9).cast("decimal(20,9)")).cast("double") /
-          count(lit(1)), 9).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      // assignment: argmin over (−2·v·c + |c|², cid) with the IDENTICAL
+      // op order as [[cellOf]]/the oracle — sequential index-order dot,
+      // Scala-fold |c|², first-wins ties (= lowest cid)
+      val cents = model.centroids
+      val c2 = cents.map(c => c.map(x => x * x).sum)
+      val assigned = sample.map { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          var dot = 0.0
+          var j = 0
+          val n = math.min(c.length, v.length)
+          while (j < n) { dot += v(j) * c(j); j += 1 }
+          val d = -2.0 * dot + c2(i)
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
         }
+        (best, v)
+      }
+      // update: the same ORDER-INDEPENDENT decimal recipe as the
+      // distributed version this replaces (and as the oracle): mean =
+      // round9(toDouble(Σ decimal9(round9(x))) / n) — exact-decimal
+      // accumulation makes driver order irrelevant, so the model is
+      // bit-identical to what the posexplode/groupBy plan produced
+      val updated = assigned.groupBy(_._1).map { case (cid, vs) =>
+        // per-dim counts, like the posexplode/groupBy this replaces:
+        // on ragged vectors each dim averages over the rows that HAVE it
+        val dims = vs.map(_._2.length).max
+        val arr = new Array[Double](dims)
+        var d = 0
+        while (d < dims) {
+          var sum = java.math.BigDecimal.ZERO
+          var n = 0L
+          vs.foreach { case (_, v) =>
+            if (d < v.length) { sum = sum.add(dec9(round9(v(d)))); n += 1 }
+          }
+          arr(d) = round9(sum.doubleValue() / n)
+          d += 1
+        }
+        cid -> arr
+      }
       // empty cells keep their previous centroid
       model = IvfModel(model.centroids.zipWithIndex.map { case (old, i) =>
-        updated.get(i).map(_.toArray).getOrElse(old)
+        updated.getOrElse(i, old)
       })
     }
     model
   }
+
+  /** Spark's `round(x, 9)` on a double, exactly: shortest-repr
+    * BigDecimal, HALF_UP at scale 9, back to double. */
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's `cast(x as decimal(20,9))` on a double, exactly. */
+  private def dec9(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
 
   /** IVF top-k: probe `nprobe` cells, exact cosine inside them. Same
     * output shape as Similarity.bruteForceTopK / lshTopKOn. */
@@ -247,9 +321,11 @@ object Ivf {
   /** One Lloyd iteration as a CTE triple — the generated twin of the
     * loop body in [[train]], same op order everywhere: assignment
     * ranks cells by the identical −2·v·c + |c|² expression (sequential
-    * list folds, ties by cid), the update sums 9dp-decimal components
-    * exactly and re-rounds the mean to 9dp, empty cells carry the
-    * previous centroid via the LEFT JOIN coalesce. */
+    * list folds, ties by cid) OVER THE TRAINING SAMPLE `smp` (the
+    * engine trains on the bounded hash-sample, so must the oracle),
+    * the update sums 9dp-decimal components exactly and re-rounds the
+    * mean to 9dp, empty cells carry the previous centroid via the
+    * LEFT JOIN coalesce. */
   private def lloydIter(t: Int): String = {
     val mean = graft.OracleSql.roundDecSub(
       s"CAST(sum(CAST(${graft.OracleSql.roundDecSub("x", 9)} AS DECIMAL(20,9))) AS DOUBLE)" +
@@ -258,7 +334,7 @@ object Ivf {
        |  SELECT e.id, e.v, ct.cid,
        |    row_number() OVER (PARTITION BY e.id ORDER BY
        |      -2.0 * ${dotSql("e.v", "ct.c")} + ${c2Sql("ct.c")}, ct.cid) AS rn
-       |  FROM e CROSS JOIN cent${t - 1} ct) WHERE rn = 1),
+       |  FROM smp e CROSS JOIN cent${t - 1} ct) WHERE rn = 1),
        |upd$t AS (SELECT cid, dim, CAST($mean AS DOUBLE) AS m
        |  FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS dim FROM asg$t)
        |  GROUP BY cid, dim),
@@ -274,13 +350,15 @@ object Ivf {
     * and persisted-index rows (the index round-trips the same doubles
     * through parquet, so results are identical by construction). */
   private def ivfOracle(k: Int = 16, iters: Int = 3, nQueries: Int = 5,
-                        topK: Int = 10, nprobe: Int = 3): String = {
+                        topK: Int = 10, nprobe: Int = 3,
+                        trainN: Int = 256): String = {
     val itersSql = (1 to iters).map(lloydIter).mkString(",\n")
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(id AS VARCHAR)", p = "sh")},
-       |cent0 AS (SELECT cid, v AS c FROM (
-       |  SELECT id, v, row_number() OVER (ORDER BY h & 9223372036854775807, id) - 1 AS cid
-       |  FROM sh) WHERE cid < $k),
+       |ord AS (SELECT id, v, row_number() OVER (ORDER BY h & 9223372036854775807, id) AS rn
+       |        FROM sh),
+       |smp AS (SELECT id, v FROM ord WHERE rn <= $trainN),
+       |cent0 AS (SELECT rn - 1 AS cid, v AS c FROM ord WHERE rn <= $k),
        |$itersSql,
        |fin AS (SELECT id, v, cid FROM (
        |  SELECT c.id, c.v, ct.cid,
