@@ -730,13 +730,21 @@ object Dedup {
     * postings to cap-surviving batch postings on g, so only cross
     * pairs are ever enumerated.
     *
+    * If the index carries an un-compacted delta (batched appends —
+    * see [[appendToPostingIndex]]), every document frequency is
+    * reconstructed as df_compacted + df_delta and delta docs' sizes
+    * are computed fresh from their own postings, so verdicts are
+    * bit-identical to a fully-compacted index (DedupSpec pins the
+    * equivalence; the dedup_ingest_epochs_batched driver row shares
+    * the compacted loop's oracle verbatim).
+    *
     * Scale posture: everything on the wire is 8-byte gram hashes or
     * (doc, count) rows; the index scans prune to the batch's gram
-    * buckets (a small batch touches few — the incremental-ingest
-    * shape); the one collect is ≤ nBuckets ints for the pruning
-    * literals. Persisted intermediates live until the session drops
-    * them (serial driver-session assumption, as elsewhere in this
-    * module). */
+    * buckets plus the delta's (a small batch touches few — the
+    * incremental-ingest shape); the collects are ≤ nBuckets ints for
+    * the pruning literals. Persisted intermediates live until the
+    * session drops them (serial driver-session assumption, as
+    * elsewhere in this module). */
   def ingestDedupIndexed(s: SparkSession, path: String, incoming: DataFrame,
                          threshold: Double = 0.5, maxBucket: Int = 1000,
                          nBuckets: Int = 32): DataFrame = {
@@ -746,34 +754,104 @@ object Dedup {
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
       .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = inPost.select(col("gb")).distinct().collect().map(_.getInt(0))
-    val bLits = buckets.map(Integer.valueOf)
+    val bBuckets = inPost.select(col("gb")).distinct().collect().map(_.getInt(0))
+    val bLits = bBuckets.map(Integer.valueOf)
+
+    // Un-compacted delta: admitted batches appended since the last
+    // compaction ([[appendToPostingIndex]] with compact = false).
+    // Bounded by protocol (≤ K batch sizes), read in full — its docs
+    // ARE existing corpus, but the compacted dfreq/sizes don't know
+    // them yet, so every df below is reconstructed as
+    // df_compacted + df_delta (exact, not an approximation).
+    val hasDelta = new java.io.File(s"$path/delta/postings").exists()
+    val deltaPost = if (hasDelta)
+      s.read.parquet(s"$path/delta/postings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else null
+    val dBuckets = if (hasDelta)
+      deltaPost.select(col("gb")).distinct().collect().map(_.getInt(0))
+    else Array.empty[Int]
+    // flipped-gram corrections may involve delta-only buckets, so the
+    // correction scans prune to batch ∪ delta buckets (still ≤ nBuckets
+    // ints collected in total)
+    val aLits = (bBuckets ++ dBuckets).distinct.map(Integer.valueOf)
+
+    // pruned scans (no persist: re-reading a pruned parquet scan is
+    // cheaper than caching it for two uses)
+    def compactPostAt(lits: Array[Integer]) =
+      s.read.parquet(s"$path/postings").filter(col("gb").isin(lits: _*))
+        .select(col("doc_id"), col("g"))
+    def allPostAt(lits: Array[Integer]) =
+      if (!hasDelta) compactPostAt(lits)
+      else compactPostAt(lits).unionByName(
+        deltaPost.filter(col("gb").isin(lits: _*)).select(col("doc_id"), col("g")))
+    def dfCompactAt(lits: Array[Integer]) =
+      s.read.parquet(s"$path/dfreq").filter(col("gb").isin(lits: _*))
+        .select(col("g"), col("df").as("df_c"))
+    def dfDeltaAt(lits: Array[Integer]) =
+      deltaPost.filter(col("gb").isin(lits: _*))
+        .groupBy(col("g")).agg(count(lit(1)).as("df_d"))
+
     val dfIn = inPost.groupBy(col("g")).agg(count(lit(1)).as("df_in"))
-    val dfEx = s.read.parquet(s"$path/dfreq")
-      .filter(col("gb").isin(bLits: _*))
-      .select(col("g"), col("df").as("df_ex"))
+    // true existing df for the batch's grams
+    val dfEx =
+      if (!hasDelta) dfCompactAt(bLits).select(col("g"), col("df_c").as("df_ex"))
+      else dfCompactAt(bLits).join(dfDeltaAt(bLits), Seq("g"), "full")
+        .select(col("g"),
+          (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df_ex"))
     val dfU = dfIn.join(dfEx, Seq("g"), "left")
       .select(col("g"), coalesce(col("df_ex"), lit(0L)).as("df_ex"),
         (col("df_in") + coalesce(col("df_ex"), lit(0L))).as("df_u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val unionHot = dfU.filter(col("df_u") > maxBucket).select(col("g"))
-    val newlyHot = dfU.filter(col("df_u") > maxBucket && col("df_ex") <= maxBucket)
-      .select(col("g"))
     val inB = inPost.join(unionHot, Seq("g"), "left_anti")
-    // pruned scans (no persist: re-reading a pruned parquet scan is
-    // cheaper than caching it for two uses)
-    def exPost = s.read.parquet(s"$path/postings")
-      .filter(col("gb").isin(bLits: _*))
-      .select(col("doc_id").as("doc_a"), col("g"))
-    val shared = exPost
+
+    // Grams whose hot status FLIPS relative to the COMPACTED baseline:
+    // df_c ≤ cap < df_c + df_d + df_in. With no delta this is exactly
+    // the "newly hot" class (batch pushes a build-time-cold gram over
+    // the cap); the delta generalization also catches grams the
+    // un-compacted appends pushed over. A flip needs delta or batch
+    // occurrences, so flipped grams live inside the pruned buckets.
+    val flipped =
+      if (!hasDelta)
+        // compacted baseline == df_ex: the flip set is exactly the
+        // newly-hot class already sitting in dfU (round-5 plan shape)
+        dfU.filter(col("df_u") > maxBucket && col("df_ex") <= maxBucket)
+          .select(col("g"))
+      else dfCompactAt(aLits).join(dfDeltaAt(aLits), Seq("g"), "left")
+        .join(dfIn, Seq("g"), "left")
+        .filter(col("df_c") <= maxBucket &&
+          col("df_c") + coalesce(col("df_d"), lit(0L)) +
+            coalesce(col("df_in"), lit(0L)) > maxBucket)
+        .select(col("g"))
+    val shared = allPostAt(bLits).select(col("doc_id").as("doc_a"), col("g"))
       .join(inB.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
-    val corr = exPost.join(newlyHot, Seq("g"), "left_semi")
+    // stored sz0 is under the compacted-only cap; subtracting each
+    // doc's flipped-gram count yields its size under the full UNION cap
+    val corr = compactPostAt(aLits).select(col("doc_id").as("doc_a"), col("g"))
+      .join(flipped, Seq("g"), "left_semi")
       .groupBy(col("doc_a")).agg(count(lit(1)).as("corr"))
-    val szA = s.read.parquet(s"$path/sizes")
+    val szCompact = s.read.parquet(s"$path/sizes")
       .select(col("doc_id").as("doc_a"), col("sz0"))
       .join(corr, Seq("doc_a"), "left")
       .select(col("doc_a"), (col("sz0") - coalesce(col("corr"), lit(0L))).as("sz_a"))
+    // delta docs have no sizes rows yet: size under the union cap,
+    // computed fresh from their own (bounded) postings
+    val szA = if (!hasDelta) szCompact else {
+      val dLits = dBuckets.map(Integer.valueOf)
+      val deltaUnder = deltaPost.groupBy(col("g")).agg(count(lit(1)).as("df_d"))
+        .join(dfCompactAt(dLits), Seq("g"), "left")
+        .join(dfIn, Seq("g"), "left")
+        .filter(coalesce(col("df_c"), lit(0L)) + col("df_d") +
+          coalesce(col("df_in"), lit(0L)) <= maxBucket)
+        .select(col("g"))
+      szCompact.unionByName(
+        deltaPost.select(col("doc_id"), col("g"))
+          .join(deltaUnder, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("sz_a"))
+          .select(col("doc_id").as("doc_a"), col("sz_a")))
+    }
     val szB = inB.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_b"))
       .select(col("doc_id").as("doc_b"), col("sz_b"))
     val nearDup = shared.join(szA, "doc_a").join(szB, "doc_b")
@@ -797,18 +875,22 @@ object Dedup {
   }
 
   /** Admit an ingested batch into the index: append exact hashes and
-    * postings, then COMPACT — re-derive dfreq/ and sizes/ from the
-    * appended posting set so the stored baseline is again consistent
-    * with the full universe (the query-time union-df-cap correction
-    * in [[ingestDedupIndexed]] is exact only against a consistent
-    * baseline). Appends are cheap (new files into existing gb dirs);
-    * the compaction rewrites the two aggregate tables, which are
-    * gram- and doc-sized, not posting-sized. A production loop can
-    * batch several appends per compaction, at the price of carrying
-    * the un-compacted delta in the query (not implemented — the
-    * per-append compaction keeps exactly one code path exact). */
+    * write the batch's postings into the DELTA area
+    * (`delta/postings/`, gb-partitioned like the main set), then — if
+    * `compact` — fold the delta into `postings/` and re-derive
+    * dfreq/ and sizes/ ([[compactPostingIndex]]).
+    *
+    * With `compact = false` (the batched-append production mode) the
+    * append touches only batch-sized data: K appends cost K
+    * batch-sized writes instead of K full-corpus recomputations, and
+    * [[ingestDedupIndexed]] carries the un-compacted delta in its
+    * query-side df-cap reconstruction — verdicts are IDENTICAL either
+    * way (pinned in DedupSpec and by the dedup_ingest_epochs_batched
+    * driver row sharing the compacted loop's oracle). Run
+    * [[compactPostingIndex]] every K batches to fold the delta in. */
   def appendToPostingIndex(s: SparkSession, admitted: DataFrame, path: String,
-                           maxBucket: Int = 1000, nBuckets: Int = 32): Unit = {
+                           maxBucket: Int = 1000, nBuckets: Int = 32,
+                           compact: Boolean = true): Unit = {
     val ad = admitted.select(col("doc_id"), col("text"))
     ad.select(md5(col("text")).as("content_hash")).distinct()
       .write.mode("append").parquet(s"$path/exact")
@@ -817,7 +899,28 @@ object Dedup {
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
       .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
       .repartition(col("gb"))
-      .write.mode("append").partitionBy("gb").parquet(s"$path/postings")
+      .write.mode("append").partitionBy("gb").parquet(s"$path/delta/postings")
+    if (compact) compactPostingIndex(s, path, maxBucket)
+  }
+
+  /** Fold the delta postings into the main set and re-derive dfreq/
+    * and sizes/ from the full universe, so the stored baseline is
+    * again consistent (the delta dir disappears; queries go back to
+    * the fast no-delta path). The compaction rewrites the two
+    * aggregate tables — gram- and doc-sized, not posting-sized — plus
+    * one batch-sized move of the delta files; amortized over K
+    * appends this is the production cost model the round-5 per-append
+    * recomputation lacked. */
+  def compactPostingIndex(s: SparkSession, path: String,
+                          maxBucket: Int = 1000): Unit = {
+    val deltaDir = new java.io.File(s"$path/delta/postings")
+    if (deltaDir.exists()) {
+      s.read.parquet(deltaDir.getAbsolutePath)
+        .repartition(col("gb"))
+        .write.mode("append").partitionBy("gb").parquet(s"$path/postings")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$path/delta"))
+    }
     val posting = s.read.parquet(s"$path/postings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -868,6 +971,20 @@ object Dedup {
     ingestEpochsOn(s, docs(s, dir), path, split1 = 400L, split2 = 450L)
   }
 
+  /** Driver row: the SAME two-epoch loop in batched-append mode —
+    * epoch 1's admits land in the delta area with NO compaction, so
+    * epoch 2 is verdicted against compacted-index + delta via the
+    * query-side df reconstruction. Shares [[ingestEpochsQuery]]'s
+    * oracle verbatim: batching appends must be invisible in the
+    * output. */
+  def ingestEpochsBatchedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/scratch/ingest_epochs_b_${s.sparkContext.applicationId}_${ingestScratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    ingestEpochsOn(s, docs(s, dir), path, split1 = 400L, split2 = 450L,
+      compactPerAppend = false)
+  }
+
   /** The docs a verdict frame admitted, selected by SEMI-JOIN against
     * the verdict rows — never an `isin` literal list: at a production
     * batch size an In-expression of N doc ids is plan bloat built on
@@ -879,17 +996,22 @@ object Dedup {
       Seq("doc_id"), "left_semi")
 
   /** Generic epoch loop over any (doc_id, text) frame: existing =
-    * ids < split1, epoch 1 = [split1, split2), epoch 2 = ≥ split2. */
+    * ids < split1, epoch 1 = [split1, split2), epoch 2 = ≥ split2.
+    * `compactPerAppend = false` exercises the batched-append mode:
+    * epoch 1's admits stay in the delta area and epoch 2's verdicts
+    * go through the delta-aware reconstruction. */
   def ingestEpochsOn(s: SparkSession, all: DataFrame, path: String,
                      split1: Long, split2: Long,
-                     threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                     threshold: Double = 0.5, maxBucket: Int = 1000,
+                     compactPerAppend: Boolean = true): DataFrame = {
     writePostingIndex(s, all.filter(col("doc_id") < split1), path, maxBucket)
     val v1 = ingestDedupIndexed(s, path,
       all.filter(col("doc_id") >= split1 && col("doc_id") < split2),
       threshold, maxBucket)
     val r1 = v1.collect()
     val v1df = s.createDataFrame(java.util.Arrays.asList(r1: _*), v1.schema)
-    appendToPostingIndex(s, admittedBatch(all, v1df), path, maxBucket)
+    appendToPostingIndex(s, admittedBatch(all, v1df), path, maxBucket,
+      compact = compactPerAppend)
     val v2 = ingestDedupIndexed(s, path, all.filter(col("doc_id") >= split2),
       threshold, maxBucket)
     v1df.withColumn("epoch", lit(1L))
@@ -1029,6 +1151,12 @@ object Dedup {
     // The complete loop: verdict epoch 1, ADMIT its survivors into the
     // index, verdict epoch 2 against the grown index.
     "dedup_ingest_epochs" -> QueryDef((s, d) => ingestEpochsQuery(s, d),
+      Some(ingestEpochsSql)),
+    // The identical loop with epoch-1 admits left UN-compacted in the
+    // delta area — the batched-append production mode. Deliberately
+    // the SAME oracle: the delta-aware df reconstruction must be
+    // invisible in the verdicts.
+    "dedup_ingest_epochs_batched" -> QueryDef((s, d) => ingestEpochsBatchedQuery(s, d),
       Some(ingestEpochsSql)),
     // Independent DuckDB reimplementation of the k-gram span-hash
     // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the

@@ -323,6 +323,66 @@ class DedupSpec extends AnyFunSuite {
     assert(indexed == Set(0L, 1L, 100L, 102L), s"index contains $indexed")
   }
 
+  test("batched appends: un-compacted-delta verdicts equal per-append compaction") {
+    import spark.implicits._
+    // maxBucket = 3, threshold = 0.05 (the indexed test's regime).
+    // "n1 n2 n3" is the DELTA-HOT gram: df 2 in the compacted corpus,
+    // pushed over the cap by the two APPENDS alone — the correction
+    // class that only exists in batched mode.
+    val e = Seq(
+      0L -> "h1 h2 h3 a1 a2 a3 n1 n2 n3",
+      1L -> "h1 h2 h3 b1 b2 b3 n1 n2 n3",
+      2L -> "h1 h2 h3 c1 c2 c3 c4 c5 c6",
+      3L -> "h1 h2 h3 d1 d2 d3 d4 d5 d6",
+      4L -> (1 to 30).map(i => s"w$i").mkString(" "))
+    val a1 = Seq(
+      100L -> "n1 n2 n3 p1 p2 p3 p4 p5 p6",
+      101L -> (1 to 30).map(i => s"r$i").mkString(" "))
+    val a2 = Seq(200L -> "n1 n2 n3 q1 q2 q3 q4 q5 q6")
+    val b = Seq(
+      300L -> "n1 n2 n3 s1 s2 s3 s4 s5 s6", // shares only union-hot grams → admit
+      301L -> "p1 p2 p3 p4 p5 p6 x1 x2 x3", // near-dup of DELTA doc 100 → reject
+      302L -> "n1 n2 n3 q1 q2 q3 q4 q5 q6", // exact dup of DELTA doc 200 → reject
+      303L -> (1 to 30).map(i => s"y$i").mkString(" "), // fresh → admit
+      304L -> "c1 c2 c3 c4 c5 c6 z1 z2 z3") // near-dup of COMPACTED doc 2 → reject
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def run(path: String, compactEach: Boolean) = {
+      // exact/delta use append mode — wipe any previous test run
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      Dedup.writePostingIndex(spark, df(e), path, maxBucket = 3)
+      Dedup.appendToPostingIndex(spark, df(a1), path, maxBucket = 3, compact = compactEach)
+      Dedup.appendToPostingIndex(spark, df(a2), path, maxBucket = 3, compact = compactEach)
+      Dedup.ingestDedupIndexed(spark, path, df(b), threshold = 0.05, maxBucket = 3)
+        .collect().toSeq
+    }
+    val compacted = run("target/scratch/ingest_batched_c", compactEach = true)
+    val pathB = "target/scratch/ingest_batched_d"
+    val batched = run(pathB, compactEach = false)
+    assert(new java.io.File(s"$pathB/delta/postings").exists(), "delta area missing")
+    assert(batched == compacted,
+      s"batched=${batched.mkString(",")} compacted=${compacted.mkString(",")}")
+    // and both equal the index-free rederiving path over the union
+    val direct = Dedup.ingestDedupOn(df(e ++ a1 ++ a2 ++ b), splitId = 300L,
+      threshold = 0.05, maxBucket = 3).collect().toSeq
+    assert(batched == direct)
+    val got = batched.map(r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(300L) == ((false, false, true)), s"${got(300L)}")
+    assert(got(301L) == ((false, true, false)), s"${got(301L)}")
+    assert(got(302L) == ((true, true, false)), s"${got(302L)}")
+    assert(got(303L) == ((false, false, true)), s"${got(303L)}")
+    assert(got(304L) == ((false, true, false)), s"${got(304L)}")
+    // deferred compaction folds the delta in and changes nothing
+    Dedup.compactPostingIndex(spark, pathB, maxBucket = 3)
+    assert(!new java.io.File(s"$pathB/delta").exists(), "delta not folded in")
+    val after = Dedup.ingestDedupIndexed(spark, pathB, df(b),
+      threshold = 0.05, maxBucket = 3).collect().toSeq
+    assert(after == compacted)
+    val indexed = spark.read.parquet(s"$pathB/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 1L, 2L, 3L, 4L, 100L, 101L, 200L), s"$indexed")
+  }
+
   test("epoch admits are selected by semi-join, never an In-list of doc ids") {
     import spark.implicits._
     // the round-5 hazard: ingestEpochsOn used to rebuild the admitted
