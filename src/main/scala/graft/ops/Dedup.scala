@@ -1090,6 +1090,90 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-k span-dedup statistics — the step from fixed-k spans toward
+    * the Lee et al. suffix-array family (variable-length duplicated
+    * substrings): run the [[spanDupStatsOn]] k-gram posting plan at
+    * SEVERAL span lengths at once (default k ∈ {16, 32, 64}) and
+    * report, per document, the duplicated-span count AT EACH k plus the
+    * fraction of tokens covered by the UNION of all hits. A hit at a
+    * large k is qualitatively different evidence than many hits at a
+    * small one: a k=64 match certifies a 64-token verbatim passage
+    * (what a suffix-array longest-duplicate pass would find), while
+    * scattered k=16 hits are boilerplate phrases — the per-k columns
+    * let a curation policy weigh them differently, and the union
+    * coverage is the exact token mass a variable-length dedup would
+    * cut. Exact-substring containment makes detection monotone
+    * DOWNWARD (every duplicated 64-gram contains duplicated 16-grams,
+    * never the reverse), so the per-k counts form a profile from
+    * "short boilerplate only" to "long verbatim passage" — pinned in
+    * DedupSpec with a planted 70-token passage (hits at all three k)
+    * vs a 20-token phrase (k=16 only).
+    *
+    * Scale posture: identical to the fixed-k plan with Σk span volume
+    * (≈ |ks| postings per token) — spans shuffle as (k, 8-byte hash)
+    * keys twice, text never shuffles. The variable-length interval
+    * union folds per row over (pos, k) hits encoded as pos·128+k
+    * (one sorted-array HOF, no join); an interval fully contained in
+    * an earlier one contributes max(0, end − max(prevEnd, start)). */
+  def multiKSpanStats(s: SparkSession, dir: String,
+                      ks: Seq[Int] = Seq(16, 32, 64),
+                      minDocs: Long = 2L): DataFrame =
+    multiKSpanStatsOn(docs(s, dir), ks, minDocs)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def multiKSpanStatsOn(df: DataFrame, ks: Seq[Int] = Seq(16, 32, 64),
+                        minDocs: Long = 2L): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
+      s"ks must be distinct ascending, got $ks")
+    require(ks.forall(k => k >= 1 && k < 128),
+      s"every k must be in [1, 127] (interval keys encode as pos*128 + k), got $ks")
+    val base = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+    // one spans frame across all k: the hot-span groupBy and the
+    // semi-join then run ONCE over (k, hash) keys instead of |ks|
+    // separate two-shuffle plans
+    val spans = ks.map { k =>
+      base.select(col("doc_id"), lit(k).as("k"),
+        posexplode(graft.functions.textFunctions.kgram_span_hashes(col("t"), k))
+          .as(Seq("pos", "sh")))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSet = spans.groupBy(col("k"), col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("k"), col("sh"))
+    val perK = ks.map(k =>
+      sum(when(col("k") === k, 1L).otherwise(0L)).as(s"n_dup_spans_k$k"))
+    val aggs = perK :+
+      sort_array(collect_list(col("pos").cast("long") * 128L + col("k")))
+        .as("iv")
+    val hits = spans.join(dupSet, Seq("k", "sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      // variable-length interval union over hits sorted by (pos, k):
+      // each hit [p, p+k) adds max(0, (p+k) - max(prevEnd, p)) tokens
+      .withColumn("covered", expr(
+        """aggregate(iv,
+          |  named_struct('c', CAST(0 AS BIGINT), 'e', CAST(-1 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'c', acc.c + greatest(CAST(0 AS BIGINT),
+          |           x DIV 128 + x % 128 - greatest(acc.e, x DIV 128)),
+          |    'e', greatest(acc.e, x DIV 128 + x % 128)),
+          |  acc -> acc.c)""".stripMargin))
+    val dupCols = ks.map(k =>
+      coalesce(col(s"n_dup_spans_k$k"), lit(0L)).as(s"n_dup_spans_k$k"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("dup_token_frac",
+        round(coalesce(col("covered"), lit(0L)) / col("n_tokens"), 4))
+      .select(Seq(col("doc_id"), col("n_tokens")) ++ dupCols ++ Seq(
+        col("dup_token_frac"), (col("dup_token_frac") <= 0.5).as("keep")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val defs: Map[String, QueryDef] = Map(
@@ -1197,7 +1281,79 @@ object Dedup {
          |SELECT doc_id, n_tokens, n_spans, n_dup_spans, dup_token_frac,
          |       dup_token_frac <= 0.5 AS keep
          |FROM agg ORDER BY doc_id""".stripMargin
-    }))
+    }),
+    // The multi-k union (k ∈ {16,32,64}) with the variable-length
+    // interval-union fold — per-k duplicated-span profiles plus union
+    // token coverage, oracle-mirrored with one sp CTE per k and the
+    // (pos·128+k)-encoded fold.
+    "dedup_span_multi_k" -> QueryDef((s, d) => multiKSpanStats(s, d),
+      Some(multiKSpanSql(Seq(16, 32, 64)))))
+
+  /** tok/bn/th CTE prefix of the span-dedup oracles: tokenized docs
+    * and per-token M61 polynomial hashes (base 32) — the DuckDB mirror
+    * of [[graft.functions.KgramSpanHashes]]' token stage. */
+  private def spanTokenHashCtes: String = {
+    val p = graft.functions.TextExpressions.M61
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+       |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM tok WHERE len(t) >= 1),
+       |th AS (SELECT doc_id, n_tokens, list_transform(t, tk ->
+       |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_filter(list_transform(string_split(tk, ''), ch -> CAST(unicode(ch) AS HUGEINT)),
+       |                            c -> c >= 0),
+       |              (a, c) -> (a * 32 + c) % $p) AS BIGINT)) AS hs
+       |       FROM bn)""".stripMargin
+  }
+
+  /** Per-k oracle CTE pair: kh$k (the k-gram chain, base 8192 over the
+    * token hashes) and sp$k (exploded (doc, k, pos, hash) postings). */
+  private def spanKgramCtes(k: Int): String = {
+    val p = graft.functions.TextExpressions.M61
+    s"""kh$k AS (SELECT doc_id, list_transform(range(len(hs) - ${k - 1}), i ->
+       |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_transform(list_slice(hs, i + 1, i + $k), h -> CAST(h AS HUGEINT)),
+       |              (a, h) -> (a * 8192 + h) % $p) AS BIGINT)) AS kh
+       |       FROM th WHERE len(hs) >= $k),
+       |sp$k AS (SELECT doc_id, $k AS k, unnest(range(len(kh))) AS pos, unnest(kh) AS sh FROM kh$k)""".stripMargin
+  }
+
+  /** Independent DuckDB reimplementation of [[multiKSpanStatsOn]]:
+    * one kh/sp chain per k, hot-span sets per (k, hash), per-k
+    * conditional counts, and the variable-length interval-union fold
+    * over hits encoded as pos·128+k (sorted BIGINT keys decode inside
+    * the lambda — identical sort order on both engines). */
+  private def multiKSpanSql(ks: Seq[Int]): String = {
+    val perKCtes = ks.map(spanKgramCtes).mkString(",\n")
+    val spUnion = ks.map(k => s"SELECT * FROM sp$k").mkString(" UNION ALL ")
+    val perKCounts = ks.map(k =>
+      s"CAST(sum(CASE WHEN k = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans_k$k")
+      .mkString(",\n         ")
+    val perKNames = ks.map(k => s"n_dup_spans_k$k").mkString(", ")
+    val perKCoalesce = ks.map(k =>
+      s"coalesce(n_dup_spans_k$k, 0) AS n_dup_spans_k$k").mkString(",\n          ")
+    s"""WITH $spanTokenHashCtes,
+       |$perKCtes,
+       |sp AS ($spUnion),
+       |dup AS (SELECT k, sh FROM sp GROUP BY k, sh HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id,
+       |         $perKCounts,
+       |         list_sort(list(CAST(pos AS BIGINT) * 128 + k)) AS iv
+       |       FROM sp SEMI JOIN dup USING (k, sh) GROUP BY doc_id),
+       |cov AS (SELECT doc_id, $perKNames,
+       |          (list_reduce(
+       |             [struct_pack(c := CAST(0 AS BIGINT), e := CAST(-1 AS BIGINT))] ||
+       |               list_transform(iv, q -> struct_pack(c := CAST(q AS BIGINT), e := CAST(0 AS BIGINT))),
+       |             (a, x) -> struct_pack(
+       |               c := a.c + greatest(0, (x.c // 128) + (x.c % 128) - greatest(a.e, x.c // 128)),
+       |               e := greatest(a.e, (x.c // 128) + (x.c % 128))))).c AS covered
+       |        FROM dp),
+       |agg AS (SELECT b.doc_id, b.n_tokens,
+       |          $perKCoalesce,
+       |          ${graft.OracleSql.round("CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens", 4)} AS dup_token_frac
+       |        FROM bn b LEFT JOIN cov USING (doc_id))
+       |SELECT doc_id, n_tokens, $perKNames, dup_token_frac,
+       |       dup_token_frac <= 0.5 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   // defs, not vals: `defs` (declared above) forces the lazy oracle
   // strings during object init, BEFORE later vals would be assigned

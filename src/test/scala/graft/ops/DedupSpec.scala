@@ -162,6 +162,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
   }
 
+  test("multi-k span dedup: long passage hits every k, short phrase only k=16, union coverage exact") {
+    import spark.implicits._
+    val long = (1 to 70).map(i => s"p$i").mkString(" ")  // 70-token passage
+    val short = (1 to 20).map(i => s"q$i").mkString(" ") // 20-token phrase
+    val docs = Seq(
+      (0L, s"${(1 to 10).map(i => s"a$i").mkString(" ")} $long"), // 80 tokens
+      (1L, s"$long ${(1 to 10).map(i => s"b$i").mkString(" ")}"), // 80 tokens
+      (2L, s"${(1 to 5).map(i => s"c$i").mkString(" ")} $short"), // 25 tokens
+      (3L, s"$short ${(1 to 5).map(i => s"d$i").mkString(" ")}"), // 25 tokens
+      (4L, (1 to 30).map(i => s"e$i").mkString(" ")))             // unique
+      .toDF("doc_id", "text")
+    val got = Dedup.multiKSpanStatsOn(docs, ks = Seq(16, 32, 64), minDocs = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    // 70-token shared passage: 70-k+1 duplicated spans per k — the
+    // k=64 hits certify the LONG verbatim passage; union covers the
+    // 70 passage tokens exactly (70/80 = 0.875)
+    assert(got(0L) == ((80L, 55L, 39L, 7L, 0.875, false)), s"${got(0L)}")
+    assert(got(1L) == ((80L, 55L, 39L, 7L, 0.875, false)), s"${got(1L)}")
+    // 20-token phrase: k=16 spans only — no k=32/64 evidence
+    assert(got(2L) == ((25L, 5L, 0L, 0L, 0.8, false)), s"${got(2L)}")
+    assert(got(3L) == ((25L, 5L, 0L, 0L, 0.8, false)), s"${got(3L)}")
+    assert(got(4L) == ((30L, 0L, 0L, 0L, 0.0, true)), s"${got(4L)}")
+    // per-k counts agree with the single-k operator run at that k
+    for ((k, idx) <- Seq(16 -> 1, 32 -> 2, 64 -> 3)) {
+      val single = Dedup.spanDupStatsOn(docs, k = k, minDocs = 2L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val multi = got.map { case (id, t) => id -> t.productElement(idx) }
+      assert(multi == single, s"k=$k multi=$multi single=$single")
+    }
+  }
+
   test("multi-signal clusters honor every contributing signal's pairs") {
     val labels = Dedup.multiSignalClusters(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
