@@ -1021,6 +1021,126 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------- streaming ingest loop
+
+  /** Streaming near-dup admission: the [[ingestEpochsOn]] continuous-
+    * intake loop run through the real micro-batch engine. Every
+    * parquet file under the source dir is one crawl drop;
+    * `maxFilesPerTrigger = 1` makes the file source deliver exactly
+    * one drop per micro-batch in pinned-mtime order, and
+    * `foreachBatch` — the engine's idiom for stream-static work whose
+    * static side must RE-RESOLVE between batches (a plan-embedded
+    * static relation pins its file listing at analysis time;
+    * re-creating the index frames inside the batch function is what
+    * lets each drop see the index the previous drop grew) — runs the
+    * persisted-index admission check ([[ingestDedupIndexed]]) and
+    * appends the drop's admitted survivors to the delta area
+    * ([[appendToPostingIndex]], compact = false: the batched-append
+    * production mode; a compaction runs every K drops).
+    *
+    * Inter-drop state lives in the DURABLE index + checkpoint, not in
+    * executor memory — the loop survives restart and its state size
+    * is disk-bounded, the posture streaming exact-dedup alone
+    * ([[exactDupGroupsStreaming]]) cannot give near-dup. This demo
+    * buffers verdicts on the driver and appends deltas in append-mode
+    * (bounded: one row per batch doc); a production loop writes both
+    * keyed by `batchId` (overwrite-per-batch = idempotent under
+    * at-least-once batch replay). */
+  def ingestDedupStreaming(s: SparkSession, dir: String,
+                           split1: Long = 400L, split2: Long = 450L,
+                           threshold: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame = {
+    val scratch = new java.io.File(
+      s"target/scratch/ingest_stream_${s.sparkContext.applicationId}_${ingestScratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    ingestDedupStreamingOn(s, docs(s, dir), scratch, split1, split2,
+      threshold, maxBucket)
+  }
+
+  /** Generic variant: builds the index from `all` below `split1`, then
+    * replays [split1, split2) and [split2, ∞) as two mtime-ordered
+    * crawl drops through the micro-batch loop. Scratch (index, drops,
+    * checkpoint) is reclaimed after the bounded result materializes. */
+  def ingestDedupStreamingOn(s: SparkSession, all: DataFrame, scratch: String,
+                             split1: Long, split2: Long,
+                             threshold: Double = 0.5,
+                             maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val idx = s"$scratch/index"
+    val srcDir = s"$scratch/drops"
+    try {
+      writePostingIndex(s, all.filter(col("doc_id") < split1), idx)
+      writeDropSource(s, all, srcDir,
+        Seq((split1, split2), (split2, Long.MaxValue)))
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("epoch", LongType),
+        StructField("exact_dup", BooleanType),
+        StructField("near_dup", BooleanType),
+        StructField("admit", BooleanType)))
+      val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (drop: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          val dropDf = drop.select(col("doc_id"), col("text"))
+          val rows = ingestDedupIndexed(s, idx, dropDf, threshold, maxBucket)
+            .withColumn("epoch", lit(batchId + 1L))
+            .select(col("doc_id"), col("epoch"), col("exact_dup"),
+              col("near_dup"), col("admit"))
+            .collect()
+          buf.synchronized { buf ++= rows }
+          val vdf = s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+          appendToPostingIndex(s, admittedBatch(dropDf, vdf), idx, maxBucket,
+            compact = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val rows = buf.synchronized { buf.toArray }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+        .orderBy(col("doc_id"))
+    } finally
+      // the bounded result is already driver-local; index, drops, and
+      // checkpoint are scratch — reclaim them (long-lived sessions
+      // must not grow disk per invocation)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+  }
+
+  /** Write one parquet file per epoch slice of `all` under `path`,
+    * mtimes pinned strictly ascending so the mtime-ordered file
+    * source replays the drops in epoch order (same load-bearing-mtime
+    * contract as the streaming outer-join source; a failed
+    * setLastModified falls back to the throwing NIO call). */
+  private def writeDropSource(s: SparkSession, all: DataFrame, path: String,
+                              splits: Seq[(Long, Long)]): Unit = {
+    new java.io.File(path).mkdirs()
+    for (((lo, hi), i) <- splits.zipWithIndex) {
+      val tmp = s"$path/_drop_tmp$i"
+      all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no drop part file under $tmp"))
+      val drop = new java.io.File(s"$path/drop$i.parquet")
+      java.nio.file.Files.move(part.toPath, drop.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val target = 1700000000000L + i * 60000L
+      if (!drop.setLastModified(target))
+        java.nio.file.Files.setLastModifiedTime(drop.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(target))
+      if (drop.lastModified() != target)
+        sys.error(s"cannot pin drop mtime: $drop")
+    }
+  }
+
   // ----------------------------------------------------------- span dedup
 
   /** Span-level duplicate-passage statistics (the Lee et al. 2021
@@ -1241,6 +1361,14 @@ object Dedup {
     // the SAME oracle: the delta-aware df reconstruction must be
     // invisible in the verdicts.
     "dedup_ingest_epochs_batched" -> QueryDef((s, d) => ingestEpochsBatchedQuery(s, d),
+      Some(ingestEpochsSql)),
+    // The same two-epoch loop through the REAL micro-batch engine:
+    // one crawl drop per micro-batch (pinned-mtime file source),
+    // foreachBatch verdicts each drop against the persisted index and
+    // appends its admits to the delta area before the next drop.
+    // Shares the batch loop's oracle verbatim: the engine must be
+    // invisible in the verdicts.
+    "dedup_ingest_streaming" -> QueryDef((s, d) => ingestDedupStreaming(s, d),
       Some(ingestEpochsSql)),
     // Independent DuckDB reimplementation of the k-gram span-hash
     // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the

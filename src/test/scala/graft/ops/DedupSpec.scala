@@ -126,6 +126,29 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("streaming ingest loop produces the batch epoch loop's verdicts exactly") {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batchPath = new java.io.File(
+      "target/scratch/spec_ingest_batch_" + System.nanoTime()).getAbsolutePath
+    val batch = Dedup.ingestEpochsOn(spark, all, batchPath,
+        split1 = 400L, split2 = 450L, compactPerAppend = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    val streamPath = new java.io.File(
+      "target/scratch/spec_ingest_stream_" + System.nanoTime()).getAbsolutePath
+    val stream = Dedup.ingestDedupStreamingOn(spark, all, streamPath,
+        split1 = 400L, split2 = 450L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    assert(stream == batch)
+    // both epochs really flowed as separate micro-batches, and the
+    // second saw epoch-1 admits via the index delta (same guarantee
+    // the batch loop's epoch-2 verdict carries)
+    assert(stream.count(_._2 == 1L) == 50 && stream.count(_._2 == 2L) == 50)
+    // scratch reclaimed after the drain
+    assert(!new java.io.File(streamPath).exists())
+  }
+
   test("streaming exact-dedup groups converge to the batch aggregate") {
     val batch = Dedup.exactDupGroups(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
