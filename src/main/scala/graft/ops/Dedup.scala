@@ -764,8 +764,13 @@ object Dedup {
     // them yet, so every df below is reconstructed as
     // df_compacted + df_delta (exact, not an approximation).
     val hasDelta = new java.io.File(s"$path/delta/postings").exists()
+    // explicit schema, not inference: a drop that admits NOTHING still
+    // writes the delta dir, with zero data files under it — inference
+    // would throw UNABLE_TO_INFER_SCHEMA and poison every later query
+    // against the index (gb comes back via partition discovery)
     val deltaPost = if (hasDelta)
-      s.read.parquet(s"$path/delta/postings")
+      s.read.schema("doc_id BIGINT, g BIGINT, gb INT")
+        .parquet(s"$path/delta/postings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else null
     val dBuckets = if (hasDelta)

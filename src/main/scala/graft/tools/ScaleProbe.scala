@@ -21,6 +21,34 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val big = "target/scratch/sf1x"
 
+    // --ingest-stages: probe the persisted-index ingest loop STAGE BY
+    // STAGE (build / verdict / batched append / delta-aware verdict /
+    // compaction) instead of whole queries — the per-append vs
+    // per-compaction cost split is invisible at query granularity.
+    if (args.contains("--ingest-stages")) {
+      // token-salted replicas (every word suffixed per replica), NOT
+      // the exact-copy replication the query probes use: an ingest
+      // batch of exact copies admits nothing (empty append, trivial
+      // delta stages) and its near-check pair volume grows x100 on
+      // planted pairs (the documented replication artifact) — the
+      // honest 10x model for an INTAKE loop is 10x FRESH crawl
+      // content, i.e. ten disjoint shards of the 1x corpus
+      val bigIngest = "target/scratch/sf1x_ingest"
+      if (!new java.io.File(s"$bigIngest/documents.parquet").exists()) {
+        val base = graft.Tables(spark, src, "documents")
+          .select(col("doc_id"), col("text"))
+        (0 until 10).map { i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))), " "))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$bigIngest/documents.parquet")
+      }
+      runIngestStages(spark, src, bigIngest)
+      spark.stop()
+      return
+    }
+
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
       val base = graft.Tables(spark, src, table)
       val out = (0 until 10).map { i =>
@@ -137,5 +165,77 @@ object ScaleProbe {
       println(f"SCALE $q,$t1%.2f,$t10%.2f,${t10 / t1}%.1f")
     }
     spark.stop()
+  }
+
+  private val ingestStages =
+    Seq("build", "verdict", "append", "verdict_delta", "compact")
+
+  /** Time one full ingest cycle per scale, twice, min per stage:
+    * index build over the first 80% of docs (by id), verdict of the
+    * next 10% against the compacted index, batched append of its
+    * admits (delta area, NO compaction), delta-aware verdict of the
+    * last 10%, then the deferred compaction. The split ids come from
+    * exact single-pass quantiles, so the existing/batch proportions
+    * are identical at both scales. */
+  private def runIngestStages(spark: SparkSession, src: String, big: String): Unit = {
+    def stagesAt(dir: String, tag: String): Map[String, Double] = {
+      // split on the per-replica id (rid = doc_id mod the replication
+      // stride; identity at 1x): id-range splits would make every 10x
+      // batch doc an exact copy of existing content (nothing admitted,
+      // empty append, trivial delta stages) — rid splits keep each
+      // batch 10x FRESH content, so every stage carries 10x volume
+      val docs = graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("rid", pmod(col("doc_id"), lit(1000000L)))
+      val Array(s1, s2) = docs.stat.approxQuantile("rid", Array(0.8, 0.9), 0.0)
+      def slice(f: org.apache.spark.sql.Column) =
+        docs.filter(f).select(col("doc_id"), col("text"))
+      val existing = slice(col("rid") < s1)
+      val batch1 = slice(col("rid") >= s1 && col("rid") < s2)
+      val batch2 = slice(col("rid") >= s2)
+      def cycle(i: Int): Map[String, Double] = {
+        val path = new java.io.File(s"target/scratch/ingest_probe_${tag}_$i").getAbsolutePath
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        val out = scala.collection.mutable.Map[String, Double]()
+        def t(stage: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          out(stage) = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+        }
+        var rows1: Array[org.apache.spark.sql.Row] = null
+        t("build") { graft.ops.Dedup.writePostingIndex(spark, existing, path) }
+        t("verdict") {
+          rows1 = graft.ops.Dedup.ingestDedupIndexed(spark, path, batch1).collect()
+        }
+        val v1 = spark.createDataFrame(java.util.Arrays.asList(rows1: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("exact_dup",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("near_dup",
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField("admit",
+              org.apache.spark.sql.types.BooleanType))))
+        val admitted = batch1.join(
+          v1.filter(col("admit")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        t("append") {
+          graft.ops.Dedup.appendToPostingIndex(spark, admitted, path, compact = false)
+        }
+        t("verdict_delta") {
+          graft.ops.Dedup.ingestDedupIndexed(spark, path, batch2).collect()
+        }
+        t("compact") { graft.ops.Dedup.compactPostingIndex(spark, path) }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        out.toMap
+      }
+      val a = cycle(1); val b = cycle(2)
+      ingestStages.map(k => k -> math.min(a(k), b(k))).toMap
+    }
+    val one = stagesAt(src, "1x")
+    val ten = stagesAt(big, "10x")
+    println("stage,t1x_sec,t10x_sec,ratio")
+    for (st <- ingestStages)
+      println(f"INGEST $st,${one(st)}%.2f,${ten(st)}%.2f,${ten(st) / one(st)}%.1f")
   }
 }

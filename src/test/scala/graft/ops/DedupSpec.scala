@@ -149,6 +149,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!new java.io.File(streamPath).exists())
   }
 
+  test("an append that admits nothing leaves the index queryable") {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val path = new java.io.File(
+      "target/scratch/spec_empty_delta_" + System.nanoTime()).getAbsolutePath
+    import org.apache.spark.sql.functions.col
+    Dedup.writePostingIndex(spark, all.filter(col("doc_id") < 400L), path)
+    val plain = Dedup.ingestDedupIndexed(spark, path,
+      all.filter(col("doc_id") >= 400L)).collect().toSeq
+    // a drop where every doc is rejected appends an EMPTY delta — the
+    // dir exists with no data files; queries must not trip schema
+    // inference on it and verdicts must be unchanged (df_delta = 0)
+    Dedup.appendToPostingIndex(spark, all.filter(col("doc_id") < -1L), path,
+      compact = false)
+    val withEmptyDelta = Dedup.ingestDedupIndexed(spark, path,
+      all.filter(col("doc_id") >= 400L)).collect().toSeq
+    assert(withEmptyDelta == plain)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+  }
+
   test("streaming exact-dedup groups converge to the batch aggregate") {
     val batch = Dedup.exactDupGroups(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
