@@ -23,6 +23,7 @@ object SparkEntry {
     * between surfaces). */
   def modules: Seq[(String, Map[String, QueryDef])] = Seq(
     "EventQueries" -> ops.EventQueries.defs,
+    "Insights" -> ops.Insights.defs,
     "TpchQueries" -> ops.TpchQueries.defs,
     "Dedup" -> ops.Dedup.defs,
     "TextAnalysis" -> ops.TextAnalysis.defs,

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.{OracleSql, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events stream — the "what do users DO"
+  * query family a log-analysis engine grows once the per-user/per-service
+  * aggregates (the reference's seven README shapes) are in place:
+  * Markov transition structure, sliding-window distinct reach, and
+  * statistical outlier flagging.
+  *
+  * Scale posture shared by all three: the only wide exchanges are keyed
+  * on `user_id` (the natural high-cardinality partitioning key), every
+  * post-aggregation frame is bounded by a small domain (event-type
+  * pairs, calendar days) and re-joined via broadcast, and all floating
+  * math is either a single IEEE expression over engine-identical inputs
+  * or exact decimal, so results hash-match the oracle bit-for-bit.
+  */
+object Insights {
+
+  import EventQueries.events
+
+  /** Markov transition matrix over per-user event sequences: for each
+    * ordered pair of consecutive event types (by `ts`, tie-broken on
+    * `event_id` so the sequence is total and engine-independent),
+    * count transitions and the per-source transition probability.
+    *
+    * Plan: one window shuffle on `user_id` (lead), one aggregate on the
+    * tiny (from,to) domain, then the per-source totals — themselves an
+    * aggregate of the already-tiny counts frame — re-join via
+    * broadcast. At 100 TB the window shuffle is the only n-sized
+    * exchange, and it partitions on the same key every per-user
+    * operator uses, so a co-partitioned layout amortizes it. The
+    * probability is a single IEEE division of two engine-identical
+    * longs — deterministic to the bit before the 6dp round. */
+  def eventTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    counts
+      .join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Trailing-7-day distinct users per active day — the sliding
+    * count-distinct no window function expresses directly. Exact
+    * distributed form: dedup (user, day) once, explode each active day
+    * into the ≤7 window-days it contributes to, and count distinct
+    * users per window-day, keeping only days that actually occur.
+    *
+    * Scale: the dedup and the count-distinct both key on
+    * (user_id, day) — bounded expansion factor 7 between them, no
+    * row-count blowup. The active-day grid is calendar-bounded
+    * (thousands of rows at any corpus size) and broadcasts. This is
+    * the shape to prefer at 100 TB over a per-day self-join of the
+    * full events table, which would read the fact 7×. */
+  def rollingDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val userDays = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val grid = userDays.select(col("day")).distinct()
+      .withColumnRenamed("day", "win_day")
+    userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("win_day"))
+      .join(broadcast(grid), Seq("win_day"), "left_semi")
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("win_day"), "yyyy-MM-dd").as("day"), col("n_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-user statistical outliers: events whose value sits ≥2 sample
+    * standard deviations from that user's mean. The moments are exact
+    * DECIMAL sums (order-independent — a double sum would differ
+    * between engines on partition order), and mean/std/z are derived
+    * from those exact aggregates in one fixed IEEE expression each, so
+    * the 4dp-rounded z-score is engine-identical.
+    *
+    * Plan: one aggregate and one join, both keyed on `user_id` — the
+    * exchanges align, and AQE collapses the stats side to broadcast
+    * when it is small. Users with n<2 or zero variance are excluded
+    * (no z is defined). */
+  def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+    val stats = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").cast("double").as("nd"),
+        col("s").cast("double").as("sd"), col("s2").cast("double").as("s2d"))
+      // sample variance from exact moments: (s2 - s*s/n) / (n-1)
+      .withColumn("mean", col("sd") / col("nd"))
+      .withColumn("variance",
+        (col("s2d") - col("sd") * col("sd") / col("nd")) / (col("nd") - lit(1.0d)))
+      .filter(col("variance") > 0)
+      .withColumn("std", sqrt(col("variance")))
+    e.join(stats, Seq("user_id"))
+      .withColumn("z", (col("v").cast("double") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= 2.0d)
+      .select(col("event_id"), col("user_id"),
+        col("v").cast("double").as("value"), round(col("z"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "event_transition_matrix" -> QueryDef(eventTransitionMatrix, Some(
+      s"""WITH nx AS (
+         |  SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
+         |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+         |SELECT from_type, to_type, n,
+         |  ${OracleSql.round("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS p
+         |FROM p JOIN t USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin)),
+    "rolling_distinct_users" -> QueryDef(rollingDistinctUsers, Some(
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |grid AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (SELECT user_id, day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS win_day FROM ud)
+        |SELECT strftime(win_day, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_users
+        |FROM contrib JOIN grid ON contrib.win_day = grid.day
+        |GROUP BY win_day ORDER BY day""".stripMargin)),
+    "value_outliers" -> QueryDef(valueOutliers, Some(
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6)) AS v FROM events),
+         |st AS (SELECT user_id, count(*) AS n, sum(v) AS s, sum(v * v) AS s2
+         |       FROM e GROUP BY user_id HAVING count(*) >= 2),
+         |d AS (SELECT user_id, CAST(n AS DOUBLE) AS nd, CAST(s AS DOUBLE) AS sd,
+         |             CAST(s2 AS DOUBLE) AS s2d FROM st),
+         |m AS (SELECT user_id, sd / nd AS mean,
+         |             (s2d - sd * sd / nd) / (nd - 1.0) AS variance FROM d),
+         |f AS (SELECT user_id, mean, sqrt(variance) AS std FROM m WHERE variance > 0)
+         |SELECT event_id, e.user_id, CAST(v AS DOUBLE) AS value,
+         |  ${OracleSql.round("(CAST(v AS DOUBLE) - mean) / std", 4)} AS z
+         |FROM e JOIN f ON e.user_id = f.user_id
+         |WHERE abs((CAST(v AS DOUBLE) - mean) / std) >= 2.0
+         |ORDER BY event_id""".stripMargin)))
+}

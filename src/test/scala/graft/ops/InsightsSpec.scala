@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture semantics for the behavioral-analytics family:
+  * transition counts with a deterministic (ts, event_id) tie-break,
+  * exact trailing-7-day distinct reach, and z-scores derived from
+  * exact decimal moments. */
+class InsightsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Write an events.parquet fixture and return its directory. */
+  private def eventsDir(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("insights").toString
+    rows.map { case (id, ts, u, t, v) => (id, Timestamp.valueOf(ts), u, t, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("transition matrix counts consecutive pairs per user, tie-broken on event_id") {
+    // user 1: click -> view -> click; user 2: two events at the SAME ts,
+    // ordered by event_id (10 before 11): view -> error
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:00:02", 1L, "view", 1.0),
+      (3L, "2024-01-01 00:00:03", 1L, "click", 1.0),
+      (10L, "2024-01-02 00:00:00", 2L, "view", 1.0),
+      (11L, "2024-01-02 00:00:00", 2L, "error", 1.0)))
+    val got = Insights.eventTransitionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "error", 1L, 0.5)))
+  }
+
+  test("rolling distinct users counts the trailing 7 days, active days only") {
+    // user 1 active on day 1 and day 10; user 2 on day 3.
+    // Day 3's trailing week covers days 1 and 3 -> users {1, 2} = 2.
+    // Day 10 is beyond day 3's +6 horizon -> only user 1.
+    val dir = eventsDir(Seq(
+      (1L, "2024-03-01 12:00:00", 1L, "click", 1.0),
+      (2L, "2024-03-03 12:00:00", 2L, "click", 1.0),
+      (3L, "2024-03-10 12:00:00", 1L, "click", 1.0)))
+    val got = Insights.rollingDistinctUsers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 1L), ("2024-03-03", 2L), ("2024-03-10", 1L)))
+  }
+
+  test("value outliers flag |z| >= 2 from exact decimal moments") {
+    // user 1: nine 10.0s and one 40.0. mean = 13, var = (s2 - s^2/n)/(n-1)
+    //   s = 130, s2 = 9*100 + 1600 = 2500; var = (2500 - 1690)/9 = 90
+    //   std = sqrt(90); z(40) = 27/sqrt(90) ≈ 2.8460 -> flagged
+    //   z(10) = -3/sqrt(90) ≈ -0.3162 -> not flagged
+    // user 2: constant values -> zero variance -> excluded entirely
+    val base = (1 to 9).map(i =>
+      (i.toLong, f"2024-01-01 00:00:$i%02d", 1L, "click", 10.0))
+    val dir = eventsDir(base ++ Seq(
+      (10L, "2024-01-01 00:01:00", 1L, "click", 40.0),
+      (20L, "2024-01-01 00:02:00", 2L, "click", 5.0),
+      (21L, "2024-01-01 00:02:01", 2L, "click", 5.0)))
+    val got = Insights.valueOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val expZ = BigDecimal.decimal(27.0 / math.sqrt(90.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((10L, 1L, 40.0, expZ)))
+  }
+}
