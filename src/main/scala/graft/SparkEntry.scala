@@ -40,6 +40,7 @@ object SparkEntry {
     "Retrieval" -> ops.Retrieval.defs,
     "DataQuality" -> ops.DataQuality.defs,
     "Bucketing" -> ops.Bucketing.defs,
+    "Layout" -> ops.Layout.defs,
     "Graph" -> ops.Graph.defs,
     "KdcParseQueries" -> kdc.KdcParseQueries.defs)
 

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.{OracleSql, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan efficiency at scale: multi-dimensional
+  * Z-order clustering (the layout that makes min/max file skipping work
+  * on TWO predicates at once) and date-partitioned writes with
+  * partition-pruned reads (the standard ingest layout for a time-series
+  * fact table).
+  *
+  * Both queries keep the layout invisible in their RESULTS — the oracle
+  * is plain SQL over the unpartitioned table — and surface the layout's
+  * effect through plan pins (LayoutSpec) and per-bin span statistics.
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of x (odd positions) and y (even
+    * positions) into a single Z-value column. Pure integer bit
+    * arithmetic — codegen-friendly and engine-exact. */
+  private[ops] def zInterleave(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** The same interleave as SQL text for the DuckDB oracle. */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
+  /** Z-order layout statistics over orders on (o_custkey, order day):
+    * normalize both dims to 8 bits, interleave into a 16-bit Z-value,
+    * cut the Z-range into 32 equal-width bins (the "files" of a
+    * Z-ordered write), and report each bin's row count and min/max
+    * span in BOTH dimensions plus the span fractions.
+    *
+    * The point at 100 TB: a sort by Z-value clusters BOTH custkey and
+    * date, so per-file min/max statistics prune scans on either
+    * predicate — a single-column sort gives perfect pruning on one dim
+    * and none on the other. The emitted span fractions quantify that
+    * (≈ 1/sqrt(bins) per dim for uniform data vs 1/bins on the sorted
+    * dim and ~1 on the other for a linear sort).
+    *
+    * Plan: the dim bounds are one scalar aggregate broadcast back via
+    * crossJoin (the established scalar-seed pattern); the binning is a
+    * single groupBy on a 32-value key. Everything is integer
+    * arithmetic — exact on both engines. */
+  def zorderLayoutStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("y"))
+    val bounds = o.agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+      min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+    val scaled = o.crossJoin(broadcast(bounds))
+      // integral DIV keeps the binning exact at ANY key magnitude
+      // (a double divide would round above 2^53)
+      .withColumn("x8", expr("((x - x_lo) * 256) DIV (x_hi - x_lo + 1)"))
+      .withColumn("y8", expr("((y - y_lo) * 256) DIV (y_hi - y_lo + 1)"))
+    scaled
+      .withColumn("z", zInterleave(col("x8"), col("y8"), 8))
+      .withColumn("bin", shiftright(col("z"), 11))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("x")).as("cust_lo"), max(col("x")).as("cust_hi"),
+        min(col("y")).as("day_lo"), max(col("y")).as("day_hi"),
+        first(col("x_hi") - col("x_lo") + 1).as("xr"),
+        first(col("y_hi") - col("y_lo") + 1).as("yr"))
+      .select(col("bin"), col("n_orders"),
+        col("cust_lo"), col("cust_hi"), col("day_lo"), col("day_hi"),
+        round((col("cust_hi") - col("cust_lo") + 1).cast("double") /
+          col("xr").cast("double"), 6).as("cust_span_frac"),
+        round((col("day_hi") - col("day_lo") + 1).cast("double") /
+          col("yr").cast("double"), 6).as("day_span_frac"))
+      .orderBy(col("bin"))
+  }
+
+  /** Date-partitioned write + partition-pruned read: land events
+    * partitioned by calendar day (the standard time-series ingest
+    * layout), then aggregate ONE day read back through the partition
+    * filter. The result must equal the plain filtered aggregate over
+    * the unpartitioned table — the layout only changes what the scan
+    * READS (LayoutSpec pins PartitionFilters and that a single
+    * partition directory survives pruning).
+    *
+    * The target day is min(day)+14 — computed as a 1-row collect
+    * (bounded, justified: partition pruning needs a LITERAL at plan
+    * time; a subquery-derived filter would scan all partitions). At
+    * 100 TB the write happens once per ingest day, not per query; the
+    * row pays it inline to keep the driver check hermetic, same as
+    * bucketed_order_revenue. */
+  def partitionedEventsPrune(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+    val target = e.agg(date_add(min(col("day")), 14).as("t"))
+      .collect()(0).getDate(0)
+    val loc = "target/scratch/events_by_day"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    e.write.mode(SaveMode.Overwrite).partitionBy("day").parquet(loc)
+    s.read.parquet(loc)
+      .filter(col("day") === lit(target))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value"), 6).cast("decimal(18,6)")).as("v"))
+      .select(col("event_type"), col("n_events"),
+        round(col("v"), 2).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "zorder_layout_stats" -> QueryDef(zorderLayoutStats, Some {
+      val z = zInterleaveSql("x8", "y8", 8)
+      s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y FROM orders),
+         |b AS (SELECT min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi FROM o),
+         |sc AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi,
+         |    ((x - x_lo) * 256) // (x_hi - x_lo + 1) AS x8,
+         |    ((y - y_lo) * 256) // (y_hi - y_lo + 1) AS y8 FROM o, b),
+         |zb AS (SELECT *, ($z) >> 11 AS bin FROM sc)
+         |SELECT bin, count(*) AS n_orders,
+         |  min(x) AS cust_lo, max(x) AS cust_hi, min(y) AS day_lo, max(y) AS day_hi,
+         |  ${OracleSql.round("CAST(max(x) - min(x) + 1 AS DOUBLE) / CAST(any_value(x_hi) - any_value(x_lo) + 1 AS DOUBLE)", 6)} AS cust_span_frac,
+         |  ${OracleSql.round("CAST(max(y) - min(y) + 1 AS DOUBLE) / CAST(any_value(y_hi) - any_value(y_lo) + 1 AS DOUBLE)", 6)} AS day_span_frac
+         |FROM zb GROUP BY bin ORDER BY bin""".stripMargin
+    }),
+    "partitioned_events_prune" -> QueryDef(partitionedEventsPrune, Some(
+      s"""WITH t AS (SELECT CAST(min(ts) AS DATE) + 14 AS d FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(round(sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+         |FROM events, t WHERE CAST(ts AS DATE) = t.d
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+}
