@@ -429,6 +429,29 @@ object TextAnalysis {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The inner statistic of one BPE-training iteration: corpus-wide
+    * adjacent-token-pair frequencies, top-32 by count (ties broken
+    * lexically so the "vocabulary" is deterministic). A full trainer
+    * loops: compute this, pick the winner, map the merge over the
+    * corpus, recompute — the merge apply is a narrow map; THIS
+    * aggregate is the shuffle that dominates at 100 TB, and it keys on
+    * the (a,b) pair domain (bounded by vocab², heavily skew-safe
+    * because partial aggregation collapses each partition's counts
+    * before the exchange). The pair stream is generated inline from
+    * the token array (one transform + explode — no self-join). */
+  def bpeMergePairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(32)
+
   // ------------------------------------------------------------ registry
 
   private def R(e: String, n: Int): String = OracleSql.round(e, n)
@@ -440,6 +463,13 @@ object TextAnalysis {
         |  length(text) AS n_chars_text,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    "bpe_merge_pairs" -> QueryDef(bpeMergePairs, Some(
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        |big AS (SELECT t FROM tok WHERE len(t) >= 2),
+        |ix AS (SELECT t, unnest(range(1, len(t))) AS i FROM big),
+        |pr AS (SELECT t[i] AS a, t[i + 1] AS b FROM ix)
+        |SELECT a, b, count(*) AS n FROM pr GROUP BY a, b
+        |ORDER BY n DESC, a, b LIMIT 32""".stripMargin)),
     "text_bpe_token_count" -> QueryDef(regexTokenCounts, Some(
       """SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),

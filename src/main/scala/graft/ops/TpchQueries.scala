@@ -479,6 +479,32 @@ object TpchQueries {
       .orderBy(col("nation"))
   }
 
+  /** TPC-H Q20 shape: supplier-part pairs where one supplier shipped
+    * more than 15% of a part's total quantity — the correlated
+    * "compare a group's aggregate against its parent group's
+    * aggregate" pattern. The parent total RE-AGGREGATES the child
+    * frame instead of scanning the fact twice (one wide shuffle on
+    * (suppkey, partkey); the per-part totals are derived from it and
+    * re-joined on partkey). The dominance test is exact decimal
+    * cross-multiplication — no 0.3*total double compare to drift at a
+    * boundary. Supplier names broadcast in at the end. */
+  def excessSupplierParts(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(money(col("l_quantity"))).as("sp_qty"))
+    val totals = sp.groupBy(col("l_partkey"))
+      .agg(sum(col("sp_qty")).as("part_qty"))
+    sp.join(totals, Seq("l_partkey"))
+      .filter(col("sp_qty") * 20 > col("part_qty") * 3)
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("sp_qty").cast("double").as("sp_qty"),
+        col("part_qty").cast("double").as("part_qty"),
+        round(col("sp_qty").cast("double") / col("part_qty").cast("double"), 4).as("share"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
   /** Exact-decimal discounted price sum (see [[money]]). */
@@ -486,6 +512,18 @@ object TpchQueries {
     "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
 
   val defs: Map[String, QueryDef] = Map(
+    "excess_supplier_parts" -> QueryDef(excessSupplierParts, Some(
+      s"""WITH sp AS (SELECT l_suppkey, l_partkey,
+         |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sp_qty
+         |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+         |pt AS (SELECT l_partkey, sum(sp_qty) AS part_qty FROM sp GROUP BY l_partkey)
+         |SELECT sp.l_partkey, l_suppkey, s_name,
+         |  CAST(sp_qty AS DOUBLE) AS sp_qty, CAST(part_qty AS DOUBLE) AS part_qty,
+         |  ${graft.OracleSql.round("CAST(sp_qty AS DOUBLE) / CAST(part_qty AS DOUBLE)", 4)} AS share
+         |FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE sp_qty * 20 > part_qty * 3
+         |ORDER BY sp.l_partkey, l_suppkey""".stripMargin)),
     "late_shipment_orders" -> QueryDef(lateShipmentOrders, Some(
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
         |WHERE EXISTS (SELECT 1 FROM lineitem l

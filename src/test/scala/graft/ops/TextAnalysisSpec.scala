@@ -133,6 +133,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.forall(r => r._1 < r._2), "pair not canonically ordered")
   }
 
+  test("bpeMergePairs: top adjacent pairs, ordered (count desc, a, b), counts consistent") {
+    val rows = TextAnalysis.bpeMergePairs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 32)
+    val keys = rows.map(r => (-r._3, r._1, r._2))
+    assert(keys.sameElements(keys.sorted), "output not ordered by (n desc, a, b)")
+    // cross-check one pair count against a direct scan
+    val (a, b, n) = rows.head
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("split(text, ' ') AS t")
+      .selectExpr(s"size(filter(sequence(0, size(t) - 2), i -> t[i] = '$a' AND t[i + 1] = '$b')) AS c")
+      .agg(org.apache.spark.sql.functions.sum("c")).head().getLong(0)
+    assert(direct == n, s"top pair ($a,$b) count $n != direct $direct")
+  }
+
   test("quality components are consistent") {
     val row = TextAnalysis.qualityScores(spark, dir)
       .filter("doc_id = 0").head()

@@ -42,7 +42,11 @@ class TpchClassicsSpec extends AnyFunSuite {
       (6L, 13L, 3L, 1.0, 10.0, 0.0, "1995-04-03", "R"),
       // order 7 multi-supplier, TWO R suppliers → not solo, excluded
       (7L, 13L, 1L, 1.0, 10.0, 0.0, "1995-04-04", "R"),
-      (7L, 13L, 2L, 1.0, 10.0, 0.0, "1995-04-05", "R"))
+      (7L, 13L, 2L, 1.0, 10.0, 0.0, "1995-04-05", "R"),
+      // Q20 boundary part 14: supp1 share exactly 3/20 = 0.15 (strict
+      // > excludes it), supp2 at 0.85 dominates
+      (8L, 14L, 1L, 3.0, 10.0, 0.0, "1995-05-01", "N"),
+      (8L, 14L, 2L, 17.0, 10.0, 0.0, "1995-05-02", "N"))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_shipdate", "l_returnflag")
       .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
@@ -68,6 +72,14 @@ class TpchClassicsSpec extends AnyFunSuite {
     customer.write.mode("overwrite").parquet(s"$dir/customer.parquet")
     supplier.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     dir
+  }
+
+  test("Q20 shape: dominance threshold is strict at the exact 15% boundary") {
+    val got = TpchQueries.excessSupplierParts(spark, fixture)
+      .filter("l_partkey = 14").collect()
+      .map(r => (r.getLong(1), r.getDouble(5)))
+    // supp1's exactly-15% share must NOT appear; supp2's 85% must
+    assert(got.toSeq == Seq((2L, 0.85)), s"got ${got.toSeq}")
   }
 
   test("Q17 shape: exact cross-multiplied threshold is strict") {
