@@ -41,6 +41,7 @@ object SparkEntry {
     "DataQuality" -> ops.DataQuality.defs,
     "Bucketing" -> ops.Bucketing.defs,
     "Layout" -> ops.Layout.defs,
+    "Stats" -> ops.Stats.defs,
     "Graph" -> ops.Graph.defs,
     "KdcParseQueries" -> kdc.KdcParseQueries.defs)
 

@@ -41,8 +41,17 @@ object Insights {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    transitionRollup(pairs)
+  }
+
+  /** Shared rollup from a (from_type, to_type) pair stream to the
+    * count + probability matrix — used by the batch window form above
+    * and the streaming stateful form below, so the two rows cannot
+    * diverge in their aggregation semantics. */
+  private[graft] def transitionRollup(pairs: DataFrame): DataFrame = {
     val counts = pairs
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
     counts
@@ -50,6 +59,29 @@ object Insights {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** [[eventTransitionMatrix]] through the REAL micro-batch engine:
+    * the events table replayed as four event-time-ordered file
+    * batches, per-user last-event state carried ACROSS batches by
+    * flatMapGroupsWithState on the RocksDB store, emitted transitions
+    * collected in a memory sink and rolled up by the SAME
+    * [[transitionRollup]] — so the driver checks the streaming row
+    * against the identical SQL oracle as the batch twin. State per
+    * user is one (ms, event_id, type) triple: bounded forever, the
+    * shape a continuous deployment runs unchanged. */
+  def eventTransitionMatrixStreaming(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.streaming.StreamingPipeline
+    val src = sp.writeTimeSplitSource(s, dir, 4)
+    try {
+      val tsType = s.read.parquet(src).schema("ts").dataType
+      val stream = sp.normalizeTs(
+        s.readStream.schema(sp.eventsSchema(tsType))
+          .option("maxFilesPerTrigger", 1).parquet(src))
+      val sink = sp.runOneShot(sp.eventTransitions(stream).toDF(),
+        "transitions", "append", Seq("from_type", "to_type"))
+      transitionRollup(sink)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
   }
 
   /** Trailing-7-day distinct users per active day — the sliding
@@ -115,19 +147,24 @@ object Insights {
       .orderBy(col("event_id"))
   }
 
+  private val transitionOracle =
+    s"""WITH nx AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
+       |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+       |SELECT from_type, to_type, n,
+       |  ${OracleSql.round("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS p
+       |FROM p JOIN t USING (from_type)
+       |ORDER BY from_type, to_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "event_transition_matrix" -> QueryDef(eventTransitionMatrix, Some(
-      s"""WITH nx AS (
-         |  SELECT user_id, event_type,
-         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-         |  FROM events),
-         |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
-         |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         |t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
-         |SELECT from_type, to_type, n,
-         |  ${OracleSql.round("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS p
-         |FROM p JOIN t USING (from_type)
-         |ORDER BY from_type, to_type""".stripMargin)),
+    "event_transition_matrix_streaming" -> QueryDef(
+      eventTransitionMatrixStreaming, Some(transitionOracle)),
+    "event_transition_matrix" -> QueryDef(eventTransitionMatrix,
+      Some(transitionOracle)),
     "rolling_distinct_users" -> QueryDef(rollingDistinctUsers, Some(
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |grid AS (SELECT DISTINCT day FROM ud),

@@ -479,6 +479,40 @@ object TpchQueries {
       .orderBy(col("nation"))
   }
 
+  /** SCD Type-2 apply: the history-keeping sibling of
+    * [[customerDimUpsert]] (Type 1 overwrites; Type 2 closes the old
+    * version and opens a new one). The update batch is synthesized
+    * deterministically (every 7th customer gets +100 balance,
+    * effective 1996-01-01) so the oracle can rebuild it; real
+    * deployments feed a CDC batch through the same join.
+    *
+    * Shape: dim LEFT JOIN updates on the business key, then each
+    * matched row EXPLODES into its closed-out old version plus the
+    * open new version — one shuffle join (broadcast when the batch is
+    * small, which CDC batches are), one narrow explode; history depth
+    * never multiplies the join itself. */
+  def customerDimScd2(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), money(col("c_acctbal")).as("bal"))
+    val upd = dim.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), (col("bal") + 100).as("new_bal"))
+    val versions = when(col("new_bal").isNotNull, array(
+      struct(col("bal").as("b"), lit("1995-01-01").as("vf"),
+        lit("1996-01-01").as("vt"), lit(false).as("cur")),
+      struct(col("new_bal").as("b"), lit("1996-01-01").as("vf"),
+        lit(null).cast("string").as("vt"), lit(true).as("cur"))))
+      .otherwise(array(
+        struct(col("bal").as("b"), lit("1995-01-01").as("vf"),
+          lit(null).cast("string").as("vt"), lit(true).as("cur"))))
+    dim.join(upd, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), explode(versions).as("v"))
+      .select(col("c_custkey"), col("c_name"),
+        col("v.b").cast("double").as("acctbal"),
+        col("v.vf").as("valid_from"), col("v.vt").as("valid_to"),
+        col("v.cur").as("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** TPC-H Q20 shape: supplier-part pairs where one supplier shipped
     * more than 15% of a part's total quantity — the correlated
     * "compare a group's aggregate against its parent group's
@@ -512,6 +546,22 @@ object TpchQueries {
     "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
 
   val defs: Map[String, QueryDef] = Map(
+    "customer_dim_scd2" -> QueryDef(customerDimScd2, Some(
+      """WITH dim AS (SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer)
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS acctbal,
+        |  '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |  true AS is_current
+        |FROM dim WHERE c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE),
+        |  '1995-01-01', '1996-01-01', false
+        |FROM dim WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(bal + 100 AS DOUBLE),
+        |  '1996-01-01', CAST(NULL AS VARCHAR), true
+        |FROM dim WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin)),
     "excess_supplier_parts" -> QueryDef(excessSupplierParts, Some(
       s"""WITH sp AS (SELECT l_suppkey, l_partkey,
          |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sp_qty

@@ -465,6 +465,82 @@ object StreamingPipeline {
     path
   }
 
+  /** Build a TIME-SPLIT source: the events table cut into `parts`
+    * files along the global (ts, event_id) order, mtimes pinned
+    * ascending so the file source (which batches in mtime order)
+    * replays them as `parts` event-time-ordered micro-batches — the
+    * arrival pattern a time-partitioned ingest (hourly drops, Kafka
+    * with per-key ordering) actually produces, and the precondition
+    * [[eventTransitions]] documents. The global sort is harness-side
+    * prep, not part of the measured operator. */
+  private[graft] def writeTimeSplitSource(s: SparkSession, dir: String,
+                                          parts: Int = 4): String = {
+    val path = new java.io.File(
+      s"target/scratch/timesplit_src_${s.sparkContext.applicationId}_${oneShotSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    new java.io.File(path).mkdirs()
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val n = raw.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = raw.withColumn("__rn", row_number().over(w))
+    val base = System.currentTimeMillis()
+    (0 until parts).foreach { i =>
+      val lo = i * n / parts
+      val hi = (i + 1) * n / parts
+      val tmp = s"$path/_tmp$i"
+      ranked.filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = new java.io.File(f"$path/ev_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+      if (dst.lastModified() != base + i * 60000L)
+        sys.error(s"cannot pin mtime on $dst")
+    }
+    path
+  }
+
+  final case class LastEvent(ms: Long, eid: Long, typ: String)
+  final case class Transition(from_type: String, to_type: String)
+
+  /** Cross-batch per-user transition detection: state is the ONE last
+    * event seen per user (three fields — bounded regardless of stream
+    * length), each batch's rows for a user are sorted by (ts,
+    * event_id) before folding (the buffer is one user's single-batch
+    * slice, not the stream). Exact against the batch oracle whenever
+    * batches arrive per-user time-ordered — which the time-split
+    * source guarantees and real time-partitioned ingests approximate;
+    * an out-of-order deployment would add a watermark + event-time
+    * timeout to re-order, at the cost of emission latency. */
+  def eventTransitions(events: DataFrame): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { case (_, ms, eid, typ) =>
+            st.foreach(p => out += Transition(p.typ, typ))
+            st = Some(LastEvent(ms, eid, typ))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-moment statistics on planted data with known closed forms:
+  * perfectly linear columns give |r| = 1 and the planted slope. */
+class StatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("correlations: planted linear and anti-linear pairs give r = ±1") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stats").toString
+    // p = 2q + 3 (r = +1), d = 0.5 - 0.01q (r = -1; steps exactly
+    // representable at the DECIMAL(12,2) money scale — a finer step
+    // would be rounded by the cast and break exact linearity)
+    (1 to 20).map(i => (i.toDouble, 2.0 * i + 3, 0.5 - i * 0.01))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Stats.numericCorrelations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got("quantity_extendedprice") == 1.0, s"$got")
+    assert(got("quantity_discount") == -1.0, s"$got")
+    assert(got("extendedprice_discount") == -1.0, s"$got")
+  }
+
+  test("trend slopes: planted linear monthly revenue recovers slope and intercept") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stats").toString
+    // nation A: revenue = 100*x + 500 over 6 months (one order per
+    // month); nation B: single month -> excluded by n >= 2
+    val orders =
+      (0 until 6).map(i => (i.toLong, 1L, f"1995-${i + 1}%02d-15", 100.0 * i + 500)) :+
+        (10L, 2L, "1995-01-20", 42.0)
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0L), (2L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, "ALPHA"), (1L, "BETA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val got = Stats.revenueTrendSlopes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("ALPHA", 6L, 100.0, 500.0)), s"${got.toSeq}")
+  }
+
+  test("SCD2: changed keys version with closed validity; others stay current") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stats").toString
+    Seq((6L, "C6", 10.0), (7L, "C7", 20.0), (14L, "C14", 30.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = TpchQueries.customerDimScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3),
+        Option(r.getString(4)), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (6L, 10.0, "1995-01-01", None, true),
+      (7L, 20.0, "1995-01-01", Some("1996-01-01"), false),
+      (7L, 120.0, "1996-01-01", None, true),
+      (14L, 30.0, "1995-01-01", Some("1996-01-01"), false),
+      (14L, 130.0, "1996-01-01", None, true)), s"${got.toSeq}")
+  }
+}

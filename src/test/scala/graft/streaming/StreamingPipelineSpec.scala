@@ -263,6 +263,26 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("transition state carries across micro-batches; streaming row equals batch twin") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // a user whose consecutive events straddle every batch boundary:
+    // 6 events split into 4 time-ordered files — most transitions
+    // exist only if last-event state survives the boundaries
+    val scratch = java.nio.file.Files.createTempDirectory("trans").toString
+    val types = Seq("a", "b", "a", "c", "b", "a")
+    types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:0$i%d:00"), 1L, t, 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    val got = graft.ops.Insights.eventTransitionMatrixStreaming(spark, scratch)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.ops.Insights.eventTransitionMatrix(spark, scratch)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"streaming $got != batch $want")
+    assert(got.map(_._3).sum == 5, s"expected 5 transitions total: $got")
+  }
+
   test("streaming KDC auth counts match the Perl-mapper semantics") {
     import spark.implicits._
     val logDir = "target/scratch/streamlogs"
