@@ -157,7 +157,16 @@ object ScaleProbe {
       "ann_ivf_topk",          // decimal-mean Lloyd + probed rescore
       "late_shipment_orders",  // EXISTS semi-join, non-equi conjunct
       "nation_pair_trade",     // fact-fact join + 4 broadcast dims
-      "dormant_customer_balance") // scalar threshold + anti-join
+      "dormant_customer_balance", // scalar threshold + anti-join
+      "event_transition_matrix", // user-keyed window + tiny pair agg
+      "rolling_distinct_users",  // (user,day) dedup + bounded explode
+      "value_outliers",          // user-keyed moments agg + join back
+      "zorder_layout_stats",     // scalar bounds + 32-bin groupBy
+      "bpe_merge_pairs",         // per-row pair generate + pair agg
+      "excess_supplier_parts",   // (supp,part) agg + re-agg + broadcast
+      "numeric_correlations",    // one single-row moment aggregate
+      "revenue_trend_slopes",    // monthly agg + per-nation moments
+      "customer_dim_scd2")       // dim left join + explode versions
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -23,10 +23,11 @@ class RegistrySpec extends AnyFunSuite {
     // driver surface AND the catalog silently; this reflection sweep
     // catches the class of omission the count check cannot
     val listed = SparkEntry.modules.map(_._1).toSet
-    val expected = Set("EventQueries", "TpchQueries", "Dedup", "TextAnalysis",
-      "Similarity", "Multimodal", "AsofJoin", "RangeJoin", "Ivf", "Pipelines",
-      "Sampling", "Sketches", "Curation", "Scrub", "Retrieval", "DataQuality",
-      "Bucketing", "Graph", "KdcParseQueries")
+    val expected = Set("EventQueries", "Insights", "TpchQueries", "Dedup",
+      "TextAnalysis", "Similarity", "Multimodal", "AsofJoin", "RangeJoin",
+      "Ivf", "Pipelines", "Sampling", "Sketches", "Curation", "Scrub",
+      "Retrieval", "DataQuality", "Bucketing", "Layout", "Stats", "Graph",
+      "KdcParseQueries")
     assert(listed == expected, s"module list drift: ${listed.diff(expected)} / ${expected.diff(listed)}")
   }
 
