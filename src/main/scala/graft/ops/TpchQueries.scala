@@ -513,6 +513,31 @@ object TpchQueries {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** Point-in-time (temporal) join — the fact-side consumer of
+    * [[customerDimScd2]]'s history: each order joins the dimension
+    * VERSION that was valid on its order date, so pre-1996 orders see
+    * the original balance and later ones the updated version. The join
+    * is equi on the business key with the validity interval as a
+    * post-join filter — per-key version counts are tiny (≤2 here,
+    * bounded by update frequency in production), so this is a normal
+    * key join at scale, not a range join; AQE handles the rest.
+    * Exactly-one-version-per-order is a structural invariant (validity
+    * intervals partition the timeline), spec-pinned via a row-count
+    * equality with plain orders. */
+  def ordersScd2Enrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = customerDimScd2(s, dir)
+      .select(col("c_custkey"), col("acctbal"), col("valid_from"), col("valid_to"))
+    t(s, dir, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate") >= col("valid_from").cast("timestamp") &&
+        (col("valid_to").isNull ||
+          col("o_orderdate") < col("valid_to").cast("timestamp")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        col("acctbal").as("acctbal_at_order"), col("valid_from"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TPC-H Q20 shape: supplier-part pairs where one supplier shipped
     * more than 15% of a part's total quantity — the correlated
     * "compare a group's aggregate against its parent group's
@@ -546,6 +571,26 @@ object TpchQueries {
     "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
 
   val defs: Map[String, QueryDef] = Map(
+    "orders_scd2_enrich" -> QueryDef(ordersScd2Enrich, Some(
+      """WITH dim AS (
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+        |    '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE),
+        |    '1995-01-01', '1996-01-01'
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE),
+        |    '1996-01-01', CAST(NULL AS VARCHAR)
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(round(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS total_price,
+        |  acctbal AS acctbal_at_order, valid_from
+        |FROM orders JOIN dim ON o_custkey = c_custkey
+        |  AND o_orderdate >= CAST(valid_from AS TIMESTAMP)
+        |  AND (valid_to IS NULL OR o_orderdate < CAST(valid_to AS TIMESTAMP))
+        |ORDER BY o_orderkey""".stripMargin)),
     "customer_dim_scd2" -> QueryDef(customerDimScd2, Some(
       """WITH dim AS (SELECT c_custkey, c_name,
         |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer)

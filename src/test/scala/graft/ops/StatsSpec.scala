@@ -53,6 +53,29 @@ class StatsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("ALPHA", 6L, 100.0, 500.0)), s"${got.toSeq}")
   }
 
+  test("SCD2 point-in-time join: each order sees the version valid on its date") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stats").toString
+    Seq((7L, "C7", 20.0)).toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 7L, "1995-06-01", 10.0), // old version
+        (2L, 7L, "1997-01-01", 10.0), // new version
+        (3L, 7L, "1996-01-01", 10.0)) // boundary day -> NEW (valid_from inclusive)
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = TpchQueries.ordersScd2Enrich(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 20.0, "1995-01-01"),
+      (2L, 120.0, "1996-01-01"),
+      (3L, 120.0, "1996-01-01")), s"${got.toSeq}")
+    // structural invariant: validity intervals partition the timeline,
+    // so enrichment is row-preserving
+    assert(TpchQueries.ordersScd2Enrich(spark, dir).count() ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+  }
+
   test("SCD2: changed keys version with closed validity; others stay current") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stats").toString
