@@ -166,7 +166,8 @@ object ScaleProbe {
       "excess_supplier_parts",   // (supp,part) agg + re-agg + broadcast
       "numeric_correlations",    // one single-row moment aggregate
       "revenue_trend_slopes",    // monthly agg + per-nation moments
-      "customer_dim_scd2")       // dim left join + explode versions
+      "customer_dim_scd2",       // dim left join + explode versions
+      "orders_scd2_enrich")      // point-in-time key join, bounded versions
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
