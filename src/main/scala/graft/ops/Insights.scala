@@ -147,6 +147,41 @@ object Insights {
       .orderBy(col("event_id"))
   }
 
+  /** Time-series regularization: per user, a COMPLETE daily grid over
+    * their active span with gap days carried forward from the last
+    * observed day (the resample + forward-fill every metrics store
+    * performs before rate/trend math). Gaps emit n_events = 0 and
+    * day_value = 0; carried_value repeats the last active day's total.
+    *
+    * Plan: daily actuals, per-user spans, and the window all key on
+    * `user_id` — aligned exchanges end to end. The grid explode is
+    * calendar-bounded (span+1 rows per user, never event-sized), day
+    * totals are exact decimal before the 2dp surface, and the
+    * forward-fill is `last(_, ignoreNulls)` over a (user, day) order
+    * that is total because day is unique per user — deterministic on
+    * both engines. */
+  def userValueGapfill(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val grid = act.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    grid.join(act, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        round(coalesce(col("sv"), lit(0).cast("decimal(18,6)")), 2)
+          .cast("double").as("day_value"),
+        round(last(col("sv"), ignoreNulls = true).over(w), 2)
+          .cast("double").as("carried_value"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("day_value"), col("carried_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   private val transitionOracle =
     s"""WITH nx AS (
        |  SELECT user_id, event_type,
@@ -165,6 +200,20 @@ object Insights {
       eventTransitionMatrixStreaming, Some(transitionOracle)),
     "event_transition_matrix" -> QueryDef(eventTransitionMatrix,
       Some(transitionOracle)),
+    "user_value_gapfill" -> QueryDef(userValueGapfill, Some(
+      s"""WITH act AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+         |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM act GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    lo + CAST(unnest(generate_series(0, hi - lo)) AS INTEGER) AS day FROM sp),
+         |j AS (SELECT g.user_id, g.day, coalesce(n, 0) AS n_events, sv
+         |      FROM grid g LEFT JOIN act a ON g.user_id = a.user_id AND g.day = a.day)
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+         |  CAST(round(coalesce(sv, 0), 2) AS DOUBLE) AS day_value,
+         |  CAST(round(last_value(sv IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day), 2) AS DOUBLE) AS carried_value
+         |FROM j ORDER BY user_id, day""".stripMargin)),
     "rolling_distinct_users" -> QueryDef(rollingDistinctUsers, Some(
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |grid AS (SELECT DISTINCT day FROM ud),

@@ -60,6 +60,28 @@ class InsightsSpec extends AnyFunSuite {
       ("2024-03-01", 1L), ("2024-03-03", 2L), ("2024-03-10", 1L)))
   }
 
+  test("gapfill: missing days appear with zero actuals and carried-forward value") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-02-01 10:00:00", 1L, "click", 7.5),
+      (2L, "2024-02-01 11:00:00", 1L, "click", 2.5),
+      (3L, "2024-02-03 09:00:00", 1L, "click", 4.0)))
+    val got = Insights.userValueGapfill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-02-01", 2L, 10.0, 10.0),
+      (1L, "2024-02-02", 0L, 0.0, 10.0), // gap: zero actual, carried 10
+      (1L, "2024-02-03", 1L, 4.0, 4.0)), s"${got.toSeq}")
+  }
+
+  test("insights operators are empty-events-safe") {
+    val dir = eventsDir(Seq.empty)
+    assert(Insights.eventTransitionMatrix(spark, dir).count() == 0L)
+    assert(Insights.rollingDistinctUsers(spark, dir).count() == 0L)
+    assert(Insights.valueOutliers(spark, dir).count() == 0L)
+    assert(Insights.userValueGapfill(spark, dir).count() == 0L)
+  }
+
   test("value outliers flag |z| >= 2 from exact decimal moments") {
     // user 1: nine 10.0s and one 40.0. mean = 13, var = (s2 - s^2/n)/(n-1)
     //   s = 130, s2 = 9*100 + 1600 = 2500; var = (2500 - 1690)/9 = 90
