@@ -192,6 +192,24 @@ object EventQueries {
         graft.streaming.StreamingPipeline.readEvents(s, dir)),
       "session_window_stream", "complete", Seq("user_id", "first_ms"))
 
+  /** The session-window semantics a THIRD way: custom per-user state
+    * with EVENT-TIME TIMEOUTS
+    * ([[graft.streaming.StreamingPipeline.sessionTimeoutStats]]) —
+    * sessions close inline when the next event exceeds the gap, or by
+    * state timeout once the watermark passes; the staggered sentinel
+    * source (8 h/9 h ahead — past every possible last_ms + 6 h gap)
+    * advances the watermark so ALL sessions time out before the drain.
+    * Shares the batch session oracle verbatim, like the native
+    * session_window twin. */
+  def sessionTimeoutStatsStreaming(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.streaming.StreamingPipeline
+    val src = sp.writeOuterSource(s, dir, hours = Seq(8, 9))
+    try sp.runOneShot(
+      sp.sessionTimeoutStats(sp.readEventsThrottled(s, src)).toDF(),
+      "session_timeout_stream", "append", Seq("user_id", "first_ms"))
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+  }
+
   /** Stream-stream interval join through the real micro-batch engine:
     * each purchase joined to the same user's clicks from the preceding
     * hour, watermarks on both sides bounding the join state
@@ -828,6 +846,10 @@ object EventQueries {
     // the streaming twin runs the SAME semantics through the native
     // session_window state operator, so it shares the oracle verbatim
     "session_window_stats_streaming" -> QueryDef(sessionWindowStatsStreaming,
+      Some(sessionWindowOracle)),
+    // the THIRD formulation of the same sessions — custom state +
+    // event-time timeouts — also shares the oracle verbatim
+    "session_timeout_stats_streaming" -> QueryDef(sessionTimeoutStatsStreaming,
       Some(sessionWindowOracle)),
     "daily_error_rate" -> QueryDef((s, d) => dailyErrorRate(s, d), Some(
       s"""WITH daily AS (

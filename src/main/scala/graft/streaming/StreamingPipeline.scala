@@ -368,7 +368,8 @@ object StreamingPipeline {
     * is what lets the outer join flush its unmatched rows before the
     * drain. Scratch path is per-invocation (same collision rationale
     * as the state/index scratch paths). */
-  private[graft] def writeOuterSource(s: SparkSession, dir: String): String = {
+  private[graft] def writeOuterSource(s: SparkSession, dir: String,
+                                      hours: Seq[Int] = Seq(3, 6)): String = {
     val path = new java.io.File(
       s"target/scratch/outer_src_${s.sparkContext.applicationId}_${oneShotSeq.incrementAndGet()}"
     ).getAbsolutePath
@@ -420,9 +421,81 @@ object StreamingPipeline {
       if (sentinel.lastModified() != target)
         sys.error(s"cannot pin sentinel mtime after events file: $sentinel")
     }
-    writeSentinel(1, (-1L, -2L), 3)
-    writeSentinel(2, (-3L, -4L), 6)
+    hours.zipWithIndex.foreach { case (h, i) =>
+      writeSentinel(i + 1, (-(2L * i + 1), -(2L * i + 2)), h)
+    }
     path
+  }
+
+  final case class SessState(first_ms: Long, last_ms: Long, n: Long)
+  final case class SessRow(user_id: Long, first_ms: Long, last_ms: Long,
+                           n_events: Long)
+
+  /** Gap sessionization via CUSTOM state + EVENT-TIME TIMEOUTS — the
+    * one stateful-streaming mechanism the other rows don't exercise
+    * (the native session_window twin keeps the gap logic inside the
+    * engine; here the 6-hour gap and the session close live in user
+    * state). A session closes two ways, both exact: inline, when a
+    * same-user event beyond the gap starts the next session (Append
+    * emission), or by `GroupState.hasTimedOut` once the watermark
+    * passes last_ms + gap — which is why the driver row feeds the
+    * staggered far-future sentinels: eviction in batch N uses the
+    * watermark set at the end of batch N−1, so sentinel 1 advances it
+    * and sentinel 2's batch fires the timeouts (the stream_outer_join
+    * drain discipline). Sentinel rows pass the watermark operator
+    * (that is their job) and are filtered before the stateful op.
+    * Gap compare is STRICT (`ms − last < gap`), matching native
+    * session_window's half-open [ts, ts+gap) merge. State per user is
+    * one (first, last, n) triple — bounded forever. */
+  def sessionTimeoutStats(events: DataFrame): Dataset[SessRow] = {
+    import events.sparkSession.implicits._
+    val gapMs = 6 * 3600 * 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      // NO in-stream sentinel filter: Catalyst pushes a user_id
+      // predicate BELOW the EventTimeWatermark operator (the exact
+      // stall documented at purchasesWithClicksOuter), which would
+      // keep the watermark at real-max − delay forever and strand the
+      // tail sessions in state (observed: 73 of 5725 sessions missing
+      // at sf0.01). Sentinel rows must REACH the watermark operator —
+      // they are excluded from sessionization inside the handler,
+      // where no pushdown can move the check.
+      // The watermarked ts column must also flow INTO the stateful
+      // operator (event-time timeout validation requires it); ms is
+      // the state's working form of the same instant.
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessState]) =>
+          if (user < 0) Iterator.empty // sentinel group: no state, no output
+          else if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessRow(user, st.first_ms, st.last_ms, st.n))
+          } else {
+            val sorted = rows.map(_._3).toSeq.sorted
+            var closed = List.empty[SessRow]
+            var st = state.getOption
+            sorted.foreach { ms =>
+              st = st match {
+                case Some(s) if ms - s.last_ms < gapMs =>
+                  Some(SessState(s.first_ms, ms, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessRow(user, s.first_ms, s.last_ms, s.n)
+                  Some(SessState(ms, ms, 1L))
+                case None => Some(SessState(ms, ms, 1L))
+              }
+            }
+            st.foreach { v =>
+              state.update(v)
+              state.setTimeoutTimestamp(v.last_ms + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
   }
 
   /** Streaming read of a prepared source dir, one file per

@@ -263,6 +263,22 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("timeout-closed sessions equal the batch session set exactly") {
+    // the third formulation of the 6h-gap sessions: custom state +
+    // event-time timeouts. Sessions open at end-of-stream can ONLY
+    // emit through the timeout path (sentinel-advanced watermark), so
+    // set-equality with the batch twin proves timeouts fired for every
+    // user's final session — the regression mode is the sentinel
+    // filter pushing below the watermark operator and stalling it.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(graft.ops.EventQueries.sessionTimeoutStatsStreaming(spark, dir))
+    val want = rows(graft.ops.EventQueries.sessionWindowStats(spark, dir))
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("transition state carries across micro-batches; streaming row equals batch twin") {
     import java.sql.Timestamp
     import spark.implicits._
