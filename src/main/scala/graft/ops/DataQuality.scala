@@ -117,7 +117,57 @@ object DataQuality {
 
   // ------------------------------------------------------------ registry
 
+  /** Join-key skew profile — the statistic that decides salting and
+    * AQE skew thresholds BEFORE a join melts an executor: for each
+    * high-traffic join key, the row/key counts, the hottest key's
+    * count, and the share of rows concentrated on the top-10 keys.
+    * All integers plus one long/long division, so the 6dp share is
+    * engine-exact. One groupBy per key column plus a 10-row
+    * TakeOrdered — profile cost stays one aggregate pass per table at
+    * any scale, and the output is O(#columns profiled). */
+  def joinKeySkew(s: SparkSession, dir: String): DataFrame = {
+    def profile(table: String, key: String): DataFrame = {
+      val counts = Tables(s, dir, table)
+        .groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val top10 = counts.orderBy(desc("cnt"), col("k")).limit(10)
+        .agg(sum(col("cnt")).as("top10_cnt"))
+      counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .crossJoin(broadcast(top10))
+        .select(lit(s"$table.$key").as("key_col"), col("n_rows"),
+          col("n_keys"), col("max_cnt"), col("top10_cnt"),
+          round(col("top10_cnt").cast("double") / col("n_rows").cast("double"), 6)
+            .as("top10_share"))
+    }
+    profile("events", "user_id")
+      .unionAll(profile("lineitem", "l_orderkey"))
+      .unionAll(profile("documents", "source"))
+      .orderBy(col("key_col"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "join_key_skew" -> QueryDef(joinKeySkew, Some {
+      def prof(table: String, key: String) =
+        s"""SELECT '$table.$key' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  count(*) AS n_keys, max(cnt) AS max_cnt,
+           |  CAST((SELECT sum(cnt) FROM (
+           |     SELECT cnt FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt
+           |                      FROM $table GROUP BY 1)
+           |     ORDER BY cnt DESC, k LIMIT 10)) AS BIGINT) AS top10_cnt,
+           |  ${graft.OracleSql.round(
+                 s"""CAST((SELECT sum(cnt) FROM (
+           |     SELECT cnt FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt
+           |                      FROM $table GROUP BY 1)
+           |     ORDER BY cnt DESC, k LIMIT 10)) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)""", 6)} AS top10_share
+           |FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+      s"""${prof("events", "user_id")}
+         |UNION ALL
+         |${prof("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${prof("documents", "source")}
+         |ORDER BY key_col""".stripMargin
+    }),
     "dq_profile_events" -> QueryDef((s, d) => profileEvents(s, d), Some(
       """SELECT 'event_id' AS column_name, count(*) FILTER (WHERE event_id IS NULL) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events
         |UNION ALL SELECT 'ts', count(*) FILTER (WHERE ts IS NULL), count(DISTINCT ts) FROM events

@@ -71,6 +71,23 @@ class DataQualitySpec extends AnyFunSuite {
     assert(totals == want, "histogram bins must partition each type's events")
   }
 
+  test("join-key skew profile: counts reconcile and shares are consistent") {
+    val got = DataQuality.joinKeySkew(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length == 3)
+    got.foreach { case (c, nRows, nKeys, maxCnt, top10, share) =>
+      assert(nKeys > 0 && nRows >= nKeys, s"$c")
+      assert(maxCnt <= top10 && top10 <= nRows, s"$c")
+      assert(share > 0 && share <= 1.0, s"$c")
+      // a <=10-key column concentrates ALL rows in its top-10
+      if (nKeys <= 10) assert(top10 == nRows, s"$c")
+    }
+    // documents.source has a handful of sources -> full concentration
+    val src = got.find(_._1 == "documents.source").get
+    assert(src._6 == 1.0 || src._3 > 10, s"$src")
+  }
+
   test("checks: the driver testdata passes every check") {
     val got = DataQuality.checks(spark, dir).collect()
       .map(r => (r.getString(0), r.getBoolean(2)))
