@@ -35,17 +35,26 @@ object Stats {
       sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
       sum(col("d") * col("d")).as("sdd"), sum(col("q") * col("p")).as("sqp"),
       sum(col("q") * col("d")).as("sqd"), sum(col("p") * col("d")).as("spd"))
-    def pair(name: String, sx: String, sy: String, sxx: String, syy: String,
-             sxy: String): DataFrame = {
+    // all three pair rows project from the ONE aggregate row via an
+    // exploded struct array — a 3-way union of selects over `m` would
+    // plan the scan+aggregate three times unless exchange reuse
+    // happens to fire
+    def rOf(sx: String, sy: String, sxx: String, syy: String,
+            sxy: String): Column = {
       val n = col("n").cast("double")
       def d(c: String): Column = col(c).cast("double")
       val num = n * d(sxy) - d(sx) * d(sy)
       val den = sqrt((n * d(sxx) - d(sx) * d(sx)) * (n * d(syy) - d(sy) * d(sy)))
-      m.select(lit(name).as("pair"), col("n"), round(num / den, 6).as("r"))
+      round(num / den, 6)
     }
-    pair("quantity_extendedprice", "sq", "sp", "sqq", "spp", "sqp")
-      .unionAll(pair("quantity_discount", "sq", "sd", "sqq", "sdd", "sqd"))
-      .unionAll(pair("extendedprice_discount", "sp", "sd", "spp", "sdd", "spd"))
+    m.select(col("n"), explode(array(
+        struct(lit("quantity_extendedprice").as("pair"),
+          rOf("sq", "sp", "sqq", "spp", "sqp").as("r")),
+        struct(lit("quantity_discount").as("pair"),
+          rOf("sq", "sd", "sqq", "sdd", "sqd").as("r")),
+        struct(lit("extendedprice_discount").as("pair"),
+          rOf("sp", "sd", "spp", "sdd", "spd").as("r")))).as("x"))
+      .select(col("x.pair").as("pair"), col("n"), col("x.r").as("r"))
       .orderBy(col("pair"))
   }
 
