@@ -230,6 +230,32 @@ class PlanPinsSpec extends AnyFunSuite {
       s"raw text shuffles:\n$p")
   }
 
+  test("transition matrix: totals broadcast back, no second fact-sized shuffle") {
+    val p = plan("event_transition_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast into the counts join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in transitions:\n$p")
+  }
+
+  test("rolling distinct: active-day grid joins as a broadcast semi-join") {
+    val p = plan("rolling_distinct_users")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"day grid must broadcast-semi-join the contributions:\n$p")
+  }
+
+  test("zorder stats: scalar bounds broadcast, binning stays one aggregate") {
+    val p = plan("zorder_layout_stats")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"dim bounds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("bpe pairs: generated per-row, top-32 via TakeOrdered not a global sort") {
+    val p = plan("bpe_merge_pairs")
+    assert(p.contains("Generate"), s"pairs must generate per-row:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-32 must be bounded:\n$p")
+  }
+
   test("pageRank: one shuffle per iteration — joins align on the cached operands") {
     // The power-iteration contract (Graph.pageRank): edges cache
     // hashed by src, deg by node, so each round's rank⋈edges and
