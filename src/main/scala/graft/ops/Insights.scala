@@ -182,6 +182,32 @@ object Insights {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Time-weighted average value per user (TWAP): each observation
+    * holds until the next one, so its weight is that duration — the
+    * right mean for irregularly-sampled series (a plain average
+    * overweights bursts). Weights are integer milliseconds from a
+    * lead() over the total (ts, event_id) order; the weighted sum is
+    * DECIMAL × BIGINT (exact, order-independent); the single closing
+    * division runs in IEEE double over engine-identical inputs. The
+    * last observation has no duration and drops out; users with a
+    * zero span (single event) are excluded. One window + one
+    * aggregate, both keyed on user_id. */
+  def userTimeWeightedValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      .withColumn("d", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("v") * col("d")).as("vw"), sum(col("d")).as("span_ms"))
+      .filter(col("span_ms") > 0)
+      .select(col("user_id"), col("span_ms"),
+        round(col("vw").cast("double") / col("span_ms").cast("double"), 6)
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   private val transitionOracle =
     s"""WITH nx AS (
        |  SELECT user_id, event_type,
@@ -200,6 +226,17 @@ object Insights {
       eventTransitionMatrixStreaming, Some(transitionOracle)),
     "event_transition_matrix" -> QueryDef(eventTransitionMatrix,
       Some(transitionOracle)),
+    "user_time_weighted_value" -> QueryDef(userTimeWeightedValue, Some(
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         |    CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6)) AS v FROM events),
+         |d AS (SELECT user_id, v,
+         |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS d
+         |  FROM e),
+         |agg AS (SELECT user_id, sum(v * d) AS vw, CAST(sum(d) AS BIGINT) AS span_ms
+         |  FROM d WHERE d IS NOT NULL GROUP BY user_id HAVING sum(d) > 0)
+         |SELECT user_id, span_ms,
+         |  ${OracleSql.round("CAST(vw AS DOUBLE) / CAST(span_ms AS DOUBLE)", 6)} AS twap
+         |FROM agg ORDER BY user_id""".stripMargin)),
     "user_value_gapfill" -> QueryDef(userValueGapfill, Some(
       s"""WITH act AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
          |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv

@@ -74,6 +74,20 @@ class InsightsSpec extends AnyFunSuite {
       (1L, "2024-02-03", 1L, 4.0, 4.0)), s"${got.toSeq}")
   }
 
+  test("TWAP weights each observation by its holding duration") {
+    // user 1: 10.0 held 60s, then 20.0 held 180s, then a final obs
+    // (no duration, drops out): twap = (10*60 + 20*180)/240 = 17.5
+    // user 2: single event -> no durations -> excluded
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 10.0),
+      (2L, "2024-01-01 00:01:00", 1L, "click", 20.0),
+      (3L, "2024-01-01 00:04:00", 1L, "click", 99.0),
+      (9L, "2024-01-01 00:00:00", 2L, "click", 5.0)))
+    val got = Insights.userTimeWeightedValue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 240000L, 17.5)), s"${got.toSeq}")
+  }
+
   test("insights operators are empty-events-safe") {
     val dir = eventsDir(Seq.empty)
     assert(Insights.eventTransitionMatrix(spark, dir).count() == 0L)
