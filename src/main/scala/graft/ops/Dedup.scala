@@ -1301,7 +1301,75 @@ object Dedup {
 
   // ------------------------------------------------------------ registry
 
+  /** Sorted-neighborhood near-dup detection — the third candidate-
+    * generation family next to the inverted-index (posting) and
+    * band/bin (LSH/SimHash) generators: range-sort the corpus on a
+    * cheap blocking key (here the 3-token prefix) and compare only
+    * docs within `window` positions of each other. O(w·n) candidates
+    * with ONE range exchange and no posting blowup — the method of
+    * choice when a domain sort key clusters duplicates (near-dups
+    * share prefixes far more often than random). Its blind spot is
+    * structural and spec-pinned: duplicates whose keys sort apart are
+    * never candidates (use the posting/LSH generators for those).
+    *
+    * The global rank comes from the two-phase range-partitioned rank
+    * ([[Pipelines.withRunningTotal]]) — never a partition-less
+    * row_number window. Verification is exact token-set Jaccard on
+    * the w·n candidate pairs only. */
+  def sortedNeighborhoodPairs(s: SparkSession, dir: String,
+                              window: Int = 2,
+                              threshold: Double = 0.5): DataFrame =
+    sortedNeighborhoodPairsOn(docs(s, dir), window, threshold)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def sortedNeighborhoodPairsOn(df: DataFrame, window: Int = 2,
+                                threshold: Double = 0.5): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("sk"),
+        array_distinct(split(col("text"), " ")).as("ts"))
+      .as[(Long, String, Seq[String])]
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val sorted = keyed
+      .repartitionByRange(nParts, col("sk"), col("doc_id"))
+      .sortWithinPartitions(col("sk"), col("doc_id"))
+      .as[(Long, String, Seq[String])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = Pipelines.withRunningTotal(sorted)(_ => 1L) {
+        case ((id, _, ts), rnk) => (rnk, id, ts)
+      }.toDF("rnk", "doc_id", "ts")
+    val probes = ranked.select(col("rnk"), col("doc_id").as("doc_a"),
+        col("ts").as("ta"),
+        explode(array((1 to window).map(k => col("rnk") + k): _*)).as("nb"))
+    probes
+      .join(ranked.select(col("rnk").as("nb"), col("doc_id").as("doc_b"),
+        col("ts").as("tb")), Seq("nb"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_sorted_neighborhood" -> QueryDef(
+      (s, d) => sortedNeighborhoodPairs(s, d), Some(
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, array_to_string(list_slice(t, 1, 3), ' ') AS sk,
+        |        list_distinct(t) AS ts FROM base),
+        |r AS (SELECT doc_id, ts, row_number() OVER (ORDER BY sk, doc_id) AS rnk FROM k),
+        |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |          / len(list_distinct(a.ts || b.ts)) AS jac
+        |      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(round(CAST(CAST(jac AS VARCHAR) AS DECIMAL(38,28)), 4) AS DOUBLE) AS jaccard
+        |FROM c WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
     "dedup_exact_groups" -> QueryDef(exactDupGroups, Some(
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash")),
     "dedup_exact_streaming" -> QueryDef((s, d) => exactDupGroupsStreaming(s, d), Some(

@@ -137,7 +137,7 @@ object Pipelines {
     * one cached frame per call (same documented contract as
     * [[graft.ops.Ivf.ivfQuery]]). `emit` receives each element with
     * the running total INCLUDING that element's tokens. */
-  private def withRunningTotal[T, R](sorted: Dataset[T])(tokenOf: T => Long)(
+  private[ops] def withRunningTotal[T, R](sorted: Dataset[T])(tokenOf: T => Long)(
       emit: (T, Long) => R)(implicit enc: org.apache.spark.sql.Encoder[R]): Dataset[R] = {
     val s = sorted.sparkSession
     import s.implicits._

@@ -477,6 +477,26 @@ class DedupSpec extends AnyFunSuite {
       s"In-expression of doc ids crept back into the admitted-batch plan:\n$plan")
   }
 
+  test("sorted neighborhood: shared-prefix near-dups found, sorted-apart dups missed") {
+    import spark.implicits._
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha alpha alpha $body x1"),  // same 3-token prefix ->
+      (1L, s"alpha alpha alpha $body x2"),  // adjacent after the sort
+      (2L, s"beta beta beta $body y1"),     // near-dup of 3 but its...
+      (3L, s"zeta zeta zeta $body y1"),     // ...prefix sorts far away
+      (5L, "gamma gamma gamma only filler words one"),
+      (6L, "omega omega omega only filler words two"),
+      (4L, "unrelated words entirely different content here"))
+      .toDF("doc_id", "text")
+    val got = pairSet(Dedup.sortedNeighborhoodPairsOn(docs))
+    assert(got.contains((0L, 1L)), s"prefix-adjacent near-dup missed: $got")
+    // the structural blind spot: 2 and 3 share almost all tokens but
+    // their blocking keys sort them out of each other's window
+    assert(!got.contains((2L, 3L)) && !got.contains((3L, 2L)),
+      s"sorted-apart pair should be invisible to SNM: $got")
+  }
+
   test("span dedup: an exact duplicate pair is fully covered") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"t$i").mkString(" ")
