@@ -32,6 +32,7 @@ object SparkEntry {
     "AsofJoin" -> ops.AsofJoin.defs,
     "RangeJoin" -> ops.RangeJoin.defs,
     "Ivf" -> ops.Ivf.defs,
+    "Pq" -> ops.Pq.defs,
     "Pipelines" -> ops.Pipelines.defs,
     "Sampling" -> ops.Sampling.defs,
     "Sketches" -> ops.Sketches.defs,

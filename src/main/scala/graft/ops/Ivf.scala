@@ -114,7 +114,18 @@ object Ivf {
       .sortBy(r => (r.getLong(2), r.getLong(0))) // defensive: the (h, id) contract
       .map(_.getSeq[Double](1).toArray)
     // seeds = first k of the SAME ordering (the sample's prefix)
-    var model = IvfModel(sample.take(k))
+    IvfModel(lloydOn(sample, sample.take(k), iters))
+  }
+
+  /** The driver-local Lloyd loop itself, shared with the PQ
+    * sub-quantizer training ([[Pq.train]] runs it once per subspace on
+    * sliced sample vectors): identical assignment op order and
+    * order-independent decimal update as the oracle's generated
+    * iterations. */
+  private[ops] def lloydOn(sample: Array[Array[Double]],
+                           seeds: Array[Array[Double]],
+                           iters: Int): Array[Array[Double]] = {
+    var model = IvfModel(seeds)
     for (_ <- 1 to iters) {
       // assignment: argmin over (−2·v·c + |c|², cid) with the IDENTICAL
       // op order as [[cellOf]]/the oracle — sequential index-order dot,
@@ -164,7 +175,7 @@ object Ivf {
         updated.getOrElse(i, old)
       })
     }
-    model
+    model.centroids
   }
 
   /** Spark's `round(x, 9)` on a double, exactly: shortest-repr
@@ -266,7 +277,7 @@ object Ivf {
     * passes over it. Callers whose RETURNED plan still reads the frame
     * (ivfQuery) must leave the cache alive; callers that re-root onto
     * the written index (ivfIndexedQuery) unpersist before returning. */
-  private def embFrame(s: SparkSession, dir: String): DataFrame =
+  private[ops] def embFrame(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id").as("id"), col("v"))
@@ -311,11 +322,11 @@ object Ivf {
 
   // ---------------------------------------------------------- oracle
 
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
-  private def c2Sql(c: String): String =
+  private[ops] def c2Sql(c: String): String =
     s"list_sum(list_transform($c, x -> x * x))"
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${c2Sql(a)}) * sqrt(${c2Sql(b)}))"
 
   /** One Lloyd iteration as a CTE triple — the generated twin of the
