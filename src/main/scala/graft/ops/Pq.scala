@@ -85,7 +85,16 @@ object Pq {
     * The code scan never touches `v`; the rescore joins vectors for
     * `shortlist` rows per query only. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, model: PqModel,
-             k: Int = 10, shortlist: Int = 50): DataFrame = {
+             k: Int = 10, shortlist: Int = 50): DataFrame =
+    pqTopKFrom(queries, encode(corpus, model),
+      corpus.select(col("id"), col("v")), model, k, shortlist)
+
+  /** The query path against ALREADY-ENCODED codes and a separate
+    * vector table — what a persisted index serves. The bulk work
+    * reads `codes` only; `vectors` is touched for the shortlist
+    * rescore fetches. */
+  def pqTopKFrom(queries: DataFrame, codesDf: DataFrame, vectors: DataFrame,
+                 model: PqModel, k: Int = 10, shortlist: Int = 50): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
     val sub = model.subDim
@@ -103,7 +112,7 @@ object Pq {
             slice(col("qv"), col("j") * sub + 1, lit(sub)), col("cent"))
           + graft.functions.vectorFunctions.dot_product(col("cent"), col("cent")),
           9).cast("decimal(20,9)").as("contrib"))
-    val codes = encode(corpus, model)
+    val codes = codesDf
       .select(col("id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("j", "cid")))
     val wShort = Window.partitionBy(col("query_id"))
@@ -118,7 +127,7 @@ object Pq {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sim"), col("neighbor_id"))
     short
-      .join(corpus.select(col("id").as("neighbor_id"), col("v").as("cv")),
+      .join(vectors.select(col("id").as("neighbor_id"), col("v").as("cv")),
         Seq("neighbor_id"))
       .join(queries.select(col("id").as("query_id"), col("v").as("qv")),
         Seq("query_id"))
@@ -137,6 +146,58 @@ object Pq {
     val e = Ivf.embFrame(s, dir)
     val model = train(e)
     pqTopK(e.filter(col("id") < 5), e.filter(col("id") >= 5), model)
+  }
+
+  /** Persist the index: the bounded codebook matrix, the encoded
+    * codes (4 ints per row — the table the bulk scan reads), and the
+    * vector table the rescore fetches from. Encoding is paid ONCE
+    * here, not per query batch — the amortization the 10× probe of
+    * the inline row prices out. */
+  def writeIndex(s: SparkSession, corpus: DataFrame, model: PqModel,
+                 path: String): Unit = {
+    import s.implicits._
+    val cbRows = for {
+      j <- 0 until model.m
+      (c, ci) <- model.codebooks(j).zipWithIndex
+    } yield (j, ci, c.toSeq)
+    cbRows.toDF("j", "cid", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(corpus, model).write.mode("overwrite").parquet(s"$path/codes")
+    corpus.select(col("id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Load the bounded codebooks back (ints and doubles round-trip
+    * parquet losslessly, so results equal the in-memory path). */
+  def readModel(s: SparkSession, path: String): PqModel = {
+    val rows = s.read.parquet(s"$path/codebooks")
+      .orderBy(col("j"), col("cid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val cbs = (0 until m).toArray.map(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    PqModel(cbs, cbs.head.head.length)
+  }
+
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver row through the PERSISTED layout: train, write codebooks +
+    * codes + vectors, then answer from disk — the code-only bulk scan
+    * becomes a real parquet column-pruned read. Shares the in-memory
+    * row's oracle verbatim. */
+  def pqIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Ivf.embFrame(s, dir)
+    val model = train(e)
+    val path = new java.io.File(
+      s"target/scratch/pq_index_${s.sparkContext.applicationId}_${scratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    writeIndex(s, e.filter(col("id") >= 5), model, path)
+    val loaded = readModel(s, path)
+    val out = pqTopKFrom(e.filter(col("id") < 5),
+      s.read.parquet(s"$path/codes"),
+      s.read.parquet(s"$path/vectors"), loaded)
+    e.unpersist()
+    out
   }
 
   // ---------------------------------------------------------- oracle
@@ -230,5 +291,7 @@ object Pq {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "ann_pq_topk" -> QueryDef(pqQuery, Some(pqOracle())))
+    "ann_pq_topk" -> QueryDef(pqQuery, Some(pqOracle())),
+    // disk round-trip of ints/doubles is lossless -> same oracle
+    "ann_pq_indexed" -> QueryDef(pqIndexedQuery, Some(pqOracle())))
 }

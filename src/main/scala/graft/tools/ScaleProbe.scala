@@ -167,7 +167,12 @@ object ScaleProbe {
       "numeric_correlations",    // one single-row moment aggregate
       "revenue_trend_slopes",    // monthly agg + per-nation moments
       "customer_dim_scd2",       // dim left join + explode versions
-      "orders_scd2_enrich")      // point-in-time key join, bounded versions
+      "orders_scd2_enrich",      // point-in-time key join, bounded versions
+      "user_value_gapfill",      // user-keyed aggs + calendar-bounded explode
+      "user_time_weighted_value",// one window + one agg, user-keyed
+      "join_key_skew",           // one agg pass per profiled table
+      "dedup_sorted_neighborhood", // range sort + w-window candidates
+      "ann_pq_topk")             // sampled codebooks + code-only ADC scan
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

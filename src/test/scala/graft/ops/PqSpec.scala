@@ -61,6 +61,24 @@ class PqSpec extends AnyFunSuite {
     assert(hits.toDouble / top1.size >= 0.95, s"$hits/${top1.size}")
   }
 
+  test("persisted index: disk round-trip equals the in-memory path") {
+    val model = Pq.train(clustered, m = 4, ksub = 16, iters = 2)
+    val queries = clustered.filter(col("id") % 8 === 0)
+    val corpus = clustered.filter(col("id") % 8 =!= 0)
+    val path = "target/scratch/pq_index_spec"
+    Pq.writeIndex(spark, corpus, model, path)
+    val loaded = Pq.readModel(spark, path)
+    assert(loaded.m == model.m && loaded.subDim == model.subDim)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val direct = Pq.pqTopK(queries, corpus, model, k = 5, shortlist = 20)
+      .collect().toSeq
+    val viaIndex = Pq.pqTopKFrom(queries,
+      spark.read.parquet(s"$path/codes"), spark.read.parquet(s"$path/vectors"),
+      loaded, k = 5, shortlist = 20).collect().toSeq
+    assert(viaIndex == direct)
+  }
+
   test("rescore stage orders the shortlist by EXACT cosine, not ADC") {
     val model = Pq.train(clustered, m = 4, ksub = 16, iters = 2)
     val queries = clustered.filter(col("id") === 0)
