@@ -443,8 +443,11 @@ object Multimodal {
     * two's-complement to the kernel's signed BIGINT. Validated
     * bit-exact against the kernel at sf0.001 and sf0.01 before being
     * wired in. */
-  private def ahashOracle: String =
-    s"""WITH src AS (
+  /** The per-image ahash computation as a reusable CTE chain ending
+    * in `ah` = (media_id, ahash) — shared by the ahash row's oracle
+    * and the near-dup cluster row's. */
+  private def ahashCtes: String =
+    s"""src AS (
        |  SELECT doc_id AS media_id, text,
        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
        |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0),
@@ -468,10 +471,27 @@ object Multimodal {
        |hu AS (SELECT ce.media_id,
        |         sum(CASE WHEN ce.cm > mn.mean THEN CAST(1 AS HUGEINT) << ce.k ELSE CAST(0 AS HUGEINT) END) AS h
        |       FROM ce JOIN mn ON ce.media_id = mn.media_id
-       |       GROUP BY ce.media_id)
-       |SELECT media_id,
+       |       GROUP BY ce.media_id),
+       |ah AS (SELECT media_id,
        |  CAST(CASE WHEN h >= ${graft.OracleSql.two63} THEN h - ${graft.OracleSql.two64} ELSE h END AS BIGINT) AS ahash
-       |FROM hu ORDER BY media_id""".stripMargin
+       |FROM hu)""".stripMargin
+
+  private def ahashOracle: String =
+    s"""WITH $ahashCtes
+       |SELECT media_id, ahash FROM ah ORDER BY media_id""".stripMargin
+
+  /** CC over the aHash Hamming pair graph: the oracle re-derives the
+    * hashes, takes ALL pairs at hamming ≤ 6 (affordable exactly
+    * because the oracle corpus is bounded; the ENGINE uses the
+    * complete block-pair join), and runs the shared recursive-CTE
+    * component labeling. */
+  private def mediaClustersOracle: String =
+    s"""WITH RECURSIVE $ahashCtes,
+       |pairs AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+       |          FROM ah a JOIN ah b ON a.media_id < b.media_id
+       |          WHERE bit_count(xor(a.ahash, b.ahash)) <= 6),
+       |${graft.ops.Dedup.ccFromPairsSql}
+       |SELECT doc_id AS media_id, cluster_id FROM labels ORDER BY media_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "media_inventory" -> QueryDef(inventoryQuery, Some(
@@ -486,5 +506,15 @@ object Multimodal {
     "media_frame_samples" -> QueryDef(frameQuery, Some(framesOracle)),
     "media_ahash" -> QueryDef((s, d) =>
       imageAHashes(mediaTable(s, d)).orderBy(col("media_id")),
-      Some(ahashOracle)))
+      Some(ahashOracle)),
+    // perceptual near-dup CLUSTERS: block-pair Hamming join feeds the
+    // shared size-gated component labeling (the media twin of
+    // dedup_neardup_clusters)
+    "media_neardup_clusters" -> QueryDef((s, d) =>
+      graft.ops.Dedup.clustersFromEdges(
+          imageNearDupPairs(mediaTable(s, d))
+            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+        .orderBy(col("media_id")),
+      Some(mediaClustersOracle)))
 }

@@ -217,4 +217,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(decoded.length == 16 && decoded.forall(v => math.abs(v - 1.0) < 1e-9))
   }
+  test("perceptual clusters: identical payloads cluster, distinct ones don't") {
+    import spark.implicits._
+    // three copies of one payload + one near-copy (few flipped bytes)
+    // + two unrelated payloads: the copies and near-copy must form ONE
+    // cluster labeled by the min id, the others none (no pairs)
+    val base = Array.tabulate(512)(i => (i % 251).toByte)
+    val near = base.clone(); near(7) = 99.toByte
+    def rec(id: Long, bytes: Array[Byte]) = Multimodal.MediaRecord(
+      id, "image", bytes, Multimodal.MediaMeta(64, 8, 3, 0, 0, "fake-rgb"))
+    val other = Array.tabulate(512)(i => ((i * 37 + 11) % 241).toByte)
+    val media = Seq(rec(0L, base), rec(3L, base), rec(6L, base),
+      rec(9L, near), rec(12L, other),
+      rec(15L, Array.tabulate(512)(i => ((i * 91 + 5) % 199).toByte))).toDS()
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .select(org.apache.spark.sql.functions.col("media_a").as("doc_a"),
+        org.apache.spark.sql.functions.col("media_b").as("doc_b"))
+    val clusters = Dedup.clustersFromEdges(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 3L, 6L).subsetOf(clusters.keySet),
+      s"exact copies missing from clusters: $clusters")
+    assert(Set(0L, 3L, 6L).map(clusters) == Set(0L),
+      s"copies must share the min-id label: $clusters")
+    assert(!clusters.contains(12L) && !clusters.contains(15L),
+      s"unrelated payloads must not cluster: $clusters")
+  }
 }
