@@ -33,6 +33,7 @@ object SparkEntry {
     "RangeJoin" -> ops.RangeJoin.defs,
     "Ivf" -> ops.Ivf.defs,
     "Pq" -> ops.Pq.defs,
+    "IvfPq" -> ops.IvfPq.defs,
     "Pipelines" -> ops.Pipelines.defs,
     "Sampling" -> ops.Sampling.defs,
     "Sketches" -> ops.Sketches.defs,

@@ -40,7 +40,7 @@ object Ivf {
   }
 
   /** Nearest-cell id over the model's centroids (codegen'd dots). */
-  private def cellOf(model: IvfModel): Column = {
+  private[ops] def cellOf(model: IvfModel): Column = {
     val scored = model.centroids.zipWithIndex.map { case (cent, i) =>
       struct(sqDistTo(cent).as("d"), lit(i).as("cid"))
     }
@@ -48,7 +48,7 @@ object Ivf {
   }
 
   /** `nprobe` nearest cell ids, as an array column. */
-  private def probeCells(model: IvfModel, nprobe: Int): Column = {
+  private[ops] def probeCells(model: IvfModel, nprobe: Int): Column = {
     val scored = model.centroids.zipWithIndex.map { case (cent, i) =>
       struct(sqDistTo(cent).as("d"), lit(i).as("cid"))
     }
@@ -337,7 +337,7 @@ object Ivf {
     * the update sums 9dp-decimal components exactly and re-rounds the
     * mean to 9dp, empty cells carry the previous centroid via the
     * LEFT JOIN coalesce. */
-  private def lloydIter(t: Int): String = {
+  private[ops] def lloydIter(t: Int): String = {
     val mean = graft.OracleSql.roundDecSub(
       s"CAST(sum(CAST(${graft.OracleSql.roundDecSub("x", 9)} AS DECIMAL(20,9))) AS DOUBLE)" +
         " / count(*)", 9)

@@ -95,6 +95,17 @@ object Pq {
     * rescore fetches. */
   def pqTopKFrom(queries: DataFrame, codesDf: DataFrame, vectors: DataFrame,
                  model: PqModel, k: Int = 10, shortlist: Int = 50): DataFrame = {
+    val adcAgg = explodedCodes(codesDf)
+      .join(broadcast(adcTables(queries, model)), Seq("j", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("adc_dec"))
+    rankFromAdc(adcAgg, queries, vectors, k, shortlist)
+  }
+
+  /** Per-(query, subspace, code) ADC contribution table: −2·qj·c +
+    * |c|², rounded to 9dp decimal so downstream sums are exact.
+    * m×ksub rows per query — always broadcastable. */
+  private[ops] def adcTables(queries: DataFrame, model: PqModel): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
     val sub = model.subDim
@@ -103,24 +114,28 @@ object Pq {
       (c, ci) <- model.codebooks(j).zipWithIndex
     } yield (j, ci, c.toSeq)
     val cents = centRows.toDF("j", "cid", "cent")
-    // per-(query, subspace, code) contribution: −2·qj·c + |c|², rounded
-    // to 9dp decimal so the m-way sum below is exact
-    val tables = queries.select(col("id").as("query_id"), col("v").as("qv"))
+    queries.select(col("id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("j"), col("cid"),
         round(lit(-2.0) * graft.functions.vectorFunctions.dot_product(
             slice(col("qv"), col("j") * sub + 1, lit(sub)), col("cent"))
           + graft.functions.vectorFunctions.dot_product(col("cent"), col("cent")),
           9).cast("decimal(20,9)").as("contrib"))
-    val codes = codesDf
-      .select(col("id").as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("j", "cid")))
+  }
+
+  /** (id, codes) → one (neighbor_id, j, cid) row per subspace code. */
+  private[ops] def explodedCodes(codesDf: DataFrame): DataFrame =
+    codesDf.select(col("id").as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("j", "cid")))
+
+  /** Shortlist by exact-decimal ADC, rescore by exact cosine, top-k —
+    * shared by flat PQ and the IVF-PQ composition. */
+  private[ops] def rankFromAdc(adcAgg: DataFrame, queries: DataFrame,
+                               vectors: DataFrame, k: Int,
+                               shortlist: Int): DataFrame = {
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
-    val short = codes
-      .join(broadcast(tables), Seq("j", "cid"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("contrib")).as("adc_dec"))
+    val short = adcAgg
       .withColumn("adc", col("adc_dec").cast("double"))
       .withColumn("srnk", row_number().over(wShort))
       .filter(col("srnk") <= shortlist)
@@ -227,10 +242,10 @@ object Pq {
     * slices and Lloyd chains, corpus encoding, per-query ADC tables
     * with the identical 9dp-decimal rounding, exact decimal sums,
     * shortlist, cosine rescore. */
-  private def pqOracle(m: Int = 4, ksub: Int = 16, iters: Int = 2,
-                       trainN: Int = 256, nQueries: Int = 5,
-                       topK: Int = 10, shortlist: Int = 50): String = {
-    val subChains = (0 until m).map { j =>
+  /** The per-subspace sample-slice + Lloyd chains (ends in
+    * `cents{j}{iters}` per subspace) — shared with the IVF-PQ oracle. */
+  private[ops] def subChainsSql(m: Int, ksub: Int, iters: Int): String =
+    (0 until m).map { j =>
       val p = s"s$j"
       val slice = s"list_slice(v, $j * sub + 1, ${j + 1} * sub)"
       val chain = (1 to iters).map(t => lloydIterSub(p, t)).mkString(",\n")
@@ -239,7 +254,10 @@ object Pq {
          |  FROM ordd WHERE rn <= $ksub),
          |$chain""".stripMargin
     }.mkString(",\n")
-    val encUnion = (0 until m).map { j =>
+
+  /** Corpus encoding as a UNION over subspaces (reads `corp`). */
+  private[ops] def encUnionSql(m: Int, iters: Int): String =
+    (0 until m).map { j =>
       val p = s"s$j"
       s"""SELECT id, $j AS j, cid FROM (
          |  SELECT c.id, ct.cid,
@@ -248,7 +266,10 @@ object Pq {
          |        + ${Ivf.c2Sql("ct.c")}, ct.cid) AS rn
          |  FROM corp c CROSS JOIN cent$p$iters ct) WHERE rn = 1""".stripMargin
     }.mkString("\nUNION ALL\n")
-    val tblUnion = (0 until m).map { j =>
+
+  /** Per-query ADC tables as a UNION over subspaces (reads `qry`). */
+  private[ops] def tblUnionSql(m: Int, iters: Int): String =
+    (0 until m).map { j =>
       val p = s"s$j"
       val contrib = s"-2.0 * ${Ivf.dotSql(s"list_slice(q.v, $j * sub + 1, ${j + 1} * sub)", "ct.c")}" +
         s" + ${Ivf.c2Sql("ct.c")}"
@@ -256,7 +277,11 @@ object Pq {
          |  ${OracleSql.roundDecSub(contrib, 9)} AS contrib
          |FROM qry q CROSS JOIN cent$p$iters ct""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+
+  /** Shared WITH-prelude: hash order, bounded sample, corpus/query
+    * splits, all carrying the `sub` (subspace width) scalar. */
+  private[ops] def preludeSql(m: Int, trainN: Int, nQueries: Int): String =
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dims AS (SELECT min(len(v)) AS d FROM e),
        |subc AS (SELECT d // $m AS sub FROM dims),
        |${OracleSql.m61FmixScalarCtes("e", "CAST(id AS VARCHAR)", p = "sh")},
@@ -264,7 +289,15 @@ object Pq {
        |         FROM sh CROSS JOIN subc),
        |smpd AS (SELECT id, v, sub FROM ordd WHERE rn <= $trainN),
        |corp AS (SELECT id, v, sub FROM e CROSS JOIN subc WHERE id >= $nQueries),
-       |qry AS (SELECT id, v, sub FROM e CROSS JOIN subc WHERE id < $nQueries),
+       |qry AS (SELECT id, v, sub FROM e CROSS JOIN subc WHERE id < $nQueries)""".stripMargin
+
+  private def pqOracle(m: Int = 4, ksub: Int = 16, iters: Int = 2,
+                       trainN: Int = 256, nQueries: Int = 5,
+                       topK: Int = 10, shortlist: Int = 50): String = {
+    val subChains = subChainsSql(m, ksub, iters)
+    val encUnion = encUnionSql(m, iters)
+    val tblUnion = tblUnionSql(m, iters)
+    s"""WITH ${preludeSql(m, trainN, nQueries)},
        |$subChains,
        |enc AS ($encUnion),
        |tbl AS ($tblUnion),

@@ -25,7 +25,7 @@ class RegistrySpec extends AnyFunSuite {
     val listed = SparkEntry.modules.map(_._1).toSet
     val expected = Set("EventQueries", "Insights", "TpchQueries", "Dedup",
       "TextAnalysis", "Similarity", "Multimodal", "AsofJoin", "RangeJoin",
-      "Ivf", "Pq", "Pipelines", "Sampling", "Sketches", "Curation", "Scrub",
+      "Ivf", "Pq", "IvfPq", "Pipelines", "Sampling", "Sketches", "Curation", "Scrub",
       "Retrieval", "DataQuality", "Bucketing", "Layout", "Stats", "Graph",
       "KdcParseQueries")
     assert(listed == expected, s"module list drift: ${listed.diff(expected)} / ${expected.diff(listed)}")

@@ -79,6 +79,20 @@ class PqSpec extends AnyFunSuite {
     assert(viaIndex == direct)
   }
 
+  test("IVF-PQ composition: cell pruning + code ranking keeps recall on planted clusters") {
+    val coarse = Ivf.train(clustered, k = 16, iters = 4)
+    val pq = Pq.train(clustered, m = 4, ksub = 16, iters = 2)
+    val queries = clustered.filter(col("id") % 8 === 0)
+    val corpus = clustered.filter(col("id") % 8 =!= 0)
+    val top1 = IvfPq.ivfPqTopK(queries, corpus, coarse, pq,
+        k = 5, nprobe = 2, shortlist = 20)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1.size == 16, s"candidates for ${top1.size}/16 queries")
+    val hits = top1.count { case (q, n) => n / 8 == q / 8 }
+    assert(hits.toDouble / top1.size >= 0.95, s"$hits/${top1.size}")
+  }
+
   test("rescore stage orders the shortlist by EXACT cosine, not ADC") {
     val model = Pq.train(clustered, m = 4, ksub = 16, iters = 2)
     val queries = clustered.filter(col("id") === 0)
