@@ -172,7 +172,8 @@ object ScaleProbe {
       "user_time_weighted_value",// one window + one agg, user-keyed
       "join_key_skew",           // one agg pass per profiled table
       "dedup_sorted_neighborhood", // range sort + w-window candidates
-      "ann_pq_topk")             // sampled codebooks + code-only ADC scan
+      "ann_pq_topk",             // sampled codebooks + code-only ADC scan
+      "ann_ivfpq_topk")          // cell-pruned candidates + code ADC
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
