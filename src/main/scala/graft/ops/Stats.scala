@@ -93,6 +93,66 @@ object Stats {
       .orderBy(col("n_name"))
   }
 
+  /** Two-sample experiment readout (A/B test): users hash into
+    * variant A or B by the same md5-bucket recipe the leak-free
+    * train/val/test splitter uses (assignment is a function of the
+    * unit, not the traffic), then Welch's z compares mean event value:
+    * z = (m_A − m_B) / √(v_A/n_A + v_B/n_B). Moments are exact
+    * decimal sums per variant; means/variances/z are one fixed IEEE
+    * expression over them — the experiment readout is bit-identical
+    * on any engine and partitioning. One scan, one two-group
+    * aggregate; at 100 TB the same plan reads per-variant partial
+    * aggregates only. */
+  def abTestValue(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+          lit("A")).otherwise(lit("B")))
+    val m = e.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("variant"), col("n"), col("n").cast("double").as("nd"),
+        col("s").cast("double").as("sd"), col("s2").cast("double").as("s2d"))
+      .withColumn("mean", col("sd") / col("nd"))
+      .withColumn("variance",
+        (col("s2d") - col("sd") * col("sd") / col("nd")) / (col("nd") - lit(1.0d)))
+    val a = m.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("mean").as("mean_a"), col("variance").as("var_a"),
+        col("nd").as("nd_a"))
+    val b = m.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("mean").as("mean_b"), col("variance").as("var_b"),
+        col("nd").as("nd_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("nd_a") + col("var_b") / col("nd_b")), 4).as("z"))
+  }
+
+  /** Churn report: users active in the OBSERVATION window (first 3
+    * weeks) split by whether they return in the HOLDOUT week (the
+    * last 7 days of the span) — the weekly-retention question every
+    * product pipeline answers. Window boundaries derive from the data
+    * (max day − 7), counts are exact, the churn rate one division.
+    * Anti-join shape: observation actives minus holdout actives. */
+  def churnedUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cut = e.agg(date_add(max(col("day")), -7).as("cut"))
+    val marked = e.crossJoin(broadcast(cut))
+    val obs = marked.filter(col("day") <= col("cut"))
+      .select(col("user_id")).distinct()
+    val hold = marked.filter(col("day") > col("cut"))
+      .select(col("user_id")).distinct()
+    val churned = obs.join(hold, Seq("user_id"), "left_anti")
+    val retained = obs.join(hold, Seq("user_id"), "left_semi")
+    churned.select(col("user_id"), lit("churned").as("status"))
+      .unionAll(retained.select(col("user_id"), lit("retained").as("status")))
+      .orderBy(col("user_id"))
+  }
+
   private def corrSql(name: String, sx: String, sy: String, sxx: String,
                       syy: String, sxy: String): String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
@@ -114,6 +174,36 @@ object Stats {
          |UNION ALL ${corrSql("quantity_discount", "sq", "sd", "sqq", "sdd", "sqd")}
          |UNION ALL ${corrSql("extendedprice_discount", "sp", "sd", "spp", "sdd", "spd")}
          |ORDER BY pair""".stripMargin)),
+    "ab_test_value" -> QueryDef(abTestValue, Some {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      s"""WITH e AS (SELECT
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+         |         THEN 'A' ELSE 'B' END AS variant,
+         |    CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6)) AS v
+         |  FROM events),
+         |m AS (SELECT variant, count(*) AS n, sum(v) AS s, sum(v * v) AS s2
+         |      FROM e GROUP BY variant),
+         |w AS (SELECT variant, n, ${d("n")} AS nd, ${d("s")} AS sd, ${d("s2")} AS s2d FROM m),
+         |x AS (SELECT variant, n, nd, sd / nd AS mean,
+         |        (s2d - sd * sd / nd) / (nd - 1.0) AS variance FROM w)
+         |SELECT a.n AS n_a, b.n AS n_b,
+         |  ${OracleSql.round("a.mean", 6)} AS mean_a,
+         |  ${OracleSql.round("b.mean", 6)} AS mean_b,
+         |  ${OracleSql.round("(a.mean - b.mean) / sqrt(a.variance / a.nd + b.variance / b.nd)", 4)} AS z
+         |FROM (SELECT * FROM x WHERE variant = 'A') a,
+         |     (SELECT * FROM x WHERE variant = 'B') b""".stripMargin
+    }),
+    "churned_users" -> QueryDef(churnedUsers, Some(
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cut AS (SELECT max(day) - 7 AS cut FROM e),
+        |obs AS (SELECT DISTINCT user_id FROM e, cut WHERE day <= cut),
+        |hold AS (SELECT DISTINCT user_id FROM e, cut WHERE day > cut)
+        |SELECT user_id, 'churned' AS status FROM obs
+        |WHERE user_id NOT IN (SELECT user_id FROM hold)
+        |UNION ALL
+        |SELECT user_id, 'retained' FROM obs
+        |WHERE user_id IN (SELECT user_id FROM hold)
+        |ORDER BY user_id""".stripMargin)),
     "revenue_trend_slopes" -> QueryDef(revenueTrendSlopes, Some {
       def d(c: String) = s"CAST($c AS DOUBLE)"
       val n = "CAST(n AS DOUBLE)"

@@ -53,6 +53,54 @@ class StatsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("ALPHA", 6L, 100.0, 500.0)), s"${got.toSeq}")
   }
 
+  test("A/B readout: hash-assigned variants, Welch z from exact moments") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("stats").toString
+    val rows = (1 to 40).map(i =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong, "click", i * 1.5, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // replicate the assignment + moments in scalar code
+    def variant(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (f"${h(0) & 0xff}%02x" < "80") "A" else "B"
+    }
+    val byV = (1 to 40).groupBy(i => variant(i.toLong))
+      .view.mapValues(_.map(i => i * 1.5)).toMap
+    def mv(xs: Seq[Double]): (Double, Double) = {
+      val n = xs.size.toDouble
+      val s = xs.sum; val s2 = xs.map(x => x * x).sum
+      (s / n, (s2 - s * s / n) / (n - 1.0))
+    }
+    val (ma, va) = mv(byV("A").map(_.toDouble))
+    val (mb, vb) = mv(byV("B").map(_.toDouble))
+    val zExp = BigDecimal.decimal((ma - mb) /
+        math.sqrt(va / byV("A").size + vb / byV("B").size))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.abTestValue(spark, dir).head()
+    assert(got.getLong(0) == byV("A").size && got.getLong(1) == byV("B").size)
+    assert(got.getDouble(4) == zExp, s"z ${got.getDouble(4)} != $zExp")
+  }
+
+  test("churn: holdout-week absence marks churned; holdout-only users excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("stats").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1L), // obs only -> churned
+      (2L, "2024-01-01 11:00:00", 2L), // obs...
+      (3L, "2024-01-29 09:00:00", 2L), // ...and holdout -> retained
+      (4L, "2024-01-28 09:00:00", 3L)) // holdout only -> not reported
+      .map { case (e, ts, u) => (e, Timestamp.valueOf(ts), u, "click", 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.churnedUsers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "churned"), (2L, "retained")), s"${got.toSeq}")
+  }
+
   test("SCD2 point-in-time join: each order sees the version valid on its date") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stats").toString
