@@ -233,7 +233,29 @@ object KdcParseQueries {
   def serviceEnctypes(spark: SparkSession, sfDir: String): DataFrame =
     KdcQueries.serviceEnctypeStats(KdcSource.records(spark, fixtureDir()))
 
+  /** README #5's HOSTS dimension through the gate: top client IPs by
+    * valid-request count ([[KdcQueries.topN]] over client_ip — plans
+    * as TakeOrderedAndProject). The 5-row cut lands inside the
+    * count-1 tie band, so the (n_req desc, client_ip asc) tie-break
+    * is part of what the oracle pins. */
+  def topHosts(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.topN(KdcSource.records(spark, fixtureDir()), "client_ip", 5)
+
   val defs: Map[String, QueryDef] = Map(
+    // hand-derived from the fixtures: 10.1.2.3 = alice AS x3 (incl.
+    // the BAD_PASSWORD session - valid, just unsuccessful) + imap TGS;
+    // 127.0.0.1 = cg2v AS x2 + host/www TGS x2; 10.9.9.9 = bob's
+    // referral + ldap TGS; the count-1 tie band cut by IP order;
+    // eve's trailing partial session is dropped. Totals reconcile
+    // with the counters row's 18 valid records.
+    "kdc_parse_top_hosts" -> QueryDef(topHosts, Some(
+      """SELECT * FROM (VALUES
+        |  ('IPv4:10.1.2.3',     CAST(4 AS BIGINT)),
+        |  ('IPv4:127.0.0.1',    CAST(4 AS BIGINT)),
+        |  ('IPv4:10.9.9.9',     CAST(2 AS BIGINT)),
+        |  ('IPv4:10.11.11.11',  CAST(1 AS BIGINT)),
+        |  ('IPv4:10.2.2.2',     CAST(1 AS BIGINT))
+        |) AS t(client_ip, n_req) ORDER BY n_req DESC, client_ip""".stripMargin)),
     "kdc_parse_user_stats" -> QueryDef(userStats, Some(
       """SELECT * FROM (VALUES
         |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
