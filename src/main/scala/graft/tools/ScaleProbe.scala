@@ -173,7 +173,9 @@ object ScaleProbe {
       "join_key_skew",           // one agg pass per profiled table
       "dedup_sorted_neighborhood", // range sort + w-window candidates
       "ann_pq_topk",             // sampled codebooks + code-only ADC scan
-      "ann_ivfpq_topk")          // cell-pruned candidates + code ADC
+      "ann_ivfpq_topk",          // cell-pruned candidates + code ADC
+      "ab_test_value",           // one two-group moment aggregate
+      "churned_users")           // distinct users + semi/anti joins
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
