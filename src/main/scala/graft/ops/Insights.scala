@@ -182,6 +182,39 @@ object Insights {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Sequence mining over sessions: the top-20 event-type TRIGRAMS
+    * occurring inside gap-sessions (the "common journey fragments"
+    * query behind funnel design). Sessionization mirrors
+    * [[EventQueries.eventSessions]]' 6-hour gap exactly; trigrams are
+    * two stacked leads inside the (user, session) window — no
+    * per-session collect, no explode blowup (one row per event).
+    * Counts are exact; the top-20 cut is tie-broken on the full
+    * trigram so the cut is total. Three window passes share ONE
+    * user-keyed sort. */
+  def sessionPathTopk(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gapMs = 6L * 3600 * 1000
+    val sessioned = events(s, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ms"), col("event_id"))
+    sessioned
+      .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
   /** Time-weighted average value per user (TWAP): each observation
     * holds until the next one, so its weight is that duration — the
     * right mean for irregularly-sampled series (a plain average
@@ -226,6 +259,26 @@ object Insights {
       eventTransitionMatrixStreaming, Some(transitionOracle)),
     "event_transition_matrix" -> QueryDef(eventTransitionMatrix,
       Some(transitionOracle)),
+    "session_path_topk" -> QueryDef(sessionPathTopk, Some(
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (SELECT *,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 21600000 THEN 1 ELSE 0 END AS is_new
+        |  FROM base),
+        |numbered AS (SELECT *,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged),
+        |tri AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM numbered
+        |  WINDOW w AS (PARTITION BY user_id, session_idx ORDER BY ms, event_id))
+        |SELECT step1, step2, step3, count(*) AS n FROM tri
+        |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin)),
     "user_time_weighted_value" -> QueryDef(userTimeWeightedValue, Some(
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
          |    CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6)) AS v FROM events),

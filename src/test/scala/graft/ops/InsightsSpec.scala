@@ -74,6 +74,21 @@ class InsightsSpec extends AnyFunSuite {
       (1L, "2024-02-03", 1L, 4.0, 4.0)), s"${got.toSeq}")
   }
 
+  test("session paths: trigrams never cross a session boundary") {
+    // one user, two sessions 7h apart: [a b c d] and [x y z].
+    // trigrams: abc, bcd, xyz — never "cdx"/"dxy" spanning the gap
+    val types = Seq("a", "b", "c", "d")
+    val s1 = types.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, f"2024-01-01 01:0$i%d:00", 1L, t, 1.0) }
+    val s2 = Seq("x", "y", "z").zipWithIndex.map { case (t, i) =>
+      ((i + 10).toLong, f"2024-01-01 09:0$i%d:00", 1L, t, 1.0) }
+    val dir = eventsDir(s1 ++ s2)
+    val got = Insights.sessionPathTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L),
+      ("x", "y", "z", 1L)), s"${got.toSeq}")
+  }
+
   test("TWAP weights each observation by its holding duration") {
     // user 1: 10.0 held 60s, then 20.0 held 180s, then a final obs
     // (no duration, drops out): twap = (10*60 + 20*180)/240 = 17.5
