@@ -182,6 +182,41 @@ object Insights {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Change-point detection on the daily value series: the split day
+    * maximizing the mean shift |mean_after − mean_before| — the
+    * binary-segmentation primitive behind regression/incident
+    * detection on metrics. Daily totals are exact decimal; prefix
+    * sums run in a window over the POST-AGGREGATION day frame
+    * (calendar-bounded — ~30 rows here, thousands at any corpus age —
+    * so the single-partition window is over a tiny frame, never the
+    * fact table); the candidate ranking compares IEEE doubles derived
+    * from identical exact sums, tie-broken by day. */
+  def dailyValueChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      .groupBy(col("day"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("sv")).as("tot_s"), sum(col("n")).as("tot_n"))
+    val scored = daily
+      .withColumn("cum_s", sum(col("sv")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum_n") < col("tot_n")) // a split needs a non-empty right side
+      .withColumn("mean_before", col("cum_s").cast("double") / col("cum_n").cast("double"))
+      .withColumn("mean_after",
+        (col("tot_s") - col("cum_s")).cast("double") /
+          (col("tot_n") - col("cum_n")).cast("double"))
+      .withColumn("delta", abs(col("mean_after") - col("mean_before")))
+    scored.orderBy(desc("delta"), col("day")).limit(1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        round(col("mean_before"), 6).as("mean_before"),
+        round(col("mean_after"), 6).as("mean_after"),
+        round(col("delta"), 6).as("abs_delta"))
+  }
+
   /** Sequence mining over sessions: the top-20 event-type TRIGRAMS
     * occurring inside gap-sessions (the "common journey fragments"
     * query behind funnel design). Sessionization mirrors
@@ -259,6 +294,27 @@ object Insights {
       eventTransitionMatrixStreaming, Some(transitionOracle)),
     "event_transition_matrix" -> QueryDef(eventTransitionMatrix,
       Some(transitionOracle)),
+    "daily_value_changepoint" -> QueryDef(dailyValueChangepoint, Some(
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+         |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT sum(sv) AS tot_s, sum(n) AS tot_n FROM daily),
+         |cum AS (SELECT day,
+         |    sum(sv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         |    sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+         |  FROM daily),
+         |sc AS (SELECT day,
+         |    CAST(cum_s AS DOUBLE) / CAST(cum_n AS DOUBLE) AS mean_before,
+         |    CAST(tot_s - cum_s AS DOUBLE) / CAST(tot_n - cum_n AS DOUBLE) AS mean_after
+         |  FROM cum, tot WHERE cum_n < tot_n),
+         |best AS (SELECT *, abs(mean_after - mean_before) AS delta FROM sc
+         |         ORDER BY delta DESC, day LIMIT 1)
+         |SELECT strftime(day, '%Y-%m-%d') AS split_day,
+         |  ${OracleSql.round("mean_before", 6)} AS mean_before,
+         |  ${OracleSql.round("mean_after", 6)} AS mean_after,
+         |  ${OracleSql.round("delta", 6)} AS abs_delta
+         |FROM best""".stripMargin)),
     "session_path_topk" -> QueryDef(sessionPathTopk, Some(
       """WITH base AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,

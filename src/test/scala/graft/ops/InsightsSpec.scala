@@ -74,6 +74,19 @@ class InsightsSpec extends AnyFunSuite {
       (1L, "2024-02-03", 1L, 4.0, 4.0)), s"${got.toSeq}")
   }
 
+  test("changepoint: a planted mean shift is found at the exact shift day") {
+    // value 10 on days 1-4 (2 events/day), 30 on days 5-8: best split
+    // after day 4 — mean_before 10, mean_after 30, delta 20
+    val rows = for {
+      d <- 1 to 8; i <- 0 to 1
+    } yield (((d * 10) + i).toLong, f"2024-05-0$d%d 0$i%d:00:00", 1L, "click",
+      if (d <= 4) 10.0 else 30.0)
+    val dir = eventsDir(rows)
+    val got = Insights.dailyValueChangepoint(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("2024-05-04", 10.0, 30.0, 20.0)), s"${got.toSeq}")
+  }
+
   test("session paths: trigrams never cross a session boundary") {
     // one user, two sessions 7h apart: [a b c d] and [x y z].
     // trigrams: abc, bcd, xyz — never "cdx"/"dxy" spanning the gap
