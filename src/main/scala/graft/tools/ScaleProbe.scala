@@ -176,7 +176,8 @@ object ScaleProbe {
       "ann_ivfpq_topk",          // cell-pruned candidates + code ADC
       "ab_test_value",           // one two-group moment aggregate
       "churned_users",           // distinct users + semi/anti joins
-      "session_path_topk")       // stacked leads in one user sort + trigram agg
+      "session_path_topk",       // stacked leads in one user sort + trigram agg
+      "daily_value_changepoint") // day-frame prefix sums, fact pays one agg
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
