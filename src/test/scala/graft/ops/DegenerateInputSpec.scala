@@ -80,5 +80,50 @@ class DegenerateInputSpec extends AnyFunSuite {
       Ivf.train(noVecs, k = 4, iters = 1)
     }
     assert(ex.getMessage.contains("non-empty"))
+    // PQ training has the same fail-fast contract
+    val ex2 = intercept[IllegalArgumentException] {
+      Pq.train(noVecs, m = 4, ksub = 4, iters = 1)
+    }
+    assert(ex2.getMessage.contains("non-empty"))
+  }
+
+  test("round-6 table ops: empty and single-row inputs don't throw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("degen6").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, Long, String, Double, java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long, Double)]
+      .toDF("l_suppkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq.empty[(Long, String, Double, Long)]
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq.empty[(Long, Long)].toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    // events family: empty in, empty out
+    assert(Insights.sessionPathTopk(spark, dir).count() == 0L)
+    assert(Insights.dailyValueChangepoint(spark, dir).count() == 0L)
+    assert(Insights.userTimeWeightedValue(spark, dir).count() == 0L)
+    assert(Stats.churnedUsers(spark, dir).count() == 0L)
+    // empty orders: z-order stats must not divide by a null range
+    assert(Layout.zorderLayoutStats(spark, dir).count() == 0L)
+    assert(Stats.revenueTrendSlopes(spark, dir).count() == 0L)
+    assert(TpchQueries.excessSupplierParts(spark, dir).count() == 0L)
+    assert(TpchQueries.customerDimScd2(spark, dir).count() == 0L)
+    assert(TpchQueries.ordersScd2Enrich(spark, dir).count() == 0L)
+    // single-row events survive the window/lead paths
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Insights.sessionPathTopk(spark, dir).count() == 0L)
+    assert(Insights.userTimeWeightedValue(spark, dir).count() == 0L)
+    assert(Insights.userValueGapfill(spark, dir).count() == 1L)
   }
 }
