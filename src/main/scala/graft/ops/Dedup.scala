@@ -1315,7 +1315,11 @@ object Dedup {
     * The global rank comes from the two-phase range-partitioned rank
     * ([[Pipelines.withRunningTotal]]) — never a partition-less
     * row_number window. Verification is exact token-set Jaccard on
-    * the w·n candidate pairs only. */
+    * the w·n candidate pairs only. The range-sorted frame stays
+    * persisted behind the returned lazy result (the
+    * [[boundedSharedCounts]] cache contract: Verify/Bench clearCache
+    * between queries; an un-cached repartitionByRange would re-sample
+    * its boundaries between the offsets pass and the rank pass). */
   def sortedNeighborhoodPairs(s: SparkSession, dir: String,
                               window: Int = 2,
                               threshold: Double = 0.5): DataFrame =
