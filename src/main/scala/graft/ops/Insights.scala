@@ -182,6 +182,21 @@ object Insights {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Hour-of-day activity profile per event type: counts and the
+    * share of the type's total per hour — the daily-rhythm readout
+    * behind capacity planning and anomaly baselines. One aggregate on
+    * a 24×|types| key domain; shares divide engine-identical longs. */
+  def hourlyActivityProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("share"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Change-point detection on the daily value series: the split day
     * maximizing the mean shift |mean_after − mean_before| — the
     * binary-segmentation primitive behind regression/incident
@@ -294,6 +309,15 @@ object Insights {
       eventTransitionMatrixStreaming, Some(transitionOracle)),
     "event_transition_matrix" -> QueryDef(eventTransitionMatrix,
       Some(transitionOracle)),
+    "hourly_activity_profile" -> QueryDef(hourlyActivityProfile, Some(
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(date_part('hour', ts) AS BIGINT) AS hour, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+         |SELECT c.event_type, hour, n,
+         |  ${OracleSql.round("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS share
+         |FROM c JOIN t ON c.event_type = t.event_type
+         |ORDER BY c.event_type, hour""".stripMargin)),
     "daily_value_changepoint" -> QueryDef(dailyValueChangepoint, Some(
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
          |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv,

@@ -479,6 +479,37 @@ object TpchQueries {
       .orderBy(col("nation"))
   }
 
+  /** Percent-of-total window: each nation's top-5 customers by order
+    * revenue with their SHARE of the nation total — the ranking +
+    * share-of-parent readout every revenue dashboard leads with. The
+    * per-customer revenue is one fact-sized aggregate; the nation
+    * total is a window sum over the already-aggregated customer frame
+    * (exact decimal, so the share divides two engine-identical
+    * decimals); rank and the top-5 cut tie-break on custkey. */
+  def customerRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val byNation = Window.partitionBy(col("n_name"))
+    val ranked = rev
+      .withColumn("nation_rev", sum(col("rev")).over(byNation))
+      .withColumn("rnk", row_number().over(
+        byNation.orderBy(desc("rev"), col("c_custkey"))))
+      .filter(col("rnk") <= 5)
+    ranked.select(col("n_name"), col("rnk").cast("long").as("rnk"),
+        col("c_custkey"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("nation_rev").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
   /** SCD Type-2 apply: the history-keeping sibling of
     * [[customerDimUpsert]] (Type 1 overwrites; Type 2 closes the old
     * version and opens a new one). The update batch is synthesized
@@ -591,6 +622,20 @@ object TpchQueries {
         |  AND o_orderdate >= CAST(valid_from AS TIMESTAMP)
         |  AND (valid_to IS NULL OR o_orderdate < CAST(valid_to AS TIMESTAMP))
         |ORDER BY o_orderkey""".stripMargin)),
+    "customer_revenue_share" -> QueryDef(customerRevenueShare, Some(
+      s"""WITH rev AS (SELECT n_name, c_custkey,
+         |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, c_custkey),
+         |w AS (SELECT n_name, c_custkey, rev,
+         |    sum(rev) OVER (PARTITION BY n_name) AS nation_rev,
+         |    row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, c_custkey) AS rnk
+         |  FROM rev)
+         |SELECT n_name, rnk, c_custkey,
+         |  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+         |  ${graft.OracleSql.round("CAST(rev AS DOUBLE) / CAST(nation_rev AS DOUBLE)", 6)} AS share
+         |FROM w WHERE rnk <= 5 ORDER BY n_name, rnk""".stripMargin)),
     "customer_dim_scd2" -> QueryDef(customerDimScd2, Some(
       """WITH dim AS (SELECT c_custkey, c_name,
         |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer)

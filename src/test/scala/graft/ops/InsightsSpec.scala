@@ -74,6 +74,22 @@ class InsightsSpec extends AnyFunSuite {
       (1L, "2024-02-03", 1L, 4.0, 4.0)), s"${got.toSeq}")
   }
 
+  test("hourly profile: per-type shares reflect hour counts exactly") {
+    // type a: 3 events at hour 1, 1 at hour 5; type b: 2 at hour 0
+    val dir = eventsDir(Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 01:10:00", 2L, "a", 1.0),
+      (3L, "2024-01-02 01:20:00", 3L, "a", 1.0),
+      (4L, "2024-01-01 05:00:00", 1L, "a", 1.0),
+      (5L, "2024-01-01 00:30:00", 1L, "b", 1.0),
+      (6L, "2024-01-01 00:40:00", 2L, "b", 1.0)))
+    val got = Insights.hourlyActivityProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 3L, 0.75), ("a", 5L, 1L, 0.25), ("b", 0L, 2L, 1.0)),
+      s"${got.toSeq}")
+  }
+
   test("changepoint: a planted mean shift is found at the exact shift day") {
     // value 10 on days 1-4 (2 events/day), 30 on days 5-8: best split
     // after day 4 — mean_before 10, mean_after 30, delta 20

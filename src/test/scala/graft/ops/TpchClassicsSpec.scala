@@ -74,6 +74,20 @@ class TpchClassicsSpec extends AnyFunSuite {
     dir
   }
 
+  test("revenue share: ranks ordered, shares in (0,1], revenue non-increasing") {
+    val rows = TpchQueries.customerRevenueShare(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (nation, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq, nation)
+      val revs = byRank.map(_._3)
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, nation)
+      assert(rs.forall(r => r._4 > 0 && r._4 <= 1.0), nation)
+      assert(rs.map(_._4).sum <= 1.0 + 1e-6, nation)
+    }
+  }
+
   test("Q20 shape: dominance threshold is strict at the exact 15% boundary") {
     val got = TpchQueries.excessSupplierParts(spark, fixture)
       .filter("l_partkey = 14").collect()
