@@ -177,7 +177,9 @@ object ScaleProbe {
       "ab_test_value",           // one two-group moment aggregate
       "churned_users",           // distinct users + semi/anti joins
       "session_path_topk",       // stacked leads in one user sort + trigram agg
-      "daily_value_changepoint") // day-frame prefix sums, fact pays one agg
+      "daily_value_changepoint", // day-frame prefix sums, fact pays one agg
+      "customer_revenue_share",  // fact agg + window over customer frame
+      "hourly_activity_profile") // 24x|types| agg + broadcast totals
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
