@@ -38,13 +38,9 @@ object Graph {
     // Both static operands are pre-partitioned on their join keys and
     // cached that way (serial-driver cache contract documented at
     // Dedup.boundedSharedCounts; Verify/Bench clearCache between
-    // queries, library callers own cleanup). Every iteration's
-    // rank⋈edges join then aligns exchange-free: ranks come out of
-    // the previous iteration partitioned by node (join output
-    // preserves the deg side's hash partitioning) and edges are
-    // already hashed by src, so the only shuffle per round is the
-    // unavoidable transpose (groupBy dst). n_total is folded into the
-    // cached deg frame once, not re-broadcast per round.
+    // queries, library callers own cleanup). Edges are hashed by src
+    // once for all rounds; n_total is folded into the cached deg frame
+    // once, not re-broadcast per round.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     val degBase = e.groupBy(col("src").as("node"))
@@ -56,6 +52,17 @@ object Graph {
       .select(col("node"), col("outdeg"), col("n_total"),
         round(lit(1.0) / col("n_total").cast("double"), 9)
           .cast("decimal(20,9)").as("rank"))
+    // Each round is materialized and lineage-truncated (the
+    // shortestHops pattern below): a purely declarative 5-round
+    // join+agg+join chain builds one deep plan whose long scheduling
+    // chain proved hypersensitive to box contention (r6: 5-13 s clean,
+    // 33 s contended). The LogicalRDD round-trip keeps every round's
+    // plan two joins deep and lets each round's stages schedule
+    // independently; exactly one node-sized rank frame stays cached at
+    // a time. The re-shuffle of the (small, node-cardinality) rank
+    // frame per round is the price — the fact-sized edge frame keeps
+    // its cached src-hash layout either way.
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     for (_ <- 1 to iterations) {
       val contrib = p
         .join(e, col("src") === col("node"))
@@ -63,13 +70,23 @@ object Graph {
           round(col("rank").cast("double") / col("outdeg").cast("double"), 9)
             .cast("decimal(20,9)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      p = deg
+      val stepped = deg
         .join(contrib, col("dst") === col("node"), "left")
           .select(col("node"), col("outdeg"), col("n_total"),
           round(lit(1.0 - damping) / col("n_total").cast("double") +
             lit(damping) * coalesce(col("sc"), lit(0).cast("decimal(20,9)")).cast("double"), 9)
             .cast("decimal(20,9)").as("rank"))
+      val rdd = stepped.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      p = edges.sparkSession.createDataFrame(rdd, stepped.schema)
     }
+    // the final round is materialized, so the operand caches can be
+    // released here instead of leaking per call
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     p.select(col("node"), col("rank"))
   }
 

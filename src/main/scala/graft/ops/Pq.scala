@@ -51,7 +51,12 @@ object Pq {
     val sample: Array[Array[Double]] = rows
       .sortBy(r => (r.getLong(2), r.getLong(0)))
       .map(_.getSeq[Double](1).toArray)
-    val dims = sample.map(_.length).min
+    // dims from the FULL frame, not the sample: the oracle's dims CTE
+    // is min(len(v)) over the whole table, and with ragged embedding
+    // dims the shortest vector can fall outside the 256-row sample —
+    // both sides must slice subspaces from the same width (bounded
+    // 1-row collect)
+    val dims = vecs.agg(min(size(col("v")))).collect()(0).getInt(0)
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val subDim = dims / m
     val codebooks = (0 until m).toArray.map { j =>
