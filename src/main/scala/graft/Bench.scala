@@ -24,6 +24,24 @@ import org.apache.spark.sql.SparkSession
   *    driver-vs-snapshot gap on embedding_neardup_pairs).
   *  - A query that throws is reported with its wall time in a separate
   *    "errors" list so a broken query can't silently pose as a timing.
+  *  - Untimed housekeeping runs between queries (`reclaim()`): a full
+  *    run is ~190 queries × (warmup + 2 iterations) in ONE JVM, and
+  *    without it shuffle files and broadcast blocks accumulate until
+  *    the ContextCleaner's weak references happen to be collected
+  *    (driver full GCs are rare under an 8 GiB heap), while
+  *    per-invocation scratch layouts (indices, partitioned writes)
+  *    pile up on disk — both squeeze the input parquet out of the
+  *    page cache and were the round-6 signature of a ~2× uniform
+  *    inflation on the late-alphabet tail of a contended box.
+  *    `System.gc()` drives the ContextCleaner's shuffle/broadcast
+  *    removal; the scratch sweep drops directories whose results are
+  *    already fully materialized through the noop sink (every driver
+  *    row is hermetic — nothing reads another query's scratch).
+  *  - Warmup skips the 14 streaming-lifecycle rows (name contains
+  *    "stream"): their cost is micro-batch engine lifecycle, not JIT,
+  *    so a warmup pass buys nothing and each one leaves RocksDB
+  *    state/checkpoint churn behind; min-of-2 absorbs their first-run
+  *    codegen like any other query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,12 +67,24 @@ object Bench {
         " — a typo here would silently time the wrong suite")
     val selected = SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
+    // untimed inter-query housekeeping — see the scaladoc above
+    val scratchRoot = new java.io.File("target/scratch")
+    def reclaim(): Unit = {
+      System.gc()
+      Option(scratchRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+
     val warmDir = "/root/testdata/sf0.001"
-    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val warmed = selected.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => name.contains("stream") }
+    warmed.zipWithIndex.foreach { case ((_, fn), i) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      if ((i + 1) % 25 == 0) reclaim()
     }
+    reclaim()
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
@@ -71,6 +101,7 @@ object Bench {
       }
       val (t1, ok1) = once()
       val (t2, ok2) = once()
+      reclaim() // outside the timed window
       // a failed query reports the -1 sentinel (and lands in "errors")
       // rather than posing as a timing in the map or the total
       val ok = ok1 && ok2
