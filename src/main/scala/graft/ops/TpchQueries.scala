@@ -595,6 +595,89 @@ object TpchQueries {
       .orderBy(col("l_partkey"), col("l_suppkey"))
   }
 
+  /** TPC-H Q10 shape: top customers by revenue lost to returned items
+    * ('R') in one quarter. The fact join reduces to a per-customer
+    * aggregate BEFORE the dimension joins (customer and nation
+    * broadcast); the quarter predicate pushes into both scans. The
+    * top-20 sorts on the rounded exact-decimal revenue (identical
+    * double in every engine) with a custkey tie-break, so the LIMIT
+    * boundary cannot flip between engines — planned as
+    * TakeOrderedAndProject, no global sort. */
+  def returnedItemCustomers(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("rev_dec"))
+    rev.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        round(col("rev_dec"), 2).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape: high- vs low-priority line counts per shipping
+    * class over one ship year. This schema carries no l_shipmode /
+    * l_commitdate / l_receiptdate, so l_linestatus plays the grouping
+    * dimension and the ship-date year the window — the join +
+    * conditional-count structure is Q12's. One fact shuffle on a
+    * 2-value key after a pushed date filter; the priority test runs
+    * on the broadcast-joined orders side. */
+  def orderPriorityClasses(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q8 shape: a nation's market share — the fraction of
+    * STANDARD-part revenue sold into the EUROPE region's customers
+    * that NATION_0's suppliers supplied, per order year. The six-way
+    * join keeps every dimension broadcast (part filtered to one type;
+    * nation twice — customer side restricted to the region, supplier
+    * side carrying the share flag); the fact tables meet in one
+    * orderkey join. Share = exact-decimal nation volume over
+    * exact-decimal total, divided once as doubles. */
+  def nationMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    val custRegion = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_0", vol)
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("nation_dec"),
+        sum(vol).as("total_dec"))
+      .select(col("o_year").cast("long").as("o_year"),
+        round(col("nation_dec"), 2).cast("double").as("nation_volume"),
+        round(col("total_dec"), 2).cast("double").as("total_volume"),
+        round(col("nation_dec").cast("double") / col("total_dec").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   private def R(e: String, n: Int): String = graft.OracleSql.round(e, n)
 
   /** Exact-decimal discounted price sum (see [[money]]). */
@@ -602,6 +685,52 @@ object TpchQueries {
     "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
 
   val defs: Map[String, QueryDef] = Map(
+    "returned_item_customers" -> QueryDef(returnedItemCustomers, Some(
+      s"""WITH rev AS (
+        |  SELECT o_custkey, $discPriceDec AS rev_dec
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name,
+        |  ${R("c_acctbal", 2)} AS acctbal,
+        |  CAST(round(rev_dec, 2) AS DOUBLE) AS revenue
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |         JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+    "order_priority_classes" -> QueryDef(orderPriorityClasses, Some(
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+    "nation_market_share" -> QueryDef(nationMarketShare, Some(
+      s"""WITH vols AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    sum(CASE WHEN n2.n_name = 'NATION_0'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |        ELSE 0 END) AS nation_dec,
+        |    $discPriceDec AS total_dec
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |  GROUP BY 1)
+        |SELECT o_year,
+        |  CAST(round(nation_dec, 2) AS DOUBLE) AS nation_volume,
+        |  CAST(round(total_dec, 2) AS DOUBLE) AS total_volume,
+        |  ${R("CAST(nation_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)", 6)} AS mkt_share
+        |FROM vols ORDER BY o_year""".stripMargin)),
     "orders_scd2_enrich" -> QueryDef(ordersScd2Enrich, Some(
       """WITH dim AS (
         |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
