@@ -1178,6 +1178,52 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .filter(col("n_tokens") >= 1)
+    spanStatsFromBase(base, k, minDocs, "n_tokens", "dup_token_frac")
+  }
+
+  /** Character-level span dedup — [[spanDupStatsOn]] one granularity
+    * below word tokens (the true Lee et al. 2021 substring
+    * granularity): whitespace is stripped entirely and every k-CHAR
+    * sliding span hashes through the SAME [[graft.functions
+    * .KgramSpanHashes]] kernel over single-character "tokens" (a
+    * 1-char token's M61 fold is its codepoint, so the oracle mirrors
+    * it as `unicode(ch)` directly). Because spans ignore whitespace, a
+    * duplicated passage survives re-wrapping, double spaces, or
+    * tab/space mangling — exactly the duplicates the word-level k=16
+    * row structurally misses (a mangled token never equals its clean
+    * twin, so EVERY word k-gram through it differs; spec-pinned with a
+    * whitespace-mangled planted passage). Coverage is the fraction of
+    * NON-WHITESPACE characters under at least one duplicated span.
+    *
+    * Scale posture: identical to the word-level plan — ~1 posting per
+    * character, shuffled as 8-byte hashes twice; the text itself never
+    * shuffles. Default k = 48 chars ≈ the 50-char threshold the
+    * substring-dedup literature uses. */
+  def charSpanDupStats(s: SparkSession, dir: String,
+                       k: Int = 48, minDocs: Long = 2L): DataFrame =
+    charSpanDupStatsOn(docs(s, dir), k, minDocs)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def charSpanDupStatsOn(df: DataFrame, k: Int = 48,
+                         minDocs: Long = 2L): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull)
+      // strip ALL whitespace first, then explode to single characters;
+      // the length gate runs on the stripped STRING (a whitespace-only
+      // text must vanish on both engines — splitting first would give
+      // Spark a [""] array where DuckDB sees [])
+      .select(col("doc_id"), regexp_replace(col("text"), "\\s+", "").as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"), split(col("w"), "").as("t"))
+      .withColumn("n_chars", size(col("t")).cast("long"))
+    spanStatsFromBase(base, k, minDocs, "n_chars", "dup_char_frac")
+  }
+
+  /** The shared span-dedup plan over a prepared (doc_id, t, `unitCol`)
+    * frame — t the unit array (word tokens or single chars), `unitCol`
+    * its length. */
+  private def spanStatsFromBase(base: DataFrame, k: Int, minDocs: Long,
+                                unitCol: String, fracCol: String): DataFrame = {
     val spans = base
       .select(col("doc_id"),
         posexplode(graft.functions.textFunctions.kgram_span_hashes(col("t"), k))
@@ -1203,15 +1249,15 @@ object Dedup {
            |    'e', greatest(acc.e, CAST(p AS BIGINT) + $k)),
            |  acc -> acc.c)""".stripMargin))
       .select(col("doc_id"), col("n_dup_spans"), col("covered"))
-    base.select(col("doc_id"), col("n_tokens"),
-        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_spans"))
+    base.select(col("doc_id"), col(unitCol),
+        greatest(col(unitCol) - (k - 1), lit(0L)).as("n_spans"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
-      .withColumn("dup_token_frac",
-        round(coalesce(col("covered"), lit(0L)) / col("n_tokens"), 4))
-      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
-        col("n_dup_spans"), col("dup_token_frac"),
-        (col("dup_token_frac") <= 0.5).as("keep"))
+      .withColumn(fracCol,
+        round(coalesce(col("covered"), lit(0L)) / col(unitCol), 4))
+      .select(col("doc_id"), col(unitCol), col("n_spans"),
+        col("n_dup_spans"), col(fracCol),
+        (col(fracCol) <= 0.5).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -1492,7 +1538,52 @@ object Dedup {
     // token coverage, oracle-mirrored with one sp CTE per k and the
     // (pos·128+k)-encoded fold.
     "dedup_span_multi_k" -> QueryDef((s, d) => multiKSpanStats(s, d),
-      Some(multiKSpanSql(Seq(16, 32, 64)))))
+      Some(multiKSpanSql(Seq(16, 32, 64)))),
+    // Character-granularity spans over whitespace-stripped text: the
+    // oracle's unit hash is unicode(ch) directly (a 1-char token's
+    // base-32 M61 fold IS its codepoint), then the same base-8192
+    // k-gram chain and interval-union coverage fold as the word row.
+    "dedup_span_chars" -> QueryDef((s, d) => charSpanDupStats(s, d),
+      Some(charSpanSql(48))))
+
+  /** Independent DuckDB reimplementation of [[charSpanDupStatsOn]]:
+    * whitespace-stripped char array, per-char hashes as unicode
+    * codepoints, the base-8192 k-gram chain, hot-span set, and the
+    * fixed-k interval-union coverage fold. */
+  private def charSpanSql(k: Int): String = {
+    val p = graft.functions.TextExpressions.M61
+    s"""WITH stripped AS (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |bn AS (SELECT doc_id, string_split(w, '') AS t, CAST(len(w) AS BIGINT) AS n_chars
+       |       FROM stripped WHERE len(w) >= 1),
+       |th AS (SELECT doc_id, n_chars,
+       |         list_transform(t, ch -> CAST(unicode(ch) AS BIGINT)) AS hs FROM bn),
+       |kh AS (SELECT doc_id, list_transform(range(len(hs) - ${k - 1}), i ->
+       |         CAST(list_reduce([CAST(0 AS HUGEINT)] ||
+       |                list_transform(list_slice(hs, i + 1, i + $k), h -> CAST(h AS HUGEINT)),
+       |              (a, h) -> (a * 8192 + h) % $p) AS BIGINT)) AS kh
+       |       FROM th WHERE len(hs) >= $k),
+       |sp AS (SELECT doc_id, unnest(range(len(kh))) AS pos, unnest(kh) AS sh FROM kh),
+       |dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, count(*) AS n_dup_spans, list_sort(list(pos)) AS ps
+       |       FROM sp SEMI JOIN dup USING (sh) GROUP BY doc_id),
+       |cov AS (SELECT doc_id, n_dup_spans,
+       |          (list_reduce(
+       |             [struct_pack(c := CAST(0 AS BIGINT), e := CAST(-1 AS BIGINT))] ||
+       |               list_transform(ps, q -> struct_pack(c := CAST(q AS BIGINT), e := CAST(0 AS BIGINT))),
+       |             (a, x) -> struct_pack(
+       |               c := a.c + CASE WHEN x.c >= a.e THEN $k ELSE x.c + $k - a.e END,
+       |               e := greatest(a.e, x.c + $k)))).c AS covered
+       |        FROM dp),
+       |agg AS (SELECT b.doc_id, b.n_chars,
+       |          greatest(b.n_chars - ${k - 1}, 0) AS n_spans,
+       |          coalesce(n_dup_spans, 0) AS n_dup_spans,
+       |          ${graft.OracleSql.round("CAST(coalesce(covered, 0) AS DOUBLE) / n_chars", 4)} AS dup_char_frac
+       |        FROM bn b LEFT JOIN cov USING (doc_id))
+       |SELECT doc_id, n_chars, n_spans, n_dup_spans, dup_char_frac,
+       |       dup_char_frac <= 0.5 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   /** tok/bn/th CTE prefix of the span-dedup oracles: tokenized docs
     * and per-token M61 polynomial hashes (base 32) — the DuckDB mirror

@@ -206,6 +206,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((32L, 17L, 0L, 0.0, true)), s"${got(3L)}")
   }
 
+  test("char span dedup catches a whitespace-mangled duplicate the word-level row structurally misses") {
+    import spark.implicits._
+    val words = (1 to 24).map(i => f"shared$i%02d") // 24 × 8 chars = 192
+    val clean = words.mkString(" ")
+    val mangled = words.mkString("  ") // double spaces: every split token pair straddles a ""
+    val docs = Seq(
+      (0L, s"AAAAAAAAAA $clean"),    // 202 stripped chars, passage at the tail
+      (1L, s"$mangled BBBBBBBBBB"),  // 202 stripped chars, passage at the head
+      (2L, "C" * 60))                // unique
+      .toDF("doc_id", "text")
+    // word-level k=16: the mangled doc's token stream carries a ""
+    // token in every window (split on single space), so NO 16-gram
+    // matches the clean twin — the blind spot this row exists for
+    val word = Dedup.spanDupStatsOn(docs, k = 16, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(5))).toMap
+    assert(word(0L) == ((0L, true)) && word(1L) == ((0L, true)), s"$word")
+    // char-level k=48 strips the whitespace: the 192-char passage is
+    // byte-identical in both docs — 145 duplicated spans each, the
+    // interval union covering exactly the passage
+    val ch = Dedup.charSpanDupStatsOn(docs, k = 48, minDocs = 2L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(ch(0L) == ((202L, 155L, 145L, 0.9505, false)), s"${ch(0L)}")
+    assert(ch(1L) == ((202L, 155L, 145L, 0.9505, false)), s"${ch(1L)}")
+    assert(ch(2L) == ((60L, 13L, 0L, 0.0, true)), s"${ch(2L)}")
+  }
+
+  test("char span dedup: whitespace-only and sub-k docs are handled like the oracle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "   \t  "),            // whitespace-only: vanishes entirely
+      (1L, "short text"),          // 9 stripped chars < k: zero spans
+      (2L, "short text"))          // its exact twin — still zero spans at k=48
+      .toDF("doc_id", "text")
+    val got = Dedup.charSpanDupStatsOn(docs, k = 48, minDocs = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 9L, 0L, 0L), (2L, 9L, 0L, 0L)), s"${got.toSeq}")
+  }
+
   test("multi-k span dedup: long passage hits every k, short phrase only k=16, union coverage exact") {
     import spark.implicits._
     val long = (1 to 70).map(i => s"p$i").mkString(" ")  // 70-token passage
