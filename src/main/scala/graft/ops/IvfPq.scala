@@ -55,6 +55,84 @@ object IvfPq {
     ivfPqTopK(e.filter(col("id") < 5), e.filter(col("id") >= 5), coarse, pq)
   }
 
+  /** Persist the composed index: coarse centroids (the [[Ivf]] layout,
+    * so [[Ivf.readModel]] loads them back), PQ codebooks (the [[Pq]]
+    * layout), the corpus CODES partitioned by coarse cell — the table
+    * a query's bulk scan reads, combining both pruning axes: partition
+    * pruning cuts to ~nprobe/k of the rows AND each row is m ints,
+    * not the vector — plus the flat vector table the bounded shortlist
+    * rescore fetches from. Coarse assignment and PQ encoding are paid
+    * ONCE here; the inline row's 3.3×@10× encode cost (PLAN_NOTES)
+    * moves to index build, amortized across query batches. */
+  def writeIndex(s: SparkSession, corpus: DataFrame, coarse: Ivf.IvfModel,
+                 pq: Pq.PqModel, path: String): Unit = {
+    import s.implicits._
+    coarse.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Pq.writeCodebooks(s, pq, path)
+    corpus
+      .select(col("id"),
+        array((0 until pq.m).map(j => Pq.codeOf(pq, j)): _*).as("codes"),
+        Ivf.cellOf(coarse).as("cell"))
+      // cluster by the partition column so each cell gets contiguous
+      // files (same rationale as the posting-index write)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    corpus.select(col("id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Query a persisted IVF-PQ index: probe cells are computed from the
+    * loaded coarse model and collected ONCE (bounded |queries|×nprobe,
+    * the [[Ivf.ivfTopKIndexed]] rationale) — the literal cell ids
+    * become PartitionFilters at the code scan, and the probe relation
+    * re-enters the plan broadcast. ADC + shortlist + exact rescore run
+    * through [[Pq]]'s shared machinery against the disk layout. */
+  def ivfPqTopKIndexed(s: SparkSession, path: String, queries: DataFrame,
+                       k: Int = 10, nprobe: Int = 3,
+                       shortlist: Int = 50): DataFrame = {
+    val coarse = Ivf.readModel(s, path)
+    val pq = Pq.readModel(s, path)
+    val probesPlan = queries
+      .select(col("id").as("query_id"),
+        explode(Ivf.probeCells(coarse, nprobe)).as("cell"))
+    val probeRows = probesPlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    val adcAgg = s.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("j", "cid")))
+      .join(broadcast(Pq.adcTables(queries, pq)), Seq("query_id", "j", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("adc_dec"))
+    Pq.rankFromAdc(adcAgg, queries,
+      s.read.parquet(s"$path/vectors"), k, shortlist)
+  }
+
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver row through the PERSISTED composed layout — train both
+    * quantizers, write the index, answer from disk. Shares the inline
+    * row's oracle verbatim (ints and doubles round-trip parquet
+    * losslessly). */
+  def ivfPqIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Ivf.embFrame(s, dir)
+    val coarse = Ivf.train(e, k = 16, iters = 3)
+    val pq = Pq.train(e, m = 4, ksub = 16, iters = 2)
+    val path = new java.io.File(
+      s"target/scratch/ivfpq_index_${s.sparkContext.applicationId}_${scratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    writeIndex(s, e.filter(col("id") >= 5), coarse, pq, path)
+    val out = ivfPqTopKIndexed(s, path, e.filter(col("id") < 5))
+    e.unpersist()
+    out
+  }
+
   private def ivfPqOracle(m: Int = 4, ksub: Int = 16, pqIters: Int = 2,
                           k: Int = 16, coarseIters: Int = 3,
                           trainN: Int = 256, nQueries: Int = 5,
@@ -106,5 +184,7 @@ object IvfPq {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "ann_ivfpq_topk" -> QueryDef(ivfPqQuery, Some(ivfPqOracle())))
+    "ann_ivfpq_topk" -> QueryDef(ivfPqQuery, Some(ivfPqOracle())),
+    // disk round-trip of ints/doubles is lossless -> same oracle
+    "ann_ivfpq_indexed" -> QueryDef(ivfPqIndexedQuery, Some(ivfPqOracle())))
 }

@@ -68,7 +68,7 @@ object Pq {
 
   /** Nearest-centroid code for subspace `j` (codegen'd dots over the
     * sliced vector; ties → lowest code, same op order as the oracle). */
-  private def codeOf(model: PqModel, j: Int): Column = {
+  private[ops] def codeOf(model: PqModel, j: Int): Column = {
     val sub = model.subDim
     val vj = slice(col("v"), j * sub + 1, sub)
     val scored = model.codebooks(j).zipWithIndex.map { case (cent, c) =>
@@ -175,6 +175,15 @@ object Pq {
     * the inline row prices out. */
   def writeIndex(s: SparkSession, corpus: DataFrame, model: PqModel,
                  path: String): Unit = {
+    writeCodebooks(s, model, path)
+    encode(corpus, model).write.mode("overwrite").parquet(s"$path/codes")
+    corpus.select(col("id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Persist just the bounded codebook matrix (shared with the IVF-PQ
+    * composed index, which lays out its codes cell-partitioned). */
+  def writeCodebooks(s: SparkSession, model: PqModel, path: String): Unit = {
     import s.implicits._
     val cbRows = for {
       j <- 0 until model.m
@@ -182,9 +191,6 @@ object Pq {
     } yield (j, ci, c.toSeq)
     cbRows.toDF("j", "cid", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    encode(corpus, model).write.mode("overwrite").parquet(s"$path/codes")
-    corpus.select(col("id"), col("v"))
-      .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
   /** Load the bounded codebooks back (ints and doubles round-trip

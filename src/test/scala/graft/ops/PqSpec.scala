@@ -93,6 +93,26 @@ class PqSpec extends AnyFunSuite {
     assert(hits.toDouble / top1.size >= 0.95, s"$hits/${top1.size}")
   }
 
+  test("persisted IVF-PQ index: equals the in-memory composition, cell-pruned scan") {
+    val coarse = Ivf.train(clustered, k = 16, iters = 4)
+    val pq = Pq.train(clustered, m = 4, ksub = 16, iters = 2)
+    val queries = clustered.filter(col("id") % 8 === 0)
+    val corpus = clustered.filter(col("id") % 8 =!= 0)
+    val path = "target/scratch/ivfpq_index_spec"
+    IvfPq.writeIndex(spark, corpus, coarse, pq, path)
+    val direct = IvfPq.ivfPqTopK(queries, corpus, coarse, pq,
+      k = 5, nprobe = 2, shortlist = 20).collect().toSeq
+    val viaIndex = IvfPq.ivfPqTopKIndexed(spark, path, queries,
+      k = 5, nprobe = 2, shortlist = 20)
+    assert(viaIndex.collect().toSeq == direct)
+    // the probed-cell literals must reach the CODE scan as a partition
+    // filter — both pruning axes at once: partition pruning cuts rows,
+    // the code-only projection cuts bytes
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"no cell partition pruning in plan:\n$plan")
+  }
+
   test("rescore stage orders the shortlist by EXACT cosine, not ADC") {
     val model = Pq.train(clustered, m = 4, ksub = 16, iters = 2)
     val queries = clustered.filter(col("id") === 0)
