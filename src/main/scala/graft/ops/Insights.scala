@@ -232,6 +232,135 @@ object Insights {
         round(col("delta"), 6).as("abs_delta"))
   }
 
+  /** Recursive binary segmentation of the daily value series —
+    * [[dailyValueChangepoint]]'s mean-shift split applied WITHIN each
+    * current segment, `depth` levels deep (up to 2^depth segments):
+    * the classic top-down change-point segmentation behind
+    * regime/incident timelines. Each level scores every candidate day
+    * inside every segment with the same exact-decimal prefix sums
+    * (windows partitioned by segment), picks the per-segment
+    * max-|mean shift| day (day tie-break), and recurses on both
+    * halves; single-day segments have no candidate and survive.
+    *
+    * The day frame is calendar-bounded, so each level's best-split
+    * table is ≤ 2^level rows; segment boundaries round-trip the driver
+    * (bounded collect — the sanctioned plan-literal pattern) and
+    * re-enter as a broadcast local relation, keeping every level's
+    * plan constant-size. The fact table is touched ONCE, at the daily
+    * aggregate, which stays persisted behind the returned lazy plan
+    * (the boundedSharedCounts cache contract). */
+  def dailyValueSegments(s: SparkSession, dir: String, depth: Int = 3,
+                         minLen: Int = 3): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      .groupBy(col("day"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = daily
+      .agg(date_format(min(col("day")), "yyyy-MM-dd").as("lo"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("hi"))
+      .collect()(0)
+    def segFrame(segs: Seq[(String, String)]) =
+      broadcast(segs.toDF("lo_s", "hi_s")
+        .select(to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi")))
+    var segs = Seq((bounds.getString(0), bounds.getString(1)))
+    for (_ <- 1 to depth) {
+      val wc = Window.partitionBy(col("lo"), col("hi")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("lo"), col("hi"))
+      val best = daily
+        .join(segFrame(segs), col("day").between(col("lo"), col("hi")))
+        .withColumn("cum_s", sum(col("sv")).over(wc))
+        .withColumn("cum_n", sum(col("n")).over(wc))
+        .withColumn("cum_d", count(lit(1)).over(wc))
+        .withColumn("tot_s", sum(col("sv")).over(wt))
+        .withColumn("tot_n", sum(col("n")).over(wt))
+        .withColumn("tot_d", count(lit(1)).over(wt))
+        // both halves must keep >= minLen days: without the floor,
+        // max-mean-shift degenerates to peeling single outlier days
+        // off the tail (observed on the driver tables)
+        .filter(col("cum_d") >= minLen && col("tot_d") - col("cum_d") >= minLen)
+        .withColumn("delta", abs(
+          (col("tot_s") - col("cum_s")).cast("double") /
+            (col("tot_n") - col("cum_n")).cast("double") -
+          col("cum_s").cast("double") / col("cum_n").cast("double")))
+        // a zero-shift "best" split would cut flat segments at the
+        // earliest legal day forever — only genuine shifts split
+        .filter(col("delta") > 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lo"), col("hi"))
+            .orderBy(desc("delta"), col("day"))))
+        .filter(col("rn") === 1)
+        .select(date_format(col("lo"), "yyyy-MM-dd").as("l"),
+          date_format(col("day"), "yyyy-MM-dd").as("sp"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      segs = segs.flatMap { case (lo, hi) =>
+        best.get(lo) match {
+          case Some(sp) => Seq((lo, sp),
+            (java.time.LocalDate.parse(sp).plusDays(1).toString, hi))
+          case None => Seq((lo, hi))
+        }
+      }
+    }
+    daily.join(segFrame(segs), col("day").between(col("lo"), col("hi")))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+        sum(col("sv")).as("seg_s"))
+      .select(date_format(col("lo"), "yyyy-MM-dd").as("seg_start"),
+        date_format(col("hi"), "yyyy-MM-dd").as("seg_end"),
+        col("n_days"), col("n_events"),
+        round(col("seg_s").cast("double") / col("n_events").cast("double"), 6)
+          .as("mean_value"))
+      .orderBy(col("seg_start"))
+  }
+
+  /** The generated-CTE twin of [[dailyValueSegments]]: one
+    * join/window/best/segment CTE quartet per level, the anti-join
+    * carrying splitless (single-day) segments forward unchanged. */
+  private def segmentsOracle(depth: Int, minLen: Int = 3): String = {
+    val levels = (1 to depth).map { t =>
+      s"""j$t AS (SELECT d.day, d.sv, d.n, s.lo, s.hi FROM daily d
+         |  JOIN seg${t - 1} s ON d.day BETWEEN s.lo AND s.hi),
+         |c$t AS (SELECT lo, hi, day,
+         |    sum(sv) OVER (PARTITION BY lo, hi ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         |    sum(n) OVER (PARTITION BY lo, hi ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |    count(*) OVER (PARTITION BY lo, hi ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d,
+         |    sum(sv) OVER (PARTITION BY lo, hi) AS tot_s,
+         |    sum(n) OVER (PARTITION BY lo, hi) AS tot_n,
+         |    count(*) OVER (PARTITION BY lo, hi) AS tot_d
+         |  FROM j$t),
+         |b$t AS (SELECT lo, hi, day AS sp FROM (
+         |    SELECT lo, hi, day,
+         |      row_number() OVER (PARTITION BY lo, hi ORDER BY
+         |        abs(CAST(tot_s - cum_s AS DOUBLE) / CAST(tot_n - cum_n AS DOUBLE)
+         |            - CAST(cum_s AS DOUBLE) / CAST(cum_n AS DOUBLE)) DESC, day) AS rn
+         |    FROM c$t WHERE cum_d >= $minLen AND tot_d - cum_d >= $minLen
+         |      AND abs(CAST(tot_s - cum_s AS DOUBLE) / CAST(tot_n - cum_n AS DOUBLE)
+         |              - CAST(cum_s AS DOUBLE) / CAST(cum_n AS DOUBLE)) > 0) WHERE rn = 1),
+         |seg$t AS (
+         |  SELECT s.lo, b.sp AS hi FROM seg${t - 1} s JOIN b$t b ON s.lo = b.lo AND s.hi = b.hi
+         |  UNION ALL
+         |  SELECT b.sp + 1 AS lo, s.hi FROM seg${t - 1} s JOIN b$t b ON s.lo = b.lo AND s.hi = b.hi
+         |  UNION ALL
+         |  SELECT s.lo, s.hi FROM seg${t - 1} s ANTI JOIN b$t b ON s.lo = b.lo AND s.hi = b.hi)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+       |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1),
+       |seg0 AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+       |$levels
+       |SELECT strftime(s.lo, '%Y-%m-%d') AS seg_start,
+       |  strftime(s.hi, '%Y-%m-%d') AS seg_end,
+       |  count(*) AS n_days, CAST(sum(d.n) AS BIGINT) AS n_events,
+       |  ${OracleSql.round("CAST(sum(d.sv) AS DOUBLE) / CAST(sum(d.n) AS DOUBLE)", 6)} AS mean_value
+       |FROM seg$depth s JOIN daily d ON d.day BETWEEN s.lo AND s.hi
+       |GROUP BY s.lo, s.hi ORDER BY seg_start""".stripMargin
+  }
+
   /** Sequence mining over sessions: the top-20 event-type TRIGRAMS
     * occurring inside gap-sessions (the "common journey fragments"
     * query behind funnel design). Sessionization mirrors
@@ -318,6 +447,8 @@ object Insights {
          |  ${OracleSql.round("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS share
          |FROM c JOIN t ON c.event_type = t.event_type
          |ORDER BY c.event_type, hour""".stripMargin)),
+    "daily_value_segments" -> QueryDef((s, d) => dailyValueSegments(s, d),
+      Some(segmentsOracle(3))),
     "daily_value_changepoint" -> QueryDef(dailyValueChangepoint, Some(
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
          |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv,

@@ -103,6 +103,31 @@ class InsightsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("2024-05-04", 10.0, 30.0, 20.0)), s"${got.toSeq}")
   }
 
+  test("segmentation recovers a planted 3-regime staircase; flat segments never split") {
+    // 18 days, one event/day: value 10 (days 1-6), 30 (7-12), 50
+    // (13-18). Level 1 ties split-at-6 vs split-at-12 at delta 30 —
+    // the day tie-break picks 06; level 2 splits [7,18] at 12; every
+    // remaining segment is FLAT (delta 0) and must survive unchanged,
+    // so depth 3 still yields exactly the three regimes.
+    val rows = (1 to 18).map { d =>
+      (d.toLong, f"2024-05-$d%02d 00:00:00", 1L, "click",
+        if (d <= 6) 10.0 else if (d <= 12) 30.0 else 50.0)
+    }
+    val dir = eventsDir(rows)
+    val got = Insights.dailyValueSegments(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-05-01", "2024-05-06", 6L, 6L, 10.0),
+      ("2024-05-07", "2024-05-12", 6L, 6L, 30.0),
+      ("2024-05-13", "2024-05-18", 6L, 6L, 50.0)), s"${got.toSeq}")
+    // a series shorter than 2*minLen days has no legal split at all
+    val tiny = eventsDir((1 to 5).map(d =>
+      (d.toLong, f"2024-05-0$d%d 00:00:00", 1L, "click", d * 10.0)))
+    val one = Insights.dailyValueSegments(spark, tiny).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 5L, one.toSeq.toString)
+  }
+
   test("session paths: trigrams never cross a session boundary") {
     // one user, two sessions 7h apart: [a b c d] and [x y z].
     // trigrams: abc, bcd, xyz — never "cdx"/"dxy" spanning the gap
