@@ -747,7 +747,8 @@ object Dedup {
     * elsewhere in this module). */
   def ingestDedupIndexed(s: SparkSession, path: String, incoming: DataFrame,
                          threshold: Double = 0.5, maxBucket: Int = 1000,
-                         nBuckets: Int = 32): DataFrame = {
+                         nBuckets: Int = 32,
+                         excludeBatchFrom: Option[Long] = None): DataFrame = {
     val inc = incoming.select(col("doc_id"), col("text"))
     val inPost = shingledOn(inc)
       .select(col("doc_id"),
@@ -763,16 +764,35 @@ object Dedup {
     // ARE existing corpus, but the compacted dfreq/sizes don't know
     // them yet, so every df below is reconstructed as
     // df_compacted + df_delta (exact, not an approximation).
-    val hasDelta = new java.io.File(s"$path/delta/postings").exists()
+    //
+    // Two delta layouts exist: the flat append (`delta/postings/gb=*`,
+    // the serial batch loop) and the batchId-KEYED layout
+    // (`delta/postings/batch=*/gb=*`, written overwrite-per-batch by
+    // the streaming loop for at-least-once idempotence). With
+    // `excludeBatchFrom = Some(b)` the keyed read drops batches ≥ b,
+    // so a REPLAYED batch verdicts against exactly the state its first
+    // run saw — never against its own partial writes.
+    val deltaRoot = new java.io.File(s"$path/delta/postings")
+    val hasDelta = deltaRoot.exists()
+    val keyedDelta = hasDelta && Option(deltaRoot.listFiles()).exists(
+      _.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
     // explicit schema, not inference: a drop that admits NOTHING still
     // writes the delta dir, with zero data files under it — inference
     // would throw UNABLE_TO_INFER_SCHEMA and poison every later query
-    // against the index (gb comes back via partition discovery)
-    val deltaPost = if (hasDelta)
-      s.read.schema("doc_id BIGINT, g BIGINT, gb INT")
-        .parquet(s"$path/delta/postings")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else null
+    // against the index (gb/batch come back via partition discovery)
+    val deltaPost = if (!hasDelta) null
+    else {
+      val base =
+        if (keyedDelta)
+          s.read.schema("doc_id BIGINT, g BIGINT, gb INT, batch BIGINT")
+            .parquet(s"$path/delta/postings")
+            .filter(excludeBatchFrom.map(b => col("batch") < b).getOrElse(lit(true)))
+            .select(col("doc_id"), col("g"), col("gb"))
+        else
+          s.read.schema("doc_id BIGINT, g BIGINT, gb INT")
+            .parquet(s"$path/delta/postings")
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val dBuckets = if (hasDelta)
       deltaPost.select(col("gb")).distinct().collect().map(_.getInt(0))
     else Array.empty[Int]
@@ -865,8 +885,19 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_b").as("doc_id")).distinct()
       .select(col("doc_id"), lit(true).as("n"))
+    // keyed appends park their exact hashes under exact_delta/batch=*
+    // until compaction (same replay-exclusion rule as the postings)
+    val exactRef = {
+      val base = s.read.parquet(s"$path/exact").select(col("content_hash"))
+      if (!new java.io.File(s"$path/exact_delta").exists()) base
+      else base.unionByName(
+        s.read.schema("content_hash STRING, batch BIGINT")
+          .parquet(s"$path/exact_delta")
+          .filter(excludeBatchFrom.map(b => col("batch") < b).getOrElse(lit(true)))
+          .select(col("content_hash")))
+    }
     val exactDup = inc.select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .join(s.read.parquet(s"$path/exact"), Seq("content_hash"), "left_semi")
+      .join(exactRef, Seq("content_hash"), "left_semi")
       .select(col("doc_id"), lit(true).as("e"))
     inc.select(col("doc_id"))
       .join(exactDup, Seq("doc_id"), "left")
@@ -895,16 +926,28 @@ object Dedup {
     * [[compactPostingIndex]] every K batches to fold the delta in. */
   def appendToPostingIndex(s: SparkSession, admitted: DataFrame, path: String,
                            maxBucket: Int = 1000, nBuckets: Int = 32,
-                           compact: Boolean = true): Unit = {
+                           compact: Boolean = true,
+                           batchKey: Option[Long] = None): Unit = {
     val ad = admitted.select(col("doc_id"), col("text"))
-    ad.select(md5(col("text")).as("content_hash")).distinct()
-      .write.mode("append").parquet(s"$path/exact")
-    shingledOn(ad)
+    val exact = ad.select(md5(col("text")).as("content_hash")).distinct()
+    val posting = shingledOn(ad)
       .select(col("doc_id"),
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
       .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
       .repartition(col("gb"))
-      .write.mode("append").partitionBy("gb").parquet(s"$path/delta/postings")
+    batchKey match {
+      // batchId-keyed OVERWRITE (the streaming production mode): a
+      // replayed batch rewrites exactly its own partition instead of
+      // double-appending — idempotent under at-least-once delivery
+      case Some(bid) =>
+        exact.write.mode("overwrite").parquet(s"$path/exact_delta/batch=$bid")
+        posting.write.mode("overwrite").partitionBy("gb")
+          .parquet(s"$path/delta/postings/batch=$bid")
+      case None =>
+        exact.write.mode("append").parquet(s"$path/exact")
+        posting.write.mode("append").partitionBy("gb")
+          .parquet(s"$path/delta/postings")
+    }
     if (compact) compactPostingIndex(s, path, maxBucket)
   }
 
@@ -920,11 +963,24 @@ object Dedup {
                           maxBucket: Int = 1000): Unit = {
     val deltaDir = new java.io.File(s"$path/delta/postings")
     if (deltaDir.exists()) {
-      s.read.parquet(deltaDir.getAbsolutePath)
+      val keyed = Option(deltaDir.listFiles()).exists(
+        _.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+      val schema = if (keyed) "doc_id BIGINT, g BIGINT, gb INT, batch BIGINT"
+        else "doc_id BIGINT, g BIGINT, gb INT"
+      s.read.schema(schema).parquet(deltaDir.getAbsolutePath)
+        .select(col("doc_id"), col("g"), col("gb"))
         .repartition(col("gb"))
         .write.mode("append").partitionBy("gb").parquet(s"$path/postings")
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$path/delta"))
+    }
+    val exactDelta = new java.io.File(s"$path/exact_delta")
+    if (exactDelta.exists()) {
+      s.read.schema("content_hash STRING, batch BIGINT")
+        .parquet(exactDelta.getAbsolutePath)
+        .select(col("content_hash")).distinct()
+        .write.mode("append").parquet(s"$path/exact")
+      org.apache.commons.io.FileUtils.deleteDirectory(exactDelta)
     }
     val posting = s.read.parquet(s"$path/postings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1046,11 +1102,15 @@ object Dedup {
     * Inter-drop state lives in the DURABLE index + checkpoint, not in
     * executor memory — the loop survives restart and its state size
     * is disk-bounded, the posture streaming exact-dedup alone
-    * ([[exactDupGroupsStreaming]]) cannot give near-dup. This demo
-    * buffers verdicts on the driver and appends deltas in append-mode
-    * (bounded: one row per batch doc); a production loop writes both
-    * keyed by `batchId` (overwrite-per-batch = idempotent under
-    * at-least-once batch replay). */
+    * ([[exactDupGroupsStreaming]]) cannot give near-dup. Verdicts and
+    * index deltas are both written KEYED BY `batchId` with
+    * overwrite-per-batch, and every verdict computation excludes its
+    * own and later batches' deltas (`excludeBatchFrom`) — a replayed
+    * batch therefore recomputes identical verdicts and rewrites
+    * exactly its own partitions: idempotent under the engine's
+    * at-least-once batch delivery (DedupSpec replays a batch body and
+    * pins both tables unchanged). No driver state anywhere in the
+    * loop — the verdicts table on disk IS the output. */
   def ingestDedupStreaming(s: SparkSession, dir: String,
                            split1: Long = 400L, split2: Long = 450L,
                            threshold: Double = 0.5,
@@ -1087,27 +1147,40 @@ object Dedup {
         StructField("exact_dup", BooleanType),
         StructField("near_dup", BooleanType),
         StructField("admit", BooleanType)))
-      val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val verdictsDir = s"$scratch/verdicts"
       val q = stream.writeStream
         .option("checkpointLocation", s"$scratch/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (drop: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          batchId: Long) =>
           val dropDf = drop.select(col("doc_id"), col("text"))
-          val rows = ingestDedupIndexed(s, idx, dropDf, threshold, maxBucket)
+          // verdict against compacted index + PRIOR batches' deltas
+          // only: a replayed batch must not see its own earlier
+          // (possibly partial) writes
+          ingestDedupIndexed(s, idx, dropDf, threshold, maxBucket,
+              excludeBatchFrom = Some(batchId))
             .withColumn("epoch", lit(batchId + 1L))
             .select(col("doc_id"), col("epoch"), col("exact_dup"),
               col("near_dup"), col("admit"))
-            .collect()
-          buf.synchronized { buf ++= rows }
-          val vdf = s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+            .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+          // admit from the just-written durable snapshot (stable under
+          // the index mutation below), keyed-overwrite into the delta
+          val vdf = s.read.schema(outSchema).parquet(s"$verdictsDir/batch=$batchId")
           appendToPostingIndex(s, admittedBatch(dropDf, vdf), idx, maxBucket,
-            compact = false)
+            compact = false, batchKey = Some(batchId))
           ()
         }
         .start()
       q.awaitTermination()
-      val rows = buf.synchronized { buf.toArray }
+      // The durable batch-partitioned verdicts table IS the loop's
+      // output; the driver row localizes it (bounded: one row per
+      // ingested doc at driver-row scale) only because the scratch
+      // area is reclaimed below — a production deployment reads the
+      // table in place.
+      val rows = s.read.schema(outSchema).parquet(verdictsDir)
+        .select(col("doc_id"), col("epoch"), col("exact_dup"),
+          col("near_dup"), col("admit"))
+        .orderBy(col("doc_id")).collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
         .orderBy(col("doc_id"))
     } finally

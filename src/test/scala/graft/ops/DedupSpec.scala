@@ -149,6 +149,78 @@ class DedupSpec extends AnyFunSuite {
     assert(!new java.io.File(streamPath).exists())
   }
 
+  test("keyed-append batch replay is idempotent: verdicts and index deltas unchanged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val path = new java.io.File(
+      "target/scratch/spec_replay_" + System.nanoTime()).getAbsolutePath
+    val idx = s"$path/index"
+    val vdir = s"$path/verdicts"
+    val vSchema = "doc_id BIGINT, epoch BIGINT, exact_dup BOOLEAN, " +
+      "near_dup BOOLEAN, admit BOOLEAN"
+    Dedup.writePostingIndex(spark, all.filter(col("doc_id") < 400L), idx)
+    // the streaming foreachBatch body, verbatim semantics
+    def runBatch(bid: Long, lo: Long, hi: Long): Unit = {
+      val dropDf = all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("text"))
+      Dedup.ingestDedupIndexed(spark, idx, dropDf,
+          excludeBatchFrom = Some(bid))
+        .withColumn("epoch", lit(bid + 1L))
+        .select(col("doc_id"), col("epoch"), col("exact_dup"),
+          col("near_dup"), col("admit"))
+        .write.mode("overwrite").parquet(s"$vdir/batch=$bid")
+      val vdf = spark.read.schema(vSchema).parquet(s"$vdir/batch=$bid")
+      Dedup.appendToPostingIndex(spark, Dedup.admittedBatch(dropDf, vdf), idx,
+        compact = false, batchKey = Some(bid))
+    }
+    def state() = (
+      spark.read.schema(vSchema).parquet(vdir)
+        .select(col("doc_id"), col("epoch"), col("exact_dup"),
+          col("near_dup"), col("admit"))
+        .orderBy(col("doc_id")).collect().toSeq,
+      spark.read.schema("doc_id BIGINT, g BIGINT, gb INT, batch BIGINT")
+        .parquet(s"$idx/delta/postings")
+        .orderBy(col("doc_id"), col("g")).collect().toSeq,
+      spark.read.schema("content_hash STRING, batch BIGINT")
+        .parquet(s"$idx/exact_delta")
+        .orderBy(col("content_hash")).collect().toSeq)
+    runBatch(0L, 400L, 450L)
+    val after1 = state()
+    runBatch(0L, 400L, 450L) // at-least-once REPLAY of batch 0
+    assert(state() == after1, "replaying batch 0 changed durable state")
+    // the next batch still sees batch 0's admits through the keyed
+    // delta — the whole run equals the serial epoch loop's verdicts
+    runBatch(1L, 450L, Long.MaxValue)
+    val keyed = state()._1.map(r => (r.getLong(0), r.getLong(1),
+      r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    val serialPath = new java.io.File(
+      "target/scratch/spec_replay_serial_" + System.nanoTime()).getAbsolutePath
+    val serial = Dedup.ingestEpochsOn(spark, all, serialPath,
+        split1 = 400L, split2 = 450L, compactPerAppend = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    assert(keyed == serial)
+    // compaction folds the keyed delta AND exact_delta back into the
+    // baseline; the folded index answers like a fresh full build
+    Dedup.compactPostingIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/delta").exists())
+    assert(!new java.io.File(s"$idx/exact_delta").exists())
+    val freshPath = new java.io.File(
+      "target/scratch/spec_replay_fresh_" + System.nanoTime()).getAbsolutePath
+    val admitted = all.filter(col("doc_id") < 400L).select(col("doc_id"), col("text"))
+      .unionByName(Dedup.admittedBatch(all,
+          spark.read.schema(vSchema).parquet(vdir))
+        .select(col("doc_id"), col("text")))
+    Dedup.writePostingIndex(spark, admitted, freshPath)
+    val probe = all.filter(col("doc_id") >= 480L).select(col("doc_id"), col("text"))
+    val viaCompacted = Dedup.ingestDedupIndexed(spark, idx, probe).collect().toSeq
+    val viaFresh = Dedup.ingestDedupIndexed(spark, freshPath, probe).collect().toSeq
+    assert(viaCompacted == viaFresh)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(serialPath))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(freshPath))
+  }
+
   test("an append that admits nothing leaves the index queryable") {
     val all = spark.read.parquet(s"$dir/documents.parquet")
       .select(org.apache.spark.sql.functions.col("doc_id"),
