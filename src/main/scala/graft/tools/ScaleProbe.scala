@@ -31,20 +31,26 @@ object ScaleProbe {
       // batch of exact copies admits nothing (empty append, trivial
       // delta stages) and its near-check pair volume grows x100 on
       // planted pairs (the documented replication artifact) — the
-      // honest 10x model for an INTAKE loop is 10x FRESH crawl
-      // content, i.e. ten disjoint shards of the 1x corpus
-      val bigIngest = "target/scratch/sf1x_ingest"
+      // honest Nx model for an INTAKE loop is Nx FRESH crawl
+      // content, i.e. N disjoint shards of the 1x corpus.
+      // --factor=N (default 10) sets the replication factor — the
+      // round-7 run extends the proven 10x table to 100x.
+      val factor = args.collectFirst {
+        case a if a.startsWith("--factor=") => a.stripPrefix("--factor=").toInt
+      }.getOrElse(10)
+      val bigIngest = s"target/scratch/sf${factor}x_ingest"
       if (!new java.io.File(s"$bigIngest/documents.parquet").exists()) {
         val base = graft.Tables(spark, src, "documents")
           .select(col("doc_id"), col("text"))
-        (0 until 10).map { i =>
+        (0 until factor).map { i =>
           base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
             .withColumn("text", array_join(
               transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))), " "))
         }.reduce(_ unionByName _)
+          .repartition(32)
           .write.mode("overwrite").parquet(s"$bigIngest/documents.parquet")
       }
-      runIngestStages(spark, src, bigIngest)
+      runIngestStages(spark, src, bigIngest, s"${factor}x")
       spark.stop()
       return
     }
@@ -199,7 +205,8 @@ object ScaleProbe {
     * last 10%, then the deferred compaction. The split ids come from
     * exact single-pass quantiles, so the existing/batch proportions
     * are identical at both scales. */
-  private def runIngestStages(spark: SparkSession, src: String, big: String): Unit = {
+  private def runIngestStages(spark: SparkSession, src: String, big: String,
+                              bigTag: String = "10x"): Unit = {
     def stagesAt(dir: String, tag: String): Map[String, Double] = {
       // split on the per-replica id (rid = doc_id mod the replication
       // stride; identity at 1x): id-range splits would make every 10x
@@ -255,8 +262,8 @@ object ScaleProbe {
       ingestStages.map(k => k -> math.min(a(k), b(k))).toMap
     }
     val one = stagesAt(src, "1x")
-    val ten = stagesAt(big, "10x")
-    println("stage,t1x_sec,t10x_sec,ratio")
+    val ten = stagesAt(big, bigTag)
+    println(s"stage,t1x_sec,t${bigTag}_sec,ratio")
     for (st <- ingestStages)
       println(f"INGEST $st,${one(st)}%.2f,${ten(st)}%.2f,${ten(st) / one(st)}%.1f")
   }
