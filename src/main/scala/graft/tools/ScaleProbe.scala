@@ -185,7 +185,12 @@ object ScaleProbe {
       "session_path_topk",       // stacked leads in one user sort + trigram agg
       "daily_value_changepoint", // day-frame prefix sums, fact pays one agg
       "customer_revenue_share",  // fact agg + window over customer frame
-      "hourly_activity_profile") // 24x|types| agg + broadcast totals
+      "hourly_activity_profile", // 24x|types| agg + broadcast totals
+      "returned_item_customers", // Q10: fact agg before broadcast dims, top-20
+      "order_priority_classes",  // Q12: pushed date filter + 2-key agg
+      "nation_market_share",     // Q8: six-way join, all dims broadcast
+      "dedup_span_chars",        // char-gram postings, 2 hash shuffles
+      "daily_value_segments")    // day-frame windows per level, fact pays one agg
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
