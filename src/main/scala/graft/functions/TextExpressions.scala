@@ -1,12 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernels for the text near-dup pipeline. Both take an
   * `array<bigint>` of per-feature hashes (producer: `transform(...,
@@ -216,6 +218,96 @@ case class KgramSpanHashes(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val expr = ctx.addReferenceObj("kgramExpr", this)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunk boundaries + per-chunk hashes of a raw text
+  * column — the Gear/FastCDC rolling-hash family (Xia et al., FAST'16)
+  * at codepoint granularity, for chunk-level storage-style dedup of
+  * shift-edited documents: an insertion early in a document shifts
+  * every fixed-window span but leaves all DOWNSTREAM chunk boundaries
+  * (re-synchronized by content) and therefore their hashes intact —
+  * the failure mode fixed-k span dedup pays a full re-scan for.
+  *
+  * Per codepoint c: `h = (h << 1) + fmix64(c)` (a 64-bit Gear shift
+  * register — contributions older than 64 positions shift out of the
+  * word, so h is implicitly a 64-char sliding window; the fmix64 gear
+  * "table" breaks the linearity a raw codepoint sum would have, the
+  * same lesson as [[M61TokenHashes]]). A boundary falls after c when
+  * the chunk reaches `minLen` and the low `maskBits` bits of h are
+  * zero (expected chunk ≈ 2^maskBits), or unconditionally at `maxLen`
+  * (FastCDC's min/max clamps). Each chunk emits
+  * `struct(h = fmix64(M61 base-32 fold of its codepoints), len)` —
+  * the exact scalar-hash chain of [[graft.OracleSql.m61FmixScalarCtes]],
+  * so the DuckDB oracle reproduces chunk hashes verbatim and hash
+  * collisions cannot diverge the two engines. The final partial chunk
+  * is emitted; boundaries never reset h (pure function of the char
+  * stream — what makes the oracle's per-position window fold exact).
+  *
+  * Returns an empty array for the empty string; codepoints stand in
+  * for UTF-8 bytes (exact for the ASCII testdata payloads — the
+  * established Multimodal/scrub convention). */
+case class CdcChunkHashes(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+  require(maskBits >= 1 && maskBits <= 62, s"maskBits must be in [1, 62], got $maskBits")
+  require(minLen >= 1 && maxLen > minLen, s"need 1 <= minLen < maxLen, got [$minLen, $maxLen]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("len", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def nullSafeEval(a: Any): Any = {
+    import TextExpressions.{fmix64, fold61}
+    val s = a.asInstanceOf[UTF8String].toString
+    val cps = new Array[Int](s.length)
+    var ncp = 0
+    var p = 0
+    while (p < s.length) {
+      val cp = s.codePointAt(p)
+      cps(ncp) = cp
+      ncp += 1
+      p += Character.charCount(cp)
+    }
+    if (ncp == 0) return new GenericArrayData(Array.empty[Any])
+    val mask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(start: Int, len: Int): Unit = {
+      var hh = 0L
+      var j = 0
+      while (j < len) { hh = fold61(hh, 5, cps(start + j).toLong); j += 1 }
+      out += new GenericInternalRow(Array[Any](fmix64(hh), len.toLong))
+    }
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < ncp) {
+      h = (h << 1) + fmix64(cps(i).toLong)
+      val clen = i + 1 - start
+      if ((clen >= minLen && (h & mask) == 0L) || clen >= maxLen) {
+        emit(start, clen)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < ncp) emit(start, ncp - start)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("cdcExpr", this)
     nullSafeCodeGen(ctx, ev, a => {
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $expr.nullSafeEval($a);"
     })
@@ -486,4 +578,6 @@ object textFunctions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), coeffs, p))
   def kgram_span_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(KgramSpanHashes(ColumnBridge.expression(tokens), k))
+  def cdc_chunk_hashes(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column =
+    ColumnBridge.column(CdcChunkHashes(ColumnBridge.expression(text), maskBits, minLen, maxLen))
 }

@@ -1617,7 +1617,18 @@ object Dedup {
     // base-32 M61 fold IS its codepoint), then the same base-8192
     // k-gram chain and interval-union coverage fold as the word row.
     "dedup_span_chars" -> QueryDef((s, d) => charSpanDupStats(s, d),
-      Some(charSpanSql(48))))
+      Some(charSpanSql(48))),
+    // Content-defined chunking (Gear/FastCDC): boundaries re-sync
+    // after insertions, so chunk dedup is shift-robust where fixed
+    // windows are not. Oracle reproduces the gear fold per position
+    // (64-char window — the shift register's implicit horizon), then
+    // walks the min/max-clamped cut sequence as unrolled aggregate
+    // steps (DuckDB 1.0's list_reduce corrupts sequential state
+    // across rows for non-trivial lambdas — measured; and correlated
+    // subqueries inside recursive CTEs silently return NULL, hence
+    // the generated w1..wN chain).
+    "dedup_cdc_chunks" -> QueryDef((s, d) => cdcChunkStats(s, d),
+      Some(cdcChunkSql(6, 16, 256, 2L, 48))))
 
   /** Independent DuckDB reimplementation of [[charSpanDupStatsOn]]:
     * whitespace-stripped char array, per-char hashes as unicode
@@ -1654,6 +1665,150 @@ object Dedup {
        |          ${graft.OracleSql.round("CAST(coalesce(covered, 0) AS DOUBLE) / n_chars", 4)} AS dup_char_frac
        |        FROM bn b LEFT JOIN cov USING (doc_id))
        |SELECT doc_id, n_chars, n_spans, n_dup_spans, dup_char_frac,
+       |       dup_char_frac <= 0.5 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- content-defined chunks
+
+  /** Chunk-level duplicate statistics via content-defined chunking
+    * (the Gear/FastCDC family, Xia et al. FAST'16 — storage dedup's
+    * answer to the shift problem, applied to corpus text): documents
+    * split at content-derived boundaries by the native
+    * [[graft.functions.CdcChunkHashes]] kernel (rolling gear hash,
+    * boundary where the low `maskBits` bits vanish, min/max clamps),
+    * chunks recurring in ≥ `minDocs` DISTINCT documents are shared
+    * content, and each document reports its chunk count, duplicated
+    * chunk count, and the fraction of characters inside duplicated
+    * chunks. Because boundaries re-synchronize with content, an
+    * insertion near the head of a near-copy leaves every downstream
+    * chunk hash intact — the shift-robustness that fixed-k span
+    * windows ([[spanDupStatsOn]]) only recover by hashing EVERY
+    * sliding position (~1 posting per token vs ~1 per 2^maskBits
+    * chars here: CDC trades recall granularity for a 2^maskBits×
+    * smaller posting volume). Chunks are non-overlapping, so coverage
+    * is a plain sum of duplicated-chunk lengths — no interval-union
+    * fold. `keep` gates at ≤ 50% duplicated-character coverage.
+    *
+    * Scale posture: chunks shuffle as 8-byte hashes (~1 per 64 chars
+    * at maskBits = 6), twice (hot-chunk groupBy; per-doc hit groupBy)
+    * — the text never shuffles, and posting volume is an order of
+    * magnitude below the span rows'. Within-doc repeats alone never
+    * mark a chunk duplicated (DISTINCT doc count). Hash collisions
+    * cannot diverge the driver row: the oracle joins on the same
+    * M61+fmix64 chunk hashes. */
+  def cdcChunkStats(s: SparkSession, dir: String, maskBits: Int = 6,
+                    minLen: Int = 16, maxLen: Int = 256,
+                    minDocs: Long = 2L): DataFrame =
+    cdcChunkStatsOn(docs(s, dir), maskBits, minLen, maxLen, minDocs)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def cdcChunkStatsOn(df: DataFrame, maskBits: Int = 6, minLen: Int = 16,
+                      maxLen: Int = 256, minDocs: Long = 2L): DataFrame = {
+    val base = df
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        graft.functions.textFunctions
+          .cdc_chunk_hashes(col("text"), maskBits, minLen, maxLen).as("cs"))
+    val posting = base
+      .select(col("doc_id"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.len").as("ln"))
+      // hot-chunk set and per-doc hits both derive from this frame;
+      // persist so the kernel lineage runs once (cache lifetime:
+      // boundedSharedCounts' contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSet = posting.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val hits = posting.join(dupSet, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_chunks"), sum(col("ln")).as("dup_chars"))
+    base.select(col("doc_id"), col("n_chars"),
+        size(col("cs")).cast("long").as("n_chunks"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_dup_chunks", coalesce(col("n_dup_chunks"), lit(0L)))
+      .withColumn("dup_char_frac",
+        round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 4))
+      .select(col("doc_id"), col("n_chars"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_char_frac"),
+        (col("dup_char_frac") <= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Independent DuckDB reimplementation of [[cdcChunkStatsOn]].
+    *
+    * The gear hash never resets at boundaries, so h at position i is a
+    * pure function of the char stream — and because `h << 1` discards
+    * contributions older than 64 positions, h_i equals a fold over the
+    * trailing 64-char window, computable per position WITHOUT
+    * sequential chunk state (the `cpos` candidate set). The only
+    * sequential part — the min/max-clamped cut walk over candidates —
+    * unrolls as `steps` tiny aggregate CTEs (next cut = min(first
+    * candidate ≥ last+minLen, last+maxLen), emitted while ≤ n), each
+    * MATERIALIZED so the chain plans linearly. `steps` must be ≥ the
+    * max cuts per doc = ceil(maxDocLen / minLen); 48 covers docs to
+    * 768 chars (testdata max is 577).
+    *
+    * Formulations that do NOT work in DuckDB 1.0, found the hard way:
+    * list_reduce with a struct accumulator updates fields in place
+    * (later fields read already-updated earlier ones), a lambda
+    * capturing an outer column inside list_reduce binds it to the
+    * WRONG ROW under vectorization, and a correlated subquery in a
+    * recursive CTE's recursive term silently yields NULL. The shapes
+    * used here — list_filter/list_transform lambdas (captures fine),
+    * scalar-accumulator list_reduce, per-row staged CTEs — are the
+    * proven-safe subset the other oracles already rely on. */
+  private def cdcChunkSql(maskBits: Int, minLen: Int, maxLen: Int,
+                          minDocs: Long, steps: Int): String = {
+    val two64 = graft.OracleSql.two64
+    val walk = (1 to steps).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT w.doc_id, w.n, least(coalesce(min(c.p), w.cut + $maxLen), w.cut + $maxLen) AS cut
+         |  FROM $prev w LEFT JOIN cpos c ON c.doc_id = w.doc_id AND c.p >= w.cut + $minLen
+         |  GROUP BY w.doc_id, w.n, w.cut
+         |  HAVING least(coalesce(min(c.p), w.cut + $maxLen), w.cut + $maxLen) <= w.n)""".stripMargin
+    }.mkString(",\n")
+    val walkUnion = (1 to steps).map(k => s"SELECT doc_id, cut FROM w$k")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text AS w FROM documents
+       |  WHERE text IS NOT NULL AND len(text) >= 1),
+       |chars AS (SELECT doc_id, unnest(range(1, len(w)+1)) AS pos,
+       |            unnest(list_transform(string_split(w, ''), ch -> unicode(ch))) AS cp FROM d),
+       |${graft.OracleSql.fmix64Ctes("chars", "cp", out = "gs", p = "gx")},
+       |glist AS (SELECT doc_id, list(CASE WHEN gs < 0 THEN CAST(gs AS HUGEINT) + $two64
+       |                                   ELSE CAST(gs AS HUGEINT) END ORDER BY pos) AS g
+       |          FROM gx GROUP BY doc_id),
+       |cpos AS MATERIALIZED (SELECT doc_id, unnest(list_filter(range(1, len(g) + 1), i ->
+       |      list_reduce([CAST(0 AS HUGEINT)] || list_slice(g, greatest(1, i - 63), i),
+       |        (a, x) -> (a * 2 + x) % $two64) % ${1L << maskBits} = 0)) AS p
+       |  FROM glist),
+       |w0 AS MATERIALIZED (SELECT doc_id, CAST(len(w) AS BIGINT) AS n, CAST(0 AS BIGINT) AS cut FROM d),
+       |$walk,
+       |cuts AS ($walkUnion),
+       |ends AS (SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n,
+       |    coalesce(list_sort(list(c.cut) FILTER (WHERE c.cut IS NOT NULL)), []) AS cs
+       |  FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id GROUP BY d.doc_id, d.w),
+       |ends2 AS (SELECT doc_id, n,
+       |    CASE WHEN len(cs) > 0 AND cs[-1] = n THEN cs ELSE cs || [n] END AS es FROM ends),
+       |pieces AS (SELECT e.doc_id, e.n,
+       |    unnest(list_transform(range(1, len(es) + 1), j -> struct_pack(
+       |      st := CASE WHEN j = 1 THEN CAST(1 AS BIGINT) ELSE es[j-1] + 1 END,
+       |      en := es[j]))) AS c FROM ends2 e),
+       |chunk AS (SELECT pieces.doc_id, pieces.n, c.en - c.st + 1 AS ln,
+       |       substr(d.w, CAST(c.st AS INTEGER), CAST(c.en - c.st + 1 AS INTEGER)) AS s
+       |  FROM pieces JOIN d ON pieces.doc_id = d.doc_id),
+       |${graft.OracleSql.m61FmixScalarCtes("chunk", "s", out = "h", p = "khc")},
+       |dup AS (SELECT h FROM khc GROUP BY h HAVING count(DISTINCT doc_id) >= $minDocs),
+       |hits AS (SELECT doc_id, count(*) AS n_dup_chunks, CAST(sum(ln) AS BIGINT) AS dup_chars
+       |         FROM khc SEMI JOIN dup USING (h) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, max(n) AS n_chars, count(*) AS n_chunks FROM khc GROUP BY doc_id),
+       |agg AS (SELECT t.doc_id, t.n_chars, t.n_chunks,
+       |          coalesce(hi.n_dup_chunks, 0) AS n_dup_chunks,
+       |          ${graft.OracleSql.round("CAST(coalesce(hi.dup_chars, 0) AS DOUBLE) / t.n_chars", 4)} AS dup_char_frac
+       |        FROM tot t LEFT JOIN hits hi USING (doc_id))
+       |SELECT doc_id, n_chars, n_chunks, n_dup_chunks, dup_char_frac,
        |       dup_char_frac <= 0.5 AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-validation of the approximate dedup operators against the
@@ -618,5 +619,71 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
     assert(got(0L) == ((1.0, false)) && got(1L) == ((1.0, false)))
     assert(got(2L) == ((0.0, true)))
+  }
+
+  /** Deterministic content-varied text (letters from fmix64 of the
+    * index) so gear boundaries actually occur. */
+  private def cdcText(n: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      val h = graft.functions.TextExpressions.fmix64(seed * 1000003L + i)
+      sb.append((('a' + ((h & 0x7fffffffL) % 26)).toChar))
+      i += 1
+    }
+    sb.toString
+  }
+
+  test("cdc chunks: partition invariants (lengths tile the doc, clamps hold)") {
+    import spark.implicits._
+    val t = cdcText(1500, seed = 7L)
+    val rows = Seq((0L, t), (1L, ""), (2L, "x")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.textFunctions
+        .cdc_chunk_hashes(col("text"), 6, 16, 256).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val lens = rows(0L).map(_.getLong(1))
+    assert(lens.sum == 1500, "chunk lengths must tile the document exactly")
+    assert(lens.init.forall(l => l >= 16 && l <= 256),
+      s"every non-final chunk respects [minLen, maxLen]: ${lens.toList}")
+    assert(lens.last <= 256)
+    assert(lens.length > 3, "a 1500-char varied doc should cut several chunks")
+    assert(rows(1L).isEmpty, "empty string chunks to an empty array")
+    assert(rows(2L).map(_.getLong(1)) == Seq(1L), "a 1-char doc is one 1-char chunk")
+  }
+
+  test("cdc chunks: boundaries re-sync after a head insertion (shift robustness)") {
+    import spark.implicits._
+    val t = cdcText(1200, seed = 11L)
+    // docB = docA with 17 chars INSERTED at the head: every fixed-offset
+    // block shifts, but gear boundaries depend only on the trailing
+    // 64 chars, so cuts re-align within ~64+maxLen chars of the edit and
+    // all downstream chunks hash identically
+    val docs = Seq((0L, t), (1L, "INSERTED-PREFIX-" + t), (2L, cdcText(1200, seed = 13L)))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStatsOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(0L)._1 > 0.6, s"original keeps most chunks shared, got ${got(0L)._1}")
+    assert(got(1L)._1 > 0.6, s"shifted copy re-syncs, got ${got(1L)._1}")
+    assert(got(2L)._1 == 0.0, "unrelated doc shares nothing")
+    assert(!got(0L)._2 && !got(1L)._2 && got(2L)._2)
+  }
+
+  test("cdc chunks: within-doc repeats alone never mark duplication") {
+    import spark.implicits._
+    val phrase = cdcText(300, seed = 3L)
+    val docs = Seq((0L, phrase + phrase + phrase), (1L, cdcText(600, seed = 5L)))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStatsOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(0L) == 0L, "repeated chunks inside ONE doc are not cross-doc dups")
+  }
+
+  test("cdc chunks: exact duplicate docs are fully covered") {
+    import spark.implicits._
+    val t = cdcText(800, seed = 21L)
+    val docs = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStatsOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(0L) == ((1.0, false)) && got(1L) == ((1.0, false)))
   }
 }
