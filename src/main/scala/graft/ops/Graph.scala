@@ -173,6 +173,88 @@ object Graph {
       .select(col("s_suppkey"), col("s_name"), col("pagerank"))
       .orderBy(col("s_suppkey"))
 
+  /** Global triangle census of an undirected graph given as unique
+    * `(u, v)` edges with `u < v`: node/edge/wedge/triangle counts and
+    * the transitivity ratio 3·triangles / wedges (the fraction of
+    * open two-paths that close — the global clustering coefficient).
+    *
+    * Counting uses DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii,
+    * WWW'11 — "the curse of the last reducer"): orient every edge from
+    * its lower endpoint to its higher endpoint in the total order
+    * π = (degree, id), enumerate wedges only from each node's
+    * OUT-neighbors, and close them against the oriented edge set. Every
+    * triangle has exactly one π-minimal vertex, so it is counted
+    * exactly once, and out-degrees are O(√m) regardless of hub size —
+    * a star node of degree 10⁶ generates ZERO wedges from its center
+    * (all its edges point INTO it... outward in π... so the quadratic
+    * Σdeg² blowup of naive wedge enumeration never happens; the hub's
+    * wedges are charged to its low-degree neighbors instead). The
+    * oracle is the independent naive formulation — a 3-way self-join
+    * on a < b < c — which is safe at oracle scale and shares no code
+    * with the oriented plan.
+    *
+    * Scale posture: the edge list shuffles twice (wedge self-join on
+    * the oriented source; wedge-closure equi-join on (a, b)); wedge
+    * volume is bounded by Σ outdeg² ≤ O(m^1.5) by the orientation.
+    * Degrees are node-cardinality-sized and broadcast. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient by (deg, id): src = the π-smaller endpoint; carry the
+    // dst's π key for the wedge ordering below. deg is dim-sized —
+    // broadcast both enrichment joins.
+    val du = deg.select(col("node").as("u"), col("d").as("du"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+    val oriented = e
+      .join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.dd").as("dd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
+    val y = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val wedges = x.join(y, Seq("src"))
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+    // inner join, NOT semi: different sources produce the same (a, b)
+    // wedge and each closes its own triangle; closure edges are unique
+    // so the join multiplicity is exactly the wedge multiplicity
+    val closure = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val tri = wedges.join(closure, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    nn.crossJoin(ne).crossJoin(nw).crossJoin(tri)
+      .withColumn("transitivity",
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
+          .otherwise(lit(0.0)))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("transitivity"))
+  }
+
+  /** Driver row: triangle census of the supplier co-occurrence graph —
+    * suppliers are adjacent when they ship lines of the SAME order.
+    * Pair enumeration is per-order and order sizes are bounded by the
+    * data model (≤ lines per order), so the edge derivation is a
+    * per-group quadratic over tiny groups, never a global one. */
+  def supplierTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+    triangleStats(edges)
+  }
+
   /** Ranks sit around 1/N — sub-unit, so every oracle round here uses
     * the scale-28 staging variant (see [[OracleSql.roundDecSub]]; the
     * double-rounding flip was first observed on THIS query). */
@@ -216,6 +298,28 @@ object Graph {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    // Oracle = the independent NAIVE triangle formulation (3-way
+    // self-join on a < b < c) — fine at oracle scale, and agreeing
+    // with the oriented plan is exactly the check.
+    "supplier_triangles" -> QueryDef(supplierTriangles, Some(
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+         |deg AS (SELECT node, count(*) AS d FROM
+         |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
+         |tri AS (SELECT count(*) AS t FROM e e1
+         |  JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |agg AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |  (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |       THEN ${OracleSql.round("3.0 * n_triangles / n_wedges", 4)}
+         |       ELSE 0.0 END AS transitivity
+         |FROM agg""".stripMargin)),
     "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))),
     "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
       """WITH RECURSIVE eo AS (

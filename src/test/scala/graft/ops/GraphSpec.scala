@@ -93,4 +93,49 @@ class GraphSpec extends AnyFunSuite {
     // spokes 1 and 2 share the extra edge and must outrank 3..6
     assert((3L to 6L).forall(i => ranks(i) < ranks(1L) && ranks(i) < ranks(2L)))
   }
+
+  private def triRow(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+    import spark.implicits._
+    val r = Graph.triangleStats(edges.toDF("u", "v")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("triangle census: K4 is fully transitive") {
+    // complete graph on 4 nodes: C(4,3)=4 triangles, 6 edges, every
+    // node's wedge count C(3,2)=3 → 12 wedges, transitivity 3*4/12 = 1
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    assert(triRow(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangle census: a star closes nothing") {
+    // hub 0 with 5 spokes: wedges C(5,2)=10 at the hub, zero triangles.
+    // Also the orientation stress case: the hub is π-maximal, so wedge
+    // enumeration from out-neighbors must generate NO candidate pairs
+    // at the hub itself.
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(triRow(star) == ((6L, 5L, 10L, 0L, 0.0)))
+  }
+
+  test("triangle census: one closed plus one open wedge") {
+    // triangle 0-1-2 plus pendant 2-3: 1 triangle; degrees 2,2,3,1 →
+    // wedges 1+1+3+0 = 5; transitivity 3/5 = 0.6
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    assert(triRow(g) == ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("oriented triangle count agrees with a naive count on real co-occurrence") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val e = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      .persist()
+    val fast = Graph.triangleStats(e).collect().head.getLong(3)
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a"), col("v").as("c"))
+    val naive = e1.join(e2, "b").join(e3, Seq("a", "c")).count()
+    e.unpersist(blocking = false)
+    assert(fast == naive && fast > 0, s"fast=$fast naive=$naive")
+  }
 }
