@@ -158,7 +158,63 @@ object Curation {
 
   // ------------------------------------------------------------ registry
 
+  // ------------------------------------------------------------ novelty
+
+  /** Per-document novelty against everything ingested BEFORE it
+    * (doc_id as ingestion order — the crawl-cursor model the ingest
+    * loop already uses): the fraction of a document's word-3-gram
+    * shingles whose corpus-wide FIRST occurrence is an earlier
+    * document. Novelty ≈ marginal information: a curation policy
+    * ranks fresh intake by it (near-1 = new content, near-0 = seen it
+    * all before), a softer signal than the binary near-dup verdict and
+    * cheaper than pairwise scoring — no pair enumeration at all.
+    * Shingles ride the SAME native kernel chain as the Jaccard family
+    * ([[Dedup.shingledOn]] + M61+fmix64 hashes), so the oracle
+    * reproduces hashes verbatim and collisions cannot diverge engines.
+    *
+    * Scale posture: one posting frame (8-byte hashes, never text)
+    * shuffled for the per-gram min-doc aggregate, re-joined on the
+    * same key (exchange reuse), then one per-doc aggregate — three
+    * shuffles, all on hashes, no quadratic stage anywhere. */
+  def docNovelty(s: SparkSession, dir: String): DataFrame =
+    docNoveltyOn(docs(s, dir))
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def docNoveltyOn(df: DataFrame): DataFrame = {
+    val posting = Dedup.shingledOn(df)
+      .select(col("doc_id"),
+        explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+      // first-seen set and per-doc scoring both read this frame;
+      // persist so the shingling kernel lineage runs once (cache
+      // lifetime: Dedup.boundedSharedCounts' contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = posting.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    posting.join(firstSeen, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty_frac",
+        round(lit(1.0) - col("n_seen_before") / col("n_shingles"), 4))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+        col("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // Novelty oracle rides the shared shingle-hash CTE chain (th),
+    // then an independent min-doc-per-gram formulation.
+    "doc_novelty" -> QueryDef((s, d) => docNovelty(s, d), Some(
+      s"""WITH ${Dedup.shingleHashCtesFrom("documents")},
+         |sp AS (SELECT doc_id, unnest(th) AS g FROM th),
+         |fs AS (SELECT g, min(doc_id) AS first_doc FROM sp GROUP BY g),
+         |agg AS (SELECT sp.doc_id, count(*) AS n_shingles,
+         |          CAST(sum(CASE WHEN fs.first_doc < sp.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_seen_before
+         |        FROM sp JOIN fs USING (g) GROUP BY sp.doc_id)
+         |SELECT doc_id, n_shingles, n_seen_before,
+         |  ${OracleSql.round("1.0 - CAST(n_seen_before AS DOUBLE) / n_shingles", 4)} AS novelty_frac
+         |FROM agg ORDER BY doc_id""".stripMargin)),
     "source_mixture" -> QueryDef((s, d) => sourceMixture(s, d), Some(
       s"""WITH t AS (SELECT count(*) AS total FROM documents)
          |SELECT source, lang, count(*) AS n_docs,

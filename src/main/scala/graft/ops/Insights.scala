@@ -147,6 +147,50 @@ object Insights {
       .orderBy(col("event_id"))
   }
 
+  /** Robust per-type outlier profile via median/MAD — the
+    * heavy-tail-safe sibling of [[valueOutliers]]: mean/std are
+    * themselves dragged by the outliers they hunt, so robust pipelines
+    * score |value − median| against 1.4826·MAD (the normal-consistent
+    * robust z, computed here as 0.6745·dev/MAD) and flag |rz| > 3.5
+    * (Iglewicz–Hoaglin's modified z-score cut). Surfaced per event
+    * type: count, the two robust location/scale estimates, the outlier
+    * count and the largest robust z.
+    *
+    * Cross-engine determinism: both medians ride the interpolated
+    * exact percentile (engine equality at 4dp established by the
+    * `value_percentiles` row), each ROUNDED to 4dp before any derived
+    * arithmetic, and the robust z is one fixed IEEE expression over
+    * those rounded inputs, re-rounded at 4dp before the 3.5 compare —
+    * the `value_quartile_assign` threshold recipe. Zero MAD (>50%
+    * identical values) disables scoring for the type on both engines.
+    *
+    * Plan: two aggregates over the events scan (median, then MAD of
+    * deviations) with the per-type frames broadcast back — no window,
+    * no per-row state. Exact medians sort within each type; the
+    * percentile_approx sketch is the documented 100 TB substitution,
+    * same as the exact percentile rows. */
+  def valueMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val v = events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = v.groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, 0.5D)").as("m"))
+      .select(col("et"), round(col("m"), 4).as("med"))
+    val withMed = v.join(broadcast(med), col("event_type") === col("et")).drop("et")
+    val mad = withMed.groupBy(col("event_type").as("et2"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("m"))
+      .select(col("et2"), round(col("m"), 4).as("mad"))
+    withMed.join(broadcast(mad), col("event_type") === col("et2")).drop("et2")
+      .withColumn("rz4",
+        when(col("mad") > 0,
+          round(abs((col("value") - col("med")) * 0.6745 / col("mad")), 4)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("rz4") > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        coalesce(max(col("rz4")), lit(0.0)).as("max_abs_rz"))
+      .orderBy(col("event_type"))
+  }
+
   /** Time-series regularization: per user, a COMPLETE daily grid over
     * their active span with gap days carried forward from the last
     * observed day (the resample + forward-fill every metrics store
@@ -536,5 +580,23 @@ object Insights {
          |  ${OracleSql.round("(CAST(v AS DOUBLE) - mean) / std", 4)} AS z
          |FROM e JOIN f ON e.user_id = f.user_id
          |WHERE abs((CAST(v AS DOUBLE) - mean) / std) >= 2.0
-         |ORDER BY event_id""".stripMargin)))
+         |ORDER BY event_id""".stripMargin)),
+    "value_mad_outliers" -> QueryDef(valueMadOutliers, Some(
+      s"""WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |med AS (SELECT event_type AS et,
+         |          ${OracleSql.round("quantile_cont(value, 0.5)", 4)} AS med
+         |        FROM v GROUP BY 1),
+         |wm AS (SELECT event_type, value, med FROM v JOIN med ON event_type = et),
+         |mad AS (SELECT event_type AS et2,
+         |          ${OracleSql.round("quantile_cont(abs(value - med), 0.5)", 4)} AS mad
+         |        FROM wm GROUP BY 1),
+         |sc AS (SELECT wm.event_type, wm.value, wm.med, mad.mad,
+         |         CASE WHEN mad.mad > 0
+         |              THEN ${OracleSql.round("abs((wm.value - wm.med) * 0.6745 / mad.mad)", 4)}
+         |         END AS rz4
+         |       FROM wm JOIN mad ON wm.event_type = mad.et2)
+         |SELECT event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+         |  CAST(sum(CASE WHEN rz4 > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  coalesce(max(rz4), 0.0) AS max_abs_rz
+         |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin)))
 }

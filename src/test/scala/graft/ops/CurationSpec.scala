@@ -93,4 +93,19 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(row.getAs[Double]("sim") - 1.0) < 1e-6)
     }
   }
+
+  test("novelty: first sighting is novel, copies are not, order matters") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    // doc 0 first, doc 1 its exact copy, doc 2 fresh, doc 3 = half a / half b
+    val docs = Seq((0L, a), (1L, a), (2L, b), (3L, a.split(" ").take(16).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.docNoveltyOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(0L) == 1.0, "the FIRST copy is fully novel — order is the semantics")
+    assert(got(1L) == 0.0, "an exact copy of an earlier doc has zero novelty")
+    assert(got(2L) == 1.0, "unrelated content is fully novel")
+    assert(got(3L) == 0.0, "a pure excerpt of an earlier doc has zero novelty")
+  }
 }

@@ -183,4 +183,27 @@ class InsightsSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq == Seq((10L, 1L, 40.0, expZ)))
   }
+
+  test("MAD outliers: robust z flags the gross value, zero MAD disables") {
+    // "click": values 1..9 plus 1000 → median 5.5, deviations sorted
+    //   0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → MAD 2.5;
+    //   rz(1000) = 0.6745*994.5/2.5 ≈ 268.3 flagged, rz(1) ≈ 1.21 not.
+    //   Note the 1000 barely moves the median/MAD — the robustness the
+    //   mean/std row lacks (the same row shifts ITS mean by ~100).
+    // "buy": two identical values → MAD 0 → scoring disabled.
+    val click = (1 to 9).map(i =>
+      (i.toLong, f"2024-01-01 00:00:$i%02d", 1L, "click", i.toDouble))
+    val dir = eventsDir(click ++ Seq(
+      (10L, "2024-01-01 00:01:00", 2L, "click", 1000.0),
+      (20L, "2024-01-01 00:02:00", 3L, "buy", 5.0),
+      (21L, "2024-01-01 00:02:01", 3L, "buy", 5.0)))
+    val got = Insights.valueMadOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val expMax = BigDecimal.decimal(994.5 * 0.6745 / 2.5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("buy", 2L, 5.0, 0.0, 0L, 0.0),
+      ("click", 10L, 5.5, 2.5, 1L, expMax)), s"${got.toSeq}")
+  }
 }
