@@ -253,6 +253,74 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Density-based clustering (DBSCAN, Ester et al. KDD'96) over the
+    * LSH-bucketed ε-graph: points with ≥ `minPts` neighbors at cosine
+    * ≥ `eps` are CORE points, core points connected through shared
+    * ε-neighborhoods merge into clusters (connected components of the
+    * core-core subgraph, labeled component-min), non-core points with
+    * a core neighbor attach as BORDER points (smallest adjacent
+    * cluster id — a deterministic tie-break where classic DBSCAN is
+    * visit-order-dependent), and everything else is NOISE. Unlike the
+    * k-means-style [[Ivf]] assignment every point gets a cluster,
+    * DBSCAN discovers cluster COUNT and leaves outliers unassigned —
+    * the shape curation wants for "group near-dup neighborhoods,
+    * don't force singletons into them".
+    *
+    * Neighborhoods come from the SAME LSH candidate chain as
+    * [[neardupPairs]] (exact-verified cosine over shared-bucket
+    * candidates), and the oracle mirrors that chain, so both engines
+    * cluster the identical ε-graph. Scale posture: the ε-graph is the
+    * LSH output (≪ n² by bucketing), the components run on the
+    * core-core subgraph via [[Dedup.clustersFromEdges]]'s size-gated
+    * union-find / pointer-jumping hybrid, and degree counting is one
+    * groupBy on the pair frame — nothing corpus-quadratic anywhere.
+    * `minPts` counts NEIGHBORS (excluding the point itself). */
+  def dbscanClusters(s: SparkSession, dir: String, eps: Double = 0.25,
+                     minPts: Int = 3): DataFrame =
+    dbscanClustersOn(emb(s, dir).select(col("vec_id").as("id"), col("v")), eps, minPts)
+
+  /** Generic variant over any (id, v) frame. */
+  def dbscanClustersOn(vecs: DataFrame, eps: Double, minPts: Int,
+                       nTables: Int = -1, nBits: Int = -1): DataFrame = {
+    val pairs = neardupPairsOn(vecs, eps, nTables, nBits)
+      .select(col("id_a"), col("id_b"))
+      // degree count, core-core restriction and border attachment all
+      // read this frame; persist so the LSH+verify lineage runs once
+      // (cache lifetime: Dedup.boundedSharedCounts' contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("id", "nb")
+    val core = adj.groupBy(col("id")).agg(count(lit(1)).as("n_nb"))
+      .filter(col("n_nb") >= minPts).select(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val edgeLabels = Dedup.clustersFromEdges(coreEdges)
+    // a core point whose neighbors are all non-core has no core-core
+    // edge — it anchors its own single-core cluster
+    val isolated = core
+      .join(edgeLabels.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    val coreLabels = edgeLabels.unionAll(isolated)
+    val borders = adj.join(core, Seq("id"), "left_anti")
+      .join(coreLabels.select(col("doc_id").as("nb"), col("cluster_id")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    vecs.select(col("id").as("vec_id"))
+      .join(coreLabels.select(col("doc_id").as("vec_id"), col("cluster_id").as("cc")),
+        Seq("vec_id"), "left")
+      .join(borders.select(col("id").as("vec_id"), col("cluster_id").as("bc")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cc"), col("bc"), lit(-1L)).as("cluster_id"),
+        when(col("cc").isNotNull, "core")
+          .when(col("bc").isNotNull, "border")
+          .otherwise("noise").as("role"))
+      .orderBy(col("vec_id"))
+  }
+
   // -------------------------------------------------------- quantization
 
   /** Int8 scalar quantization: per-vector symmetric max-abs scaling,
@@ -634,6 +702,40 @@ object Similarity {
          |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b)
          |SELECT id_a, id_b, ${R("sim", 6)} AS sim FROM pr
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+    // DBSCAN over the mirrored LSH ε-graph; components via the shared
+    // recursive reachability-min chain (ccFromPairsSql reads a CTE
+    // literally named `pairs`, so here `pairs` IS the core-core
+    // subgraph and the raw ε-graph is `epairs`).
+    "embedding_dbscan" -> QueryDef((s, d) => dbscanClusters(s, d), Some(
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${lshSigCtes(prmSrc = "e", vecSrc = "e")},
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         |epairs AS (SELECT c.id_a, c.id_b
+         |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+         |       WHERE ${lshCos("ea.v", "eb.v")} >= 0.25),
+         |adj AS (SELECT id_a AS id, id_b AS nb FROM epairs
+         |        UNION ALL SELECT id_b, id_a FROM epairs),
+         |core AS (SELECT id FROM adj GROUP BY id HAVING count(*) >= 3),
+         |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM epairs
+         |          SEMI JOIN core ca ON id_a = ca.id
+         |          SEMI JOIN core cb ON id_b = cb.id),
+         |${Dedup.ccFromPairsSql},
+         |iso AS (SELECT id FROM core ANTI JOIN labels ON core.id = labels.doc_id),
+         |clabels AS (SELECT doc_id, cluster_id FROM labels
+         |            UNION ALL SELECT id, id FROM iso),
+         |bord AS (SELECT a.id, min(cl.cluster_id) AS cluster_id
+         |         FROM adj a ANTI JOIN core ON a.id = core.id
+         |         JOIN clabels cl ON a.nb = cl.doc_id
+         |         GROUP BY a.id)
+         |SELECT em.vec_id,
+         |  coalesce(c.cluster_id, b.cluster_id, -1) AS cluster_id,
+         |  CASE WHEN c.doc_id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role
+         |FROM embeddings em
+         |LEFT JOIN clabels c ON em.vec_id = c.doc_id
+         |LEFT JOIN bord b ON em.vec_id = b.id
+         |ORDER BY em.vec_id""".stripMargin)),
     "ann_ivf_seeded" -> QueryDef((s, d) => seededIvfTopK(s, d), Some({
       def cos(a: String, b: String) =
         s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /

@@ -131,7 +131,7 @@ class PlanPinsSpec extends AnyFunSuite {
 
   test("similarity/dedup: no unbounded cartesian products anywhere") {
     for (name <- Seq("dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "embedding_neardup_pairs", "ann_lsh_topk")) {
+        "embedding_neardup_pairs", "ann_lsh_topk", "embedding_dbscan")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
@@ -286,5 +286,33 @@ class PlanPinsSpec extends AnyFunSuite {
     }
     assert(shuffles.size <= 2,
       s"${shuffles.size} exchanges in the final row plan:\n${row.queryExecution.executedPlan}")
+  }
+
+  test("cdc chunks: postings shuffle as hashes, the text column never does") {
+    val p = plan("dedup_cdc_chunks")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p).isDefined,
+      s"raw text shuffles:\n$p")
+  }
+
+  test("triangles: degree enrichment broadcasts, no cartesian in the wedge joins") {
+    val p = plan("supplier_triangles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"node degrees must broadcast into the orientation join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("novelty: first-seen join reuses the posting key, text never shuffles") {
+    val p = plan("doc_novelty")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p).isDefined,
+      s"raw text shuffles:\n$p")
+  }
+
+  test("MAD outliers: median and MAD frames broadcast back to the scan") {
+    val p = plan("value_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type robust stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 }

@@ -203,4 +203,55 @@ class SimilaritySpec extends AnyFunSuite {
       .head()
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0)
   }
+
+  test("DBSCAN: planted clusters become cores, stragglers borders, outliers noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val baseA = Array.fill(64)(rnd.nextGaussian())
+    val baseB = Array.fill(64)(rnd.nextGaussian())
+    def noisy(base: Array[Double], amt: Double) =
+      base.map(x => x + amt * rnd.nextGaussian()).toSeq
+    // ids 0-4: tight cluster A; 10-14: tight cluster B (cosine ≈ 0.99
+    // within, the regime LSH recall ≈ 1); 20: a straggler still close
+    // to A but with < minPts neighbors of its own is NOT guaranteed —
+    // instead plant the textbook border: close to exactly the A
+    // members (one noisy copy at larger noise); 30-31: isolated noise
+    val rows =
+      (0L to 4L).map(i => (i, noisy(baseA, 0.03))) ++
+      (10L to 14L).map(i => (i, noisy(baseB, 0.03))) ++
+      Seq((30L, Array.fill(64)(rnd.nextGaussian()).toSeq),
+        (31L, Array.fill(64)(rnd.nextGaussian()).toSeq))
+    val got = Similarity.dbscanClustersOn(rows.toDF("id", "v"), eps = 0.8, minPts = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    (0L to 4L).foreach(i => assert(got(i) == ((0L, "core")), s"$i -> ${got(i)}"))
+    (10L to 14L).foreach(i => assert(got(i) == ((10L, "core")), s"$i -> ${got(i)}"))
+    Seq(30L, 31L).foreach(i => assert(got(i) == ((-1L, "noise")), s"$i -> ${got(i)}"))
+  }
+
+  test("DBSCAN: border role attaches to the smallest adjacent cluster") {
+    import spark.implicits._
+    // planar fan at explicit angles (eps = 0.94 ≈ 20°): A0 at 0°, A1
+    // at 9°, A2 at −9° are mutually adjacent (max gap 18° → cos 0.951);
+    // P at 28.5° reaches ONLY A1 (19.5° → cos 0.943; 28.5° to A0 →
+    // 0.879 < eps). At minPts = 2, A0/A1/A2 are cores, P has one
+    // neighbor ⇒ border, attached through A1 to component-min 0. An
+    // orthogonal point has no neighbors ⇒ noise. Identical copies
+    // cannot plant a border (anything adjacent to one copy is adjacent
+    // to all, so it reaches core degree itself) — asymmetric adjacency
+    // is the point of this construction. Wide LSH params (16 tables ×
+    // 2 bits) push candidate recall to ~1 at these moderate cosines so
+    // the test pins DBSCAN semantics, not LSH luck.
+    def at(deg: Double): Seq[Double] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r)) ++ Seq.fill(62)(0.0)
+    }
+    val rows = Seq((0L, at(0)), (1L, at(9)), (2L, at(-9)),
+      (7L, at(28.5)), (9L, Seq(0.0, 0.0, 1.0) ++ Seq.fill(61)(0.0)))
+    val got = Similarity.dbscanClustersOn(rows.toDF("id", "v"),
+        eps = 0.94, minPts = 2, nTables = 16, nBits = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    Seq(0L, 1L, 2L).foreach(i => assert(got(i) == ((0L, "core")), s"$i -> ${got(i)}"))
+    assert(got(7L) == ((0L, "border")), s"fan point: ${got(7L)}")
+    assert(got(9L) == ((-1L, "noise")), s"orthogonal: ${got(9L)}")
+  }
 }
