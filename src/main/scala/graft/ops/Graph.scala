@@ -227,10 +227,12 @@ object Graph {
     val closure = oriented.select(col("src").as("a"), col("dst").as("b"))
     val tri = wedges.join(closure, Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
+    // singleton frames: broadcast explicitly so the combine is a BNLJ
+    // by construction, independent of session autoBroadcast settings
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     val nw = deg.agg(sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
-    nn.crossJoin(ne).crossJoin(nw).crossJoin(tri)
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(nw)).crossJoin(broadcast(tri))
       .withColumn("transitivity",
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))

@@ -253,6 +253,59 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Contrastive training-pair mining over the labeled embedding
+    * corpus: for each query vector, the HARD NEGATIVE (most-similar
+    * corpus vector with a DIFFERENT label — the confusable impostor a
+    * contrastive loss learns the most from) and the HARD POSITIVE
+    * (least-similar corpus vector with the SAME label — the
+    * within-class straggler that still must map close). The standard
+    * mining step for embedding-model fine-tuning (triplet/InfoNCE
+    * batches are built from exactly these).
+    *
+    * Same protocol as [[bruteForceTopK]]: bounded query set broadcast,
+    * ONE scoring pass over the corpus, then two per-query argmin/argmax
+    * windows over the scored pairs (ties broken by neighbor id — the
+    * raw IEEE sims are bit-identical cross-engine, so the selection
+    * is too). Scale: |corpus|·|Q| scored rows shuffle into the
+    * per-query windows; the corpus itself never self-joins. */
+  def contrastivePairs(s: SparkSession, dir: String,
+                       nQueries: Int = 20): DataFrame =
+    contrastivePairsOn(emb(s, dir), nQueries)
+
+  /** Generic variant over any (vec_id, label, v) frame. */
+  def contrastivePairsOn(e: DataFrame, nQueries: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("v").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("sim"))
+      // both the negative and the positive window read this frame;
+      // persist so the scoring pass runs once (cache lifetime:
+      // Dedup.boundedSharedCounts' contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val posW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim"), col("neighbor_id"))
+    val hardNeg = scored.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(negW)).filter(col("rnk") === 1)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("neighbor_id").as("hard_neg_id"), round(col("sim"), 6).as("hard_neg_sim"))
+    val hardPos = scored.filter(col("n_label") === col("q_label"))
+      .withColumn("rnk", row_number().over(posW)).filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("hard_pos_id"),
+        round(col("sim"), 6).as("hard_pos_sim"))
+    hardNeg.join(hardPos, Seq("query_id"))
+      .select(col("query_id"), col("label"), col("hard_neg_id"),
+        col("hard_neg_sim"), col("hard_pos_id"), col("hard_pos_sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** Density-based clustering (DBSCAN, Ester et al. KDD'96) over the
     * LSH-bucketed ε-graph: points with ≥ `minPts` neighbors at cosine
     * ≥ `eps` are CORE points, core points connected through shared
@@ -702,6 +755,23 @@ object Similarity {
          |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b)
          |SELECT id_a, id_b, ${R("sim", 6)} AS sim FROM pr
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+    "contrastive_pairs" -> QueryDef((s, d) => contrastivePairs(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS q_label, v FROM e WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, label AS n_label, v FROM e WHERE vec_id >= 20),
+         |sc AS (SELECT q.query_id, q.q_label, c.neighbor_id, c.n_label,
+         |         ${cosSqlFor("q", "c")} AS sim
+         |       FROM c CROSS JOIN q),
+         |neg AS (SELECT query_id, q_label AS label, neighbor_id AS hard_neg_id, sim,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS r
+         |        FROM sc WHERE n_label <> q_label),
+         |pos AS (SELECT query_id, neighbor_id AS hard_pos_id, sim,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY sim, neighbor_id) AS r
+         |        FROM sc WHERE n_label = q_label)
+         |SELECT n.query_id, n.label, n.hard_neg_id, ${R("n.sim", 6)} AS hard_neg_sim,
+         |       p.hard_pos_id, ${R("p.sim", 6)} AS hard_pos_sim
+         |FROM neg n JOIN pos p ON n.query_id = p.query_id AND n.r = 1 AND p.r = 1
+         |ORDER BY n.query_id""".stripMargin)),
     // DBSCAN over the mirrored LSH ε-graph; components via the shared
     // recursive reachability-min chain (ccFromPairsSql reads a CTE
     // literally named `pairs`, so here `pairs` IS the core-core

@@ -452,6 +452,124 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("a"), col("b"))
       .limit(32)
 
+  /** Iterative BPE merge LEARNING (Sennrich et al. 2016) — the actual
+    * training loop, where [[bpeMergePairs]] is only its first
+    * statistic: `steps` rounds of (count adjacent symbol pairs across
+    * the frequency-weighted word vocabulary) → (pick the most frequent
+    * pair, ties broken lexicographically) → (merge every left-greedy
+    * occurrence into one symbol) → repeat on the merged vocabulary.
+    * Returns the learned merge table: (step, left_sym, right_sym,
+    * pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale posture — the reason distributed BPE trainers exist: the
+    * corpus is scanned ONCE (word-frequency groupBy); every iterative
+    * round then runs on the VOCABULARY frame (types × freq, orders of
+    * magnitude smaller than the corpus), so 100 TB of text costs one
+    * shuffle plus `steps` vocab-sized aggregates. The per-round argmax
+    * is a 1-row bounded collect (the merge pair must become a literal
+    * in the next round's plan — the pageRank-style fixed-iteration
+    * driver loop).
+    *
+    * Merge application is the left-greedy scan of the reference BPE
+    * implementations, expressed as an order-preserving array fold
+    * (merge when the accumulator's last symbol is `left` and the
+    * current is `right` — for distinct pairs every occurrence merges;
+    * for a self-pair like (a,a) on "aaaa" it takes positions 1,3 —
+    * spec-pinned). The oracle applies the SAME rule positionally
+    * (occurrence runs via gaps-and-islands, odd positions within each
+    * run), a deliberately independent formulation. */
+  def bpeLearnMerges(s: SparkSession, dir: String, steps: Int = 6): DataFrame =
+    bpeLearnMergesOn(docs(s, dir), steps)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def bpeLearnMergesOn(df: DataFrame, steps: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val words = df.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var prev = words
+      .select(col("w"), col("freq"), split(col("w"), "").as("sy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to steps) {
+      val top = prev
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"vocabulary exhausted after ${r - 1} merges; lower steps=$steps")
+      val (ma, mb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, ma, mb, cnt))
+      val mergedSy = aggregate(col("sy"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(ma) && x === lit(mb),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(ma + mb))))
+            .otherwise(concat(acc, array(x))))
+      val step = prev.select(col("w"), col("freq"), mergedSy.as("sy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      step.count()
+      prev.unpersist(blocking = false)
+      prev = step
+    }
+    prev.unpersist(blocking = false)
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** Independent DuckDB reimplementation of [[bpeLearnMergesOn]]: one
+    * CTE block per round — weighted pair counts and the argmax
+    * (m\$r), occurrence flags via lead() per word, LEFT-GREEDY
+    * selection as gaps-and-islands (consecutive occurrence runs; odd
+    * rank within each run — equivalent to the engine's fold: distinct
+    * pairs occur ≥ 2 apart so every occurrence is its own run, and a
+    * self-pair's run takes alternate positions), then the merged
+    * vocabulary rebuilt with an ORDER BY p list aggregate, dropping
+    * absorbed positions. Every s\$r/m\$r is MATERIALIZED — each is
+    * referenced several times and inlining would re-run the whole
+    * prefix per reference. */
+  private def bpeLearnSql(steps: Int): String = {
+    val rounds = (1 to steps).map { r =>
+      val pv = s"s${r - 1}"
+      s"""p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, freq
+         |  FROM (SELECT sy, freq, unnest(range(1, len(sy))) AS i FROM $pv WHERE len(sy) >= 2)),
+         |m$r AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM p$r GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         |e$r AS (SELECT w, freq, unnest(range(1, len(sy) + 1)) AS p, unnest(sy) AS s FROM $pv),
+         |o$r AS (SELECT e.w, e.freq, e.p, e.s, m.a AS ma, m.b AS mb,
+         |          coalesce(e.s = m.a AND lead(e.s) OVER (PARTITION BY e.w ORDER BY e.p) = m.b, FALSE) AS occ
+         |        FROM e$r e CROSS JOIN m$r m),
+         |oc$r AS (SELECT w, p, p - row_number() OVER (PARTITION BY w ORDER BY p) AS rid
+         |         FROM o$r WHERE occ),
+         |ap$r AS (SELECT w, p FROM (
+         |           SELECT w, p, row_number() OVER (PARTITION BY w, rid ORDER BY p) AS k FROM oc$r)
+         |         WHERE k % 2 = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT o.w, o.freq,
+         |    list(CASE WHEN ap.p IS NOT NULL THEN o.ma || o.mb ELSE o.s END ORDER BY o.p) AS sy
+         |  FROM o$r o
+         |  LEFT JOIN ap$r ap ON o.w = ap.w AND o.p = ap.p
+         |  LEFT JOIN ap$r ab ON o.w = ab.w AND o.p = ab.p + 1
+         |  WHERE ab.p IS NULL
+         |  GROUP BY o.w, o.freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to steps)
+      .map(r => s"SELECT $r AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') AS sy FROM w0),
+       |$rounds
+       |SELECT step, left_sym, right_sym, pair_count FROM ($out) ORDER BY step""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   private def R(e: String, n: Int): String = OracleSql.round(e, n)
@@ -463,6 +581,8 @@ object TextAnalysis {
         |  length(text) AS n_chars_text,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    "bpe_learn_merges" -> QueryDef((s, d) => bpeLearnMerges(s, d),
+      Some(bpeLearnSql(6))),
     "bpe_merge_pairs" -> QueryDef(bpeMergePairs, Some(
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         |big AS (SELECT t FROM tok WHERE len(t) >= 2),

@@ -190,7 +190,12 @@ object ScaleProbe {
       "order_priority_classes",  // Q12: pushed date filter + 2-key agg
       "nation_market_share",     // Q8: six-way join, all dims broadcast
       "dedup_span_chars",        // char-gram postings, 2 hash shuffles
-      "daily_value_segments")    // day-frame windows per level, fact pays one agg
+      "daily_value_segments",    // day-frame windows per level, fact pays one agg
+      "dedup_cdc_chunks",        // gear chunking, ~1 posting per 64 chars
+      "supplier_triangles",      // oriented wedge join, degree-bounded
+      "doc_novelty",             // shingle postings, min-doc agg + rejoin
+      "value_mad_outliers",      // two percentile aggs, stats broadcast
+      "embedding_dbscan")        // LSH pair graph + degree + components
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -204,6 +204,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0)
   }
 
+  test("contrastive mining: hard negative is the closest impostor, hard positive the farthest classmate") {
+    import spark.implicits._
+    def at(deg: Double): Seq[Double] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r)) ++ Seq.fill(62)(0.0)
+    }
+    // query 0 (label 0) at 0°; same-label corpus at 10° and 60° → hard
+    // positive = 60° (farthest classmate); other-label corpus at 20°
+    // and 90° → hard negative = 20° (closest impostor)
+    val rows = Seq(
+      (0L, 0, at(0)),
+      (20L, 0, at(10)), (21L, 0, at(60)),
+      (22L, 1, at(20)), (23L, 1, at(90)))
+    val got = Similarity.contrastivePairsOn(rows.toDF("vec_id", "label", "v"), nQueries = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0, 22L, 21L)), s"${got.toSeq}")
+  }
+
   test("DBSCAN: planted clusters become cores, stragglers borders, outliers noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -157,4 +157,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     val score = row.getAs[Double]("quality_score")
     assert(score >= 0 && score <= 1.0)
   }
+
+  test("BPE learning: hand-traced merge sequence on a planted corpus") {
+    import spark.implicits._
+    // words: aaab ×2, ab ×1.
+    //   round 1: (a,a) counts 2·2=4, (a,b) 2+1=3 → merge (a,a)
+    //     aaab → [aa, a, b] (left-greedy on the aaa run), ab → [a, b]
+    //   round 2: (aa,a) 2, (a,b) 2+1=3 → merge (a,b)
+    //     [aa, a, b] → [aa, ab], [a, b] → [ab]
+    //   round 3: (aa,ab) 2 → merge (aa,ab)
+    val docs = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMergesOn(docs, steps = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)),
+      s"${got.toSeq}")
+  }
+
+  test("BPE learning: self-pair merges are LEFT-greedy") {
+    import spark.implicits._
+    // aaa ×2: round 1 merges (a,a) and left-greedy yields [aa, a] —
+    // a right-to-left scan would yield [a, aa], flipping round 2's
+    // top pair from (aa,a) to (a,aa)
+    val docs = Seq((0L, "aaa aaa b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMergesOn(docs, steps = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)), s"${got.toSeq}")
+  }
 }
