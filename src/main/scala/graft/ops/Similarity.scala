@@ -253,6 +253,53 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dimension-truncation recall — the evaluation behind
+    * Matryoshka-style embedding serving (retrieve with a cheap prefix,
+    * rescore with the full vector): per query, how much of the exact
+    * full-dimension top-k survives when similarity uses only the
+    * first `dims` components. Output (query_id, k, n_overlap, recall)
+    * quantifies the quality cost of a `dims/64`× memory-bandwidth cut;
+    * near-random embeddings (this testdata) show the floor, trained
+    * prefix-structured embeddings the ceiling.
+    *
+    * One scoring pass computes BOTH similarities (the truncated one
+    * over array slices); two per-query top-k windows and a count of
+    * their id intersection. Ties broken by neighbor id on raw IEEE
+    * sims — bit-identical cross-engine, so the rank sets are too. */
+  def truncationRecall(s: SparkSession, dir: String, nQueries: Int = 5,
+                       k: Int = 10, dims: Int = 16): DataFrame =
+    truncationRecallOn(emb(s, dir), nQueries, k, dims)
+
+  /** Generic variant over any (vec_id, v) frame. */
+  def truncationRecallOn(e: DataFrame, nQueries: Int, k: Int, dims: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim_full", cosine(col("qv"), col("cv")))
+      .withColumn("sim_trunc",
+        cosine(slice(col("qv"), 1, dims), slice(col("cv"), 1, dims)))
+      .select(col("query_id"), col("neighbor_id"), col("sim_full"), col("sim_trunc"))
+      // both top-k windows read this frame; persist so the scoring
+      // pass runs once (cache lifetime: Dedup.boundedSharedCounts'
+      // contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topk(simCol: String) = scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(desc(simCol), col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = topk("sim_full").join(topk("sim_trunc"), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .select(col("query_id"), lit(k.toLong).as("k"), col("n_overlap"),
+        round(col("n_overlap") / lit(k.toDouble), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Contrastive training-pair mining over the labeled embedding
     * corpus: for each query vector, the HARD NEGATIVE (most-similar
     * corpus vector with a DIFFERENT label — the confusable impostor a
@@ -755,6 +802,29 @@ object Similarity {
          |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b)
          |SELECT id_a, id_b, ${R("sim", 6)} AS sim FROM pr
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+    "ann_truncation_recall" -> QueryDef((s, d) => truncationRecall(s, d), Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 5),
+         |sc AS (SELECT q.query_id, c.neighbor_id,
+         |         ${lshCos("q.qv", "c.cv")} AS sim_full,
+         |         ${lshCos("q.qv[1:16]", "c.cv[1:16]")} AS sim_trunc
+         |       FROM c CROSS JOIN q),
+         |tf AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim_full DESC, neighbor_id) AS r
+         |         FROM sc) WHERE r <= 10),
+         |tt AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sim_trunc DESC, neighbor_id) AS r
+         |         FROM sc) WHERE r <= 10),
+         |ov AS (SELECT query_id, count(*) AS n_overlap
+         |       FROM tf JOIN tt USING (query_id, neighbor_id) GROUP BY query_id)
+         |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+         |  coalesce(ov.n_overlap, 0) AS n_overlap,
+         |  ${R("coalesce(ov.n_overlap, 0) / 10.0", 4)} AS recall
+         |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN ov USING (query_id)
+         |ORDER BY query_id""".stripMargin)),
     "contrastive_pairs" -> QueryDef((s, d) => contrastivePairs(s, d), Some(
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, label AS q_label, v FROM e WHERE vec_id < 20),

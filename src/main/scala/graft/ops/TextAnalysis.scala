@@ -485,6 +485,62 @@ object TextAnalysis {
   def bpeLearnMergesOn(df: DataFrame, steps: Int): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val (vocab, merges) = bpeTrainOn(df, steps)
+    vocab.unpersist(blocking = false)
+    merges.toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** Corpus tokenization THROUGH the learned BPE merges — the apply
+    * side of [[bpeLearnMergesOn]], reporting per document how far the
+    * learned vocabulary compresses it: word count, character count,
+    * BPE token count after `steps` merges, and chars-per-token (the
+    * compression ratio tokenizer work optimizes). The merges are
+    * applied to the WORD-TYPE vocabulary (each distinct word tokenized
+    * once), and documents join their words' token counts back — the
+    * same types-not-tokens economics as the trainer: 100 TB of text
+    * pays one word-count shuffle and one broadcast-scale join, never a
+    * per-occurrence re-tokenization.
+    *
+    * Plan: the training loop runs inline (same fixed-steps driver
+    * loop), the final vocabulary's per-word token counts broadcast
+    * back to an exploded (doc, word) frame, one per-doc aggregate. */
+  def bpeTokenizeStats(s: SparkSession, dir: String, steps: Int = 6): DataFrame =
+    bpeTokenizeStatsOn(docs(s, dir), steps)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def bpeTokenizeStatsOn(df: DataFrame, steps: Int): DataFrame = {
+    val base = df.filter(col("text").isNotNull)
+    val (finalVocab, _) = bpeTrainOn(base, steps)
+    val vocab = finalVocab
+      .select(col("w"), size(col("sy")).cast("long").as("n_word_tokens"))
+    val out = base
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_word_tokens")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("n_bpe_tokens"), 4))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        col("n_bpe_tokens"), col("chars_per_token"))
+      .orderBy(col("doc_id"))
+    // the broadcast side is materialized into the plan's hash relation
+    // lazily; keep the vocab cache alive for the caller's action and
+    // rely on the serial driver's clearCache between queries (the
+    // standing boundedSharedCounts contract)
+    out
+  }
+
+  /** The trainer's driver loop, shared by the merge-table and
+    * tokenize-stats surfaces: `steps` rounds of weighted-pair argmax +
+    * left-greedy merge over the word-type vocabulary. Returns the
+    * final PERSISTED vocabulary (w, freq, sy) — caller owns its
+    * unpersist — and the merge table rows. */
+  private def bpeTrainOn(df: DataFrame,
+                         steps: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     val words = df.filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -518,23 +574,21 @@ object TextAnalysis {
       prev.unpersist(blocking = false)
       prev = step
     }
-    prev.unpersist(blocking = false)
-    merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("step"))
+    (prev, merges.toSeq)
   }
 
-  /** Independent DuckDB reimplementation of [[bpeLearnMergesOn]]: one
-    * CTE block per round — weighted pair counts and the argmax
-    * (m\$r), occurrence flags via lead() per word, LEFT-GREEDY
-    * selection as gaps-and-islands (consecutive occurrence runs; odd
-    * rank within each run — equivalent to the engine's fold: distinct
-    * pairs occur ≥ 2 apart so every occurrence is its own run, and a
-    * self-pair's run takes alternate positions), then the merged
-    * vocabulary rebuilt with an ORDER BY p list aggregate, dropping
-    * absorbed positions. Every s\$r/m\$r is MATERIALIZED — each is
-    * referenced several times and inlining would re-run the whole
-    * prefix per reference. */
-  private def bpeLearnSql(steps: Int): String = {
+  /** Independent DuckDB reimplementation of [[bpeTrainOn]]'s rounds
+    * (no leading WITH): one CTE block per round — weighted pair counts
+    * and the argmax (m\$r), occurrence flags via lead() per word,
+    * LEFT-GREEDY selection as gaps-and-islands (consecutive occurrence
+    * runs; odd rank within each run — equivalent to the engine's fold:
+    * distinct pairs occur ≥ 2 apart so every occurrence is its own
+    * run, and a self-pair's run takes alternate positions), then the
+    * merged vocabulary rebuilt with an ORDER BY p list aggregate,
+    * dropping absorbed positions. Every s\$r/m\$r is MATERIALIZED —
+    * each is referenced several times and inlining would re-run the
+    * whole prefix per reference. */
+  private def bpeRoundsCtes(steps: Int): String = {
     val rounds = (1 to steps).map { r =>
       val pv = s"s${r - 1}"
       s"""p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, freq
@@ -559,16 +613,37 @@ object TextAnalysis {
          |  WHERE ab.p IS NULL
          |  GROUP BY o.w, o.freq)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to steps)
-      .map(r => s"SELECT $r AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM m$r")
-      .mkString(" UNION ALL ")
-    s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+    s"""w0 AS (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)
        |  WHERE len(w) >= 1 GROUP BY w),
        |s0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') AS sy FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** [[bpeRoundsCtes]] + the merge-table projection. */
+  private def bpeLearnSql(steps: Int): String = {
+    val out = (1 to steps)
+      .map(r => s"SELECT $r AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsCtes(steps)}
        |SELECT step, left_sym, right_sym, pair_count FROM ($out) ORDER BY step""".stripMargin
   }
+
+  /** [[bpeRoundsCtes]] + the corpus tokenization join — mirror of
+    * [[bpeTokenizeStatsOn]] over the final vocabulary s`steps`. */
+  private def bpeTokenizeSql(steps: Int): String =
+    s"""WITH ${bpeRoundsCtes(steps)},
+       |tok AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |          unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE text IS NOT NULL),
+       |tw AS (SELECT doc_id, n_chars, w FROM tok WHERE len(w) >= 1),
+       |vc AS (SELECT w, CAST(len(sy) AS BIGINT) AS n_word_tokens FROM s$steps),
+       |agg AS (SELECT doc_id, n_chars, count(*) AS n_words,
+       |          CAST(sum(n_word_tokens) AS BIGINT) AS n_bpe_tokens
+       |        FROM tw JOIN vc USING (w) GROUP BY doc_id, n_chars)
+       |SELECT doc_id, n_chars, n_words, n_bpe_tokens,
+       |  ${OracleSql.round("CAST(n_chars AS DOUBLE) / n_bpe_tokens", 4)} AS chars_per_token
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
 
@@ -583,6 +658,8 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "bpe_learn_merges" -> QueryDef((s, d) => bpeLearnMerges(s, d),
       Some(bpeLearnSql(6))),
+    "bpe_tokenize_stats" -> QueryDef((s, d) => bpeTokenizeStats(s, d),
+      Some(bpeTokenizeSql(6))),
     "bpe_merge_pairs" -> QueryDef(bpeMergePairs, Some(
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         |big AS (SELECT t FROM tok WHERE len(t) >= 2),

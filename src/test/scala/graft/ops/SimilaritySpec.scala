@@ -222,6 +222,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0, 22L, 21L)), s"${got.toSeq}")
   }
 
+  test("truncation recall: a tail-heavy impostor wins the prefix ranking") {
+    import spark.implicits._
+    def vec(parts: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // query 0 = axis0. v1 (id 10) ≈ query inside the 16-dim prefix
+    // (cos 5°); v2 (id 11) has a PERFECT prefix but a big tail away
+    // from it (full cosine 1/sqrt(26)); v3 (id 12) orthogonal.
+    // Full ranking: v1 > v2 > v3. Prefix ranking: v2 > v1 > v3.
+    val r5 = math.toRadians(5)
+    val rows = Seq(
+      (0L, vec(0 -> 1.0)),
+      (10L, vec(0 -> math.cos(r5), 1 -> math.sin(r5))),
+      (11L, vec(0 -> 1.0, 20 -> 5.0)),
+      (12L, vec(2 -> 1.0)))
+    val df = rows.toDF("vec_id", "v")
+    val k1 = Similarity.truncationRecallOn(df, nQueries = 1, k = 1, dims = 16)
+      .collect().head
+    assert((k1.getLong(2), k1.getDouble(3)) == ((0L, 0.0)),
+      s"k=1 must lose the top hit to the prefix impostor: $k1")
+    val k2 = Similarity.truncationRecallOn(df, nQueries = 1, k = 2, dims = 16)
+      .collect().head
+    assert((k2.getLong(2), k2.getDouble(3)) == ((2L, 1.0)),
+      s"k=2 re-covers both: $k2")
+  }
+
   test("DBSCAN: planted clusters become cores, stragglers borders, outliers noise") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

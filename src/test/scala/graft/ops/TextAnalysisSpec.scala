@@ -173,6 +173,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"${got.toSeq}")
   }
 
+  test("BPE tokenize stats: the planted corpus compresses to whole-word tokens") {
+    import spark.implicits._
+    // after 3 merges on "aaab aaab ab" (see the hand-traced spec),
+    // aaab tokenizes to [aaab] and ab to [ab] → 3 words, 3 tokens,
+    // 12 chars (incl. the two spaces) → 4 chars/token
+    val docs = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenizeStatsOn(docs, steps = 3).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getDouble(4)) ==
+      ((12L, 3L, 3L, 4.0)), s"$got")
+  }
+
   test("BPE learning: self-pair merges are LEFT-greedy") {
     import spark.implicits._
     // aaa ×2: round 1 merges (a,a) and left-greedy yields [aa, a] —
