@@ -241,19 +241,32 @@ object Graph {
         col("n_triangles"), col("transitivity"))
   }
 
-  /** Driver row: triangle census of the supplier co-occurrence graph —
-    * suppliers are adjacent when they ship lines of the SAME order.
-    * Pair enumeration is per-order and order sizes are bounded by the
-    * data model (≤ lines per order), so the edge derivation is a
-    * per-group quadratic over tiny groups, never a global one. */
+  /** Driver row: triangle census of the supplier STRONG-TIE graph —
+    * suppliers are adjacent when they co-ship in MORE than the
+    * 90th-percentile number of shared orders. Raw ≥1-shared-order
+    * co-occurrence is near-complete on this schema (every pair
+    * eventually shares an order, Θ(n²) edges — and a complete graph's
+    * triangle census is the degenerate n³/6), so the row thresholds at
+    * an adaptive quantile of the pair-count distribution: scale-free
+    * (the quantile moves with the data, unlike a fixed count), sparse
+    * by construction (≤10% of pairs survive), and semantically the
+    * "strong ties" a supply-chain analysis would actually cluster.
+    * The threshold is 4dp-rounded on both engines before the compare
+    * (the value_quartile_assign percentile recipe). Pair enumeration
+    * stays per-order over order-bounded groups. */
   def supplierTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
-    val edges = li.as("a").join(li.as("b"), "ok")
+    val pairCounts = li.as("a").join(li.as("b"), "ok")
       .filter(col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v"))
-      .distinct()
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val th = pairCounts.agg(
+      round(expr("percentile(c, 0.9D)"), 4).as("p90"))
+    val edges = pairCounts.crossJoin(broadcast(th))
+      .filter(col("c") > col("p90"))
+      .select(col("u"), col("v"))
     triangleStats(edges)
   }
 
@@ -305,8 +318,10 @@ object Graph {
     // with the oriented plan is exactly the check.
     "supplier_triangles" -> QueryDef(supplierTriangles, Some(
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-         |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-         |      FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+         |pc AS (SELECT a.sk AS u, b.sk AS v, count(*) AS c
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+         |th AS (SELECT ${OracleSql.round("quantile_cont(c, 0.9)", 4)} AS p90 FROM pc),
+         |e AS (SELECT u, v FROM pc CROSS JOIN th WHERE c > p90),
          |deg AS (SELECT node, count(*) AS d FROM
          |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
          |tri AS (SELECT count(*) AS t FROM e e1

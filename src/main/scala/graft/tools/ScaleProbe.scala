@@ -195,7 +195,11 @@ object ScaleProbe {
       "supplier_triangles",      // oriented wedge join, degree-bounded
       "doc_novelty",             // shingle postings, min-doc agg + rejoin
       "value_mad_outliers",      // two percentile aggs, stats broadcast
-      "embedding_dbscan")        // LSH pair graph + degree + components
+      "embedding_dbscan",        // LSH pair graph + degree + components
+      "contrastive_pairs",       // one scored pass, two bounded windows
+      "bpe_learn_merges",        // corpus shuffle once, vocab-sized rounds
+      "bpe_tokenize_stats",      // trainer + broadcast vocab join
+      "ann_truncation_recall")   // scored pass + two top-k windows
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
