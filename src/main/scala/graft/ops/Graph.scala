@@ -231,7 +231,8 @@ object Graph {
     // by construction, independent of session autoBroadcast settings
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
-    val nw = deg.agg(sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    val nw = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).cast("long").as("n_wedges"))
     nn.crossJoin(broadcast(ne)).crossJoin(broadcast(nw)).crossJoin(broadcast(tri))
       .withColumn("transitivity",
         when(col("n_wedges") > 0,

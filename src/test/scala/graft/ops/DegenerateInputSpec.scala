@@ -38,7 +38,11 @@ class DegenerateInputSpec extends AnyFunSuite {
       ("bm25", d => Retrieval.bm25TopKOn(d)),
       ("docChunks", d => Curation.docChunksOn(d)),
       ("vocabOov", d => Curation.vocabOovRateOn(d)),
-      ("containmentPairs", d => Dedup.containmentPairsOn(d)))
+      ("containmentPairs", d => Dedup.containmentPairsOn(d)),
+      ("cdcChunkStats", d => Dedup.cdcChunkStatsOn(d)),
+      ("docNovelty", d => Curation.docNoveltyOn(d)),
+      ("bpeLearnMerges", d => TextAnalysis.bpeLearnMergesOn(d, steps = 3)),
+      ("bpeTokenizeStats", d => TextAnalysis.bpeTokenizeStatsOn(d, steps = 3)))
     for ((name, op) <- ops) {
       assert(op(docs(empty)).count() == 0L, s"$name on empty corpus")
       op(docs(one)).count() // must not throw
@@ -61,6 +65,12 @@ class DegenerateInputSpec extends AnyFunSuite {
     val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
     assert(Similarity.semanticDedupOn(noVecs).count() == 0L)
     assert(Similarity.clusterAssignOn(noVecs).count() == 0L)
+    // an edgeless graph census is the identity row, not a crash
+    val census = Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("u", "v")).collect()
+    assert(census.length == 1 &&
+      (0 to 3).forall(i => census(0).getLong(i) == 0L) &&
+      census(0).getDouble(4) == 0.0)
   }
 
   test("sampling and splits on an empty frame are empty, not errors") {
@@ -74,6 +84,11 @@ class DegenerateInputSpec extends AnyFunSuite {
     val noVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
     assert(Similarity.neardupPairsOn(noVecs, threshold = 0.4).count() == 0L)
     assert(Similarity.lshTopKOn(noVecs, noVecs, k = 5).count() == 0L)
+    assert(Similarity.dbscanClustersOn(noVecs, eps = 0.4, minPts = 2).count() == 0L)
+    val noLabeled = Seq.empty[(Long, Int, Seq[Double])].toDF("vec_id", "label", "v")
+    assert(Similarity.contrastivePairsOn(noLabeled, nQueries = 5).count() == 0L)
+    assert(Similarity.truncationRecallOn(
+      noVecs.withColumnRenamed("id", "vec_id"), nQueries = 5, k = 3, dims = 8).count() == 0L)
     // a 0-centroid IVF model cannot answer anything — train must say
     // so instead of failing later inside cellOf's analysis
     val ex = intercept[IllegalArgumentException] {
