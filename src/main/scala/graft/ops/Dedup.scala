@@ -1628,7 +1628,7 @@ object Dedup {
     // subqueries inside recursive CTEs silently return NULL, hence
     // the generated w1..wN chain).
     "dedup_cdc_chunks" -> QueryDef((s, d) => cdcChunkStats(s, d),
-      Some(cdcChunkSql(6, 16, 256, 2L, 48))))
+      Some(cdcChunkSql(6, 16, 256, 2L, 80))))
 
   /** Independent DuckDB reimplementation of [[charSpanDupStatsOn]]:
     * whitespace-stripped char array, per-char hashes as unicode
@@ -1747,8 +1747,11 @@ object Dedup {
     * unrolls as `steps` tiny aggregate CTEs (next cut = min(first
     * candidate ≥ last+minLen, last+maxLen), emitted while ≤ n), each
     * MATERIALIZED so the chain plans linearly. `steps` must be ≥ the
-    * max cuts per doc = ceil(maxDocLen / minLen); 48 covers docs to
-    * 768 chars (testdata max is 577).
+    * max cuts per doc = ceil(maxDocLen / minLen); the registered 80
+    * covers docs to 1280 chars (testdata max is 577 — headroom for a
+    * regenerated-vintage length bump; a doc beyond the budget would
+    * silently lose its tail cuts, so size generously — the walk CTEs
+    * are the cheap part of this oracle).
     *
     * Formulations that do NOT work in DuckDB 1.0, found the hard way:
     * list_reduce with a struct accumulator updates fields in place

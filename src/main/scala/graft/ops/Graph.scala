@@ -255,7 +255,16 @@ object Graph {
     * The threshold is 4dp-rounded on both engines before the compare
     * (the value_quartile_assign percentile recipe). Pair enumeration
     * stays per-order over order-bounded groups. */
-  def supplierTriangles(s: SparkSession, dir: String): DataFrame = {
+  def supplierTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleStats(strongTieEdges(s, dir))
+
+  /** The strong-tie supplier graph: unique undirected (u < v) edges
+    * between suppliers whose shared-order count exceeds the adaptive
+    * 90th percentile of the pair-count distribution (see
+    * [[supplierTriangles]]' scaladoc for why raw co-occurrence is
+    * degenerate here). Shared by the triangle census and link
+    * prediction rows — and by their oracles via [[strongTieCtes]]. */
+  private[ops] def strongTieEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
@@ -265,10 +274,57 @@ object Graph {
       .agg(count(lit(1)).as("c"))
     val th = pairCounts.agg(
       round(expr("percentile(c, 0.9D)"), 4).as("p90"))
-    val edges = pairCounts.crossJoin(broadcast(th))
+    pairCounts.crossJoin(broadcast(th))
       .filter(col("c") > col("p90"))
       .select(col("u"), col("v"))
-    triangleStats(edges)
+  }
+
+  /** li/pc/th/e oracle CTE chain (no leading WITH) producing the
+    * strong-tie edge relation `e(u, v)` — the DuckDB twin of
+    * [[strongTieEdges]]. */
+  private def strongTieCtes: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |pc AS (SELECT a.sk AS u, b.sk AS v, count(*) AS c
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+       |th AS (SELECT ${OracleSql.round("quantile_cont(c, 0.9)", 4)} AS p90 FROM pc),
+       |e AS (SELECT u, v FROM pc CROSS JOIN th WHERE c > p90)""".stripMargin
+
+  /** Link prediction over the strong-tie graph: for every NON-adjacent
+    * supplier pair sharing at least one strong-tie neighbor, the
+    * neighborhood-Jaccard score |Γa∩Γb| / |Γa∪Γb| — the classic
+    * common-neighbors predictor ("who should be trading but isn't
+    * yet"), top `topN` by score. Candidates come from the shared-
+    * neighbor equi-join (inverted-index shape — only pairs with a
+    * common neighbor materialize, never all non-edges), existing
+    * edges anti-join out, and degrees broadcast in. The score divides
+    * two exact ints identically on both engines; ordering is on the
+    * 4dp-rounded score with an (a, b) tie-break. */
+  def supplierLinkPrediction(s: SparkSession, dir: String,
+                             topN: Int = 20): DataFrame =
+    linkPredictionOn(strongTieEdges(s, dir), topN)
+
+  /** Generic variant over any unique undirected (u < v) edge frame. */
+  def linkPredictionOn(edges: DataFrame, topN: Int): DataFrame = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("u").as("a"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("n")))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val wedges = adj.select(col("a").as("x"), col("n"))
+      .join(adj.select(col("a").as("y"), col("n")), Seq("n"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(e.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("a").as("x"), col("d").as("dx"))), Seq("x"))
+      .join(broadcast(deg.select(col("a").as("y"), col("d").as("dy"))), Seq("y"))
+      .withColumn("score",
+        round(col("cn").cast("double") / (col("dx") + col("dy") - col("cn")), 4))
+      .select(col("x").as("supp_a"), col("y").as("supp_b"),
+        col("cn").as("common_neighbors"), col("score"))
+      .orderBy(col("score").desc, col("supp_a"), col("supp_b"))
+      .limit(topN)
   }
 
   /** Ranks sit around 1/N — sub-unit, so every oracle round here uses
@@ -317,12 +373,20 @@ object Graph {
     // Oracle = the independent NAIVE triangle formulation (3-way
     // self-join on a < b < c) — fine at oracle scale, and agreeing
     // with the oriented plan is exactly the check.
+    "supplier_link_prediction" -> QueryDef((s, d) => supplierLinkPrediction(s, d), Some(
+      s"""WITH $strongTieCtes,
+         |adj AS (SELECT u AS a, v AS n FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
+         |w AS (SELECT x.a AS xa, y.a AS ya, count(*) AS cn
+         |      FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a GROUP BY 1, 2),
+         |cand AS (SELECT xa, ya, cn FROM w ANTI JOIN e ON w.xa = e.u AND w.ya = e.v),
+         |sc AS (SELECT xa AS supp_a, ya AS supp_b, CAST(cn AS BIGINT) AS common_neighbors,
+         |         ${OracleSql.round("CAST(cn AS DOUBLE) / (dx.d + dy.d - cn)", 4)} AS score
+         |       FROM cand JOIN deg dx ON xa = dx.a JOIN deg dy ON ya = dy.a)
+         |SELECT supp_a, supp_b, common_neighbors, score FROM sc
+         |ORDER BY score DESC, supp_a, supp_b LIMIT 20""".stripMargin)),
     "supplier_triangles" -> QueryDef(supplierTriangles, Some(
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-         |pc AS (SELECT a.sk AS u, b.sk AS v, count(*) AS c
-         |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
-         |th AS (SELECT ${OracleSql.round("quantile_cont(c, 0.9)", 4)} AS p90 FROM pc),
-         |e AS (SELECT u, v FROM pc CROSS JOIN th WHERE c > p90),
+      s"""WITH $strongTieCtes,
          |deg AS (SELECT node, count(*) AS d FROM
          |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY 1),
          |tri AS (SELECT count(*) AS t FROM e e1

@@ -491,6 +491,59 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
+  /** Per-document KL divergence from the corpus unigram distribution
+    * over a top-`vocabSize` + OOV class space — the topic/domain-drift
+    * score curation uses beside [[lmSurprisal]]'s cross-entropy:
+    * cross-entropy conflates "unusual words" with "high-entropy doc",
+    * while KL = CE − H(doc) isolates how far the document's own
+    * distribution sits from the corpus profile (0 = perfectly
+    * corpus-typical mixture, regardless of its entropy). Classing to
+    * a bounded vocabulary + one OOV bucket keeps the class space (and
+    * the broadcast model relation) fixed-size at any corpus scale —
+    * the same boundedness move as [[Curation.vocabOovRate]].
+    *
+    * Determinism: the established LM recipe — per-(doc, class)
+    * contributions p_d·log₂(p_d/p_c) rounded to 9dp DECIMAL before
+    * the exact order-independent sum, surfaced 4dp-rounded; both
+    * probability ratios are written with the identical IEEE operation
+    * order in the oracle. Plan: one corpus-sized (doc, class) groupBy;
+    * the vocabulary (TakeOrdered top-V), class counts and total all
+    * broadcast back. */
+  def klDivergence(s: SparkSession, dir: String, vocabSize: Int = 25): DataFrame =
+    klDivergenceOn(docs(s, dir), vocabSize)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def klDivergenceOn(df: DataFrame, vocabSize: Int = 25): DataFrame = {
+    val tokc = df.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val vocab = tokc.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("iv"))
+    val docCls = tokc.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("cls", when(col("iv").isNotNull, col("tok")).otherwise(lit("<oov>")))
+      .groupBy(col("doc_id"), col("cls")).agg(count(lit(1)).as("tf"))
+      // doc totals, corpus class counts and the final contribution sum
+      // all read this frame; persist so the token classing runs once
+      // (cache lifetime: Dedup.boundedSharedCounts' contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docTot = docCls.groupBy(col("doc_id")).agg(sum(col("tf")).as("nd"))
+    val corpCls = docCls.groupBy(col("cls")).agg(sum(col("tf")).as("cf"))
+    val corpTot = corpCls.agg(sum(col("cf")).as("tot"))
+    val pd = col("tf").cast("double") / col("nd").cast("double")
+    val pc = col("cf").cast("double") / col("tot").cast("double")
+    docCls
+      .join(docTot, Seq("doc_id"))
+      .join(broadcast(corpCls), Seq("cls"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("cb", round(pd * log2(pd / pc), 9).cast("decimal(20,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).as("klsum"), max(col("nd")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("klsum").cast("double"), 4).as("kl_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus tokenization THROUGH the learned BPE merges — the apply
     * side of [[bpeLearnMergesOn]], reporting per document how far the
     * learned vocabulary compresses it: word count, character count,
@@ -667,6 +720,29 @@ object TextAnalysis {
       Some(bpeLearnSql(6))),
     "bpe_tokenize_stats" -> QueryDef((s, d) => bpeTokenizeStats(s, d),
       Some(bpeTokenizeSql(6))),
+    "doc_kl_divergence" -> QueryDef((s, d) => klDivergence(s, d), Some(
+      s"""WITH tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id, tok FROM tokc WHERE len(tok) >= 1),
+         |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY tok)
+         |          ORDER BY c DESC, tok LIMIT 25),
+         |dc AS (SELECT doc_id,
+         |         CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS cls,
+         |         count(*) AS tf
+         |       FROM tk t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2),
+         |dt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nd FROM dc GROUP BY doc_id),
+         |cc AS (SELECT cls, CAST(sum(tf) AS BIGINT) AS cf FROM dc GROUP BY cls),
+         |ct AS (SELECT CAST(sum(cf) AS BIGINT) AS tot FROM cc),
+         |cb AS (SELECT dc.doc_id, dt.nd,
+         |         ${graft.OracleSql.roundDecSub(
+                     "(CAST(tf AS DOUBLE) / CAST(nd AS DOUBLE)) * " +
+                     "log2((CAST(tf AS DOUBLE) / CAST(nd AS DOUBLE)) / " +
+                     "(CAST(cf AS DOUBLE) / CAST(tot AS DOUBLE)))", 9)} AS c
+         |       FROM dc JOIN dt ON dc.doc_id = dt.doc_id
+         |         JOIN cc ON dc.cls = cc.cls CROSS JOIN ct)
+         |SELECT doc_id, max(nd) AS n_tokens,
+         |  ${R("CAST(sum(c) AS DOUBLE)", 4)} AS kl_bits
+         |FROM cb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     "bpe_merge_pairs" -> QueryDef(bpeMergePairs, Some(
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         |big AS (SELECT t FROM tok WHERE len(t) >= 2),

@@ -199,7 +199,9 @@ object ScaleProbe {
       "contrastive_pairs",       // one scored pass, two bounded windows
       "bpe_learn_merges",        // corpus shuffle once, vocab-sized rounds
       "bpe_tokenize_stats",      // trainer + broadcast vocab join
-      "ann_truncation_recall")   // scored pass + two top-k windows
+      "ann_truncation_recall",   // scored pass + two top-k windows
+      "doc_kl_divergence",       // class counts + broadcast model relation
+      "supplier_link_prediction")// shared-neighbor join on strong ties
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -123,6 +123,24 @@ class GraphSpec extends AnyFunSuite {
     assert(triRow(g) == ((4L, 4L, 5L, 1L, 0.6)))
   }
 
+  test("link prediction: the two ends of a path are the perfect candidate") {
+    import spark.implicits._
+    // path 1-2-3 plus pendant 3-4: candidates (1,3) via common
+    // neighbor 2 (score 1/(1+2-1) = 0.5), (2,4) via 3 (score
+    // 1/(2+1-1) = 0.5), (1,4)/(2,3)... (1,4) share no neighbor, (2,3)
+    // are adjacent. Square 10-11-12-13(-10): (10,12) and (11,13) each
+    // share BOTH neighbors → score 2/(2+2-2) = 1.0, ranked first.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L)).toDF("u", "v")
+    val got = Graph.linkPredictionOn(edges, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.take(2).toSeq == Seq((10L, 12L, 2L, 1.0), (11L, 13L, 2L, 1.0)),
+      s"${got.toSeq}")
+    assert(got.drop(2).toSet == Set((1L, 3L, 1L, 0.5), (2L, 4L, 1L, 0.5)),
+      s"${got.toSeq}")
+    assert(got.length == 4, "adjacent pairs and no-common-neighbor pairs excluded")
+  }
+
   test("oriented triangle count agrees with a naive count on real co-occurrence") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()

@@ -184,6 +184,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       ((12L, 3L, 3L, 4.0)), s"$got")
   }
 
+  test("KL divergence: corpus-typical docs score zero, drifted docs rank higher") {
+    import spark.implicits._
+    val same = Seq((0L, "x y"), (1L, "x y")).toDF("doc_id", "text")
+    val g1 = TextAnalysis.klDivergenceOn(same).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g1 == Map(0L -> 0.0, 1L -> 0.0),
+      s"a doc distributed exactly like the corpus has zero divergence: $g1")
+    // A/B are half the corpus mass each per word; C is all-z:
+    //   KL(A) = log2(1.5) ≈ 0.585 < KL(C) = log2(3) ≈ 1.585
+    val mixed = Seq((0L, "x y x y"), (1L, "x y x y"), (2L, "z z z z"))
+      .toDF("doc_id", "text")
+    val g2 = TextAnalysis.klDivergenceOn(mixed).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g2(2L) > g2(0L) && g2(0L) > 0.0, s"$g2")
+    assert(math.abs(g2(2L) - 1.585) < 0.001 && math.abs(g2(0L) - 0.585) < 0.001, s"$g2")
+  }
+
   test("BPE learning: self-pair merges are LEFT-greedy") {
     import spark.implicits._
     // aaa ×2: round 1 merges (a,a) and left-greedy yields [aa, a] —
