@@ -320,6 +320,57 @@ object Multimodal {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
+  /** Audio fingerprints, Haitsma–Kalker (ISMIR'02) shape: overlapping
+    * frames (window 36 samples, hop 18) split into 9 sub-band
+    * energies; bit b of a frame's fingerprint is the SIGN of the
+    * time-and-band second difference
+    * `(E(f,b) − E(f,b+1)) − (E(f−1,b) − E(f−1,b+1))` — the robust
+    * temporal-change code audio matching uses (a constant signal codes
+    * to 0; only CHANGES across frames set bits, spec-pinned). Emits
+    * (media_id, frame_idx ≥ 1, fp ∈ [0, 256)): matching then becomes
+    * a plain equi/Hamming join on tiny codes — the payload never
+    * shuffles, the same posture as [[imageAHashes]].
+    *
+    * The sub-band energies here are TIME-DOMAIN segment energies (4
+    * samples each) — a real deployment swaps in an FFT frontend at the
+    * decode boundary; the fingerprint derivation (framing, band
+    * differencing, sign code) is the part this operator exercises, and
+    * every float op is a fixed-order fold the oracle mirrors. */
+  def audioFingerprints(media: Dataset[MediaRecord], batchSize: Int = 64,
+                        codec: () => MediaCodec = () => new StubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    val W = 36; val H = 18; val NB = 9; val SB = 4
+    media.filter(_.kind == "audio")
+      .mapPartitions(inBatches[MediaRecord, (Long, Int, Long)](codec(), batchSize) {
+        (c, batch) =>
+          batch.iterator.flatMap { rec =>
+            val sig = c.decode(rec)
+            val nFrames = if (sig.length < W) 0 else (sig.length - W) / H + 1
+            def energy(f: Int, b: Int): Double = {
+              var s = 0.0
+              var i = 0
+              while (i < SB) {
+                val x = sig(f * H + b * SB + i)
+                s += x * x
+                i += 1
+              }
+              s
+            }
+            (1 until nFrames).iterator.map { f =>
+              var fp = 0L
+              var b = 0
+              while (b < NB - 1) {
+                val d = (energy(f, b) - energy(f, b + 1)) -
+                  (energy(f - 1, b) - energy(f - 1, b + 1))
+                if (d > 0) fp |= 1L << b
+                b += 1
+              }
+              (rec.media_id, f, fp)
+            }
+          }
+      }).toDF("media_id", "frame_idx", "fp")
+  }
+
   // ------------------------------------------------------------ queries
 
   def featureQuery(s: SparkSession, dir: String): DataFrame =
@@ -331,6 +382,10 @@ object Multimodal {
 
   def frameQuery(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(s, dir)).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  def audioFpQuery(s: SparkSession, dir: String): DataFrame =
+    audioFingerprints(mediaTable(s, dir))
       .orderBy(col("media_id"), col("frame_idx"))
 
   /** Inventory roll-up — derivable from documents with plain SQL, so
@@ -516,5 +571,35 @@ object Multimodal {
             .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
         .select(col("doc_id").as("media_id"), col("cluster_id"))
         .orderBy(col("media_id")),
-      Some(mediaClustersOracle)))
+      Some(mediaClustersOracle)),
+    // Haitsma–Kalker sign codes over the regenerated pseudo-signal.
+    // The stub audio signal is a FIXED 160 samples (sample_rate/100),
+    // so the oracle's frame grid is the static range(7) — if the stub
+    // metadata ever changes, regenerate both in step.
+    "media_audio_fingerprint" -> QueryDef(audioFpQuery, Some(
+      s"""WITH src AS (SELECT doc_id AS media_id, text FROM documents
+         |  WHERE CAST(doc_id % 3 AS INTEGER) = 1),
+         |sd AS (SELECT media_id, $seedFold AS s0 FROM src),
+         |el AS (SELECT media_id, i,
+         |         ((s0 + (CAST(i AS HUGEINT) + 1) * $G) % ${graft.OracleSql.two64}) AS z
+         |       FROM (SELECT *, unnest(range(160)) AS i FROM sd)),
+         |${mixCtes("el")},
+         |lv AS (SELECT media_id, list(z ORDER BY i) AS vs FROM ev GROUP BY 1),
+         |en AS (SELECT media_id, f.range AS f, b.range AS b,
+         |         list_reduce(list_transform(
+         |           vs[(f.range * 18 + b.range * 4 + 1):(f.range * 18 + b.range * 4 + 4)],
+         |           x -> x * x), (a, c) -> a + c) AS e
+         |       FROM lv, range(7) f, range(9) b),
+         |bits AS (SELECT ec.media_id, ec.f, ec.b,
+         |    CASE WHEN (ec.e - ec1.e) - (ep.e - ep1.e) > 0
+         |         THEN CAST(1 AS BIGINT) << CAST(ec.b AS INTEGER) ELSE 0 END AS bit
+         |  FROM en ec
+         |  JOIN en ec1 ON ec1.media_id = ec.media_id AND ec1.f = ec.f AND ec1.b = ec.b + 1
+         |  JOIN en ep  ON ep.media_id = ec.media_id AND ep.f = ec.f - 1 AND ep.b = ec.b
+         |  JOIN en ep1 ON ep1.media_id = ec.media_id AND ep1.f = ec.f - 1 AND ep1.b = ec.b + 1
+         |  WHERE ec.f >= 1 AND ec.b < 8),
+         |fp AS (SELECT media_id, f AS frame_idx, CAST(sum(bit) AS BIGINT) AS fp
+         |       FROM bits GROUP BY 1, 2)
+         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, fp
+         |FROM fp ORDER BY media_id, frame_idx""".stripMargin)))
 }

@@ -242,4 +242,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!clusters.contains(12L) && !clusters.contains(15L),
       s"unrelated payloads must not cluster: $clusters")
   }
+
+  test("audio fingerprints: sign codes fire on temporal change, not loudness") {
+    import spark.implicits._
+    // codec emitting a chosen 160-sample signal regardless of payload
+    final class FixedSignal(sig: Array[Double]) extends Multimodal.MediaCodec {
+      override def init(): Unit = ()
+      override def decode(rec: Multimodal.MediaRecord): Array[Double] = sig
+    }
+    val audio = Seq(Multimodal.MediaRecord(1L, "audio", Array[Byte](1),
+      Multimodal.MediaMeta(0, 0, 1, 16000, 0, "fake-pcm"))).toDS()
+    def fps(sig: Array[Double]): Seq[(Int, Long)] =
+      Multimodal.audioFingerprints(audio, codec = () => new FixedSignal(sig))
+        .orderBy("frame_idx").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // constant signal (even a LOUD one): every band-energy difference
+    // is constant across frames → second difference 0 → no bit fires
+    val constant = fps(Array.fill(160)(0.9))
+    assert(constant.map(_._1) == (1 to 6) && constant.forall(_._2 == 0L),
+      s"constant signal must code to 0: $constant")
+    // hop-granularity shift robustness — the property the fingerprint
+    // exists for: delaying the signal by EXACTLY one hop (18 samples)
+    // makes every delayed window f coincide with original window f−1,
+    // so fingerprint_delayed(f) == fingerprint_original(f−1) exactly
+    val s0 = Array.tabulate(160)(p =>
+      ((graft.functions.TextExpressions.fmix64(p + 77L) & 0xffffL).toDouble / 65535.0))
+    val delayed = Array.tabulate(160)(p => if (p < 18) 0.0 else s0(p - 18))
+    val orig = fps(s0).toMap
+    val shift = fps(delayed).toMap
+    (2 to 6).foreach { f =>
+      assert(shift(f) == orig(f - 1),
+        s"frame $f of the delayed signal must equal frame ${f - 1}: $shift vs $orig")
+    }
+    assert(orig.values.exists(_ != 0L), "the random signal should set some bits")
+  }
 }
