@@ -231,7 +231,23 @@ object Pipelines {
   def fullPrep(s: SparkSession, dir: String, evalMax: Long = 25L,
                n: Int = 5, minQuality: Double = 0.35, lang: String = "en",
                budget: Long = 5000L): DataFrame = {
-    import s.implicits._
+    val f = prepFrames(s, dir, evalMax, n, minQuality, lang)
+    budgetSelect(s, f.survivors, budget)
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** The prep chain's intermediate frames, one per stage —
+    * [[fullPrep]] consumes the tail, [[stageReport]] counts every
+    * stage. One source of truth for the stage order and semantics. */
+  private final case class PrepFrames(
+      raw: DataFrame,          // documents (doc_id, text)
+      exactDedup: DataFrame,   // stage 1 survivors (doc_id, text)
+      decontaminated: DataFrame, // stage 2 (holdout excluded + gram-clean)
+      qualityLang: DataFrame,  // stage 3 (doc_id, text, quality_score, n_tokens)
+      survivors: DataFrame)    // stage 4 (doc_id, quality_score, n_tokens)
+
+  private def prepFrames(s: SparkSession, dir: String, evalMax: Long,
+                         n: Int, minQuality: Double, lang: String): PrepFrames = {
     val d = Tables(s, dir, "documents")
     val byHash = Window.partitionBy(md5(col("text")))
     val dedup = d
@@ -253,9 +269,17 @@ object Pipelines {
       .select(col("doc_b").as("doc_id")).distinct()
     val surv = scored.join(removedB, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("quality_score"), col("n_tokens"))
-      .as[(Long, Double, Long)]
+    PrepFrames(d, dedup, clean, scored, surv)
+  }
+
+  /** Quality-first token-budget selection over a (doc_id,
+    * quality_score, n_tokens) survivor frame — the distributed prefix
+    * sum + cap filter, shared by [[fullPrep]] and [[stageReport]]. */
+  private def budgetSelect(s: SparkSession, surv: DataFrame,
+                           budget: Long): DataFrame = {
+    import s.implicits._
     val nParts = s.sessionState.conf.numShufflePartitions
-    val sorted = surv
+    val sorted = surv.as[(Long, Double, Long)]
       .repartitionByRange(nParts, desc("quality_score"), col("doc_id"))
       .sortWithinPartitions(desc("quality_score"), col("doc_id"))
       .as[(Long, Double, Long)]
@@ -263,7 +287,45 @@ object Pipelines {
     withRunningTotal(sorted)(_._3) { case ((id, q, nt), run) => (id, q, nt, run) }
       .toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
-      .orderBy(col("cum_tokens"))
+  }
+
+  /** Pipeline OBSERVABILITY: document and token counts surviving each
+    * stage of the [[fullPrep]] funnel — the per-stage yield report a
+    * production curation run publishes (where did the corpus go, which
+    * gate is the aggressive one). Shares the chain with the flagship
+    * row, so the report cannot drift from what the pipeline actually
+    * does; every stage frame is persisted so each prefix executes
+    * once, and the per-stage counts are single-row aggregates. Token
+    * counts before the quality stage use the same whitespace
+    * tokenization the later stages carry. */
+  def stageReport(s: SparkSession, dir: String, evalMax: Long = 25L,
+                  n: Int = 5, minQuality: Double = 0.35, lang: String = "en",
+                  budget: Long = 5000L): DataFrame = {
+    import s.implicits._
+    val f = prepFrames(s, dir, evalMax, n, minQuality, lang)
+    def toks(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tokens"))
+    val stages: Seq[(Int, String, DataFrame)] = {
+      val s1 = f.exactDedup.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s2 = f.decontaminated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s3 = f.qualityLang.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s4 = f.survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(
+        (0, "raw", toks(f.raw)),
+        (1, "exact_dedup", toks(s1)),
+        (2, "decontaminated", toks(s2)),
+        (3, "quality_lang", s3.select(col("doc_id"), col("n_tokens"))),
+        (4, "near_dedup", s4.select(col("doc_id"), col("n_tokens"))),
+        (5, "token_budget",
+          budgetSelect(s, s4, budget).select(col("doc_id"), col("n_tokens"))))
+    }
+    stages.map { case (i, name, df) =>
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(i).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("stage_id"))
   }
 
   /** Deterministic global TRAINING-ORDER SHUFFLE: documents are
@@ -441,6 +503,46 @@ object Pipelines {
       |      FROM tok WHERE len(t) >= 5),
       |eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)""".stripMargin
 
+  /** The full_prep oracle's stage chain (no leading WITH), ending in
+    * `ranked` — shared by the flagship row and the stage report so
+    * the two cannot diverge. Stage CTEs: keep (exact dedup), surv0
+    * (holdout excluded), eg/cg/bad (5-gram decontamination), surv1,
+    * q/pl (quality + langid), surv2, pairs/surv3 (near-dup removal),
+    * ranked (quality-first prefix sum). */
+  private lazy val fullPrepCtes: String =
+    s"""keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) WHERE doc_id = k),
+       |surv0 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
+       |          WHERE d.doc_id >= 25),
+       |etok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 25),
+       |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 4),
+       |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
+       |       FROM etok WHERE len(t) >= 5),
+       |ctok AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv0),
+       |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4),
+       |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
+       |       FROM ctok WHERE len(t) >= 5),
+       |bad AS (SELECT DISTINCT c.doc_id FROM cg c JOIN eg USING (g)),
+       |surv1 AS (SELECT * FROM surv0 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score,
+       |        len(string_split(text, ' ')) AS n_tokens
+       |      FROM documents),
+       |${TextAnalysis.langBestCte},
+       |pl AS (${TextAnalysis.predLangSelect}),
+       |surv2 AS (SELECT s.doc_id, s.text, q.quality_score, q.n_tokens
+       |          FROM surv1 s JOIN q ON s.doc_id = q.doc_id
+       |                       JOIN pl ON s.doc_id = pl.doc_id
+       |          WHERE q.quality_score >= 0.35 AND pl.pred_lang = 'en'),
+       |pairs AS (${Dedup.boundedJaccardSqlFrom("surv2")}),
+       |surv3 AS (SELECT doc_id, quality_score, n_tokens FROM surv2
+       |          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
+       |ranked AS (SELECT doc_id, quality_score, n_tokens,
+       |             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |           FROM surv3)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "corpus_shuffle_order" -> QueryDef((s, d) => shuffleOrder(s, d), Some(
       s"""WITH d AS (SELECT doc_id FROM documents),
@@ -516,40 +618,25 @@ object Pipelines {
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin)),
     "pipeline_full_prep" -> QueryDef((s, d) => fullPrep(s, d), Some(
-      s"""WITH keep AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
-         |    FROM documents) WHERE doc_id = k),
-         |surv0 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)
-         |          WHERE d.doc_id >= 25),
-         |etok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 25),
-         |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(t) - 4),
-         |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
-         |       FROM etok WHERE len(t) >= 5),
-         |ctok AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv0),
-         |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 4),
-         |         i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS g
-         |       FROM ctok WHERE len(t) >= 5),
-         |bad AS (SELECT DISTINCT c.doc_id FROM cg c JOIN eg USING (g)),
-         |surv1 AS (SELECT * FROM surv0 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-         |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score,
-         |        len(string_split(text, ' ')) AS n_tokens
-         |      FROM documents),
-         |${TextAnalysis.langBestCte},
-         |pl AS (${TextAnalysis.predLangSelect}),
-         |surv2 AS (SELECT s.doc_id, s.text, q.quality_score, q.n_tokens
-         |          FROM surv1 s JOIN q ON s.doc_id = q.doc_id
-         |                       JOIN pl ON s.doc_id = pl.doc_id
-         |          WHERE q.quality_score >= 0.35 AND pl.pred_lang = 'en'),
-         |pairs AS (${Dedup.boundedJaccardSqlFrom("surv2")}),
-         |surv3 AS (SELECT doc_id, quality_score, n_tokens FROM surv2
-         |          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),
-         |ranked AS (SELECT doc_id, quality_score, n_tokens,
-         |             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |           FROM surv3)
+      s"""WITH $fullPrepCtes
          |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
          |FROM ranked WHERE cum_tokens <= 5000 ORDER BY cum_tokens""".stripMargin)),
+    // the report composes the SAME stage CTEs — counts cannot drift
+    // from what pipeline_full_prep actually keeps
+    "pipeline_stage_report" -> QueryDef((s, d) => stageReport(s, d), Some {
+      def cnt(i: Int, name: String, src: String, tok: String) =
+        s"""SELECT $i AS stage_id, '$name' AS stage, count(*) AS n_docs,
+           |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS n_tokens FROM $src""".stripMargin
+      val rawTok = "coalesce(len(string_split(text, ' ')), 0)"
+      s"""WITH $fullPrepCtes
+         |${cnt(0, "raw", "documents", rawTok)}
+         |UNION ALL ${cnt(1, "exact_dedup", "(SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id))", rawTok)}
+         |UNION ALL ${cnt(2, "decontaminated", "surv1", rawTok)}
+         |UNION ALL ${cnt(3, "quality_lang", "surv2", "n_tokens")}
+         |UNION ALL ${cnt(4, "near_dedup", "surv3", "n_tokens")}
+         |UNION ALL ${cnt(5, "token_budget", "(SELECT * FROM ranked WHERE cum_tokens <= 5000)", "n_tokens")}
+         |ORDER BY stage_id""".stripMargin
+    }),
     "pipeline_token_budget_per_lang" -> QueryDef((s, d) => tokenBudgetPerLang(s, d), Some(
       s"""WITH q AS (
          |  SELECT doc_id, lang,

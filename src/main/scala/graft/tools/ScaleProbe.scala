@@ -202,7 +202,8 @@ object ScaleProbe {
       "ann_truncation_recall",   // scored pass + two top-k windows
       "doc_kl_divergence",       // class counts + broadcast model relation
       "supplier_link_prediction",// shared-neighbor join on strong ties
-      "media_audio_fingerprint") // per-row decode + sign codes, no shuffle
+      "media_audio_fingerprint", // per-row decode + sign codes, no shuffle
+      "pipeline_stage_report")   // persisted stage prefixes, 6 scalar aggs
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -148,4 +148,21 @@ class PipelinesSpec extends AnyFunSuite {
     // the gate must actually split the corpus (non-vacuous)
     assert(ens.values.exists(_._6) && ens.values.exists(!_._6))
   }
+
+  test("stage report: a monotone funnel consistent with the flagship output") {
+    val rep = Pipelines.stageReport(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep.map(_._1).toSeq == (0 to 5) &&
+      rep.map(_._2).toSeq == Seq("raw", "exact_dedup", "decontaminated",
+        "quality_lang", "near_dedup", "token_budget"))
+    val docs = rep.map(_._3)
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"doc counts must only shrink down the funnel: ${docs.toSeq}")
+    assert(docs.last > 0 && docs.last < docs.head, "the funnel must actually cut")
+    val finalRows = Pipelines.fullPrep(spark, dir).count()
+    assert(docs.last == finalRows,
+      s"stage 5 count ${docs.last} must equal the flagship row count $finalRows")
+    val toks = rep.map(_._4)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a })
+  }
 }
