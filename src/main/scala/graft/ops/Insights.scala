@@ -147,6 +147,46 @@ object Insights {
       .orderBy(col("event_id"))
   }
 
+  /** Classical seasonal decomposition of the daily value series —
+    * day-of-week seasonal means, per-day residual against them, and a
+    * centered 7-day moving-average trend (emitted only where the full
+    * window exists): the resample → deseasonalize → smooth pass every
+    * metrics pipeline runs before comparing days across weekly cycles.
+    * Day totals are exact 6dp-decimal sums (order-independent); the
+    * seasonal means and trend divide those exact decimals and surface
+    * 4dp-rounded; the residual subtracts the ROUNDED seasonal mean so
+    * both engines difference identical doubles.
+    *
+    * Plan: one fact-sized day aggregate; everything after runs on the
+    * calendar-bounded day frame (the changepoint/error-rate pattern —
+    * the unpartitioned trend window is over days, never events). */
+  def dailyValueSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+      .groupBy(col("day")).agg(sum(col("v")).as("sv"))
+    val dowMean = daily.groupBy(dayofweek(col("day")).as("dow"))
+      .agg(sum(col("sv")).as("ds"), count(lit(1)).as("dn"))
+      .select(col("dow"),
+        round(col("ds").cast("double") / col("dn").cast("double"), 4)
+          .as("seasonal_mean"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    daily
+      .withColumn("dow", dayofweek(col("day")))
+      .join(broadcast(dowMean), Seq("dow"))
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("win_s", sum(col("sv")).over(w7))
+      .withColumn("dv", col("sv").cast("double"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("dv"), 2).as("day_value"),
+        col("dow").cast("long").as("dow"),
+        col("seasonal_mean"),
+        round(col("dv") - col("seasonal_mean"), 4).as("residual"),
+        when(col("win_n") === 7,
+          round(col("win_s").cast("double") / lit(7.0d), 4)).as("trend7"))
+      .orderBy(col("day"))
+  }
+
   /** Robust per-type outlier profile via median/MAD — the
     * heavy-tail-safe sibling of [[valueOutliers]]: mean/std are
     * themselves dragged by the outliers they hunt, so robust pipelines
@@ -581,6 +621,26 @@ object Insights {
          |FROM e JOIN f ON e.user_id = f.user_id
          |WHERE abs((CAST(v AS DOUBLE) - mean) / std) >= 2.0
          |ORDER BY event_id""".stripMargin)),
+    "daily_value_seasonal" -> QueryDef(dailyValueSeasonal, Some(
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+         |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv
+         |  FROM events GROUP BY 1),
+         |dm AS (SELECT dayofweek(day) + 1 AS dow,
+         |    ${OracleSql.round("CAST(sum(sv) AS DOUBLE) / count(*)", 4)} AS seasonal_mean
+         |  FROM daily GROUP BY 1),
+         |win AS (SELECT day, sv,
+         |    count(*) OVER w AS win_n, sum(sv) OVER w AS win_s
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |SELECT strftime(w.day, '%Y-%m-%d') AS day,
+         |  ${OracleSql.round("CAST(sv AS DOUBLE)", 2)} AS day_value,
+         |  CAST(dayofweek(w.day) + 1 AS BIGINT) AS dow,
+         |  seasonal_mean,
+         |  ${OracleSql.round("CAST(sv AS DOUBLE) - seasonal_mean", 4)} AS residual,
+         |  CASE WHEN win_n = 7
+         |       THEN ${OracleSql.round("CAST(win_s AS DOUBLE) / 7.0", 4)} END AS trend7
+         |FROM win w JOIN dm ON dayofweek(w.day) + 1 = dm.dow
+         |ORDER BY day""".stripMargin)),
     "value_mad_outliers" -> QueryDef(valueMadOutliers, Some(
       s"""WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
          |med AS (SELECT event_type AS et,

@@ -66,18 +66,7 @@ object Stats {
     * broadcast. Month indexes and their squares are integers, revenue
     * moments exact decimal, slope/intercept one IEEE expression. */
   def revenueTrendSlopes(s: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name"))),
-        col("c_nationkey") === col("n_nationkey"))
-      .withColumn("x",
-        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
-          .cast("long"))
-      .groupBy(col("n_name"), col("x"))
-      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val monthly = monthlyRevenue(s, dir)
     val m = monthly.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"), sum(col("rev")).as("sy"),
@@ -92,6 +81,52 @@ object Stats {
         round((d("sy") - slope * d("sx")) / n, 4).as("intercept"))
       .orderBy(col("n_name"))
   }
+
+  /** Theil–Sen robust trend per nation — the median of all pairwise
+    * monthly-revenue slopes, the robust sibling of
+    * [[revenueTrendSlopes]]' OLS exactly as `value_mad_outliers` is
+    * of the mean/std outliers: a single wild month drags an OLS slope
+    * arbitrarily but moves the pairwise-slope MEDIAN by at most one
+    * rank. The pair enumeration is per-nation over the MONTHLY frame —
+    * calendar-bounded (months², not orders²), the scale posture that
+    * makes the estimator free at any fact volume. Slopes divide exact
+    * 2dp-decimal revenue differences by integer month gaps (identical
+    * doubles cross-engine); the median is the exact interpolated
+    * percentile, surfaced 4dp (the established recipe). */
+  def revenueTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val monthly = monthlyRevenue(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = monthly.select(col("n_name"), col("x").as("xi"), col("rev").as("ri"))
+    val b = monthly.select(col("n_name"), col("x").as("xj"), col("rev").as("rj"))
+    val slopes = a.join(b, Seq("n_name")).filter(col("xi") < col("xj"))
+      .withColumn("slope",
+        (col("rj") - col("ri")).cast("double") /
+          (col("xj") - col("xi")).cast("double"))
+    val nm = monthly.groupBy(col("n_name")).agg(count(lit(1)).as("n_months"))
+    slopes.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5D)").as("m"))
+      .join(nm, Seq("n_name"))
+      .select(col("n_name"), col("n_months"), col("n_pairs"),
+        round(col("m"), 4).as("theil_slope"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Monthly revenue per nation (x = months since 1995-01, rev = exact
+    * 2dp-decimal sum) — shared by the OLS and Theil–Sen trend rows. */
+  private[ops] def monthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("x",
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long"))
+      .groupBy(col("n_name"), col("x"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
 
   /** Two-sample experiment readout (A/B test): users hash into
     * variant A or B by the same md5-bucket recipe the leak-free
@@ -223,5 +258,22 @@ object Stats {
          |  ${OracleSql.round(slope, 4)} AS slope,
          |  ${OracleSql.round(s"((${d("sy")} - $slope * ${d("sx")}) / $n)", 4)} AS intercept
          |FROM m ORDER BY n_name""".stripMargin
-    }))
+    }),
+    "revenue_theilsen" -> QueryDef(revenueTheilSen, Some(
+      s"""WITH monthly AS (
+         |  SELECT n_name,
+         |    CAST((date_part('year', o_orderdate) - 1995) * 12
+         |         + date_part('month', o_orderdate) - 1 AS BIGINT) AS x,
+         |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, x),
+         |sl AS (SELECT a.n_name,
+         |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+         |  FROM monthly a JOIN monthly b ON a.n_name = b.n_name AND a.x < b.x),
+         |nm AS (SELECT n_name, count(*) AS n_months FROM monthly GROUP BY n_name)
+         |SELECT s.n_name, nm.n_months, count(*) AS n_pairs,
+         |  ${OracleSql.round("quantile_cont(slope, 0.5)", 4)} AS theil_slope
+         |FROM sl s JOIN nm ON s.n_name = nm.n_name
+         |GROUP BY s.n_name, nm.n_months ORDER BY s.n_name""".stripMargin)))
 }

@@ -203,7 +203,9 @@ object ScaleProbe {
       "doc_kl_divergence",       // class counts + broadcast model relation
       "supplier_link_prediction",// shared-neighbor join on strong ties
       "media_audio_fingerprint", // per-row decode + sign codes, no shuffle
-      "pipeline_stage_report")   // persisted stage prefixes, 6 scalar aggs
+      "pipeline_stage_report",   // persisted stage prefixes, 6 scalar aggs
+      "daily_value_seasonal",    // one day agg; windows on the day frame
+      "revenue_theilsen")        // monthly pairs per nation, calendar-bounded
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -184,6 +184,33 @@ class InsightsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 40.0, expZ)))
   }
 
+  test("seasonal decomposition: a pure weekly pattern leaves zero residuals") {
+    // one event per day for 3 weeks starting Mon 2024-01-01; Mondays
+    // value 10, all other days 1 → seasonal means absorb everything
+    // (residual 0), and every full 7-day window sums to 16 → trend7
+    // = 16/7 wherever the window is complete
+    val rows = (0 until 21).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val v = if (day.getDayOfWeek == java.time.DayOfWeek.MONDAY) 10.0 else 1.0
+      (i.toLong, s"$day 12:00:00", 1L, "click", v)
+    }
+    val dir = eventsDir(rows)
+    val got = Insights.dailyValueSeasonal(spark, dir).collect()
+    assert(got.length == 21)
+    got.foreach { r =>
+      assert(r.getDouble(4) == 0.0, s"residual must vanish: $r")
+    }
+    val expTrend = BigDecimal.decimal(16.0 / 7.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(0))
+      val edge = day.isBefore(java.time.LocalDate.of(2024, 1, 4)) ||
+        day.isAfter(java.time.LocalDate.of(2024, 1, 18))
+      if (edge) assert(r.isNullAt(5), s"partial window must emit no trend: $r")
+      else assert(r.getDouble(5) == expTrend, s"trend: $r")
+    }
+  }
+
   test("MAD outliers: robust z flags the gross value, zero MAD disables") {
     // "click": values 1..9 plus 1000 → median 5.5, deviations sorted
     //   0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 → MAD 2.5;

@@ -140,4 +140,52 @@ class StatsSpec extends AnyFunSuite {
       (14L, 30.0, "1995-01-01", Some("1996-01-01"), false),
       (14L, 130.0, "1996-01-01", None, true)), s"${got.toSeq}")
   }
+
+  test("Theil-Sen matches a scalar pairwise-median reference and shrugs off outliers") {
+    val dir = "/root/testdata/sf0.001"
+    val monthly = Stats.monthlyRevenue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue()))
+      .groupBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * 0.5
+      val lo = s(idx.toInt)
+      val hi = s(math.ceil(idx).toInt)
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val ref = monthly.map { case (nation, rows) =>
+      val pts = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+      nation -> BigDecimal.decimal(median(slopes))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Stats.revenueTheilSen(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((nation, want) <- ref)
+      assert(got(nation) == want, s"$nation: got ${got(nation)}, want $want")
+    // robustness on a constructed line: 20 points of y = 5x + 3 with
+    // the HIGH-LEVERAGE endpoint corrupted by +1000. Only 19 of 190
+    // pairwise slopes touch the
+    // corruption, so the MEDIAN is still an uncorrupted slope —
+    // exactly 5 — while OLS shifts visibly (the estimator's point).
+    def theil(p: Seq[(Long, Double)]): Double = median(
+      (for { i <- p.indices; j <- (i + 1) until p.length }
+        yield (p(j)._2 - p(i)._2) / (p(j)._1 - p(i)._1)))
+    def ols(p: Seq[(Long, Double)]): Double = {
+      val n = p.length.toDouble
+      val sx = p.map(_._1.toDouble).sum; val sy = p.map(_._2).sum
+      val sxx = p.map(q => q._1.toDouble * q._1).sum
+      val sxy = p.map(q => q._1 * q._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val line = (0L until 20L).map(x => (x, 5.0 * x + 3))
+    val corrupted = line.updated(19, (19L, 5.0 * 19 + 3 + 1000))
+    assert(theil(line) == 5.0 && theil(corrupted) == 5.0,
+      "the pairwise-slope median must ignore a single corrupted point")
+    assert(math.abs(ols(corrupted) - 5.0) > 1.0,
+      s"OLS should shift visibly: ${ols(corrupted)}")
+  }
 }
