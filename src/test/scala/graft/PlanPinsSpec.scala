@@ -315,4 +315,33 @@ class PlanPinsSpec extends AnyFunSuite {
       s"per-type robust stats must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("KL divergence: vocab induction bounded, model relation broadcast") {
+    val p = plan("doc_kl_divergence")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocabulary must be a bounded top-k, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the class model must broadcast into the scoring join:\n$p")
+  }
+
+  test("link prediction: no cartesian — candidates only via shared neighbors") {
+    val p = plan("supplier_link_prediction")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must be bounded:\n$p")
+  }
+
+  test("audio fingerprints: derived in the scan stage, no shuffle before the sort") {
+    val p = plan("media_audio_fingerprint")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0,
+      s"sign codes must not hash-shuffle (only the output range sort):\n$p")
+  }
+
+  test("seasonal decomposition: day-of-week means broadcast back") {
+    val p = plan("daily_value_seasonal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"seasonal means must broadcast into the day frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
