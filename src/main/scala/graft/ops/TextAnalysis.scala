@@ -587,6 +587,20 @@ object TextAnalysis {
     out
   }
 
+  /** Left-greedy application of ONE merge (ma, mb) to a `sy`
+    * array<string> column — the order-preserving fold (merge when the
+    * accumulator's last symbol is ma and the current is mb). Exposed
+    * to the property spec, which cross-checks it against the oracle's
+    * independent positional (gaps-and-islands) formulation on random
+    * sequences. */
+  private[ops] def bpeApplyMerge(ma: String, mb: String): org.apache.spark.sql.Column =
+    aggregate(col("sy"),
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(ma) && x === lit(mb),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(ma + mb))))
+          .otherwise(concat(acc, array(x))))
+
   /** The trainer's driver loop, shared by the merge-table and
     * tokenize-stats surfaces: `steps` rounds of weighted-pair argmax +
     * left-greedy merge over the word-type vocabulary. Returns the
@@ -621,13 +635,7 @@ object TextAnalysis {
       else {
         val (ma, mb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, ma, mb, cnt))
-        val mergedSy = aggregate(col("sy"),
-          array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(ma) && x === lit(mb),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(ma + mb))))
-              .otherwise(concat(acc, array(x))))
-        val step = prev.select(col("w"), col("freq"), mergedSy.as("sy"))
+        val step = prev.select(col("w"), col("freq"), bpeApplyMerge(ma, mb).as("sy"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         step.count()
         prev.unpersist(blocking = false)
