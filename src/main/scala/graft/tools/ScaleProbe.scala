@@ -205,7 +205,8 @@ object ScaleProbe {
       "media_audio_fingerprint", // per-row decode + sign codes, no shuffle
       "pipeline_stage_report",   // persisted stage prefixes, 6 scalar aggs
       "daily_value_seasonal",    // one day agg; windows on the day frame
-      "revenue_theilsen")        // monthly pairs per nation, calendar-bounded
+      "revenue_theilsen",        // monthly pairs per nation, calendar-bounded
+      "decontamination_fuzzy_verdicts") // eval postings broadcast, corpus one scan
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

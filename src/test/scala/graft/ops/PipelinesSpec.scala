@@ -149,6 +149,28 @@ class PipelinesSpec extends AnyFunSuite {
     assert(ens.values.exists(_._6) && ens.values.exists(!_._6))
   }
 
+  test("fuzzy decontamination: paraphrased eval material flags, light overlap scores but passes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    val evalDoc = (1 to 30).map(i => s"w$i").mkString(" ")
+    // 100: one word swapped → ~0.8 shingle Jaccard (paraphrase) —
+    // invisible to EXACT 5-gram decontamination beyond the edit point,
+    // the case this operator exists for. 101: unrelated. 102: shares
+    // one 5-word phrase → small nonzero score, below threshold.
+    val para = evalDoc.split(" ").updated(14, "CHANGED").mkString(" ")
+    val phrase = ((1 to 5).map(i => s"w$i") ++ (1 to 25).map(i => s"z$i")).mkString(" ")
+    Seq((0L, evalDoc), (100L, para), (101L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (102L, phrase))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipelines.fuzzyDecontamVerdicts(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(100L)._2 && got(100L)._1 > 0.7, s"paraphrase must flag: ${got(100L)}")
+    assert(got(101L) == ((0.0, false)), s"unrelated: ${got(101L)}")
+    assert(!got(102L)._2 && got(102L)._1 > 0.0 && got(102L)._1 < 0.2,
+      s"light phrase overlap scores but passes: ${got(102L)}")
+  }
+
   test("stage report: a monotone funnel consistent with the flagship output") {
     val rep = Pipelines.stageReport(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
