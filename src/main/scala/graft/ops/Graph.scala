@@ -327,6 +327,36 @@ object Graph {
       .limit(topN)
   }
 
+  /** Driver row: connected components of the strong-tie supplier
+    * graph — per node its component label (component-min suppkey) and
+    * the component size. The thresholded graph fragments into many
+    * small components (unlike the raw co-occurrence graph, which is
+    * near-complete — see [[supplierTriangles]]), so this is the
+    * "supplier community" counterpart of the dedup cluster labeling,
+    * and it REUSES that machinery: [[Dedup.clustersFromEdges]] is the
+    * size-gated union-find / pointer-jumping labeler, so the scale
+    * posture is inherited (driver-local up to 2²² edges, O(log
+    * diameter) distributed pointer-jumping beyond; the edge relation
+    * is the percentile-thresholded pair set, ≪ |suppliers|²). Sizes
+    * join back via broadcast — the label table is node-sized but the
+    * size table is component-sized (smaller still).
+    *
+    * Oracle: the same recursive-CTE reachability-min used by the
+    * dedup cluster rows ([[Dedup.ccFromPairsSql]]) over the
+    * [[strongTieCtes]] edge relation — an independent fixpoint
+    * formulation, exact-integer throughout. */
+  def supplierComponents(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.clustersFromEdges(
+        strongTieEdges(s, dir)
+          .select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("s_suppkey"), col("cluster_id").as("component"))
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("comp_size"))
+    labels.join(broadcast(sizes), Seq("component"))
+      .select(col("s_suppkey"), col("component"), col("comp_size"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Ranks sit around 1/N — sub-unit, so every oracle round here uses
     * the scale-28 staging variant (see [[OracleSql.roundDecSub]]; the
     * double-rounding flip was first observed on THIS query). */
@@ -402,6 +432,15 @@ object Graph {
          |       THEN ${OracleSql.round("3.0 * n_triangles / n_wedges", 4)}
          |       ELSE 0.0 END AS transitivity
          |FROM agg""".stripMargin)),
+    "supplier_components" -> QueryDef(supplierComponents, Some(
+      s"""WITH RECURSIVE $strongTieCtes,
+         |pairs AS (SELECT u AS doc_a, v AS doc_b FROM e),
+         |${Dedup.ccFromPairsSql},
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS comp_size
+         |       FROM labels GROUP BY cluster_id)
+         |SELECT doc_id AS s_suppkey, cluster_id AS component, comp_size
+         |FROM labels JOIN sz USING (cluster_id)
+         |ORDER BY s_suppkey""".stripMargin)),
     "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))),
     "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
       """WITH RECURSIVE eo AS (

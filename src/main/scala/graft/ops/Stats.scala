@@ -188,6 +188,46 @@ object Stats {
       .orderBy(col("user_id"))
   }
 
+  /** Winsorized per-type value stats — the robust-mean counterpart of
+    * [[Insights.valueOutliers]]' z-scores: clamp `value` into its
+    * exact interpolated [p05, p95] (bounds rounded at 4dp FIRST —
+    * the cross-engine-proven percentile form, see the
+    * `value_percentiles` row), then mean and population stddev of the
+    * clamped series from exact decimal moments (6dp DECIMAL staging
+    * before the sums, one fixed IEEE expression after — the module
+    * recipe). Winsorization is the standard heavy-tail taming before
+    * averaging a quality/latency metric.
+    *
+    * Scale posture: one percentile aggregate per type (the exact
+    * interpolated percentile sorts within groups; the
+    * `approx_value_percentiles` row documents the sketch-based 100 TB
+    * substitute), bounds broadcast back, one moment aggregate —
+    * two passes over events, nothing driver-side. */
+  def valueWinsorized(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventQueries.events(s, dir)
+      .select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05D)"), 4).as("lo"),
+        round(expr("percentile(value, 0.95D)"), 4).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("wv",
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), sum(col("wv")).as("sw"),
+        sum(col("wv") * col("wv")).as("sw2"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        col("n").cast("double").as("nd"),
+        col("sw").cast("double").as("swd"), col("sw2").cast("double").as("sw2d"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        round(col("swd") / col("nd"), 4).as("win_mean"),
+        round(sqrt(greatest(
+          (col("sw2d") - col("swd") * col("swd") / col("nd")) / col("nd"),
+          lit(0.0d))), 4).as("win_std"))
+      .orderBy(col("event_type"))
+  }
+
   private def corrSql(name: String, sx: String, sy: String, sxx: String,
                       syy: String, sxy: String): String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
@@ -259,6 +299,24 @@ object Stats {
          |  ${OracleSql.round(s"((${d("sy")} - $slope * ${d("sx")}) / $n)", 4)} AS intercept
          |FROM m ORDER BY n_name""".stripMargin
     }),
+    "value_winsorized" -> QueryDef(valueWinsorized, Some(
+      s"""WITH b AS (SELECT event_type,
+         |    ${OracleSql.round("quantile_cont(value, 0.05)", 4)} AS lo,
+         |    ${OracleSql.round("quantile_cont(value, 0.95)", 4)} AS hi
+         |  FROM events GROUP BY event_type),
+         |w AS (SELECT e.event_type, b.lo, b.hi,
+         |    CAST(${OracleSql.round("least(greatest(value, lo), hi)", 6)}
+         |         AS DECIMAL(18,6)) AS wv
+         |  FROM events e JOIN b ON e.event_type = b.event_type),
+         |m AS (SELECT event_type, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
+         |    sum(wv) AS sw, sum(wv * wv) AS sw2
+         |  FROM w GROUP BY event_type),
+         |d AS (SELECT event_type, n, lo, hi, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sw AS DOUBLE) AS swd, CAST(sw2 AS DOUBLE) AS sw2d FROM m)
+         |SELECT event_type, n, lo, hi,
+         |  ${OracleSql.round("swd / nd", 4)} AS win_mean,
+         |  ${OracleSql.round("sqrt(greatest((sw2d - swd * swd / nd) / nd, 0.0))", 4)} AS win_std
+         |FROM d ORDER BY event_type""".stripMargin)),
     "revenue_theilsen" -> QueryDef(revenueTheilSen, Some(
       s"""WITH monthly AS (
          |  SELECT n_name,

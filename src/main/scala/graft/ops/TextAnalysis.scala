@@ -544,6 +544,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-unigram bag is under
+    * a TARGET distribution than under the RAW corpus —
+    * log w(d) = Σ_f tf(d, f) · ln(p_target(f) / p_raw(f)) — the
+    * signal DSIR resamples on to pull a raw crawl toward a trusted
+    * corpus. Features are unigrams hashed into 256 buckets (md5 hex
+    * prefix — the repo's cross-engine-stable hash, and hashing IS the
+    * method: DSIR deliberately collides the open vocabulary into a
+    * fixed feature space so both n-gram models stay bounded). Target
+    * here = the `targetLang` subset of the same corpus (select
+    * documents that "look English-distributed"); add-λ smoothing
+    * (λ = 0.5 over V = 256) keeps buckets unseen in the target
+    * finite.
+    *
+    * Scale posture: both models are BOUNDED tables (≤256 rows) — the
+    * corpus pays one tokenize+count pass for the two distributions
+    * and one tokenize+join pass for scoring, with the log-ratio
+    * table broadcast; no shuffle wider than the 256-bucket
+    * aggregation, no per-document state. The tokenized frame is
+    * persisted across the two passes (cache lifetime:
+    * Dedup.boundedSharedCounts' contract).
+    *
+    * Determinism: the per-bucket log-ratio is rounded once to 9dp
+    * DECIMAL; per-doc contributions multiply it by the exact integer
+    * tf and sum exactly (the klDivergence recipe), so the 4dp score
+    * is order- and engine-independent. */
+  def dsirWeights(s: SparkSession, dir: String,
+                  targetLang: String = "en"): DataFrame =
+    dsirWeightsOn(docs(s, dir), targetLang)
+
+  /** Generic variant over any (doc_id, lang, text) frame. */
+  def dsirWeightsOn(df: DataFrame, targetLang: String): DataFrame = {
+    val tok = df.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .withColumn("f", substring(md5(col("tok")), 1, 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = tok.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === targetLang)
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val nt = tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("tot_t"))
+    val nr = raw.agg(sum(col("cr")).cast("double").as("tot_r"))
+    // raw is a superset of target (target ⊆ corpus), so a left join
+    // covers every bucket any document can hash into
+    val pt = (coalesce(col("ct"), lit(0L)).cast("double") + lit(0.5)) /
+      (col("tot_t") + lit(128.0))
+    val pr = (col("cr").cast("double") + lit(0.5)) / (col("tot_r") + lit(128.0))
+    val logRatio = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("f"), round(log(pt / pr), 9).cast("decimal(20,9)").as("lr"))
+    tok.groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(logRatio), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      // tf narrowed to DECIMAL(10,0) so tf·lr stays DECIMAL(31,9):
+      // a raw BIGINT operand would push the product past precision
+      // 38 and Spark's precision-loss rule silently truncates the
+      // scale to 6 — rounding every contribution before the sum
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("decimal(10,0)") * col("lr")).as("w"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("w").cast("double"), 4).as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus tokenization THROUGH the learned BPE merges — the apply
     * side of [[bpeLearnMergesOn]], reporting per document how far the
     * learned vocabulary compresses it: word count, character count,
@@ -751,6 +818,28 @@ object TextAnalysis {
          |SELECT doc_id, max(nd) AS n_tokens,
          |  ${R("CAST(sum(c) AS DOUBLE)", 4)} AS kl_bits
          |FROM cb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    "doc_dsir_weights" -> QueryDef((s, d) => dsirWeights(s, d), Some(
+      s"""WITH tokc AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS f
+         |       FROM tokc WHERE len(tok) >= 1),
+         |raw AS (SELECT f, count(*) AS cr FROM tk GROUP BY f),
+         |tgt AS (SELECT f, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY f),
+         |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tot_t FROM tgt),
+         |nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tot_r FROM raw),
+         |lr AS (SELECT raw.f,
+         |         ${graft.OracleSql.roundDecSub(
+                     "ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 0.5) / (tot_t + 128.0)) / " +
+                     "((CAST(cr AS DOUBLE) + 0.5) / (tot_r + 128.0)))", 9)} AS lr
+         |       FROM raw LEFT JOIN tgt ON raw.f = tgt.f
+         |         CROSS JOIN nt CROSS JOIN nr),
+         |dtf AS (SELECT doc_id, lang, f, count(*) AS tf FROM tk GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         sum(tf * lr) AS w
+         |       FROM dtf JOIN lr ON dtf.f = lr.f GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tokens,
+         |  ${R("CAST(w AS DOUBLE)", 4)} AS dsir_logw
+         |FROM sc ORDER BY doc_id""".stripMargin)),
     "bpe_merge_pairs" -> QueryDef(bpeMergePairs, Some(
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         |big AS (SELECT t FROM tok WHERE len(t) >= 2),

@@ -156,4 +156,25 @@ class GraphSpec extends AnyFunSuite {
     e.unpersist(blocking = false)
     assert(fast == naive && fast > 0, s"fast=$fast naive=$naive")
   }
+
+  test("supplier components: planted strong ties split into labeled, sized components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph").toString
+    // strong ties: (1,2), (2,3), (4,5) each share TWO orders; 30
+    // background pairs share one order each, so the p90 of the
+    // pair-count distribution sits at 1 and only the planted ties
+    // pass the c > p90 gate. Expected components: {1,2,3} and {4,5}.
+    val strong = Seq((1L, Seq(1L, 2L)), (2L, Seq(1L, 2L)),
+      (3L, Seq(2L, 3L)), (4L, Seq(2L, 3L)), (5L, Seq(4L, 5L)), (6L, Seq(4L, 5L)))
+    val background = (0 until 30).map(i =>
+      (1000L + i, Seq(100L + 2 * i, 101L + 2 * i)))
+    (strong ++ background)
+      .flatMap { case (ok, sks) => sks.map(sk => (ok, sk)) }
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.supplierComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L)), s"${got.toSeq}")
+  }
 }

@@ -188,4 +188,32 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(ols(corrupted) - 5.0) > 1.0,
       s"OLS should shift visibly: ${ols(corrupted)}")
   }
+
+  test("winsorized stats: one planted outlier clamps to p95; clean mean recovered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stats").toString
+    // values 1..20 plus one 1000 outlier: with n = 21 the exact
+    // interpolated p05 lands on sorted[0.05·20] = sorted[1] = 2 and
+    // p95 on sorted[19] = 20, so winsorizing maps 1→2 and 1000→20;
+    // the winsorized mean is (2 + Σ2..20 + 20)/21 = 231/21 = 11
+    val values = (1 to 20).map(_.toDouble) :+ 1000.0
+    values.zipWithIndex
+      .map { case (v, i) => (i.toLong, s"2024-01-01 00:0${i % 10}:00", i.toLong, "buy", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.valueWinsorized(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "buy" && r.getLong(1) == 21L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 20.0, s"bounds: $r")
+    assert(r.getDouble(4) == 11.0, s"win_mean: $r")
+    // population std of the clamped series, same fixed expression
+    val clamped = values.map(v => math.min(math.max(v, 2.0), 20.0))
+    val n = clamped.length.toDouble
+    val (s1, s2) = (clamped.sum, clamped.map(v => v * v).sum)
+    val wantStd = BigDecimal.decimal(math.sqrt((s2 - s1 * s1 / n) / n))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == wantStd, s"win_std: $r want $wantStd")
+  }
 }

@@ -211,4 +211,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)), s"${got.toSeq}")
   }
+
+  test("DSIR weights: target-typical docs score above raw-typical, bit-exact vs scalar reference") {
+    import spark.implicits._
+    // target (en) speaks 'good'/'fine'; the rest speak 'bad'/'ugly';
+    // doc 5 mixes. DSIR must rank pure-target > mixed > pure-raw.
+    val corpus = Seq(
+      (1L, "en", "good fine good"),
+      (2L, "en", "good good fine fine"),
+      (3L, "de", "bad ugly bad"),
+      (4L, "de", "ugly bad ugly bad"),
+      (5L, "en", "good bad"))
+    val got = TextAnalysis.dsirWeightsOn(
+        corpus.toDF("doc_id", "lang", "text"), targetLang = "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+
+    // scalar reference with the SAME bucketing + smoothing + 9dp
+    // decimal staging (md5 hex prefix, λ = 0.5 over V = 256)
+    def bucket(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x".take(2)
+    }
+    def round9(x: Double): BigDecimal =
+      BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val toks = corpus.flatMap { case (id, lang, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, lang, bucket(t))) }
+    val raw = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tgt = toks.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (totT, totR) = (tgt.values.sum.toDouble, raw.values.sum.toDouble)
+    val lr = raw.map { case (f, cr) =>
+      f -> round9(math.log(((tgt.getOrElse(f, 0L).toDouble + 0.5) / (totT + 128.0)) /
+        ((cr.toDouble + 0.5) / (totR + 128.0)))) }
+    val want = toks.groupBy(_._1).view.mapValues { ts =>
+      val w = ts.groupBy(_._3).map { case (f, g) => BigDecimal(g.size) * lr(f) }.sum
+      BigDecimal.decimal(w.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    for ((id, v) <- want) assert(got(id) == v, s"doc $id: got ${got(id)} want $v")
+    assert(got(1L) > got(5L) && got(5L) > got(3L),
+      s"ordering: ${got.toSeq.sortBy(_._1)}")
+    assert(got(3L) < 0 && got(1L) > 0, s"signs: $got")
+  }
 }
