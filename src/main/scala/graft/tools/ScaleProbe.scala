@@ -206,7 +206,10 @@ object ScaleProbe {
       "pipeline_stage_report",   // persisted stage prefixes, 6 scalar aggs
       "daily_value_seasonal",    // one day agg; windows on the day frame
       "revenue_theilsen",        // monthly pairs per nation, calendar-bounded
-      "decontamination_fuzzy_verdicts") // eval postings broadcast, corpus one scan
+      "decontamination_fuzzy_verdicts", // eval postings broadcast, corpus one scan
+      "doc_dsir_weights",        // 256-bucket models broadcast, corpus two passes
+      "supplier_components",     // strong-tie edges + size-gated labeling
+      "value_winsorized")        // percentile agg + broadcast bounds + moment agg
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

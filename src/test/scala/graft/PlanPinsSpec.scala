@@ -344,4 +344,18 @@ class PlanPinsSpec extends AnyFunSuite {
       s"seasonal means must broadcast into the day frame:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("DSIR: bounded log-ratio model broadcast, corpus never SMJ-shuffled") {
+    val p = plan("doc_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤256-row log-ratio table must broadcast into the scoring join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side shuffled into an SMJ:\n$p")
+  }
+
+  test("winsorized stats: per-type bounds broadcast into the clamping pass") {
+    val p = plan("value_winsorized")
+    assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events shuffled into an SMJ:\n$p")
+  }
 }
