@@ -134,6 +134,40 @@ object Curation {
       .orderBy(col(stratumCol))
   }
 
+  /** Temperature-based mixture reweighting (the multilingual sampling
+    * rule of mBERT/XLM-R/mT5): raw language share p_l is flattened to
+    * q_l = p_l^α / Σ p^α with α = 0.3, and `boost` = q_l / p_l is the
+    * up/down-sampling factor each language's documents get — >1 for
+    * tail languages, <1 for the head. The report a mixture designer
+    * reads BEFORE sampling (the [[mixtureBalance]] row is the
+    * equal-size limit α = 0).
+    *
+    * Scale posture: one count aggregate over the corpus; everything
+    * after is language-cardinality-sized with two broadcast one-row
+    * totals.
+    *
+    * Determinism: p^α goes through pow once and is staged to 9dp
+    * DECIMAL (the shared recipe — the normalizer Σ q is then an
+    * exact sum), and every surfaced ratio is one fixed IEEE
+    * expression over those exact values. */
+  def temperatureMixture(s: SparkSession, dir: String,
+                         alpha: Double = 0.3): DataFrame = {
+    val counts = docs(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).cast("double").as("tot"))
+    val q = counts.crossJoin(broadcast(tot))
+      .withColumn("p_raw_d", col("n_docs").cast("double") / col("tot"))
+      .withColumn("q", round(pow(col("p_raw_d"), alpha), 9).cast("decimal(20,9)"))
+    val z = q.agg(sum(col("q")).as("z"))
+    q.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("p_raw_d"), 4).as("p_raw"),
+        round(col("q").cast("double") / col("z").cast("double"), 4).as("p_temp"),
+        round((col("q").cast("double") / col("z").cast("double")) / col("p_raw_d"), 4)
+          .as("boost"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------- source mixture
 
   /** Provenance mixture report: per (source, lang) document and token
@@ -244,6 +278,18 @@ object Curation {
          |  ${OracleSql.round("CAST(n_tokens - coalesce(n_in_vocab, 0) AS DOUBLE) / n_tokens", 6)} AS oov_rate
          |FROM bn LEFT JOIN iv ON bn.doc_id = iv.doc_id
          |ORDER BY bn.doc_id""".stripMargin)),
+    "mixture_temperature" -> QueryDef((s, d) => temperatureMixture(s, d), Some(
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM c),
+         |q AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / tot AS p_raw_d,
+         |        ${OracleSql.roundDecSub(s"pow(CAST(n_docs AS DOUBLE) / tot, ${0.3})", 9)} AS q
+         |      FROM c CROSS JOIN t),
+         |z AS (SELECT sum(q) AS z FROM q)
+         |SELECT lang, n_docs,
+         |  ${OracleSql.round("p_raw_d", 4)} AS p_raw,
+         |  ${OracleSql.round("CAST(q AS DOUBLE) / CAST(z AS DOUBLE)", 4)} AS p_temp,
+         |  ${OracleSql.round("(CAST(q AS DOUBLE) / CAST(z AS DOUBLE)) / p_raw_d", 4)} AS boost
+         |FROM q CROSS JOIN z ORDER BY lang""".stripMargin)),
     "mixture_balance" -> QueryDef((s, d) => mixtureBalance(s, d), Some(
       """WITH counts AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
         |mn AS (SELECT min(n_before) AS mn FROM counts),

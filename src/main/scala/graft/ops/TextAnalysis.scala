@@ -268,6 +268,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Perplexity bucketing (the CCNet/RedPajama split): rank every
+    * document by its unigram-LM cross-entropy ([[lmSurprisalOn]]) and
+    * cut the corpus into `head` / `middle` / `tail` terciles — head =
+    * most-predictable third, the slice CCNet keeps outright, tail =
+    * the slice that gets re-filtered or dropped. Cut points are the
+    * exact interpolated 1/3 and 2/3 quantiles of the 4dp score
+    * (rounded at 4dp first, the cross-engine-proven percentile form)
+    * broadcast back over the score frame.
+    *
+    * Scale posture: the LM pass is the [[lmSurprisal]] plan (tf
+    * shuffle bounded by vocabulary); the bucketing adds one
+    * percentile aggregate over the doc-count-sized score frame and a
+    * broadcast join — no new corpus-sized shuffle. */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    perplexityBucketsOn(docs(s, dir))
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def perplexityBucketsOn(df: DataFrame): DataFrame = {
+    val sc = lmSurprisalOn(df)
+      .select(col("doc_id"), col("n_tokens"), col("xent_bits"))
+    val cuts = sc.agg(
+      round(expr(s"percentile(xent_bits, CAST(${1.0 / 3} AS DOUBLE))"), 4).as("c1"),
+      round(expr(s"percentile(xent_bits, CAST(${2.0 / 3} AS DOUBLE))"), 4).as("c2"))
+    sc.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("xent_bits") <= col("c1"), lit("head"))
+          .when(col("xent_bits") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_tokens"), col("xent_bits"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source quality-score calibration: within each source, the
+    * percent-rank of [[qualityScores]]' linear score — the rank-based
+    * normalization that makes classifier scores comparable ACROSS
+    * sources before a corpus-wide keep threshold (a raw cut keeps
+    * whole high-scoring domains and drops whole low-scoring ones;
+    * the per-source rank keeps the best X% of EACH). percent_rank =
+    * (rank − 1)/(n − 1) is exact-integer-derived, so it is
+    * hash-checkable without any float staging.
+    *
+    * Scale posture: one source-keyed window (sources are natural
+    * partitions; a heavily skewed source would pre-aggregate to
+    * score-count pairs first — the distribution, not the docs, is
+    * what ranks). */
+  def qualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality_score"))
+    withQuality(docs(s, dir))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("quality_pct", round(percent_rank().over(w), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram conditional cross-entropy — the next step up from
     * [[lmSurprisal]]'s unigram model: per-bigram surprisal
     * −log₂(c(prev,tok)/c(prev)) from corpus-wide bigram counts,
@@ -917,6 +971,33 @@ object TextAnalysis {
       s"""WITH ${lmXentCtes()}
          |SELECT doc_id, n_tokens, xent_bits, xent_bits <= 4.93 AS keep
          |FROM x ORDER BY doc_id""".stripMargin)),
+    "doc_perplexity_buckets" -> QueryDef((s, d) => perplexityBuckets(s, d), Some(
+      s"""WITH ${lmXentCtes()},
+         |cuts AS (SELECT
+         |    ${R(s"quantile_cont(xent_bits, ${1.0 / 3})", 4)} AS c1,
+         |    ${R(s"quantile_cont(xent_bits, ${2.0 / 3})", 4)} AS c2
+         |  FROM x)
+         |SELECT doc_id, n_tokens, xent_bits,
+         |  CASE WHEN xent_bits <= c1 THEN 'head'
+         |       WHEN xent_bits <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM x CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
+    "quality_calibrated" -> QueryDef((s, d) => qualityCalibrated(s, d), Some {
+      val t = "string_split(text, ' ')"
+      val nTok = s"len($t)"
+      val nStop = s"len(list_filter($t, x -> x IN ('" + stopwords.mkString("','") + "')))"
+      val stopRatio = s"CAST($nStop AS DOUBLE) / $nTok"
+      val ttr = s"CAST(len(list_distinct($t)) AS DOUBLE) / $nTok"
+      val mtl = s"CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok"
+      s"""WITH q AS (SELECT doc_id, source,
+         |    ${R(s"$ttr * 0.5 + $stopRatio * 0.2 + least($mtl / 10.0, 1.0) * 0.3", 4)}
+         |      AS quality_score
+         |  FROM documents)
+         |SELECT doc_id, source, quality_score,
+         |  ${R("percent_rank() OVER (PARTITION BY source ORDER BY quality_score)", 6)}
+         |    AS quality_pct
+         |FROM q ORDER BY doc_id""".stripMargin
+    }),
     "text_lm_bigram" -> QueryDef((s, d) => lmBigramSurprisal(s, d), Some(
       s"""WITH bn AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
          |            WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),

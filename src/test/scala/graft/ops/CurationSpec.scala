@@ -108,4 +108,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == 1.0, "unrelated content is fully novel")
     assert(got(3L) == 0.0, "a pure excerpt of an earlier doc has zero novelty")
   }
+
+  test("temperature mixture: tail language boosted, head damped, shares sum to 1") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toString
+    // 90/10 split: at alpha = 0.3 the tail should be upsampled ~3.4x
+    ((1 to 90).map(i => (i.toLong, "en", "x")) ++
+      (91 to 100).map(i => (i.toLong, "de", "x")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Curation.temperatureMixture(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (nDe, pDe, qDe, bDe) = got("de")
+    val (nEn, pEn, qEn, bEn) = got("en")
+    assert(nDe == 10L && nEn == 90L && pDe == 0.1 && pEn == 0.9)
+    assert(bDe > 1.0 && bEn < 1.0, s"boosts: de=$bDe en=$bEn")
+    assert(math.abs(qDe + qEn - 1.0) <= 0.0002, s"shares: $qDe + $qEn")
+    // scalar reference with the same 9dp decimal staging
+    def round9(x: Double): BigDecimal =
+      BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def round4(x: Double): Double =
+      BigDecimal.decimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (q1, q2) = (round9(math.pow(0.1, 0.3)), round9(math.pow(0.9, 0.3)))
+    val z = q1 + q2
+    assert(qDe == round4(q1.toDouble / z.toDouble), s"p_temp de: $qDe")
+    assert(bEn == round4((q2.toDouble / z.toDouble) / 0.9), s"boost en: $bEn")
+  }
 }

@@ -252,4 +252,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"ordering: ${got.toSeq.sortBy(_._1)}")
     assert(got(3L) < 0 && got(1L) > 0, s"signs: $got")
   }
+
+  test("perplexity buckets: tercile membership follows the cross-entropy order") {
+    import spark.implicits._
+    // three docs with strictly increasing unigram cross-entropy:
+    // all-common tokens, half-common, all-rare
+    val docs = Seq(
+      (1L, "the the the the the the"),
+      (2L, "the the the rare1 rare2 rare3"),
+      (3L, "solo1 solo2 solo3 solo4 solo5 solo6")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBucketsOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3))).toMap
+    assert(got(1L)._1 < got(2L)._1 && got(2L)._1 < got(3L)._1,
+      s"xent must increase: $got")
+    assert(got(1L)._2 == "head" && got(2L)._2 == "middle" && got(3L)._2 == "tail",
+      s"buckets: $got")
+  }
+
+  test("quality calibration: per-source percent ranks span [0,1] in score order") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("textcal").toString
+    // two sources, three docs each with strictly ordered quality
+    // (ttr rises with distinct tokens); ranks must be {0, 0.5, 1}
+    // WITHIN each source regardless of cross-source score levels
+    Seq(
+      (1L, "srcA", "a a a a"), (2L, "srcA", "a a b b"), (3L, "srcA", "a b c d"),
+      (4L, "srcB", "x x x x x x"), (5L, "srcB", "x x x y y z"), (6L, "srcB", "u v w x y z"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.qualityCalibrated(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    for (src <- Seq("srcA", "srcB")) {
+      val inSrc = rows.filter(_._2 == src).sortBy(_._3)
+      assert(inSrc.map(_._4).toSeq == Seq(0.0, 0.5, 1.0),
+        s"$src ranks: ${inSrc.toSeq}")
+    }
+    // cross-source comparability: the per-source BEST docs share rank 1
+    val best = rows.filter(_._4 == 1.0).map(_._1).toSet
+    assert(best == Set(3L, 6L), s"best per source: $best")
+  }
 }
