@@ -209,7 +209,10 @@ object ScaleProbe {
       "decontamination_fuzzy_verdicts", // eval postings broadcast, corpus one scan
       "doc_dsir_weights",        // 256-bucket models broadcast, corpus two passes
       "supplier_components",     // strong-tie edges + size-gated labeling
-      "value_winsorized")        // percentile agg + broadcast bounds + moment agg
+      "value_winsorized",        // percentile agg + broadcast bounds + moment agg
+      "mixture_temperature",     // one corpus count agg; rest lang-sized
+      "doc_perplexity_buckets",  // LM pass + doc-sized percentile + broadcast cuts
+      "quality_calibrated")      // scan-stage quality + source-keyed window
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -358,4 +358,18 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"events shuffled into an SMJ:\n$p")
   }
+
+  test("perplexity buckets: tercile cuts broadcast over the score frame") {
+    val p = plan("doc_perplexity_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"cuts not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("quality calibration: source-keyed window, no corpus-wide single partition") {
+    val p = plan("quality_calibrated")
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global single-partition window sneaked in:\n$p")
+  }
 }
