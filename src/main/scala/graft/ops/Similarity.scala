@@ -675,6 +675,108 @@ object Similarity {
         round(max(col("norm")), 6).as("max_norm"))
       .orderBy(col("label"))
 
+  // ----------------------------------------------------------------- PCA
+
+  /** Leading principal component of the embedding cloud by power
+    * iteration — the variance-structure primitive behind PCA
+    * whitening, anisotropy diagnostics ("is the embedding space
+    * collapsing?") and low-rank compression decisions. Six fixed
+    * iterations of v ← C·v / ‖C·v‖ over the exact covariance
+    * C = E[xxᵀ] − μμᵀ, started from the all-ones vector (needs no
+    * dimension constant, normalized away in the first step). Emits
+    * one row per dimension: the unit loading, the eigenvalue
+    * estimate ‖C·v‖ from the final step, and its share of the trace
+    * (variance explained).
+    *
+    * Scale posture: the corpus pays the (vec, i, x) explode and the
+    * per-vector outer-product aggregate — n·d² products shuffled into
+    * a d²-row Gram relation (d = 64 ⇒ 4096 rows; a production run
+    * replaces the relational outer product with a d²-accumulator
+    * `treeAggregate`, same result, one pass). Everything after —
+    * covariance, six matrix-vector rounds, trace — lives on d²- and
+    * d-row frames with broadcast scalar norms; nothing corpus-sized
+    * iterates.
+    *
+    * Determinism: inputs staged once to 9dp DECIMAL(12,9) (floats
+    * cast exactly to double first), every cross-row sum is an exact
+    * decimal aggregate of DECIMAL(25,18) products, and each
+    * division/sqrt is one fixed IEEE expression re-staged to 9dp —
+    * the pageRank recipe applied to linear algebra, so the 6dp
+    * surfaced loadings are engine- and partitioning-independent. */
+  def pcaPower(s: SparkSession, dir: String, iterations: Int = 6): DataFrame = {
+    def d9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
+    val xs = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
+      .select(col("vec_id"), col("i"), d9(col("xv")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = xs.select(col("vec_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val s1 = xs.groupBy(col("i")).agg(sum(col("x")).as("s1"))
+    val s2 = xs.as("a").join(xs.as("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("s2"))
+    val cov = s2
+      .join(s1.select(col("i"), col("s1").as("s1i")), Seq("i"))
+      .join(s1.select(col("i").as("j"), col("s1").as("s1j")), Seq("j"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        d9(col("s2").cast("double") / col("n") -
+          (col("s1i").cast("double") / col("n")) *
+          (col("s1j").cast("double") / col("n"))).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = cov.select(col("i")).distinct()
+      .select(col("i"), lit(1).cast("decimal(12,9)").as("x"))
+    var nrm: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val w = cov.join(v.select(col("i").as("j"), col("x")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("x")).as("w"))
+        .select(col("i"), col("w").cast("double").as("wd"))
+      nrm = w.agg(sqrt(greatest(
+        sum(d9(col("wd") * col("wd"))).cast("double"), lit(1e-24))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), d9(col("wd") / col("nrm")).as("x"))
+    }
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(col("c")).cast("double").as("trace"))
+    v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
+      .select(col("i").cast("long").as("dim"), col("x").cast("double").as("loading"),
+        round(col("nrm"), 6).as("eigenvalue"),
+        round(col("nrm") / col("trace"), 6).as("var_explained"))
+      .orderBy(col("dim"))
+  }
+
+  /** Generated-CTE oracle for [[pcaPower]] — one w/n/v CTE triple per
+    * iteration, the same staging at every step. */
+  private def pcaPowerOracle(iterations: Int): String = {
+    def rd(e: String): String =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)), 9) AS DECIMAL(12,9))"
+    def r6(e: String): String = graft.OracleSql.round(e, 6)
+    val iters = (1 to iterations).map { t =>
+      val p = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS (SELECT c.i, sum(c.c * p.x) AS w FROM cov c JOIN $p p ON c.j = p.i GROUP BY c.i),
+         |n$t AS (SELECT sqrt(greatest(CAST(sum(${rd("CAST(w AS DOUBLE) * CAST(w AS DOUBLE)")}) AS DOUBLE), 1e-24)) AS nrm FROM w$t),
+         |v$t AS (SELECT i, ${rd("CAST(w AS DOUBLE) / nrm")} AS x FROM w$t CROSS JOIN n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(range(len(v))) AS i, v FROM e),
+       |xs AS (SELECT vec_id, i, ${rd("v[i + 1]")} AS x FROM ex),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |s1 AS (SELECT i, sum(x) AS s1 FROM xs GROUP BY i),
+       |s2 AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s2
+       |       FROM xs a JOIN xs b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT s2.i, s2.j,
+       |    ${rd("CAST(s2 AS DOUBLE) / n - (CAST(si.s1 AS DOUBLE) / n) * (CAST(sj.s1 AS DOUBLE) / n)")} AS c
+       |  FROM s2 JOIN s1 si ON s2.i = si.i JOIN s1 sj ON s2.j = sj.i CROSS JOIN nn),
+       |v0 AS (SELECT DISTINCT i, CAST(1 AS DECIMAL(12,9)) AS x FROM xs),
+       |$iters,
+       |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS trace FROM cov WHERE i = j)
+       |SELECT v.i AS dim, CAST(v.x AS DOUBLE) AS loading,
+       |  ${r6("nrm")} AS eigenvalue,
+       |  ${r6("nrm / trace")} AS var_explained
+       |FROM v$iterations v CROSS JOIN n$iterations CROSS JOIN tr
+       |ORDER BY dim""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** DuckDB cosine over `$a.v` / `$b.v` — shared with Retrieval's
@@ -729,6 +831,8 @@ object Similarity {
        |sigs AS (SELECT id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bitv GROUP BY id, t)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "embedding_pca_power" -> QueryDef((s, d) => pcaPower(s, d),
+      Some(pcaPowerOracle(6))),
     "ann_brute_topk" -> QueryDef((s, d) => bruteForceTopK(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |scored AS (

@@ -300,4 +300,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(7L) == ((0L, "border")), s"fan point: ${got(7L)}")
     assert(got(9L) == ((-1L, "noise")), s"orthogonal: ${got(9L)}")
   }
+
+  test("PCA power: rank-1 planted cloud recovers axis, eigenvalue, full variance") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pca").toString
+    // x = t·(1, 2, 0, 0) for t ∈ ±{1,2,3}: covariance is rank one, so
+    // the iteration converges EXACTLY; λ = var(t)·|a|² = (28/6)·5 and
+    // the unit loading is (1, 2, 0, 0)/√5, positive because a·𝟙 > 0
+    val ts = Seq(-3f, -2f, -1f, 1f, 2f, 3f)
+    ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(t, 2 * t, 0f, 0f), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.pcaPower(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 4)
+    val loading = rows.sortBy(_._1).map(_._2)
+    assert(math.abs(loading(0) - 1.0 / math.sqrt(5)) < 1e-6, s"l0=${loading(0)}")
+    assert(math.abs(loading(1) - 2.0 / math.sqrt(5)) < 1e-6, s"l1=${loading(1)}")
+    assert(math.abs(loading(2)) < 1e-8 && math.abs(loading(3)) < 1e-8,
+      s"null dims: ${loading.toSeq}")
+    assert(math.abs(rows.head._3 - 28.0 / 6 * 5) < 1e-3, s"lambda=${rows.head._3}")
+    assert(rows.head._4 > 0.9999 && rows.head._4 <= 1.0001,
+      s"var_explained=${rows.head._4}")
+  }
 }
