@@ -724,17 +724,30 @@ object Similarity {
           (col("s1i").cast("double") / col("n")) *
           (col("s1j").cast("double") / col("n"))).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cov.count() // materialize the Gram pass once; xs is no longer needed
+    xs.unpersist(blocking = false)
     var v = cov.select(col("i")).distinct()
       .select(col("i"), lit(1).cast("decimal(12,9)").as("x"))
     var nrm: DataFrame = null
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     for (_ <- 1 to iterations) {
       val w = cov.join(v.select(col("i").as("j"), col("x")), Seq("j"))
         .groupBy(col("i")).agg(sum(col("c") * col("x")).as("w"))
         .select(col("i"), col("w").cast("double").as("wd"))
       nrm = w.agg(sqrt(greatest(
         sum(d9(col("wd") * col("wd"))).cast("double"), lit(1e-24))).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
+      val stepped = w.crossJoin(broadcast(nrm))
         .select(col("i"), d9(col("wd") / col("nrm")).as("x"))
+      // TRUNCATE lineage each round (the shortestHops/pageRank
+      // pattern): v feeds the next round through BOTH w and nrm, so a
+      // purely declarative loop doubles the plan per iteration —
+      // exponential analysis cost. The materialized frame is d rows.
+      val rdd = stepped.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      v = s.createDataFrame(rdd, stepped.schema)
     }
     val tr = cov.filter(col("i") === col("j"))
       .agg(sum(col("c")).cast("double").as("trace"))

@@ -212,7 +212,8 @@ object ScaleProbe {
       "value_winsorized",        // percentile agg + broadcast bounds + moment agg
       "mixture_temperature",     // one corpus count agg; rest lang-sized
       "doc_perplexity_buckets",  // LM pass + doc-sized percentile + broadcast cuts
-      "quality_calibrated")      // scan-stage quality + source-keyed window
+      "quality_calibrated",      // scan-stage quality + source-keyed window
+      "embedding_pca_power")     // n·d² outer-product agg; iterations d-sized
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -372,4 +372,11 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       s"global single-partition window sneaked in:\n$p")
   }
+
+  test("PCA power: norms broadcast into the iteration, no cartesian on data frames") {
+    val p = plan("embedding_pca_power")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar norms not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
