@@ -68,10 +68,16 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
     // untimed inter-query housekeeping — see the scaladoc above
+    // sweep only THIS run's scratch (every per-invocation layout embeds
+    // the applicationId): cross-run cached artifacts (ScaleProbe's
+    // sf{N}x corpora, bucketed_* tables) and any concurrent process's
+    // scratch on the same box must survive
     val scratchRoot = new java.io.File("target/scratch")
+    val appId = spark.sparkContext.applicationId
     def reclaim(): Unit = {
       System.gc()
       Option(scratchRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.contains(appId))
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
 

@@ -935,15 +935,31 @@ object Dedup {
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
       .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
       .repartition(col("gb"))
+    // the flat (gb=* top-level) and batch-keyed (batch=*/gb=*) delta
+    // layouts cannot coexist under one index: partition discovery over
+    // the mixed tree either fails or silently misreads rows under the
+    // wrong schema, so reject the mix up front
+    val deltaChildren = Option(new java.io.File(s"$path/delta/postings")
+      .listFiles()).getOrElse(Array.empty[java.io.File])
+    val hasKeyed = deltaChildren.exists(f =>
+      f.isDirectory && f.getName.startsWith("batch="))
+    val hasFlat = deltaChildren.exists(f =>
+      f.isDirectory && f.getName.startsWith("gb="))
     batchKey match {
       // batchId-keyed OVERWRITE (the streaming production mode): a
       // replayed batch rewrites exactly its own partition instead of
       // double-appending — idempotent under at-least-once delivery
       case Some(bid) =>
+        require(!hasFlat,
+          s"$path/delta/postings already holds a FLAT (batchKey=None) delta; " +
+            "compact it before switching to batchId-keyed appends")
         exact.write.mode("overwrite").parquet(s"$path/exact_delta/batch=$bid")
         posting.write.mode("overwrite").partitionBy("gb")
           .parquet(s"$path/delta/postings/batch=$bid")
       case None =>
+        require(!hasKeyed,
+          s"$path/delta/postings already holds a batchId-KEYED delta; " +
+            "compact it before switching to flat appends")
         exact.write.mode("append").parquet(s"$path/exact")
         posting.write.mode("append").partitionBy("gb")
           .parquet(s"$path/delta/postings")

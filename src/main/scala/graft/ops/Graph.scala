@@ -83,11 +83,17 @@ object Graph {
       prevRdd = Some(rdd)
       p = edges.sparkSession.createDataFrame(rdd, stepped.schema)
     }
-    // the final round is materialized, so the operand caches can be
-    // released here instead of leaking per call
+    // Hand the caller a DATAFRAME cache, not the loop's raw RDD cache:
+    // spark.catalog.clearCache() — the repo's between-queries cleanup
+    // contract — unpersists DataFrame caches but never raw RDD blocks,
+    // so leaving the final round's RDD persisted would leak one
+    // block-manager entry per invocation until ContextCleaner runs.
+    val result = p.select(col("node"), col("rank")).persist()
+    result.count()
+    prevRdd.foreach(_.unpersist(blocking = false))
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    p.select(col("node"), col("rank"))
+    result
   }
 
   /** Bounded-horizon BFS: minimum hop count from a seed set by
@@ -128,8 +134,13 @@ object Graph {
       prevRdd = Some(rdd)
       dist = edges.sparkSession.createDataFrame(rdd, stepped.schema)
     }
-    e.unpersist(blocking = false) // dist is materialized; lineage safe
-    dist
+    // DataFrame-persist the result so clearCache covers it, then drop
+    // the loop's raw RDD cache (clearCache never unpersists raw RDDs)
+    val result = dist.persist()
+    result.count()
+    prevRdd.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    result
   }
 
   /** Driver row: how much of the trade graph the FIRST supplier

@@ -751,11 +751,20 @@ object Similarity {
     }
     val tr = cov.filter(col("i") === col("j"))
       .agg(sum(col("c")).cast("double").as("trace"))
-    v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
+    // DataFrame-persist the result so clearCache covers it, then drop
+    // the loop's raw RDD cache and the Gram cache (clearCache never
+    // unpersists raw RDD blocks — leaving them would leak one
+    // block-manager entry per invocation)
+    val result = v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
       .select(col("i").cast("long").as("dim"), col("x").cast("double").as("loading"),
         round(col("nrm"), 6).as("eigenvalue"),
         round(col("nrm") / col("trace"), 6).as("var_explained"))
       .orderBy(col("dim"))
+      .persist()
+    result.count()
+    prevRdd.foreach(_.unpersist(blocking = false))
+    cov.unpersist(blocking = false)
+    result
   }
 
   /** Generated-CTE oracle for [[pcaPower]] — one w/n/v CTE triple per

@@ -647,7 +647,9 @@ object TextAnalysis {
     val pt = (coalesce(col("ct"), lit(0L)).cast("double") + lit(0.5)) /
       (col("tot_t") + lit(128.0))
     val pr = (col("cr").cast("double") + lit(0.5)) / (col("tot_r") + lit(128.0))
-    val logRatio = raw.join(tgt, Seq("f"), "left")
+    // broadcast the <=256-row target-side model so the build join can
+    // never fall back to SMJ (BuildRight is legal for LeftOuter)
+    val logRatio = raw.join(broadcast(tgt), Seq("f"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("f"), round(log(pt / pr), 9).cast("decimal(20,9)").as("lr"))
     tok.groupBy(col("doc_id"), col("lang"), col("f"))

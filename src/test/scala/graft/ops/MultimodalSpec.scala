@@ -22,6 +22,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kinds("video").forall(_.meta.n_frames >= 1))
   }
 
+  test("stub audio signal length pins the fingerprint oracle's frame grid") {
+    // media_audio_fingerprint's DuckDB oracle hardcodes range(160)
+    // samples and a 7-frame grid; this pin makes a StubCodec
+    // sample_rate/metadata change fail loudly instead of silently
+    // diverging the two engines (ADVICE r7).
+    val audio = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "audio").head()
+    val codec = new Multimodal.StubCodec
+    codec.init()
+    val sig = codec.decode(audio)
+    assert(sig.length == 160,
+      s"oracle assumes a fixed 160-sample stub signal, got ${sig.length}")
+    val w = 36; val h = 18
+    val nFrames = (sig.length - w) / h + 1
+    assert(nFrames == 7,
+      s"oracle's frame grid is range(7), engine derives $nFrames frames")
+  }
+
   test("feature extraction: deterministic, bounded, one row per media") {
     val media = Multimodal.mediaTable(spark, dir)
     val a = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
