@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   *    the per-query top-k window, and that input could be cut further
   *    with a per-partition pre-top-k. Never a corpus×corpus cross join.
   *  - LSH: each vector hashes to sign-buckets of
-  *    [[Similarity.autoBits]] bits (≈ log₂ n − 8, so buckets hold
-  *    ~256 vectors regardless of corpus size) in
+  *    [[Similarity.autoBits]] bits (log₂ n − 6 at every n, so buckets
+  *    hold ~64 vectors regardless of corpus size) in
   *    [[Similarity.autoTables]] tables (grown with bits so pair recall
   *    holds ~0.98 at the design similarity instead of silently
   *    decaying); the candidate join is an equi-join on (table, bucket)
-  *    — inverted-index shape, Σ bucket² ≈ 2⁸·n·tables ≈ 2⁸·n^1.15
+  *    — inverted-index shape, Σ bucket² ≈ 2⁶·n·tables ≈ 2⁶·n^1.15
   *    cost, AQE-skew-splittable. Exact cosine re-verifies candidates,
   *    so precision is 1; recall (incl. the auto-scaled bits regime) is
   *    measured in SimilaritySpec on planted clusters.
@@ -116,7 +116,7 @@ object Similarity {
     // would silently TRUNCATE the oracle's grid and surface as a
     // confusing hash-mismatch instead of an error. Fail loudly here,
     // on the engine side, where every LSH path resolves its params.
-    // (autoBits hits 17 only past n ≈ 2^25; autoTables passes 32 only
+    // (autoBits hits 17 only past n ≈ 2^22; autoTables passes 32 only
     // past b = 16 — so real corpora inside the oracle's design range
     // never trip this.)
     require(nTables <= 32 && nBits <= 16 && dims <= 128,
@@ -160,15 +160,23 @@ object Similarity {
     * balanced, so any CONSTANT bits goes quadratic as n grows (the
     * historical fixed 8 ⇒ 256 buckets/table ⇒ n²/2⁸ candidates — fine
     * at 10⁴ vectors, 4·10¹² candidate rows at 10⁹). Scaling bits as
-    * ceil(log₂ n) − 8 pins expected bucket occupancy at 2⁸ = 256 and
-    * candidate volume at ≈ 2⁸·n·tables — linear in n, with recall
+    * ceil(log₂ n) − 6 pins expected bucket occupancy at 2⁶ = 64 and
+    * candidate volume at ≈ 2⁶·n·tables — linear in n, with recall
     * recovered by the table count rather than bucket coarseness (the
-    * same dial Dedup's banding note documents). Floor 8 keeps the
-    * small-corpus behavior identical to the historical default. */
+    * same dial Dedup's banding note documents). The floor is 2 (≥4
+    * buckets — bits 0/1 would degenerate to an all-pairs join), NOT 8:
+    * an 8-bit floor pins the BUCKET COUNT below the knee instead of
+    * the occupancy, so candidate volume there grows ~n²/2^8 — the
+    * measured 4.7×-wall-at-10× sub-knee regime (PLAN_NOTES round 7).
+    * Deriving bits from n at every scale keeps the 10×-probe curve
+    * linear on both sides of the old knee. Occupancy 64 (not the
+    * round-7 knee value 256) keeps exact-verify volume at the old
+    * 14k-vector probe point unchanged while staying cheaper than the
+    * 256 target everywhere above it. */
   private[ops] def autoBits(n: Long): Int = {
     val ceilLog2 = if (n <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    math.max(8, ceilLog2 - 8)
+    math.max(2, ceilLog2 - 6)
   }
 
   /** Resolve an `nBits` parameter: positive = caller's explicit
@@ -185,8 +193,8 @@ object Similarity {
     * solving for the 0.98 target gives T(b) = ln(0.02)/ln(1 − p*^b).
     * Without this, growing bits at FIXED T silently drops recall
     * (8 tables: 99% at b=8 → 80% at b=16). T grows ~(1/p*)^b, i.e.
-    * ≈ n^0.15 under autoBits' b ≈ log₂ n − 8, so total candidate
-    * volume is ≈ 2⁸·n^1.15 — the classic sub-quadratic LSH n^ρ
+    * ≈ n^0.15 under autoBits' b ≈ log₂ n − 6, so total candidate
+    * volume is ≈ 2⁶·n^1.15 — the classic sub-quadratic LSH n^ρ
     * tradeoff, paid in tables (recall held) instead of in misses.
     * Floor 8 keeps the historical small-corpus default; recall in the
     * auto-scaled regime (bits above the floor) is pinned on planted
@@ -704,7 +712,33 @@ object Similarity {
     * the pageRank recipe applied to linear algebra, so the 6dp
     * surfaced loadings are engine- and partitioning-independent. */
   def pcaPower(s: SparkSession, dir: String, iterations: Int = 6): DataFrame = {
-    def d9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
+    val cov = stagedCov(s, dir)
+    val (v, nrm, lastRdd) = powerLoop(s, cov, iterations)
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(col("c")).cast("double").as("trace"))
+    // DataFrame-persist the result so clearCache covers it, then drop
+    // the loop's raw RDD cache and the Gram cache (clearCache never
+    // unpersists raw RDD blocks — leaving them would leak one
+    // block-manager entry per invocation)
+    val result = v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
+      .select(col("i").cast("long").as("dim"), col("x").cast("double").as("loading"),
+        round(col("nrm"), 6).as("eigenvalue"),
+        round(col("nrm") / col("trace"), 6).as("var_explained"))
+      .orderBy(col("dim"))
+      .persist()
+    result.count()
+    lastRdd.foreach(_.unpersist(blocking = false))
+    cov.unpersist(blocking = false)
+    result
+  }
+
+  private def d9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
+
+  /** The staged covariance (Gram) pass shared by [[pcaPower]] and
+    * [[pcaTopK]]: inputs staged to 9dp DECIMAL(12,9), one (vec_id)
+    * self-join absorbed by partial aggregation into d² = dims² groups,
+    * returned PERSISTED and materialized (caller unpersists). */
+  private def stagedCov(s: SparkSession, dir: String): DataFrame = {
     val xs = emb(s, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
       .select(col("vec_id"), col("i"), d9(col("xv")).as("x"))
@@ -726,6 +760,17 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cov.count() // materialize the Gram pass once; xs is no longer needed
     xs.unpersist(blocking = false)
+    cov
+  }
+
+  /** `iterations` rounds of power iteration over a persisted (i, j, c)
+    * matrix frame from the all-ones start vector. Returns the final
+    * unit vector (LogicalRDD-backed, d rows), its ‖Cv‖ norm frame
+    * (the Rayleigh eigenvalue estimate at convergence), and the final
+    * round's persisted RDD — the CALLER unpersists it once the
+    * returned frames are consumed. */
+  private def powerLoop(s: SparkSession, cov: DataFrame, iterations: Int)
+      : (DataFrame, DataFrame, Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
     var v = cov.select(col("i")).distinct()
       .select(col("i"), lit(1).cast("decimal(12,9)").as("x"))
     var nrm: DataFrame = null
@@ -749,21 +794,65 @@ object Similarity {
       prevRdd = Some(rdd)
       v = s.createDataFrame(rdd, stepped.schema)
     }
-    val tr = cov.filter(col("i") === col("j"))
+    (v, nrm, prevRdd)
+  }
+
+  /** Top-k principal components by power iteration with DEFLATION
+    * (Hotelling): after each converged component, subtract λ·vvᵀ from
+    * the cached covariance frame and re-run the same power loop on the
+    * residual — the classic sequential eigensolver, here expressed as
+    * one d²-row join per deflation round. λ is the ‖Cv‖ Rayleigh
+    * estimate the single-component row already surfaces; every
+    * deflation entry is re-staged to 9dp DECIMAL(12,9) through the
+    * same fixed IEEE expression on both engines, so the oracle's
+    * generated CTE chain reproduces the residual matrices exactly.
+    *
+    * Scale posture: identical to [[pcaPower]] — the corpus pays the
+    * ONE Gram pass (partial-agg-absorbed self-join, d² groups); all k
+    * power loops and k−1 deflations run on d²-row frames with
+    * per-round lineage truncation, independent of corpus size.
+    * var_explained for every component is against the ORIGINAL trace.
+    * Output: (component, dim, loading, eigenvalue, var_explained). */
+  def pcaTopK(s: SparkSession, dir: String, k: Int = 3,
+              iterations: Int = 6): DataFrame = {
+    val cov0 = stagedCov(s, dir)
+    val tr = cov0.filter(col("i") === col("j"))
       .agg(sum(col("c")).cast("double").as("trace"))
-    // DataFrame-persist the result so clearCache covers it, then drop
-    // the loop's raw RDD cache and the Gram cache (clearCache never
-    // unpersists raw RDD blocks — leaving them would leak one
-    // block-manager entry per invocation)
-    val result = v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
-      .select(col("i").cast("long").as("dim"), col("x").cast("double").as("loading"),
-        round(col("nrm"), 6).as("eigenvalue"),
-        round(col("nrm") / col("trace"), 6).as("var_explained"))
-      .orderBy(col("dim"))
+    val rdds = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    var covCur = cov0
+    val parts = (1 to k).map { comp =>
+      val (v, nrm, lastRdd) = powerLoop(s, covCur, iterations)
+      rdds ++= lastRdd
+      if (comp < k) {
+        // residual = cov − λ·vvᵀ, materialized + lineage-truncated so
+        // the next component's loop starts from a constant-size plan
+        val deflated = covCur
+          .join(v.select(col("i"), col("x").as("xi")), Seq("i"))
+          .join(v.select(col("i").as("j"), col("x").as("xj")), Seq("j"))
+          .crossJoin(broadcast(nrm))
+          .select(col("i"), col("j"),
+            d9(col("c").cast("double") -
+              col("nrm") * col("xi").cast("double") * col("xj").cast("double")).as("c"))
+        val rdd = deflated.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        rdds += rdd
+        covCur = s.createDataFrame(rdd, deflated.schema)
+      }
+      v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
+        .select(lit(comp).cast("int").as("component"),
+          col("i").cast("long").as("dim"),
+          col("x").cast("double").as("loading"),
+          round(col("nrm"), 6).as("eigenvalue"),
+          round(col("nrm") / col("trace"), 6).as("var_explained"))
+    }
+    val result = parts.reduce(_ unionAll _)
+      .orderBy(col("component"), col("dim"))
       .persist()
     result.count()
-    prevRdd.foreach(_.unpersist(blocking = false))
-    cov.unpersist(blocking = false)
+    rdds.foreach(_.unpersist(blocking = false))
+    cov0.unpersist(blocking = false)
     result
   }
 
@@ -799,6 +888,53 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Generated-CTE oracle for [[pcaTopK]]: the [[pcaPowerOracle]] base
+    * (xs/cov), then per component a full w/n/v iteration chain and —
+    * between components — one deflation CTE rebuilding the residual
+    * matrix with the identical staged expression. */
+  private def pcaTopKOracle(k: Int, iterations: Int): String = {
+    def rd(e: String): String =
+      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)), 9) AS DECIMAL(12,9))"
+    def r6(e: String): String = graft.OracleSql.round(e, 6)
+    val comps = (1 to k).map { c =>
+      val covSrc = if (c == 1) "cov" else s"cov$c"
+      val iters = (1 to iterations).map { t =>
+        val p = if (t == 1) "v0" else s"v${c}_${t - 1}"
+        s"""w${c}_$t AS MATERIALIZED (SELECT m.i, sum(m.c * p.x) AS w FROM $covSrc m JOIN $p p ON m.j = p.i GROUP BY m.i),
+           |n${c}_$t AS MATERIALIZED (SELECT sqrt(greatest(CAST(sum(${rd("CAST(w AS DOUBLE) * CAST(w AS DOUBLE)")}) AS DOUBLE), 1e-24)) AS nrm FROM w${c}_$t),
+           |v${c}_$t AS MATERIALIZED (SELECT i, ${rd("CAST(w AS DOUBLE) / nrm")} AS x FROM w${c}_$t CROSS JOIN n${c}_$t)""".stripMargin
+      }.mkString(",\n")
+      val defl = if (c < k)
+        s""",
+           |cov${c + 1} AS MATERIALIZED (SELECT m.i, m.j,
+           |  ${rd(s"CAST(m.c AS DOUBLE) - nrm * CAST(vi.x AS DOUBLE) * CAST(vj.x AS DOUBLE)")} AS c
+           |  FROM $covSrc m JOIN v${c}_$iterations vi ON m.i = vi.i
+           |  JOIN v${c}_$iterations vj ON m.j = vj.i CROSS JOIN n${c}_$iterations)""".stripMargin
+      else ""
+      s"$iters$defl"
+    }.mkString(",\n")
+    val sel = (1 to k).map { c =>
+      s"""SELECT CAST($c AS INTEGER) AS component, v.i AS dim, CAST(v.x AS DOUBLE) AS loading,
+         |  ${r6("nrm")} AS eigenvalue, ${r6("nrm / trace")} AS var_explained
+         |FROM v${c}_$iterations v CROSS JOIN n${c}_$iterations CROSS JOIN tr""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(range(len(v))) AS i, v FROM e),
+       |xs AS MATERIALIZED (SELECT vec_id, i, ${rd("v[i + 1]")} AS x FROM ex),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |s1 AS (SELECT i, sum(x) AS s1 FROM xs GROUP BY i),
+       |s2 AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s2
+       |       FROM xs a JOIN xs b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT s2.i, s2.j,
+       |    ${rd("CAST(s2 AS DOUBLE) / n - (CAST(si.s1 AS DOUBLE) / n) * (CAST(sj.s1 AS DOUBLE) / n)")} AS c
+       |  FROM s2 JOIN s1 si ON s2.i = si.i JOIN s1 sj ON s2.j = sj.i CROSS JOIN nn),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS DECIMAL(12,9)) AS x FROM xs),
+       |$comps,
+       |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS trace FROM cov WHERE i = j)
+       |SELECT component, dim, loading, eigenvalue, var_explained FROM ($sel)
+       |ORDER BY component, dim""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   /** DuckDB cosine over `$a.v` / `$b.v` — shared with Retrieval's
@@ -821,16 +957,16 @@ object Similarity {
   /** DuckDB mirror of the hash-sign LSH bucketing pipeline
     * ([[hyperplanes]] + [[graft.functions.LshBucketSigs]]): emits CTEs
     * ending in `sigs` = (id, t, bucket) over `vecSrc` (an (id, v)
-    * CTE), with bits/tables replicating [[autoBits]]/[[autoTables]]
-    * (both floored at 8) from `prmSrc`'s cardinality and dims from
-    * its shortest vector. The static grid bounds (32 tables × 16
+    * CTE), with bits/tables replicating [[autoBits]] (floor 2) /
+    * [[autoTables]] (floor 8) from `prmSrc`'s cardinality and dims
+    * from its shortest vector. The static grid bounds (32 tables × 16
     * bits × 128 dims, filtered down by the params) cover every gate
-    * scale — tables/bits sit at the floor until n > 2^16, and the
-    * power-law table growth beyond that stays under 32 until
+    * scale — bits track log₂ n − 8 (occupancy-pinned), and the
+    * power-law table growth stays under 32 until
     * n ≈ 2^24. Signs regenerate via the integer-key fmix64 CTE chain
     * on the same (t·8191+i)·8191+d+1 key the Scala side uses. */
   private def lshSigCtes(prmSrc: String, vecSrc: String): String =
-    s"""prm AS (SELECT greatest(8, CAST(ceil(log2(count(*))) AS INT) - 8) AS bits,
+    s"""prm AS (SELECT greatest(2, CAST(ceil(log2(count(*))) AS INT) - 6) AS bits,
        |               (SELECT min(len(v)) FROM $prmSrc) AS dims FROM $prmSrc),
        |prm2 AS (SELECT bits, dims,
        |               greatest(8, CAST(ceil(ln(0.02) / ln(1 - 0.9 ^ bits)) AS INT)) AS tables
@@ -855,6 +991,8 @@ object Similarity {
   val defs: Map[String, QueryDef] = Map(
     "embedding_pca_power" -> QueryDef((s, d) => pcaPower(s, d),
       Some(pcaPowerOracle(6))),
+    "embedding_pca_topk" -> QueryDef((s, d) => pcaTopK(s, d),
+      Some(pcaTopKOracle(3, 6))),
     "ann_brute_topk" -> QueryDef((s, d) => bruteForceTopK(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |scored AS (

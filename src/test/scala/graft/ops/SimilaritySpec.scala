@@ -65,11 +65,14 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("autoBits keeps LSH candidate volume ~linear across corpus sizes") {
-    // formula pins: floor at 8 through 2^16 vectors, then log-scaling
-    assert(Similarity.autoBits(1000) == 8)
-    assert(Similarity.autoBits(1L << 16) == 8)
-    assert(Similarity.autoBits(1L << 20) == 12)
-    assert(Similarity.autoBits(1L << 30) == 22)
+    // formula pins: log₂ n − 6 at every n (occupancy pinned at ~2^6),
+    // floored at 2 only to keep ≥4 buckets at tiny n — the round-7
+    // floor-8 plateau made sub-knee candidate volume grow ~n²/2^8
+    assert(Similarity.autoBits(1000) == 4)
+    assert(Similarity.autoBits(1L << 14) == 8)
+    assert(Similarity.autoBits(1L << 16) == 10)
+    assert(Similarity.autoBits(1L << 20) == 14)
+    assert(Similarity.autoBits(1L << 30) == 24)
     val tables = 2
     // Σ c(c-1)/2 over (tbl, bucket) = exact candidate-pair volume of
     // the bucket self-join, computed from the histogram (no join)
@@ -109,6 +112,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.forall { case (a, b) => a / 6 == b / 6 }) // precision 1
     assert(pairs.length >= 285, s"auto-scaled recall too low: ${pairs.length}/300")
+  }
+
+  test("pcaTopK: component 1 ≡ pcaPower, spectrum descending, deflation near-orthogonal") {
+    import org.apache.spark.sql.functions._
+    val topk = Similarity.pcaTopK(spark, dir, k = 3).collect()
+    assert(topk.length == 3 * 64)
+    // component 1 runs the IDENTICAL loop on the identical staged cov
+    val one = Similarity.pcaPower(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val c1 = topk.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(c1 == one, "top-k component 1 diverged from the single-component row")
+    // deflation removes λ·vvᵀ, so each residual's top eigenvalue can
+    // only shrink (Rayleigh estimates; tiny tolerance for 6-iteration
+    // convergence error)
+    val eigs = topk.groupBy(_.getInt(0)).view.mapValues(_.head.getDouble(3))
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(eigs.zip(eigs.tail).forall { case (a, b) => b <= a + 1e-3 },
+      s"eigenvalues not descending: $eigs")
+    // successive components are near-orthogonal (exact orthogonality
+    // needs converged estimates; near-random spectra converge slowly)
+    def vec(c: Int): Array[Double] = topk.filter(_.getInt(0) == c)
+      .sortBy(_.getLong(1)).map(_.getDouble(2))
+    val dot12 = vec(1).zip(vec(2)).map { case (a, b) => a * b }.sum
+    val dot13 = vec(1).zip(vec(3)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 0.3 && math.abs(dot13) < 0.3,
+      s"components not near-orthogonal: v1·v2=$dot12 v1·v3=$dot13")
   }
 
   test("int8 quantization: bounded round-trip error, top-k ranks ≈ float path") {
