@@ -523,14 +523,16 @@ object Dedup {
   // ------------------------------------------------------- multi-signal
 
   /** Multi-signal near-dup clusters — the shape production dedup
-    * actually runs: THREE independent candidate generators (exact
+    * actually runs: FOUR independent candidate generators (exact
     * n-gram Jaccard, SimHash Hamming, semantic embedding similarity
-    * over the deterministic cluster assignment) contribute pair
-    * evidence, the union feeds one connected-components pass, and a
-    * downstream keep policy acts per cluster. Any single signal
-    * misses a class of duplicates (token overlap: paraphrases;
-    * simhash: heavy edits; embeddings: verbatim-but-OOV); the union
-    * is what real curation merges before collapsing. Embeddings here
+    * over the deterministic cluster assignment, and CDC chunk
+    * coverage) contribute pair evidence, the union feeds one
+    * connected-components pass, and a downstream keep policy acts per
+    * cluster. Any single signal misses a class of duplicates (token
+    * overlap: paraphrases; simhash: heavy edits; embeddings:
+    * verbatim-but-OOV; all three: insertion-SHIFTED near-copies,
+    * which CDC's re-synchronizing boundaries catch); the union is
+    * what real curation merges before collapsing. Embeddings here
     * are document embeddings — vec_id ≡ doc_id on the driver tables.
     * Each generator is the already-audited sub-linear plan; the union
     * is pair-graph-sized, ≪ corpus. */
@@ -544,7 +546,13 @@ object Dedup {
     // dedup_simhash_pairs row keeps 8 with that caveat documented.
     val sh = simhashPairs(s, dir, maxHamming = 6).select(col("doc_a"), col("doc_b"))
     val se = Similarity.semanticPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    clustersFromEdges(j.union(sh).union(se).distinct())
+    // 4th family: CDC chunk coverage at a high-precision bar — the
+    // shift-robust evidence (insertion-shifted near-copies) the other
+    // three structurally dilute; threshold 0.8 because the endgame
+    // union add-only merges clusters and each leg must stand alone
+    val cd = cdcCoverPairs(s, dir, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    clustersFromEdges(j.union(sh).union(se).union(cd).distinct())
   }
 
   // -------------------------------------------------------- containment
@@ -1644,7 +1652,12 @@ object Dedup {
     // subqueries inside recursive CTEs silently return NULL, hence
     // the generated w1..wN chain).
     "dedup_cdc_chunks" -> QueryDef((s, d) => cdcChunkStats(s, d),
-      Some(cdcChunkSql(6, 16, 256, 2L, 80))))
+      Some(cdcChunkSql(6, 16, 256, 2L, 80))),
+    // Chunk-coverage pair evidence over the same CDC posting universe
+    // (shared cdcPostingCtes chain — the df-cap and chunk hashes
+    // cannot diverge between the stats and pair oracles).
+    "dedup_cdc_pairs" -> QueryDef((s, d) => cdcCoverPairs(s, d),
+      Some(s"WITH ${cdcPairsSqlBody(6, 16, 256, 0.5, 1000, 80)}")))
 
   /** Independent DuckDB reimplementation of [[charSpanDupStatsOn]]:
     * whitespace-stripped char array, per-char hashes as unicode
@@ -1752,6 +1765,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC chunk-COVERAGE near-dup pairs — the pair-evidence face of
+    * [[cdcChunkStatsOn]], and the fourth candidate family of the
+    * multi-signal endgame: two documents pair when the characters
+    * inside their SHARED content-defined chunks cover ≥ `threshold`
+    * of either side's (df-capped) chunked characters. Because Gear
+    * boundaries re-synchronize after an insertion, a near-copy with a
+    * prepended header still shares every downstream chunk — the class
+    * token-shingle Jaccard dilutes and SimHash voting blurs, at ~1
+    * posting per 2^maskBits chars instead of ~1 per token.
+    *
+    * Same bounded-inverted-index shape as [[boundedSharedCounts]]:
+    * per-doc DISTINCT chunk postings (repeats inside a doc collapse
+    * to one row carrying their total chars), chunks in > `maxBucket`
+    * docs dropped (both numerator and denominator live in the capped
+    * universe — the module's df-cap invariant), candidates = Σ
+    * bucket² over 8-byte hashes, text never on the wire. Coverage is
+    * per-SIDE (cov_a from A's chars of shared chunks / A's total),
+    * so a short doc contained in a long one still scores 1.0 on its
+    * own side — the containment asymmetry, at chunk granularity. */
+  def cdcCoverPairs(s: SparkSession, dir: String, maskBits: Int = 6,
+                    minLen: Int = 16, maxLen: Int = 256,
+                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    cdcCoverPairsOn(docs(s, dir), maskBits, minLen, maxLen, threshold, maxBucket)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def cdcCoverPairsOn(df: DataFrame, maskBits: Int = 6, minLen: Int = 16,
+                      maxLen: Int = 256, threshold: Double = 0.5,
+                      maxBucket: Int = 1000): DataFrame = {
+    val posting = df
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(graft.functions.textFunctions
+          .cdc_chunk_hashes(col("text"), maskBits, minLen, maxLen)).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.len").as("ln"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(sum(col("ln")).cast("long").as("chars"))
+      // the hot-set derivation, both self-join sides and the size
+      // frame all read this; persist so the chunk kernel runs once
+      // (cache lifetime: boundedSharedCounts' contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = posting.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxBucket).select(col("h"))
+    val pb = posting.join(hot, Seq("h"), "left_anti")
+    val sz = pb.groupBy(col("doc_id")).agg(sum(col("chars")).as("sz"))
+    pb.select(col("doc_id").as("doc_a"), col("h"), col("chars").as("ca"))
+      .join(pb.select(col("doc_id").as("doc_b"), col("h"), col("chars").as("cb")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("cov_a", round(col("sa").cast("double") / col("sz_a"), 6))
+      .withColumn("cov_b", round(col("sb").cast("double") / col("sz_b"), 6))
+      .filter(col("cov_a") >= threshold || col("cov_b") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cov_a"), col("cov_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Independent DuckDB reimplementation of [[cdcChunkStatsOn]].
     *
     * The gear hash never resets at boundaries, so h at position i is a
@@ -1778,8 +1850,12 @@ object Dedup {
     * used here — list_filter/list_transform lambdas (captures fine),
     * scalar-accumulator list_reduce, per-row staged CTEs — are the
     * proven-safe subset the other oracles already rely on. */
-  private def cdcChunkSql(maskBits: Int, minLen: Int, maxLen: Int,
-                          minDocs: Long, steps: Int): String = {
+  /** The CDC posting CTE chain (no leading WITH): per-position gear
+    * hashes, the unrolled cut walk, chunk extraction and the M61 chunk
+    * hashes — ends at `khc` (doc_id, n, ln, h), ONE source for the
+    * chunk-stats AND coverage-pair oracles. */
+  private[ops] def cdcPostingCtes(maskBits: Int, minLen: Int, maxLen: Int,
+                                  steps: Int): String = {
     val two64 = graft.OracleSql.two64
     val walk = (1 to steps).map { k =>
       val prev = if (k == 1) "w0" else s"w${k - 1}"
@@ -1791,7 +1867,7 @@ object Dedup {
     }.mkString(",\n")
     val walkUnion = (1 to steps).map(k => s"SELECT doc_id, cut FROM w$k")
       .mkString(" UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text AS w FROM documents
+    s"""d AS (SELECT doc_id, text AS w FROM documents
        |  WHERE text IS NOT NULL AND len(text) >= 1),
        |chars AS (SELECT doc_id, unnest(range(1, len(w)+1)) AS pos,
        |            unnest(list_transform(string_split(w, ''), ch -> unicode(ch))) AS cp FROM d),
@@ -1818,7 +1894,12 @@ object Dedup {
        |chunk AS (SELECT pieces.doc_id, pieces.n, c.en - c.st + 1 AS ln,
        |       substr(d.w, CAST(c.st AS INTEGER), CAST(c.en - c.st + 1 AS INTEGER)) AS s
        |  FROM pieces JOIN d ON pieces.doc_id = d.doc_id),
-       |${graft.OracleSql.m61FmixScalarCtes("chunk", "s", out = "h", p = "khc")},
+       |${graft.OracleSql.m61FmixScalarCtes("chunk", "s", out = "h", p = "khc")}""".stripMargin
+  }
+
+  private def cdcChunkSql(maskBits: Int, minLen: Int, maxLen: Int,
+                          minDocs: Long, steps: Int): String =
+    s"""WITH ${cdcPostingCtes(maskBits, minLen, maxLen, steps)},
        |dup AS (SELECT h FROM khc GROUP BY h HAVING count(DISTINCT doc_id) >= $minDocs),
        |hits AS (SELECT doc_id, count(*) AS n_dup_chunks, CAST(sum(ln) AS BIGINT) AS dup_chars
        |         FROM khc SEMI JOIN dup USING (h) GROUP BY doc_id),
@@ -1830,7 +1911,32 @@ object Dedup {
        |SELECT doc_id, n_chars, n_chunks, n_dup_chunks, dup_char_frac,
        |       dup_char_frac <= 0.5 AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
-  }
+
+  /** [[cdcCoverPairsOn]]'s oracle body (no leading WITH clause keyword
+    * — composable under a nested WITH): the shared [[cdcPostingCtes]]
+    * chain, per-doc distinct-chunk postings, df-cap, the coverage
+    * self-join and per-side thresholds. */
+  private[ops] def cdcPairsSqlBody(maskBits: Int, minLen: Int, maxLen: Int,
+                                   threshold: Double, maxBucket: Int,
+                                   steps: Int): String =
+    s"""${cdcPostingCtes(maskBits, minLen, maxLen, steps)},
+       |khd AS (SELECT doc_id, h, CAST(sum(ln) AS BIGINT) AS chars
+       |        FROM khc GROUP BY doc_id, h),
+       |chot AS (SELECT h FROM khd GROUP BY h HAVING count(*) > $maxBucket),
+       |khb AS (SELECT k.doc_id, k.h, k.chars FROM khd k ANTI JOIN chot c ON k.h = c.h),
+       |csz AS (SELECT doc_id, CAST(sum(chars) AS BIGINT) AS sz FROM khb GROUP BY doc_id),
+       |cshared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              CAST(sum(a.chars) AS BIGINT) AS sa, CAST(sum(b.chars) AS BIGINT) AS sb
+       |            FROM khb a JOIN khb b ON a.h = b.h AND a.doc_id < b.doc_id
+       |            GROUP BY 1, 2),
+       |cscored AS (SELECT doc_a, doc_b,
+       |              ${graft.OracleSql.round("CAST(sa AS DOUBLE) / x.sz", 6)} AS cov_a,
+       |              ${graft.OracleSql.round("CAST(sb AS DOUBLE) / y.sz", 6)} AS cov_b
+       |            FROM cshared JOIN csz x ON doc_a = x.doc_id
+       |                         JOIN csz y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, cov_a, cov_b FROM cscored
+       |WHERE cov_a >= $threshold OR cov_b >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** tok/bn/th CTE prefix of the span-dedup oracles: tokenized docs
     * and per-token M61 polynomial hashes (base 32) — the DuckDB mirror
@@ -1976,18 +2082,21 @@ object Dedup {
       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
-  /** The three-generator pair-union CTE chain (pj/ps/pe → `pairs`),
+  /** The four-generator pair-union CTE chain (pj/ps/pe/pc → `pairs`),
     * shared by the multi-signal cluster and keep-best oracles. The
     * simhash leg mirrors the engine's maxHamming = 6 (the complete
-    * range of the block-pair scheme — see multiSignalClusters). */
+    * range of the block-pair scheme — see multiSignalClusters); the
+    * CDC leg mirrors the engine's coverage 0.8 endgame bar. */
   private[ops] def multiSignalPairsCtes: String =
     s"""pj AS ($boundedJaccardSql),
        |ps AS (${simhashPairsSqlAt(6)}),
        |pe AS (WITH ${Similarity.semanticAvCtes}
        |       ${Similarity.semanticPairSelect}),
+       |pc AS (WITH ${cdcPairsSqlBody(6, 16, 256, 0.8, 1000, 80)}),
        |pairs AS (SELECT doc_a, doc_b FROM pj
        |          UNION SELECT doc_a, doc_b FROM ps
-       |          UNION SELECT doc_a, doc_b FROM pe)""".stripMargin
+       |          UNION SELECT doc_a, doc_b FROM pe
+       |          UNION SELECT doc_a, doc_b FROM pc)""".stripMargin
 
   /** The bounded-posting CTE chain shared by the Jaccard AND
     * containment oracles — the SQL twin of [[boundedSharedCounts]]

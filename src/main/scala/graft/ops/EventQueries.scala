@@ -470,6 +470,8 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
       .withColumn("dayn", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    // deliberately unpartitioned (WindowExec warns): the trailing-7
+    // range frame runs on the calendar-bounded day aggregate
     val w = Window.orderBy(col("dayn")).rangeBetween(-6, Window.currentRow)
     daily
       .withColumn("rate", round(col("n_errors") / col("n_events"), 4))

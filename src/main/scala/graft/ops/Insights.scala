@@ -170,6 +170,8 @@ object Insights {
       .select(col("dow"),
         round(col("ds").cast("double") / col("dn").cast("double"), 4)
           .as("seasonal_mean"))
+    // deliberately unpartitioned (WindowExec warns): the frame is the
+    // calendar-bounded day aggregate, never the fact table
     val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
     daily
       .withColumn("dow", dayofweek(col("day")))
@@ -296,6 +298,8 @@ object Insights {
         round(col("value"), 6).cast("decimal(18,6)").as("v"))
       .groupBy(col("day"))
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    // deliberately unpartitioned (WindowExec warns): cumulative sums
+    // over the calendar-bounded day frame, never the fact table
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum(col("sv")).as("tot_s"), sum(col("n")).as("tot_n"))

@@ -374,7 +374,8 @@ object Pipelines {
 
   /** [[dedupKeepBest]] over the MULTI-SIGNAL cluster graph
     * ([[Dedup.multiSignalClusters]]) — the complete dedup endgame:
-    * three candidate generators merge into one component pass, then
+    * four candidate generators (Jaccard, SimHash, semantic, CDC
+    * chunk coverage) merge into one component pass, then
     * one exemplar (highest quality, id tie-break) survives per
     * cluster. Same keep policy, richer evidence. */
   def multiSignalKeepBest(s: SparkSession, dir: String): DataFrame =

@@ -686,4 +686,39 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
     assert(got(0L) == ((1.0, false)) && got(1L) == ((1.0, false)))
   }
+
+  test("cdc pairs: shift-robust coverage pairs a head-inserted near-copy") {
+    import spark.implicits._
+    val t = cdcText(1200, seed = 31L)
+    val docs = Seq(
+      (0L, t),
+      (1L, "INSERTED-PREFIX-" + t), // shifted near-copy of 0
+      (2L, cdcText(1200, seed = 37L)), // unrelated
+      (3L, t.substring(0, 400))) // short prefix piece of 0
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcCoverPairsOn(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.contains((0L, 1L)), s"shifted copy must pair with original: $got")
+    val (covA, covB) = got((0L, 1L))
+    assert(covA > 0.6 && covB > 0.6,
+      s"both sides mostly covered after boundary re-sync: $covA/$covB")
+    assert(!got.keys.exists { case (a, b) => a == 2L || b == 2L },
+      "unrelated doc pairs with nothing")
+    // containment asymmetry: if the 400-char piece shares whole chunks
+    // with the original, its OWN side's coverage dominates the long
+    // side's (cov on the short side >= cov on the long side)
+    got.get((0L, 3L)).foreach { case (cLong, cShort) =>
+      assert(cShort >= cLong, s"short-side coverage dominates: $cLong vs $cShort")
+    }
+  }
+
+  test("cdc pairs: within-doc repeats alone never produce a self pair") {
+    import spark.implicits._
+    val phrase = cdcText(300, seed = 41L)
+    val docs = Seq((0L, phrase + phrase + phrase), (1L, cdcText(900, seed = 43L)))
+      .toDF("doc_id", "text")
+    assert(Dedup.cdcCoverPairsOn(docs, threshold = 0.1).count() == 0L,
+      "repeats inside one doc are not pair evidence")
+  }
 }
