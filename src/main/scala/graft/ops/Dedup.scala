@@ -1070,6 +1070,43 @@ object Dedup {
       compactPerAppend = false)
   }
 
+  /** Delta-to-base size ratio of a [[writePostingIndex]] index, from
+    * FILESYSTEM METADATA only (recursive byte totals of the two
+    * posting trees — never a scan): the signal the auto-compaction
+    * policy gates on. Bytes, not rows, deliberately — at production
+    * index sizes a row count is itself a job over the base postings,
+    * while the byte totals come free from the namenode listing, and
+    * the delta-aware query path's measured ~3× verdict overhead grows
+    * with delta VOLUME, which bytes track directly. Returns +∞ for an
+    * empty base (any delta then deserves folding in). */
+  def postingDeltaRatio(path: String): Double = {
+    def bytes(f: java.io.File): Long =
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    val base = bytes(new java.io.File(s"$path/postings"))
+    val delta = bytes(new java.io.File(s"$path/delta/postings"))
+    if (delta == 0L) 0.0
+    else if (base <= 0L) Double.PositiveInfinity
+    else delta.toDouble / base
+  }
+
+  /** The encoded compaction CADENCE: fold the delta into the base when
+    * its byte ratio exceeds `ratio` ([[postingDeltaRatio]]). The
+    * delta-aware query path is exact but carries a measured ~3×
+    * constant verdict overhead at any scale (PLAN_NOTES' two-decade
+    * probe), so the policy trades one gram/doc-sized table rewrite
+    * against that multiplier once the delta stops being small —
+    * callers no longer pick the moment by hand. Returns whether a
+    * compaction ran. */
+  def maybeCompactPostingIndex(s: SparkSession, path: String,
+                               maxBucket: Int = 1000,
+                               ratio: Double = 0.1): Boolean = {
+    val due = postingDeltaRatio(path) > ratio
+    if (due) compactPostingIndex(s, path, maxBucket)
+    due
+  }
+
   /** The docs a verdict frame admitted, selected by SEMI-JOIN against
     * the verdict rows — never an `isin` literal list: at a production
     * batch size an In-expression of N doc ids is plan bloat built on
@@ -1088,22 +1125,68 @@ object Dedup {
   def ingestEpochsOn(s: SparkSession, all: DataFrame, path: String,
                      split1: Long, split2: Long,
                      threshold: Double = 0.5, maxBucket: Int = 1000,
-                     compactPerAppend: Boolean = true): DataFrame = {
-    writePostingIndex(s, all.filter(col("doc_id") < split1), path, maxBucket)
-    val v1 = ingestDedupIndexed(s, path,
-      all.filter(col("doc_id") >= split1 && col("doc_id") < split2),
-      threshold, maxBucket)
-    val r1 = v1.collect()
-    val v1df = s.createDataFrame(java.util.Arrays.asList(r1: _*), v1.schema)
-    appendToPostingIndex(s, admittedBatch(all, v1df), path, maxBucket,
-      compact = compactPerAppend)
-    val v2 = ingestDedupIndexed(s, path, all.filter(col("doc_id") >= split2),
-      threshold, maxBucket)
-    v1df.withColumn("epoch", lit(1L))
-      .unionByName(v2.withColumn("epoch", lit(2L)))
+                     compactPerAppend: Boolean = true): DataFrame =
+    ingestEpochsLoopOn(s, all, path, Seq(split1, split2), threshold,
+      maxBucket, compactPerAppend, autoCompactRatio = None)
+
+  /** N-epoch generalization of the loop: `bounds` = epoch boundaries
+    * (existing corpus < bounds(0); epoch i = [bounds(i-1), bounds(i)),
+    * the last unbounded above). Each epoch verdicts against the index
+    * as grown by every earlier epoch's admits; appends run in
+    * `compactPerAppend` mode, and with `autoCompactRatio = Some(r)`
+    * the ENCODED cadence policy ([[maybeCompactPostingIndex]]) runs
+    * after every append — the delta folds in exactly when its byte
+    * ratio crosses r, mid-sequence, with verdicts identical to any
+    * other compaction schedule (the module's standing invariance,
+    * pinned by the shared oracle). */
+  def ingestEpochsLoopOn(s: SparkSession, all: DataFrame, path: String,
+                         bounds: Seq[Long],
+                         threshold: Double = 0.5, maxBucket: Int = 1000,
+                         compactPerAppend: Boolean = true,
+                         autoCompactRatio: Option[Double] = None): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, s"ordered bounds: $bounds")
+    writePostingIndex(s, all.filter(col("doc_id") < bounds.head), path, maxBucket)
+    val n = bounds.length
+    val epochs = (1 to n).map { i =>
+      val lo = bounds(i - 1)
+      val batch = all.filter(col("doc_id") >= lo &&
+        bounds.lift(i).map(col("doc_id") < _).getOrElse(lit(true)))
+      val v = ingestDedupIndexed(s, path, batch, threshold, maxBucket)
+      // bounded collect (one row per batch doc): the verdicts must be
+      // pinned before the append below mutates the index under their
+      // lazy plan — a production loop lands them in a table anyway
+      val vdf = s.createDataFrame(
+        java.util.Arrays.asList(v.collect(): _*), v.schema)
+      if (i < n) {
+        appendToPostingIndex(s, admittedBatch(all, vdf), path, maxBucket,
+          compact = compactPerAppend)
+        autoCompactRatio.foreach(maybeCompactPostingIndex(s, path, maxBucket, _))
+      }
+      vdf.withColumn("epoch", lit(i.toLong))
+    }
+    epochs.reduce(_ unionByName _)
       .select(col("doc_id"), col("epoch"),
         col("exact_dup"), col("near_dup"), col("admit"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Driver row: a FOUR-epoch batched-append loop where the encoded
+    * auto-compaction policy fires mid-sequence — appends land in the
+    * delta area (compact = false) and [[maybeCompactPostingIndex]]
+    * decides after each one. Measured byte ratios (ScaleProbe
+    * --auto-compact, sf0.001 AND sf0.01): one ~25-doc append over the
+    * 400-doc base reads ~0.16-0.17 (parquet per-file overhead floors
+    * small deltas), two accumulate to ~0.30 — so at ratio 0.25 the
+    * first append stays delta, the second triggers the fold, the
+    * third starts a fresh delta that survives the loop. Shares the
+    * generated multi-epoch oracle with no notion of compaction at
+    * all: WHEN the fold runs must be invisible in the verdicts. */
+  def ingestEpochsAutoQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      s"target/scratch/ingest_epochs_auto_${s.sparkContext.applicationId}_${ingestScratchSeq.incrementAndGet()}"
+    ).getAbsolutePath
+    ingestEpochsLoopOn(s, docs(s, dir), path, Seq(400L, 425L, 450L, 475L),
+      compactPerAppend = false, autoCompactRatio = Some(0.25))
   }
 
   // ----------------------------------------------- streaming ingest loop
@@ -1590,6 +1673,14 @@ object Dedup {
     // invisible in the verdicts.
     "dedup_ingest_streaming" -> QueryDef((s, d) => ingestDedupStreaming(s, d),
       Some(ingestEpochsSql)),
+    // Four epochs in batched-append mode with the ENCODED compaction
+    // cadence: maybeCompactPostingIndex folds the delta exactly when
+    // its byte ratio crosses 0.25 (measured: fires after the second
+    // append at these batch sizes, not the first or third). The
+    // oracle has no notion of compaction — when the fold runs must
+    // be invisible in the verdicts.
+    "dedup_ingest_epochs_auto" -> QueryDef((s, d) => ingestEpochsAutoQuery(s, d),
+      Some(ingestEpochsSqlAt(Seq(400L, 425L, 450L, 475L)))),
     // Independent DuckDB reimplementation of the k-gram span-hash
     // kernel (k = 16; token fold ×32, k-gram fold ×8192 mod M61 — the
     // winnow oracle's chain without the window minimum) plus the
@@ -2174,41 +2265,54 @@ object Dedup {
        |           LEFT JOIN near n ON i.doc_id = n.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
-  /** Two-epoch ingest-loop oracle. Each epoch gets its own complete
-    * bounded-Jaccard chain (nested WITH, so the fixed CTE names don't
-    * collide) over that epoch's posting universe: epoch 1 over
-    * docs < 450; epoch 2 over docs<400 ∪ admitted₁ ∪ epoch₂ — the
-    * grown index the engine queries after [[appendToPostingIndex]].
-    * Non-admitted epoch-1 docs are absent from universe 2, exactly as
-    * they are absent from the engine's index. */
-  private lazy val ingestEpochsSql: String = {
-    val u1 = "(SELECT * FROM documents WHERE doc_id < 450)"
-    val u2 = "(SELECT * FROM documents WHERE doc_id < 400 OR doc_id >= 450 " +
-      "OR doc_id IN (SELECT doc_id FROM adm1))"
-    s"""WITH p1 AS (${boundedJaccardSqlFrom(u1)}),
-       |ex1 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400),
-       |inc1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400 AND doc_id < 450),
-       |near1 AS (SELECT DISTINCT doc_b AS doc_id FROM p1 WHERE doc_a < 400 AND doc_b >= 400),
-       |v1 AS (SELECT i.doc_id, 1 AS epoch,
-       |              i.h IN (SELECT h FROM ex1) AS exact_dup,
-       |              n.doc_id IS NOT NULL AS near_dup,
-       |              (NOT i.h IN (SELECT h FROM ex1)) AND n.doc_id IS NULL AS admit
-       |       FROM inc1 i LEFT JOIN near1 n USING (doc_id)),
-       |adm1 AS (SELECT doc_id FROM v1 WHERE admit),
-       |p2 AS (${boundedJaccardSqlFrom(u2)}),
-       |ex2 AS (SELECT DISTINCT md5(text) AS h FROM documents
-       |        WHERE doc_id < 400 OR doc_id IN (SELECT doc_id FROM adm1)),
-       |inc2 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 450),
-       |near2 AS (SELECT DISTINCT doc_b AS doc_id FROM p2 WHERE doc_a < 450 AND doc_b >= 450),
-       |v2 AS (SELECT i.doc_id, 2 AS epoch,
-       |              i.h IN (SELECT h FROM ex2) AS exact_dup,
-       |              n.doc_id IS NOT NULL AS near_dup,
-       |              (NOT i.h IN (SELECT h FROM ex2)) AND n.doc_id IS NULL AS admit
-       |       FROM inc2 i LEFT JOIN near2 n USING (doc_id))
+  /** N-epoch ingest-loop oracle generator (mirror of
+    * [[ingestEpochsLoopOn]], with NO notion of delta areas or
+    * compaction — batching and fold timing must be invisible). Each
+    * epoch gets its own complete bounded-Jaccard chain (nested WITH,
+    * so the fixed CTE names don't collide) over that epoch's posting
+    * universe: base docs < bounds(0) ∪ every earlier epoch's admits
+    * ∪ the epoch's own docs — the grown index the engine queries
+    * after its appends. Non-admitted earlier docs are absent from
+    * later universes, exactly as they are absent from the index. */
+  private def ingestEpochsSqlAt(bounds: Seq[Long]): String = {
+    val base = bounds.head
+    val n = bounds.length
+    val blocks = (1 to n).map { i =>
+      val lo = bounds(i - 1)
+      val hiCond = if (i < n) s" AND doc_id < ${bounds(i)}" else ""
+      val admOr = (1 until i)
+        .map(j => s" OR doc_id IN (SELECT doc_id FROM adm$j)").mkString
+      val u = s"(SELECT * FROM documents WHERE doc_id < $base " +
+        s"OR (doc_id >= $lo$hiCond)$admOr)"
+      // v/adm MATERIALIZED: epoch k's universe references every
+      // earlier adm, and each adm closes over its own full Jaccard
+      // chain — inlined, the chains re-expand once per reference and
+      // the plan grows exponentially in the epoch count (measured:
+      // the 4-epoch oracle never finished; materialized it's seconds)
+      s"""p$i AS (${boundedJaccardSqlFrom(u)}),
+         |ex$i AS (SELECT DISTINCT md5(text) AS h FROM documents
+         |         WHERE doc_id < $base$admOr),
+         |inc$i AS (SELECT doc_id, md5(text) AS h FROM documents
+         |          WHERE doc_id >= $lo$hiCond),
+         |near$i AS (SELECT DISTINCT doc_b AS doc_id FROM p$i
+         |           WHERE doc_a < $lo AND doc_b >= $lo),
+         |v$i AS MATERIALIZED (SELECT i.doc_id, $i AS epoch,
+         |              i.h IN (SELECT h FROM ex$i) AS exact_dup,
+         |              n.doc_id IS NOT NULL AS near_dup,
+         |              (NOT i.h IN (SELECT h FROM ex$i)) AND n.doc_id IS NULL AS admit
+         |       FROM inc$i i LEFT JOIN near$i n USING (doc_id)),
+         |adm$i AS MATERIALIZED (SELECT doc_id FROM v$i WHERE admit)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to n).map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")
+    s"""WITH $blocks
        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, exact_dup, near_dup, admit
-       |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+       |FROM ($sel)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The two-epoch instance, shared by the compacted, batched AND
+    * streaming loop rows (their mechanics must be invisible). */
+  private lazy val ingestEpochsSql: String = ingestEpochsSqlAt(Seq(400L, 450L))
 
   /** Exact full-universe word-3-gram Jaccard pairs at 0.5 — the oracle
     * for `dedup_minhash_lsh`. Deliberately written over RAW shingle

@@ -55,6 +55,43 @@ object ScaleProbe {
       return
     }
 
+    // --auto-compact: step the 4-epoch batched loop by hand at
+    // --sf=<dir>, printing the delta/base byte ratio after every
+    // append and whether the encoded 0.25 cadence fires — the tuning
+    // evidence behind dedup_ingest_epochs_auto's threshold (a single
+    // ~25-doc append floors at ~0.16 from parquet per-file overhead;
+    // two accumulate to ~0.30).
+    if (args.contains("--auto-compact")) {
+      import graft.ops.Dedup
+      val sfDir = args.collectFirst {
+        case a if a.startsWith("--sf=") => a.stripPrefix("--sf=")
+      }.getOrElse(src)
+      val all = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val path = "target/scratch/auto_compact_probe"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      val bounds = Seq(400L, 425L, 450L, 475L)
+      Dedup.writePostingIndex(spark, all.filter(col("doc_id") < bounds.head), path)
+      bounds.indices.foreach { k =>
+        val lo = bounds(k)
+        val batch = all.filter(col("doc_id") >= lo &&
+          bounds.lift(k + 1).map(col("doc_id") < _).getOrElse(lit(true)))
+        val v = Dedup.ingestDedupIndexed(spark, path, batch)
+        val vdf = spark.createDataFrame(
+          java.util.Arrays.asList(v.collect(): _*), v.schema)
+        if (k + 1 < bounds.length) {
+          val admits = all.join(vdf.filter(col("admit")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          Dedup.appendToPostingIndex(spark, admits, path, compact = false)
+          val r = Dedup.postingDeltaRatio(path)
+          val fired = Dedup.maybeCompactPostingIndex(spark, path, ratio = 0.25)
+          println(f"[auto-compact] sf=$sfDir epoch=${k + 1} ratio=$r%.4f fired=$fired")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
       val base = graft.Tables(spark, src, table)
       val out = (0 until 10).map { i =>

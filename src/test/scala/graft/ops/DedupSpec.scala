@@ -573,6 +573,49 @@ class DedupSpec extends AnyFunSuite {
     assert(indexed == Set(0L, 1L, 2L, 3L, 4L, 100L, 101L, 200L), s"$indexed")
   }
 
+  test("auto-compaction: the ratio gate folds the delta mid-sequence, verdicts invariant") {
+    import spark.implicits._
+    def mk(lo: Long, n: Int, tag: String) = (0 until n).map(i =>
+      (lo + i) -> (1 to 40).map(j => s"$tag${i}x$j").mkString(" "))
+    val base = mk(0L, 8, "b")
+    val e1 = mk(100L, 2, "e")
+    val e2 = mk(200L, 2, "f")
+    val e3 = mk(300L, 2, "g")
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // drive the policy directly: two similar-sized un-compacted appends
+    // roughly double the delta bytes, so a threshold of 1.4× the
+    // first append's ratio is crossed by the second and not the first
+    val path = "target/scratch/ingest_auto_policy"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    Dedup.writePostingIndex(spark, df(base), path)
+    assert(Dedup.postingDeltaRatio(path) == 0.0, "no delta yet")
+    Dedup.appendToPostingIndex(spark, df(e1), path, compact = false)
+    val r1 = Dedup.postingDeltaRatio(path)
+    assert(r1 > 0.0, "first append leaves a measurable delta")
+    val thr = r1 * 1.4
+    assert(!Dedup.maybeCompactPostingIndex(spark, path, ratio = thr),
+      "below the ratio the policy must NOT fold")
+    assert(new java.io.File(s"$path/delta/postings").exists())
+    Dedup.appendToPostingIndex(spark, df(e2), path, compact = false)
+    assert(Dedup.postingDeltaRatio(path) > thr, "second append crosses the bar")
+    assert(Dedup.maybeCompactPostingIndex(spark, path, ratio = thr),
+      "over the ratio the policy folds the delta in")
+    assert(!new java.io.File(s"$path/delta").exists(), "delta folded")
+    assert(Dedup.postingDeltaRatio(path) == 0.0, "ratio resets after the fold")
+    // and the full loop with the encoded cadence produces exactly the
+    // compact-every-append loop's verdicts (fold timing is invisible)
+    val all = df(base ++ e1 ++ e2 ++ e3)
+    def loop(p: String, perAppend: Boolean, auto: Option[Double]) = {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+      Dedup.ingestEpochsLoopOn(spark, all, p, Seq(100L, 200L, 300L),
+        compactPerAppend = perAppend, autoCompactRatio = auto)
+        .collect().toSeq
+    }
+    val auto = loop("target/scratch/ingest_auto_l1", perAppend = false, Some(thr))
+    val eager = loop("target/scratch/ingest_auto_l2", perAppend = true, None)
+    assert(auto == eager, s"auto=$auto eager=$eager")
+  }
+
   test("epoch admits are selected by semi-join, never an In-list of doc ids") {
     import spark.implicits._
     // the round-5 hazard: ingestEpochsOn used to rebuild the admitted
