@@ -545,6 +545,43 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
+  /** BATCHED BPE merge learning — the trainer shape that reaches
+    * realistic merge counts: one-merge-per-round BPE pays a driver
+    * round-trip per merge, so hundreds of merges make round latency
+    * the bottleneck regardless of corpus size. The standard batched
+    * optimization amortizes it: each round ranks the top-`batch`
+    * pairs by weighted count (ties lexicographic), keeps a pair iff
+    * its symbols are DISJOINT from every higher-ranked candidate's
+    * (kept or dropped — a rank-window rule both engines can state
+    * without sequential recursion), and applies the kept merges in
+    * rank order. Disjointness makes the batch sound: merging (a₁,b₁)
+    * can neither create nor destroy an occurrence of a
+    * symbol-disjoint (a₂,b₂), so every kept pair's recorded count is
+    * exactly what sequential BPE would have seen at its turn, and
+    * the batch application order cannot change the result. (The
+    * merge TABLE can still differ from one-at-a-time BPE — a dropped
+    * conflicting pair might have outranked later rounds' picks;
+    * that's the documented trade every batched trainer makes.)
+    *
+    * Scale posture unchanged from [[bpeLearnMergesOn]]: the corpus
+    * pays ONE word-count shuffle; rounds run on the type vocabulary;
+    * the per-round collect is ≤ `batch` rows. `rounds` rounds now
+    * yield up to rounds·batch merges for the same number of
+    * materializations — 48 merges at steps-6 latency. */
+  def bpeLearnMergesBatched(s: SparkSession, dir: String, rounds: Int = 10,
+                            batch: Int = 16): DataFrame =
+    bpeLearnMergesBatchedOn(docs(s, dir), rounds, batch)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def bpeLearnMergesBatchedOn(df: DataFrame, rounds: Int, batch: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (vocab, merges) = bpeTrainBatchedOn(df, rounds, batch)
+    vocab.unpersist(blocking = false)
+    merges.toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("step"))
+  }
+
   /** Per-document KL divergence from the corpus unigram distribution
     * over a top-`vocabSize` + OOV class space — the topic/domain-drift
     * score curation uses beside [[lmSurprisal]]'s cross-entropy:
@@ -768,6 +805,64 @@ object TextAnalysis {
     (prev, merges.toSeq)
   }
 
+  /** The batched trainer's driver loop: `rounds` rounds of (rank the
+    * top-`batch` weighted pairs) → (keep the rank-window-disjoint
+    * subset) → (apply kept merges in rank order, ONE materialization
+    * per round). Shares [[bpeApplyMerge]] — kept merges chain as
+    * nested folds, exactly the order the oracle's per-merge CTE
+    * chains replay. Returns the final persisted vocabulary (caller
+    * owns its unpersist) and the merge table with global step
+    * numbers. */
+  private def bpeTrainBatchedOn(df: DataFrame, rounds: Int, batch: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val words = df.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var prev = words
+      .select(col("w"), col("freq"), split(col("w"), "").as("sy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      // bounded collect: the batch candidates must become literals in
+      // the apply plan (the fixed-iteration driver-loop pattern)
+      val cand = prev
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(batch).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        // rank-window selection: a candidate survives iff its symbols
+        // are untouched by EVERY higher-ranked candidate (kept or
+        // dropped) — the rule the oracle states as one NOT EXISTS
+        val seen = scala.collection.mutable.Set.empty[String]
+        val kept = cand.flatMap { row =>
+          val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          val ok = !seen.contains(a) && !seen.contains(b)
+          seen += a; seen += b
+          if (ok) Some((a, b, n)) else None
+        }
+        var step = prev
+        kept.foreach { case (a, b, _) =>
+          step = step.select(col("w"), col("freq"), bpeApplyMerge(a, b).as("sy"))
+        }
+        val mat = step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mat.count()
+        prev.unpersist(blocking = false)
+        prev = mat
+        kept.foreach { case (a, b, n) =>
+          merges += ((merges.size + 1, a, b, n))
+        }
+      }
+    }
+    (prev, merges.toSeq)
+  }
+
   /** Independent DuckDB reimplementation of [[bpeTrainOn]]'s rounds
     * (no leading WITH): one CTE block per round — weighted pair counts
     * and the argmax (m\$r), occurrence flags via lead() per word,
@@ -811,6 +906,74 @@ object TextAnalysis {
        |$rounds""".stripMargin
   }
 
+  /** Independent DuckDB reimplementation of [[bpeTrainBatchedOn]]:
+    * per round, ranked top-`batch` candidates (bc\$r), the
+    * rank-window disjoint selection as ONE NOT EXISTS against all
+    * higher-ranked candidates (bk\$r — no sequential recursion
+    * needed, which is why the selection rule is stated this way),
+    * then `batch` chained per-merge applications in kept order. A
+    * slot j beyond the round's kept count yields a SENTINEL merge
+    * (chr(1), chr(1)) via scalar subqueries — no symbol ever equals
+    * chr(1), so its apply chain is an exact pass-through and the
+    * fixed `batch`-deep chain needs no empty-relation special case.
+    * Global step numbers come from cumulative kept counts (scalar
+    * COUNT subqueries over earlier bk CTEs). Every bs/bc/bk stage is
+    * MATERIALIZED — referenced several times, and the inlined chains
+    * would re-expand exponentially in the round count. */
+  private def bpeBatchedSql(rounds: Int, batch: Int): String = {
+    def applyChain(src: String, m: String, tag: String, out: String): String =
+      s"""e$tag AS (SELECT w, freq, unnest(range(1, len(sy) + 1)) AS p, unnest(sy) AS s FROM $src),
+         |o$tag AS (SELECT e.w, e.freq, e.p, e.s, m.ma, m.mb,
+         |          coalesce(e.s = m.ma AND lead(e.s) OVER (PARTITION BY e.w ORDER BY e.p) = m.mb, FALSE) AS occ
+         |        FROM e$tag e CROSS JOIN $m m),
+         |oc$tag AS (SELECT w, p, p - row_number() OVER (PARTITION BY w ORDER BY p) AS rid
+         |         FROM o$tag WHERE occ),
+         |ap$tag AS (SELECT w, p FROM (
+         |           SELECT w, p, row_number() OVER (PARTITION BY w, rid ORDER BY p) AS k FROM oc$tag)
+         |         WHERE k % 2 = 1),
+         |$out AS MATERIALIZED (
+         |  SELECT o.w, o.freq,
+         |    list(CASE WHEN ap.p IS NOT NULL THEN o.ma || o.mb ELSE o.s END ORDER BY o.p) AS sy
+         |  FROM o$tag o
+         |  LEFT JOIN ap$tag ap ON o.w = ap.w AND o.p = ap.p
+         |  LEFT JOIN ap$tag ab ON o.w = ab.w AND o.p = ab.p + 1
+         |  WHERE ab.p IS NULL
+         |  GROUP BY o.w, o.freq)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val pv = s"bs${r - 1}"
+      val cand =
+        s"""bp$r AS (SELECT sy[i] AS a, sy[i + 1] AS b, freq
+           |  FROM (SELECT sy, freq, unnest(range(1, len(sy))) AS i FROM $pv WHERE len(sy) >= 2)),
+           |bc$r AS MATERIALIZED (
+           |  SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
+           |  FROM (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM bp$r GROUP BY a, b)
+           |  ORDER BY n DESC, a, b LIMIT $batch),
+           |bk$r AS MATERIALIZED (
+           |  SELECT a, b, n, row_number() OVER (ORDER BY rn) AS kn FROM bc$r c
+           |  WHERE NOT EXISTS (SELECT 1 FROM bc$r d WHERE d.rn < c.rn
+           |    AND (d.a = c.a OR d.a = c.b OR d.b = c.a OR d.b = c.b)))""".stripMargin
+      val applies = (1 to batch).map { j =>
+        val src = if (j == 1) pv else s"bt${r}_${j - 1}"
+        val out = if (j == batch) s"bs$r" else s"bt${r}_$j"
+        s"""bm${r}_$j AS (SELECT coalesce((SELECT a FROM bk$r WHERE kn = $j), chr(1)) AS ma,
+           |              coalesce((SELECT b FROM bk$r WHERE kn = $j), chr(1)) AS mb),
+           |${applyChain(src, s"bm${r}_$j", s"b${r}_$j", out)}""".stripMargin
+      }.mkString(",\n")
+      s"$cand,\n$applies"
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      val off = if (r == 1) "0"
+        else (1 until r).map(j => s"(SELECT count(*) FROM bk$j)").mkString(" + ")
+      s"SELECT CAST($off + kn AS INTEGER) AS step, a AS left_sym, b AS right_sym, n AS pair_count FROM bk$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH bw0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       |bs0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') AS sy FROM bw0),
+       |$roundsSql
+       |SELECT step, left_sym, right_sym, pair_count FROM ($out) ORDER BY step""".stripMargin
+  }
+
   /** [[bpeRoundsCtes]] + the merge-table projection. */
   private def bpeLearnSql(steps: Int): String = {
     val out = (1 to steps)
@@ -849,6 +1012,12 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "bpe_learn_merges" -> QueryDef((s, d) => bpeLearnMerges(s, d),
       Some(bpeLearnSql(6))),
+    // The batched trainer at realistic merge counts: 10 rounds of up
+    // to 16 disjoint merges each — ≥ 32 learned merges (measured per
+    // scale below) from 10 vocabulary materializations, where the
+    // one-merge-per-round trainer would pay one per merge.
+    "bpe_learn_batched" -> QueryDef((s, d) => bpeLearnMergesBatched(s, d),
+      Some(bpeBatchedSql(10, 16))),
     "bpe_tokenize_stats" -> QueryDef((s, d) => bpeTokenizeStats(s, d),
       Some(bpeTokenizeSql(6))),
     "doc_kl_divergence" -> QueryDef((s, d) => klDivergence(s, d), Some(

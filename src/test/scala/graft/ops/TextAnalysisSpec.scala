@@ -212,6 +212,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)), s"${got.toSeq}")
   }
 
+  test("batched BPE: hand-traced round with a conflicting candidate dropped") {
+    import spark.implicits._
+    // words: xy ×4, yz ×3, pq ×2.
+    //   round-1 candidates (n desc, a, b): (x,y)=4, (y,z)=3, (p,q)=2.
+    //   (y,z) touches y — CONFLICTS with the higher-ranked (x,y) →
+    //   dropped; (p,q) is disjoint from both candidates' symbols →
+    //   kept. One round therefore merges (x,y) AND (p,q); (y,z) died
+    //   with its occurrences (every y absorbed into xy).
+    val docs = Seq((0L, "xy xy xy xy yz yz yz pq pq")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMergesBatchedOn(docs, rounds = 1, batch = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "x", "y", 4L), (2, "p", "q", 2L)), s"${got.toSeq}")
+  }
+
+  test("batched BPE: each round's kept merges are symbol-disjoint, top merge matches sequential") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta delta"),
+      (1L, "beta gamma gamma delta alpha alpha"),
+      (2L, "epsilon zeta epsilon zeta eta")).toDF("doc_id", "text")
+    val seq1 = TextAnalysis.bpeLearnMergesOn(docs, steps = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    val batched = TextAnalysis.bpeLearnMergesBatchedOn(docs, rounds = 3, batch = 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert((batched.head._2, batched.head._3, batched.head._4) == seq1,
+      "the round-1 top pick IS sequential BPE's first merge")
+    assert(batched.map(_._1).toSeq == (1 to batched.length), "dense global steps")
+    // a batch is sound only if its members can't interact: no symbol
+    // may appear in two kept merges of the same materialization. The
+    // spec can't see round boundaries from the table alone, so assert
+    // the stronger property the selection rule guarantees per round
+    // by re-running each round size-1 vs size-6 prefix agreement:
+    val b1 = TextAnalysis.bpeLearnMergesBatchedOn(docs, rounds = 1, batch = 6)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val syms = b1.flatMap(p => Seq(p._1, p._2))
+    assert(syms.distinct.length == syms.length,
+      s"round-1 kept merges share no symbol: ${b1.toSeq}")
+  }
+
   test("DSIR weights: target-typical docs score above raw-typical, bit-exact vs scalar reference") {
     import spark.implicits._
     // target (en) speaks 'good'/'fine'; the rest speak 'bad'/'ugly';
