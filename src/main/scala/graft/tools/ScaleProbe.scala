@@ -250,7 +250,12 @@ object ScaleProbe {
       "mixture_temperature",     // one corpus count agg; rest lang-sized
       "doc_perplexity_buckets",  // LM pass + doc-sized percentile + broadcast cuts
       "quality_calibrated",      // scan-stage quality + source-keyed window
-      "embedding_pca_power")     // n·d² outer-product agg; iterations d-sized
+      "embedding_pca_power",     // n·d² outer-product agg; iterations d-sized
+      "embedding_pca_topk",      // one Gram agg; k power loops on d² frames
+      "dedup_cdc_pairs",         // chunk postings, df-capped coverage join
+      "dedup_multi_signal_clusters", // 4 pair generators + shared CC
+      "dedup_ingest_epochs_auto",// 4-epoch loop + encoded compaction cadence
+      "bpe_learn_batched")       // 10 vocab rounds, up to 16 merges each
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

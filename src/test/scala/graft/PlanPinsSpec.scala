@@ -379,10 +379,29 @@ class PlanPinsSpec extends AnyFunSuite {
       s"global single-partition window sneaked in:\n$p")
   }
 
-  test("PCA power: norms broadcast into the iteration, no cartesian on data frames") {
+  test("PCA power: result is a bounded local relation — iterations never became jobs") {
+    // the corpus pays exactly ONE distributed Gram pass inside the
+    // builder; the returned frame must be driver-built (k·d rows), so
+    // a regression back to relational per-round shuffles shows up as
+    // an Exchange/Join in this plan
     val p = plan("embedding_pca_power")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"scalar norms not broadcast:\n$p")
+    assert(p.contains("LocalTableScan"), s"not a local relation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("SortMergeJoin"), s"iteration shuffles leaked into the result:\n$p")
+  }
+
+  test("cdc pairs: coverage join is hash-keyed on chunk hashes, text never shuffles") {
+    val p = plan("dedup_cdc_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!"Exchange [^\\n]*\\btext\\b".r.findFirstIn(p).isDefined,
+      s"raw text shuffles:\n$p")
+    // the chunk-kernel lineage must execute once: both self-join sides
+    // and the size frame read the persisted posting cache
+    assert(p.contains("InMemoryTableScan"), s"posting cache missing:\n$p")
+  }
+
+  test("multi-signal clusters: all four generator legs stay cartesian-free") {
+    val p = plan("dedup_multi_signal_clusters")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 }
