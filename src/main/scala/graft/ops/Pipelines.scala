@@ -81,6 +81,52 @@ object Pipelines {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  /** Pairwise kill-overlap of the [[qualityEnsemble]] gates — the
+    * observability a filter stack is tuned with: a 4×4 matrix of
+    * "documents killed by BOTH filter a and filter b" (the diagonal
+    * = each filter's total kills), plus an `any`/`none` summary pair.
+    * High off-diagonal overlap means a filter is redundant; a filter
+    * whose diagonal ≈ its overlaps is adding nothing unique — the
+    * standard ablation read before dropping or re-thresholding a
+    * gate. Same signal lineages and document universe as the
+    * ensemble row (inner joins: sub-2-token docs carry no signals).
+    *
+    * Plan: the four signal passes converge doc-keyed as in the
+    * ensemble, then ONE aggregate computes all 18 counts (no
+    * per-pair scans) and a `stack` unpivots the single row. */
+  def qualityFilterOverlap(s: SparkSession, dir: String,
+                           minQuality: Double = 0.35, lang: String = "en",
+                           maxFrac: Double = 0.2, maxXent: Double = 4.93): DataFrame = {
+    val base = Tables(s, dir, "documents")
+    val sigs = TextAnalysis.langId(TextAnalysis.withQuality(base))
+      .select(col("doc_id"), col("quality_score"), col("pred_lang"))
+    val rep = TextAnalysis.repetitionStats(s, dir)
+      .select(col("doc_id"), col("top_tok_frac"), col("dup_2gram_frac"))
+    val lm = TextAnalysis.lmSurprisal(s, dir)
+      .select(col("doc_id"), col("xent_bits"))
+    val flags = sigs.join(rep, "doc_id").join(lm, "doc_id")
+      .select(
+        (col("quality_score") < minQuality).as("quality"),
+        (col("pred_lang") =!= lang).as("lang"),
+        (col("top_tok_frac") > maxFrac || col("dup_2gram_frac") > maxFrac)
+          .as("repetition"),
+        (col("xent_bits") > maxXent).as("lm"))
+    val names = Seq("quality", "lang", "repetition", "lm")
+    val anyKill = names.map(col).reduce(_ || _)
+    val sums: Seq[org.apache.spark.sql.Column] =
+      (for { a <- names; b <- names } yield
+        sum(when(col(a) && col(b), 1L).otherwise(0L)).as(s"${a}__$b")) ++ Seq(
+        sum(when(anyKill, 1L).otherwise(0L)).as("any__any"),
+        sum(when(!anyKill, 1L).otherwise(0L)).as("none__none"))
+    val stackArgs = (names.flatMap(a => names.map(b =>
+      s"'$a', '$b', ${a}__$b")) ++
+      Seq("'any', 'any', any__any", "'none', 'none', none__none")).mkString(", ")
+    flags.agg(sums.head, sums.tail: _*)
+      .selectExpr(
+        s"stack(18, $stackArgs) AS (filter_a, filter_b, n_docs_killed)")
+      .orderBy(col("filter_a"), col("filter_b"))
+  }
+
   /** The multi-signal quality filter stack real curation pipelines
     * gate on — four independent per-doc signals joined on doc_id and
     * combined into one keep decision: heuristic quality score
@@ -731,5 +777,29 @@ object Pipelines {
          |        rep.top_tok_frac <= 0.2 AND rep.dup_2gram_frac <= 0.2 AND
          |        lx.xent_bits <= 4.93) AS keep
          |FROM q JOIN pl USING (doc_id) JOIN rep USING (doc_id) JOIN lx USING (doc_id)
-         |ORDER BY q.doc_id""".stripMargin)))
+         |ORDER BY q.doc_id""".stripMargin)),
+    // The same signal CTE prefix as the ensemble row (one source for
+    // the gate definitions), aggregated into the kill-overlap matrix.
+    "quality_filter_overlap" -> QueryDef((s, d) => qualityFilterOverlap(s, d), Some {
+      val names = Seq("quality", "lang", "repetition", "lm")
+      val pairs = (for { a <- names; b <- names } yield
+        s"SELECT '$a' AS filter_a, '$b' AS filter_b, " +
+          s"CAST(sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_killed FROM fl") ++ Seq(
+        "SELECT 'any', 'any', CAST(sum(CASE WHEN quality OR lang OR repetition OR lm THEN 1 ELSE 0 END) AS BIGINT) FROM fl",
+        "SELECT 'none', 'none', CAST(sum(CASE WHEN NOT (quality OR lang OR repetition OR lm) THEN 1 ELSE 0 END) AS BIGINT) FROM fl")
+      s"""WITH q AS (${TextAnalysis.qualityScoreSelect}),
+         |${TextAnalysis.langBestCte},
+         |pl AS (${TextAnalysis.predLangSelect}),
+         |${TextAnalysis.repetitionCtes()},
+         |${TextAnalysis.lmXentCtes("l")},
+         |fl AS MATERIALIZED (SELECT q.doc_id,
+         |        q.quality_score < 0.35 AS quality,
+         |        pl.pred_lang <> 'en' AS lang,
+         |        (rep.top_tok_frac > 0.2 OR rep.dup_2gram_frac > 0.2) AS repetition,
+         |        lx.xent_bits > 4.93 AS lm
+         |      FROM q JOIN pl USING (doc_id) JOIN rep USING (doc_id) JOIN lx USING (doc_id))
+         |SELECT filter_a, filter_b, n_docs_killed
+         |FROM (${pairs.mkString(" UNION ALL ")})
+         |ORDER BY filter_a, filter_b""".stripMargin
+    }))
 }

@@ -582,6 +582,76 @@ object TextAnalysis {
       .orderBy(col("step"))
   }
 
+  /** Corpus-wide most-repeated word n-grams — the memorization-risk
+    * audit (sequences repeated across a training corpus are the ones
+    * a model disproportionately memorizes, the motivation behind
+    * dedup-before-training): every word 5-gram occurrence, counted,
+    * top-`topK` surfaced WITH their text and distinct-document
+    * spread. The within-doc repeat vs cross-doc repeat distinction
+    * matters (boilerplate vs template), hence both `n_occurrences`
+    * and `n_docs`.
+    *
+    * Scale posture: gram STRINGS never shuffle for the count — the
+    * M61+fmix hash is computed in the scan stage and the count
+    * aggregates 8-byte keys (map-side combined); the top-K is a
+    * TakeOrdered, never a global sort; only then do the ≤ topK
+    * winning hashes broadcast back into a second scan that carries
+    * strings just for the winners' resolve aggregate. Ties at the
+    * cut are broken (count DESC, hash) — deterministic on both
+    * engines; a hash collision would merge two grams identically on
+    * both sides (the oracle joins on the same hashes). */
+  def corpusTopNgrams(s: SparkSession, dir: String, n: Int = 5,
+                      topK: Int = 32): DataFrame =
+    corpusTopNgramsOn(docs(s, dir), n, topK)
+
+  /** Generic variant over any (doc_id, text) frame. */
+  def corpusTopNgramsOn(df: DataFrame, n: Int = 5, topK: Int = 32): DataFrame = {
+    // NON-distinct gram enumeration (built-in transform, not
+    // word_ngrams — that kernel deduplicates per doc, the set
+    // semantics Jaccard wants; an occurrence audit must count every
+    // position)
+    def grams = df.filter(col("text").isNotNull)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(t) - $n), i -> array_join(slice(t, i + 1, $n), ' '))")
+        .as("gs"))
+      .select(col("doc_id"), col("gs"),
+        graft.functions.textFunctions.m61_token_hashes(col("gs")).as("hs"))
+      .select(col("doc_id"), explode(arrays_zip(col("gs"), col("hs"))).as("z"))
+      .select(col("doc_id"), col("z.gs").as("gram"), col("z.hs").as("h"))
+    val top = grams.select(col("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("h"))
+      .limit(topK)
+      .select(col("h"))
+    // second scan: strings survive only past the broadcast winner set
+    grams.join(broadcast(top), Seq("h"))
+      .groupBy(col("h"))
+      .agg(min(col("gram")).as("gram"), count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("gram"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+  }
+
+  /** [[corpusTopNgramsOn]]'s oracle: the same n-gram text, the same
+    * M61+fmix64 hash chain, hash-keyed count, (count DESC, h) top-K
+    * cut, then the winners-only resolve. */
+  private def topNgramsSql(n: Int, topK: Int): String =
+    s"""WITH tokn AS (SELECT doc_id, t FROM
+       |  (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(t) >= $n),
+       |gr AS (SELECT doc_id, array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS s
+       |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${n - 2})) AS i FROM tokn)),
+       |${graft.OracleSql.m61FmixScalarCtes("gr", "s", out = "h", p = "gh")},
+       |cnt AS (SELECT h, count(*) AS n FROM gh GROUP BY h),
+       |topk AS (SELECT h FROM cnt ORDER BY n DESC, h LIMIT $topK),
+       |res AS (SELECT g.h, min(g.s) AS gram, count(*) AS n_occurrences,
+       |               count(DISTINCT g.doc_id) AS n_docs
+       |        FROM gh g SEMI JOIN topk t ON g.h = t.h GROUP BY g.h)
+       |SELECT gram, n_occurrences, n_docs FROM res
+       |ORDER BY n_occurrences DESC, gram""".stripMargin
+
   /** Per-document KL divergence from the corpus unigram distribution
     * over a top-`vocabSize` + OOV class space — the topic/domain-drift
     * score curation uses beside [[lmSurprisal]]'s cross-entropy:
@@ -1030,6 +1100,10 @@ object TextAnalysis {
       Some(bpeBatchedSql(9, 16))),
     "bpe_tokenize_stats" -> QueryDef((s, d) => bpeTokenizeStats(s, d),
       Some(bpeTokenizeSql(6))),
+    // Memorization-risk audit: hashes count, strings resolve — see
+    // corpusTopNgramsOn's scale notes.
+    "corpus_top_ngrams" -> QueryDef((s, d) => corpusTopNgrams(s, d),
+      Some(topNgramsSql(5, 32))),
     "doc_kl_divergence" -> QueryDef((s, d) => klDivergence(s, d), Some(
       s"""WITH tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |        FROM documents WHERE text IS NOT NULL),

@@ -404,4 +404,15 @@ class PlanPinsSpec extends AnyFunSuite {
     val p = plan("dedup_multi_signal_clusters")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("top n-grams: TakeOrdered cut, gram strings absent from the count exchange") {
+    val p = plan("corpus_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K must not global-sort:\n$p")
+    // the count-side shuffle carries only the 8-byte hash; strings
+    // appear past the broadcast winner set only
+    assert(!"Exchange hashpartitioning\\([^\\n]*gram".r.findFirstIn(p).isDefined,
+      s"gram strings in the count exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"winner set must broadcast into the resolve scan:\n$p")
+  }
 }

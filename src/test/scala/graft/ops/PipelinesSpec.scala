@@ -149,6 +149,24 @@ class PipelinesSpec extends AnyFunSuite {
     assert(ens.values.exists(_._6) && ens.values.exists(!_._6))
   }
 
+  test("filter overlap matrix: symmetric, diagonal-dominant, partitions the signal universe") {
+    val m = Pipelines.qualityFilterOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val names = Seq("quality", "lang", "repetition", "lm")
+    assert(m.size == 18)
+    for (a <- names; b <- names) {
+      assert(m((a, b)) == m((b, a)), s"symmetry broken at ($a, $b)")
+      assert(m((a, a)) >= m((a, b)), s"diagonal must dominate: ($a, $b)")
+    }
+    val anyK = m(("any", "any"))
+    assert(names.forall(a => anyK >= m((a, a))), "any >= every diagonal")
+    // the ensemble row shares the universe and the gates: kills = any,
+    // survivors = none, and they partition the joined-doc universe
+    val ens = Pipelines.qualityEnsemble(spark, dir).collect()
+    assert(anyK == ens.count(!_.getBoolean(6)), "any == ensemble kills")
+    assert(m(("none", "none")) == ens.count(_.getBoolean(6)), "none == keeps")
+  }
+
   test("fuzzy decontamination: paraphrased eval material flags, light overlap scores but passes") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString

@@ -253,6 +253,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"round-1 kept merges share no symbol: ${b1.toSeq}")
   }
 
+  test("corpus top n-grams: planted repeats counted with doc spread, strings resolved") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps" // 5 tokens = one 5-gram
+    val docs = Seq(
+      (0L, s"$boiler alpha beta gamma delta"), // grams: boiler + 4 shifted
+      (1L, s"$boiler epsilon zeta eta theta"),
+      (2L, s"prefix $boiler"), // shifted position, same gram
+      (3L, "unrelated words only here now")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusTopNgramsOn(docs, n = 5, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == ((boiler, 3L, 3L)),
+      s"the planted boilerplate leads with 3 occurrences in 3 docs: ${got.toSeq}")
+    assert(got.length == 3, "topK honored")
+    assert(got.tail.forall(_._2 == 1L), "everything else occurs once")
+    // within-doc repetition counts occurrences but not docs
+    val rep = Seq((0L, s"$boiler $boiler"), (1L, "x y z w v")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.corpusTopNgramsOn(rep, n = 5, topK = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).head
+    assert(g2._1 == boiler && g2._2 > 1L && g2._3 == 1L,
+      s"occurrences > docs for within-doc repeats: $g2")
+  }
+
   test("DSIR weights: target-typical docs score above raw-typical, bit-exact vs scalar reference") {
     import spark.implicits._
     // target (en) speaks 'good'/'fine'; the rest speak 'bad'/'ugly';
