@@ -886,49 +886,158 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
-  /** Generated-CTE oracle for [[pcaTopK]]: the [[pcaPowerOracle]] base
-    * (xs/cov), then per component a full w/n/v iteration chain and —
-    * between components — one deflation CTE rebuilding the residual
-    * matrix with the identical staged expression. */
-  private def pcaTopKOracle(k: Int, iterations: Int): String = {
-    def rd(e: String): String =
-      s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)), 9) AS DECIMAL(12,9))"
+  /** "All-but-the-top" whitening profile (Mu & Viswanath 2018):
+    * embedding clouds are anisotropic — a large common mean plus a
+    * few dominant directions carry corpus-frequency artifacts rather
+    * than semantics, and removing them measurably improves cosine
+    * retrieval. Per vector: center on the corpus mean, project onto
+    * the top-k principal components ([[pcaTopK]]'s driver-side
+    * solve), and report the centered norm, the residual norm after
+    * subtracting those projections, and the k projection coordinates
+    * — the before/after anisotropy profile a pipeline reads before
+    * deciding to ship whitened vectors.
+    *
+    * Plan: ONE distributed Gram pass inside the component solve, then
+    * two passes over the exploded (vec, i) frame — projections
+    * (groupBy (vec, comp), exact decimal sums of 9dp-staged terms)
+    * and residuals (projections joined back per vec, same staging) —
+    * with the k·d component relation broadcast both times. The
+    * residual subtraction Σ_c p_c·c_ci is itself a 9dp-staged decimal
+    * sum, so no floating sum ever depends on aggregation order
+    * (the pca/klDivergence determinism recipe throughout). */
+  def embeddingWhitening(s: SparkSession, dir: String, k: Int = 3,
+                         iterations: Int = 6): DataFrame = {
+    import s.implicits._
+    val comps = pcaComponents(s, dir, k, iterations).collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
+    val compDf = broadcast(comps.toSeq.toDF("comp", "i", "cx"))
+    val xs = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
+      .select(col("vec_id"), col("i"), d9(col("xv")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = xs.select(col("vec_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val mu = xs.groupBy(col("i")).agg(sum(col("x")).as("s1"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), (col("s1").cast("double") / col("n")).as("mud"))
+    val cen = xs.join(broadcast(mu), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        (col("x").cast("double") - col("mud")).as("yd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val proj = cen.join(compDf, Seq("i"))
+      .groupBy(col("vec_id"), col("comp"))
+      .agg(sum(d9(col("yd") * col("cx"))).as("pj"))
+      .select(col("vec_id"), col("comp"), col("pj").cast("double").as("pjd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = cen.groupBy(col("vec_id"))
+      .agg(sqrt(sum(d9(col("yd") * col("yd"))).cast("double")).as("norm_before"))
+    val na = cen.join(proj, Seq("vec_id"))
+      .join(compDf.select(col("comp"), col("i"), col("cx")), Seq("comp", "i"))
+      .groupBy(col("vec_id"), col("i"))
+      .agg(max(col("yd")).as("yd"), sum(d9(col("pjd") * col("cx"))).as("sub"))
+      .withColumn("z", col("yd") - col("sub").cast("double"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum(d9(col("z") * col("z"))).cast("double")).as("norm_after"))
+    val pw = proj.groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("comp") === 1, col("pjd"))).as("p1"),
+        sum(when(col("comp") === 2, col("pjd"))).as("p2"),
+        sum(when(col("comp") === 3, col("pjd"))).as("p3"))
+    nb.join(na, Seq("vec_id")).join(pw, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(col("norm_before"), 6).as("norm_before"),
+        round(col("norm_after"), 6).as("norm_after"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(col("p3"), 6).as("p3"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[embeddingWhitening]]'s oracle: the full [[pcaTopKCtes]] chain
+    * (identical component vectors), then the same staged centering,
+    * projection, and residual passes. */
+  private def whiteningOracle(k: Int, iterations: Int): String = {
     def r6(e: String): String = graft.OracleSql.round(e, 6)
+    val cmp = (1 to k).map(c =>
+      s"SELECT $c AS comp, i, CAST(x AS DOUBLE) AS cx FROM v${c}_$iterations")
+      .mkString(" UNION ALL ")
+    val pcols = (1 to k).map(c =>
+      s"sum(CASE WHEN comp = $c THEN CAST(pj AS DOUBLE) END) AS p$c").mkString(", ")
+    s"""WITH ${pcaTopKCtes(k, iterations)},
+       |mu AS (SELECT i, CAST(s1 AS DOUBLE) / n AS mud FROM s1 CROSS JOIN nn),
+       |cen AS MATERIALIZED (SELECT vec_id, xs.i, CAST(x AS DOUBLE) - mud AS yd
+       |       FROM xs JOIN mu ON xs.i = mu.i),
+       |cmp AS MATERIALIZED ($cmp),
+       |pj AS MATERIALIZED (SELECT vec_id, comp, sum(${rd9("yd * cx")}) AS pj
+       |      FROM cen JOIN cmp USING (i) GROUP BY 1, 2),
+       |nb AS (SELECT vec_id, sqrt(CAST(sum(${rd9("yd * yd")}) AS DOUBLE)) AS norm_before
+       |       FROM cen GROUP BY vec_id),
+       |rt AS (SELECT c.vec_id, c.i, max(c.yd) AS yd,
+       |              sum(${rd9("CAST(p.pj AS DOUBLE) * m.cx")}) AS sub
+       |       FROM cen c JOIN pj p ON c.vec_id = p.vec_id
+       |                  JOIN cmp m ON m.comp = p.comp AND m.i = c.i
+       |       GROUP BY c.vec_id, c.i),
+       |na AS (SELECT vec_id,
+       |         sqrt(CAST(sum(${rd9("(yd - CAST(sub AS DOUBLE)) * (yd - CAST(sub AS DOUBLE))")}) AS DOUBLE)) AS norm_after
+       |       FROM rt GROUP BY vec_id),
+       |pw AS (SELECT vec_id, $pcols FROM pj GROUP BY vec_id)
+       |SELECT nb.vec_id, ${r6("norm_before")} AS norm_before,
+       |       ${r6("norm_after")} AS norm_after,
+       |       ${(1 to k).map(c => s"${r6(s"p$c")} AS p$c").mkString(", ")}
+       |FROM nb JOIN na USING (vec_id) JOIN pw USING (vec_id)
+       |ORDER BY nb.vec_id""".stripMargin
+  }
+
+  private def rd9(e: String): String =
+    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,18)), 9) AS DECIMAL(12,9))"
+
+  /** The [[pcaTopK]] oracle's CTE body (no WITH, no final SELECT):
+    * xs/nn/s1/cov base, per component a full w/n/v iteration chain
+    * with deflation CTEs between, ending with `tr` — ONE source for
+    * the top-k oracle AND the whitening oracle, which consumes the
+    * v{c}_{iters} component vectors, `xs` and the mean ingredients. */
+  private def pcaTopKCtes(k: Int, iterations: Int): String = {
     val comps = (1 to k).map { c =>
       val covSrc = if (c == 1) "cov" else s"cov$c"
       val iters = (1 to iterations).map { t =>
         val p = if (t == 1) "v0" else s"v${c}_${t - 1}"
         s"""w${c}_$t AS MATERIALIZED (SELECT m.i, sum(m.c * p.x) AS w FROM $covSrc m JOIN $p p ON m.j = p.i GROUP BY m.i),
-           |n${c}_$t AS MATERIALIZED (SELECT sqrt(greatest(CAST(sum(${rd("CAST(w AS DOUBLE) * CAST(w AS DOUBLE)")}) AS DOUBLE), 1e-24)) AS nrm FROM w${c}_$t),
-           |v${c}_$t AS MATERIALIZED (SELECT i, ${rd("CAST(w AS DOUBLE) / nrm")} AS x FROM w${c}_$t CROSS JOIN n${c}_$t)""".stripMargin
+           |n${c}_$t AS MATERIALIZED (SELECT sqrt(greatest(CAST(sum(${rd9("CAST(w AS DOUBLE) * CAST(w AS DOUBLE)")}) AS DOUBLE), 1e-24)) AS nrm FROM w${c}_$t),
+           |v${c}_$t AS MATERIALIZED (SELECT i, ${rd9("CAST(w AS DOUBLE) / nrm")} AS x FROM w${c}_$t CROSS JOIN n${c}_$t)""".stripMargin
       }.mkString(",\n")
       val defl = if (c < k)
         s""",
            |cov${c + 1} AS MATERIALIZED (SELECT m.i, m.j,
-           |  ${rd(s"CAST(m.c AS DOUBLE) - nrm * CAST(vi.x AS DOUBLE) * CAST(vj.x AS DOUBLE)")} AS c
+           |  ${rd9(s"CAST(m.c AS DOUBLE) - nrm * CAST(vi.x AS DOUBLE) * CAST(vj.x AS DOUBLE)")} AS c
            |  FROM $covSrc m JOIN v${c}_$iterations vi ON m.i = vi.i
            |  JOIN v${c}_$iterations vj ON m.j = vj.i CROSS JOIN n${c}_$iterations)""".stripMargin
       else ""
       s"$iters$defl"
     }.mkString(",\n")
-    val sel = (1 to k).map { c =>
-      s"""SELECT CAST($c AS INTEGER) AS component, v.i AS dim, CAST(v.x AS DOUBLE) AS loading,
-         |  ${r6("nrm")} AS eigenvalue, ${r6("nrm / trace")} AS var_explained
-         |FROM v${c}_$iterations v CROSS JOIN n${c}_$iterations CROSS JOIN tr""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ex AS (SELECT vec_id, unnest(range(len(v))) AS i, v FROM e),
-       |xs AS MATERIALIZED (SELECT vec_id, i, ${rd("v[i + 1]")} AS x FROM ex),
+       |xs AS MATERIALIZED (SELECT vec_id, i, ${rd9("v[i + 1]")} AS x FROM ex),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
        |s1 AS (SELECT i, sum(x) AS s1 FROM xs GROUP BY i),
        |s2 AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s2
        |       FROM xs a JOIN xs b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |cov AS MATERIALIZED (SELECT s2.i, s2.j,
-       |    ${rd("CAST(s2 AS DOUBLE) / n - (CAST(si.s1 AS DOUBLE) / n) * (CAST(sj.s1 AS DOUBLE) / n)")} AS c
+       |    ${rd9("CAST(s2 AS DOUBLE) / n - (CAST(si.s1 AS DOUBLE) / n) * (CAST(sj.s1 AS DOUBLE) / n)")} AS c
        |  FROM s2 JOIN s1 si ON s2.i = si.i JOIN s1 sj ON s2.j = sj.i CROSS JOIN nn),
        |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1 AS DECIMAL(12,9)) AS x FROM xs),
        |$comps,
-       |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS trace FROM cov WHERE i = j)
+       |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS trace FROM cov WHERE i = j)""".stripMargin
+  }
+
+  /** Generated-CTE oracle for [[pcaTopK]]: the [[pcaTopKCtes]] chain
+    * plus the per-component output union. */
+  private def pcaTopKOracle(k: Int, iterations: Int): String = {
+    def r6(e: String): String = graft.OracleSql.round(e, 6)
+    val sel = (1 to k).map { c =>
+      s"""SELECT CAST($c AS INTEGER) AS component, v.i AS dim, CAST(v.x AS DOUBLE) AS loading,
+         |  ${r6("nrm")} AS eigenvalue, ${r6("nrm / trace")} AS var_explained
+         |FROM v${c}_$iterations v CROSS JOIN n${c}_$iterations CROSS JOIN tr""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${pcaTopKCtes(k, iterations)}
        |SELECT component, dim, loading, eigenvalue, var_explained FROM ($sel)
        |ORDER BY component, dim""".stripMargin
   }
@@ -991,6 +1100,10 @@ object Similarity {
       Some(pcaPowerOracle(6))),
     "embedding_pca_topk" -> QueryDef((s, d) => pcaTopK(s, d),
       Some(pcaTopKOracle(3, 6))),
+    // All-but-the-top anisotropy profile over the same component
+    // solve — the whitening decision's before/after evidence.
+    "embedding_whitening" -> QueryDef((s, d) => embeddingWhitening(s, d),
+      Some(whiteningOracle(3, 6))),
     "ann_brute_topk" -> QueryDef((s, d) => bruteForceTopK(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |scored AS (

@@ -114,6 +114,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length >= 285, s"auto-scaled recall too low: ${pairs.length}/300")
   }
 
+  test("whitening: rank-1 cloud collapses to zero residual, projections recover the scale") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("whiten").toString
+    // x = t·(1, 2, 0, 0), zero mean: everything lives along the one
+    // component, so removing it leaves nothing — norm_after ≈ 0 and
+    // |p1| = |x| = |t|·√5 exactly
+    val ts = Seq(-3f, -2f, -1f, 1f, 2f, 3f)
+    ts.zipWithIndex.map { case (t, i) => (i.toLong, Array(t, 2 * t, 0f, 0f), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.embeddingWhitening(spark, tmp, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    ts.zipWithIndex.foreach { case (t, i) =>
+      val (nb, na, p1) = got(i.toLong)
+      assert(math.abs(nb - math.abs(t) * math.sqrt(5)) < 1e-5, s"norm_before $i: $nb")
+      assert(na < 1e-5, s"rank-1 residual must vanish, got $na for vec $i")
+      assert(math.abs(math.abs(p1) - math.abs(t) * math.sqrt(5)) < 1e-5, s"p1 $i: $p1")
+    }
+    // real corpus: removing projections never increases the norm
+    // (components near-orthonormal; tolerance for 6-iter estimates)
+    val real = Similarity.embeddingWhitening(spark, dir).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-4),
+      "norm_after exceeded norm_before")
+  }
+
   test("pcaTopK: component 1 ≡ pcaPower, spectrum descending, deflation near-orthogonal") {
     import org.apache.spark.sql.functions._
     val topk = Similarity.pcaTopK(spark, dir, k = 3).collect()
