@@ -255,7 +255,11 @@ object ScaleProbe {
       "dedup_cdc_pairs",         // chunk postings, df-capped coverage join
       "dedup_multi_signal_clusters", // 4 pair generators + shared CC
       "dedup_ingest_epochs_auto",// 4-epoch loop + encoded compaction cadence
-      "bpe_learn_batched")       // 10 vocab rounds, up to 16 merges each
+      "bpe_learn_batched",       // 9 vocab rounds, up to 16 merges each
+      "corpus_top_ngrams",       // hash-keyed count + TakeOrdered + resolve
+      "quality_filter_overlap",  // 4 signal passes + ONE 18-sum aggregate
+      "embedding_whitening",     // Gram pass + 2 staged-decimal passes
+      "pipeline_multi_signal_keep_best") // 4-leg clusters + keep policy
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
