@@ -270,7 +270,8 @@ object ScaleProbe {
   }
 
   private val ingestStages =
-    Seq("build", "verdict", "append", "verdict_delta", "compact")
+    Seq("build", "verdict", "append", "verdict_delta", "compact",
+      "verdict_compacted")
 
   /** Time one full ingest cycle per scale, twice, min per stage:
     * index build over the first 80% of docs (by id), verdict of the
@@ -328,7 +329,17 @@ object ScaleProbe {
         t("verdict_delta") {
           graft.ops.Dedup.ingestDedupIndexed(spark, path, batch2).collect()
         }
-        t("compact") { graft.ops.Dedup.compactPostingIndex(spark, path) }
+        // the ENCODED cadence fires here (batch-over-base byte ratio
+        // well past 0.10 at these split sizes) — and the re-verdict
+        // shows the delta-aware ~3× multiplier reverting to ~1×
+        t("compact") {
+          val fired = graft.ops.Dedup.maybeCompactPostingIndex(
+            spark, path, ratio = 0.10)
+          require(fired, "auto-compaction policy unexpectedly below ratio")
+        }
+        t("verdict_compacted") {
+          graft.ops.Dedup.ingestDedupIndexed(spark, path, batch2).collect()
+        }
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
         out.toMap
       }
