@@ -1748,7 +1748,19 @@ object Dedup {
     // (shared cdcPostingCtes chain — the df-cap and chunk hashes
     // cannot diverge between the stats and pair oracles).
     "dedup_cdc_pairs" -> QueryDef((s, d) => cdcCoverPairs(s, d),
-      Some(s"WITH ${cdcPairsSqlBody(6, 16, 256, 0.5, 1000, 80)}")))
+      Some(s"WITH ${cdcPairsSqlBody(6, 16, 256, 0.5, 1000, 80)}")),
+    // Provenance observability: per-source exact-duplicate rates
+    // under the global keeper rule.
+    "dedup_rate_by_source" -> QueryDef((s, d) => dedupRateBySource(s, d), Some(
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+        |f AS (SELECT d.source, d.doc_id, k.keep_id FROM d JOIN k USING (h)),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |          CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        |        FROM f GROUP BY source)
+        |SELECT source, n_docs, n_dups,
+        |  CAST(round(CAST(CAST(CAST(n_dups AS DOUBLE) / n_docs AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS dup_rate
+        |FROM agg ORDER BY source""".stripMargin)))
 
   /** Independent DuckDB reimplementation of [[charSpanDupStatsOn]]:
     * whitespace-stripped char array, per-char hashes as unicode
@@ -1787,6 +1799,27 @@ object Dedup {
        |SELECT doc_id, n_chars, n_spans, n_dup_spans, dup_char_frac,
        |       dup_char_frac <= 0.5 AS keep
        |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact-duplicate RATE per source — the provenance observability
+    * dedup runs are reported through: crawls/feeds with high internal
+    * duplication get down-weighted or re-crawled, and a sudden rate
+    * jump in one source is the standard pipeline-incident signal.
+    * A doc is a duplicate iff a smaller doc_id shares its md5 (the
+    * [[exactDedup]] keeper rule, GLOBAL — cross-source copies charge
+    * the source holding the later copy); rates aggregate per
+    * `source`. One hash shuffle, one source-keyed count. */
+  def dedupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 4).as("dup_rate"))
+      .orderBy(col("source"))
   }
 
   // ------------------------------------------------- content-defined chunks

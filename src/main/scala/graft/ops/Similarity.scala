@@ -886,6 +886,31 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Embedding-space decontamination audit — the SEMANTIC leg of the
+    * benchmark-leakage family: the n-gram rows (exact / Bloom /
+    * fuzzy-Jaccard) catch verbatim and lightly-edited eval material,
+    * but a thorough rewrite slips all three while staying nearly
+    * collinear in embedding space. Every corpus vector reports its
+    * maximum cosine against the (bounded, broadcast) eval vectors
+    * and a ≥ `threshold` flag. One scored corpus pass — the
+    * brute-force ANN shape with the aggregate replacing the top-k
+    * window; the eval side is benchmark-sized by construction, so
+    * the broadcast never grows with the corpus. */
+  def semanticDecontamination(s: SparkSession, dir: String, nEval: Int = 20,
+                              threshold: Double = 0.9): DataFrame = {
+    val e = emb(s, dir)
+    val ev = e.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    e.filter(col("vec_id") >= nEval)
+      .crossJoin(broadcast(ev))
+      .withColumn("sim", round(cosine(col("ev"), col("v")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_eval_cos"))
+      .select(col("vec_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= threshold).as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** "All-but-the-top" whitening profile (Mu & Viswanath 2018):
     * embedding clouds are anisotropic — a large common mean plus a
     * few dominant directions carry corpus-frequency artifacts rather
@@ -1104,6 +1129,17 @@ object Similarity {
     // solve — the whitening decision's before/after evidence.
     "embedding_whitening" -> QueryDef((s, d) => embeddingWhitening(s, d),
       Some(whiteningOracle(3, 6))),
+    // Semantic leg of the decontamination family: max cosine vs the
+    // broadcast eval vectors, the leakage paraphrase-robust n-grams
+    // still miss.
+    "decontamination_semantic" -> QueryDef((s, d) => semanticDecontamination(s, d),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+         |sc AS (SELECT c.vec_id, max(${R(lshCos("q.v", "c.v"), 6)}) AS max_eval_cos
+         |       FROM c CROSS JOIN q GROUP BY c.vec_id)
+         |SELECT vec_id, max_eval_cos, max_eval_cos >= 0.9 AS flagged
+         |FROM sc ORDER BY vec_id""".stripMargin)),
     "ann_brute_topk" -> QueryDef((s, d) => bruteForceTopK(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |scored AS (

@@ -817,6 +817,43 @@ object TextAnalysis {
     out
   }
 
+  /** Tokenizer FERTILITY by language — the multilingual-fairness
+    * metric (tokens emitted per word): a tokenizer trained on a
+    * mixed corpus systematically over-segments the languages it saw
+    * least, inflating their effective sequence lengths and training
+    * cost per byte. Runs the corpus through the learned BPE
+    * vocabulary ([[bpeTokenizeStatsOn]]'s types-not-tokens
+    * economics — each distinct word tokenized once, documents join
+    * their words' counts back) and aggregates per `lang`: docs,
+    * words, BPE tokens, fertility (tokens/word) and chars/token. */
+  def bpeFertilityByLang(s: SparkSession, dir: String, steps: Int = 6): DataFrame =
+    bpeFertilityByLangOn(docs(s, dir), steps)
+
+  /** Generic variant over any (doc_id, lang, text) frame. */
+  def bpeFertilityByLangOn(df: DataFrame, steps: Int): DataFrame = {
+    val base = df.filter(col("text").isNotNull)
+    val (finalVocab, _) = bpeTrainOn(base, steps)
+    val vocab = finalVocab
+      .select(col("w"), size(col("sy")).cast("long").as("n_word_tokens"))
+    val tok = base
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_word_tokens")).as("n_bpe_tokens"))
+    val chars = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    chars.join(tok, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** Left-greedy application of ONE merge (ma, mb) to a `sy`
     * array<string> column — the order-preserving fold (merge when the
     * accumulator's last symbol is ma and the current is mb). Exposed
@@ -1104,6 +1141,24 @@ object TextAnalysis {
     // corpusTopNgramsOn's scale notes.
     "corpus_top_ngrams" -> QueryDef((s, d) => corpusTopNgrams(s, d),
       Some(topNgramsSql(5, 32))),
+    // Multilingual tokenizer fairness through the learned vocabulary.
+    "bpe_fertility_by_lang" -> QueryDef((s, d) => bpeFertilityByLang(s, d),
+      Some(s"""WITH ${bpeRoundsCtes(6)},
+         |tokf AS (SELECT lang, length(text) AS n_chars, doc_id,
+         |           unnest(string_split(text, ' ')) AS w
+         |         FROM documents WHERE text IS NOT NULL),
+         |twf AS (SELECT lang, w FROM tokf WHERE len(w) >= 1),
+         |vcf AS (SELECT w, CAST(len(sy) AS BIGINT) AS n_word_tokens FROM s6),
+         |aggf AS (SELECT lang, count(*) AS n_words,
+         |           CAST(sum(n_word_tokens) AS BIGINT) AS n_bpe_tokens
+         |         FROM twf JOIN vcf USING (w) GROUP BY lang),
+         |dc AS (SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |       FROM documents WHERE text IS NOT NULL GROUP BY lang)
+         |SELECT dc.lang, dc.n_docs, aggf.n_words, aggf.n_bpe_tokens,
+         |  ${OracleSql.round("CAST(n_bpe_tokens AS DOUBLE) / n_words", 4)} AS fertility,
+         |  ${OracleSql.round("CAST(n_chars AS DOUBLE) / n_bpe_tokens", 4)} AS chars_per_token
+         |FROM dc JOIN aggf USING (lang) ORDER BY dc.lang""".stripMargin)),
     "doc_kl_divergence" -> QueryDef((s, d) => klDivergence(s, d), Some(
       s"""WITH tokc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |        FROM documents WHERE text IS NOT NULL),

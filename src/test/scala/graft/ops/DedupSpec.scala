@@ -756,6 +756,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup rate by source: global keeper rule charges the later copy's source") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dsrc").toString
+    Seq(
+      (0L, "a b c", "crawlA"), (1L, "a b c", "crawlA"), // dup inside A
+      (2L, "d e f", "crawlA"),
+      (3L, "a b c", "crawlB"), // cross-source copy → charged to B
+      (4L, "g h i", "crawlB"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.dedupRateBySource(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("crawlA") == ((3L, 1L, 0.3333)), s"${got("crawlA")}")
+    assert(got("crawlB") == ((2L, 1L, 0.5)), s"${got("crawlB")}")
+  }
+
   test("cdc pairs: within-doc repeats alone never produce a self pair") {
     import spark.implicits._
     val phrase = cdcText(300, seed = 41L)

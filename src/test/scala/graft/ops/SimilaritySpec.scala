@@ -114,6 +114,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length >= 285, s"auto-scaled recall too low: ${pairs.length}/300")
   }
 
+  test("semantic decontamination: a planted eval copy flags at cosine 1, orthogonal content passes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("semdec").toString
+    // eval = vec 0 along e1; corpus: 20 = exact eval copy (scaled),
+    // 21 = orthogonal, 22 = 45° (cos ≈ 0.7071 < 0.9)
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (20L, Array(3f, 0f, 0f, 0f), 0),
+      (21L, Array(0f, 2f, 0f, 0f), 0),
+      (22L, Array(1f, 1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.semanticDecontamination(spark, tmp, nEval = 20)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(20L) == ((1.0, true)), s"exact copy: ${got(20L)}")
+    assert(got(21L) == ((0.0, false)), s"orthogonal: ${got(21L)}")
+    assert(math.abs(got(22L)._1 - 0.707107) < 1e-6 && !got(22L)._2, s"${got(22L)}")
+  }
+
   test("whitening: rank-1 cloud collapses to zero residual, projections recover the scale") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("whiten").toString

@@ -253,6 +253,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"round-1 kept merges share no symbol: ${b1.toSeq}")
   }
 
+  test("fertility by lang: the under-represented language over-segments") {
+    import spark.implicits._
+    // 'aa' dominates: merges learn to fuse it into whole-word tokens;
+    // the rare zz-language stays character-segmented → higher fertility
+    val docs = Seq(
+      (0L, "en", "aa aa aa aa"), (1L, "en", "aa aa aa aa"),
+      (2L, "en", "aa aa aa aa"), (3L, "zz", "zz yy xx ww"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpeFertilityByLangOn(docs, steps = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // step 1 merges (a,a): 'aa' → one token (fertility 1.0); the zz
+    // words stay two chars each (fertility 2.0)
+    assert(got("en") == ((3L, 12L, 12L, 1.0)), s"${got("en")}")
+    assert(got("zz")._4 == 2.0, s"${got("zz")}")
+  }
+
   test("corpus top n-grams: planted repeats counted with doc spread, strings resolved") {
     import spark.implicits._
     val boiler = "the quick brown fox jumps" // 5 tokens = one 5-gram
