@@ -211,6 +211,28 @@ object Insights {
     * no per-row state. Exact medians sort within each type; the
     * percentile_approx sketch is the documented 100 TB substitution,
     * same as the exact percentile rows. */
+  /** [[dailyValueSeasonal]]'s residuals through the Iglewicz–Hoaglin
+    * MAD gate: anomalous days AFTER the weekly seasonal shape is
+    * removed — a raw-value gate flags every strong weekday, while the
+    * residual gate flags only days unusual FOR their day-of-week.
+    * Whole chain stays calendar-bounded (day frames); scalar
+    * median/MAD broadcast back. */
+  def dailyAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val seas = dailyValueSeasonal(s, dir)
+      .select(col("day"), col("day_value"), col("residual"))
+    val med = seas.agg(expr("percentile(residual, 0.5D)").as("m"))
+      .select(round(col("m"), 4).as("med"))
+    val wm = seas.crossJoin(broadcast(med))
+    val mad = wm.agg(expr("percentile(abs(residual - med), 0.5D)").as("m"))
+      .select(round(col("m"), 4).as("mad"))
+    wm.crossJoin(broadcast(mad))
+      .withColumn("rz", when(col("mad") > 0,
+        round((col("residual") - col("med")) * 0.6745 / col("mad"), 4)))
+      .select(col("day"), col("day_value"), col("residual"), col("rz"),
+        coalesce(abs(col("rz")) > 3.5, lit(false)).as("anomaly"))
+      .orderBy(col("day"))
+  }
+
   def valueMadOutliers(s: SparkSession, dir: String): DataFrame = {
     val v = events(s, dir).filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
@@ -521,6 +543,29 @@ object Insights {
        |FROM p JOIN t USING (from_type)
        |ORDER BY from_type, to_type""".stripMargin
 
+  /** Seasonal-decomposition CTE chain ending in `seas` (the surfaced
+    * day/day_value/dow/seasonal_mean/residual/trend7 projection) —
+    * ONE source for the seasonal row and the anomaly-days gate. */
+  private lazy val seasonalCtes: String =
+    s"""daily AS (SELECT CAST(ts AS DATE) AS day,
+       |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv
+       |  FROM events GROUP BY 1),
+       |dm AS (SELECT dayofweek(day) + 1 AS dow,
+       |    ${OracleSql.round("CAST(sum(sv) AS DOUBLE) / count(*)", 4)} AS seasonal_mean
+       |  FROM daily GROUP BY 1),
+       |win AS (SELECT day, sv,
+       |    count(*) OVER w AS win_n, sum(sv) OVER w AS win_s
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |seas AS (SELECT strftime(w.day, '%Y-%m-%d') AS day,
+       |  ${OracleSql.round("CAST(sv AS DOUBLE)", 2)} AS day_value,
+       |  CAST(dayofweek(w.day) + 1 AS BIGINT) AS dow,
+       |  seasonal_mean,
+       |  ${OracleSql.round("CAST(sv AS DOUBLE) - seasonal_mean", 4)} AS residual,
+       |  CASE WHEN win_n = 7
+       |       THEN ${OracleSql.round("CAST(win_s AS DOUBLE) / 7.0", 4)} END AS trend7
+       |FROM win w JOIN dm ON dayofweek(w.day) + 1 = dm.dow)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "event_transition_matrix_streaming" -> QueryDef(
       eventTransitionMatrixStreaming, Some(transitionOracle)),
@@ -626,25 +671,25 @@ object Insights {
          |WHERE abs((CAST(v AS DOUBLE) - mean) / std) >= 2.0
          |ORDER BY event_id""".stripMargin)),
     "daily_value_seasonal" -> QueryDef(dailyValueSeasonal, Some(
-      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-         |    sum(CAST(${OracleSql.round("value", 6)} AS DECIMAL(18,6))) AS sv
-         |  FROM events GROUP BY 1),
-         |dm AS (SELECT dayofweek(day) + 1 AS dow,
-         |    ${OracleSql.round("CAST(sum(sv) AS DOUBLE) / count(*)", 4)} AS seasonal_mean
-         |  FROM daily GROUP BY 1),
-         |win AS (SELECT day, sv,
-         |    count(*) OVER w AS win_n, sum(sv) OVER w AS win_s
-         |  FROM daily
-         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
-         |SELECT strftime(w.day, '%Y-%m-%d') AS day,
-         |  ${OracleSql.round("CAST(sv AS DOUBLE)", 2)} AS day_value,
-         |  CAST(dayofweek(w.day) + 1 AS BIGINT) AS dow,
-         |  seasonal_mean,
-         |  ${OracleSql.round("CAST(sv AS DOUBLE) - seasonal_mean", 4)} AS residual,
-         |  CASE WHEN win_n = 7
-         |       THEN ${OracleSql.round("CAST(win_s AS DOUBLE) / 7.0", 4)} END AS trend7
-         |FROM win w JOIN dm ON dayofweek(w.day) + 1 = dm.dow
-         |ORDER BY day""".stripMargin)),
+      s"""WITH $seasonalCtes
+         |SELECT day, day_value, dow, seasonal_mean, residual, trend7
+         |FROM seas ORDER BY day""".stripMargin)),
+    // Seasonal decomposition composed with the Iglewicz–Hoaglin MAD
+    // gate over its residuals — anomalies AFTER the weekly shape is
+    // removed (a high Sunday is not an anomaly; a high-for-a-Sunday
+    // Sunday is). Same day-frame-bounded chain.
+    "daily_anomaly_days" -> QueryDef(dailyAnomalyDays, Some(
+      s"""WITH $seasonalCtes,
+         |amed AS (SELECT ${OracleSql.round("quantile_cont(residual, 0.5)", 4)} AS med FROM seas),
+         |amad AS (SELECT ${OracleSql.round("quantile_cont(abs(residual - med), 0.5)", 4)} AS mad
+         |         FROM seas CROSS JOIN amed),
+         |sc AS (SELECT day, day_value, residual,
+         |         CASE WHEN mad > 0
+         |              THEN ${OracleSql.round("(residual - med) * 0.6745 / mad", 4)} END AS rz
+         |       FROM seas CROSS JOIN amed CROSS JOIN amad)
+         |SELECT day, day_value, residual, rz,
+         |       coalesce(abs(rz) > 3.5, FALSE) AS anomaly
+         |FROM sc ORDER BY day""".stripMargin)),
     "value_mad_outliers" -> QueryDef(valueMadOutliers, Some(
       s"""WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
          |med AS (SELECT event_type AS et,

@@ -51,6 +51,35 @@ object Sketches {
   def kmvUserCardinality(s: SparkSession, dir: String, k: Int = 32): DataFrame =
     kmvDistinct(Tables(s, dir, "events"), col("user_id"), k)
 
+  /** KMV SET-OPERATION estimates — the multiset-ops half of Beyer et
+    * al. SIGMOD'07, and what makes KMV the audience-overlap sketch:
+    * |A|, |B| from each side's sketch, |A∪B| from the MERGED sketch
+    * (union the two k-sets, re-take the k smallest — the mergeability
+    * that lets 100 TB build per-partition sketches and combine k-row
+    * summaries), and |A∩B| by inclusion–exclusion over the surfaced
+    * estimates, floored at 0. A = `typeA` users, B = `typeB` users.
+    * Every step is the deterministic M61+fmix hash — full oracle
+    * check, like the cardinality row. */
+  def kmvUserOverlap(s: SparkSession, dir: String, k: Int = 32,
+                     typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    def sketch(t: String) = ev.filter(col("event_type") === t)
+      .select(hash63(col("user_id")).as("hm"))
+      .distinct().orderBy(col("hm")).limit(k)
+    def est(df: DataFrame, nm: String) =
+      df.agg(count(lit(1)).as("keff"), max(col("hm")).as("kth"))
+        .select(round(when(col("keff") < k, col("keff").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9223372036854775808.0) /
+            col("kth").cast("double")), 4).as(nm))
+    val a = sketch(typeA)
+    val b = sketch(typeB)
+    val merged = a.unionByName(b).distinct().orderBy(col("hm")).limit(k)
+    est(a, "est_a").crossJoin(est(b, "est_b")).crossJoin(est(merged, "est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)), 4)
+          .as("est_intersect"))
+  }
+
   /** Misra-Gries candidate keys, one bounded summary per partition.
     *
     * Per-partition guarantee (Misra-Gries '82): a key occurring more
@@ -140,6 +169,27 @@ object Sketches {
          |  ${OracleSql.round(
              "CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE) ELSE 31.0 * 9223372036854775808.0 / CAST(kth_hash AS DOUBLE) END", 4)} AS est_users
          |FROM agg""".stripMargin)),
+    "sketch_kmv_overlap" -> QueryDef((s, d) => kmvUserOverlap(s, d), Some {
+      def side(tag: String, t: String) =
+        s"""du$tag AS (SELECT DISTINCT user_id FROM events WHERE event_type = '$t'),
+           |${OracleSql.m61FmixScalarCtes(s"du$tag", "CAST(user_id AS VARCHAR)", p = s"mh$tag")},
+           |h$tag AS (SELECT DISTINCT h & 9223372036854775807 AS hm FROM mh$tag),
+           |t$tag AS (SELECT hm FROM h$tag ORDER BY hm LIMIT 32),
+           |e$tag AS (SELECT count(*) AS keff, max(hm) AS kth FROM t$tag)""".stripMargin
+      def est(tag: String) = OracleSql.round(
+        s"CASE WHEN (SELECT keff FROM e$tag) < 32 THEN CAST((SELECT keff FROM e$tag) AS DOUBLE) " +
+          s"ELSE 31.0 * 9223372036854775808.0 / CAST((SELECT kth FROM e$tag) AS DOUBLE) END", 4)
+      s"""WITH ${side("a", "click")},
+         |${side("b", "purchase")},
+         |tu AS (SELECT hm FROM (SELECT hm FROM ta UNION SELECT hm FROM tb)
+         |       ORDER BY hm LIMIT 32),
+         |eu AS (SELECT count(*) AS keff, max(hm) AS kth FROM tu),
+         |sel AS (SELECT ${est("a")} AS est_a, ${est("b")} AS est_b,
+         |               ${est("u")} AS est_union)
+         |SELECT est_a, est_b, est_union,
+         |  ${OracleSql.round("greatest(est_a + est_b - est_union, 0.0)", 4)} AS est_intersect
+         |FROM sel""".stripMargin
+    }),
     "heavy_hitter_event_types" -> QueryDef(heavyHitterEventTypes, Some(
       s"""WITH n AS (SELECT count(*) AS n_total FROM events WHERE event_type IS NOT NULL)
          |SELECT event_type, count(*) AS cnt,

@@ -12,6 +12,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * exact decimal moments. */
 class InsightsSpec extends AnyFunSuite {
 
+  test("anomaly days: gate agrees with a scala recomputation of the MAD z over seasonal residuals") {
+    val sfDir = "/root/testdata/sf0.001"
+    val seas = Insights.dailyValueSeasonal(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val got = Insights.dailyAnomalyDays(spark, sfDir).collect()
+    assert(got.length == seas.size, "one row per day, same day frame")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val res = seas.values.toSeq
+    val med = BigDecimal(median(res)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mad = BigDecimal(median(res.map(r => math.abs(r - med))))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { r =>
+      val (day, residual, anomaly) = (r.getString(0), r.getDouble(2), r.getBoolean(4))
+      assert(residual == seas(day), s"residual drifted from the seasonal row at $day")
+      if (mad > 0) {
+        val rz = BigDecimal((residual - med) * 0.6745 / mad)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) == rz, s"$day: surfaced rz ${r.getDouble(3)} != $rz")
+        assert(anomaly == (math.abs(rz) > 3.5), s"$day: rz=$rz anomaly=$anomaly")
+      } else assert(!anomaly)
+    }
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

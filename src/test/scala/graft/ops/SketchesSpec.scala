@@ -28,6 +28,32 @@ class SketchesSpec extends AnyFunSuite {
     rows.toDF("key").repartition(8)
   }
 
+  test("kmv overlap: exact below k, inclusion-exclusion recovers the planted intersection") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmvov").toString
+    // clickers 0..19, purchasers 10..29 → |A| = |B| = 20, |A∩B| = 10,
+    // |A∪B| = 30 — all below k = 32, so every sketch IS its distinct
+    // set and the estimates are exact
+    val rows =
+      (0L to 19L).map(u => (u, "click")) ++ (10L to 29L).map(u => (u, "purchase"))
+    rows.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Sketches.kmvUserOverlap(spark, tmp).collect().head
+    assert((got.getDouble(0), got.getDouble(1), got.getDouble(2), got.getDouble(3))
+      == ((20.0, 20.0, 30.0, 10.0)), s"$got")
+    // past k the estimates approximate: 600/600 users, 200 shared
+    val big = ((0L to 599L).map(u => (u, "click")) ++
+      (400L to 999L).map(u => (u, "purchase")))
+    big.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val est = Sketches.kmvUserOverlap(spark, tmp).collect().head
+    assert(math.abs(est.getDouble(0) - 600) < 250, s"est_a ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(2) - 1000) < 400, s"est_union ${est.getDouble(2)}")
+    assert(est.getDouble(3) >= 0.0, "intersection floored at zero")
+  }
+
   test("sketch-then-verify equals brute force exactly on a Zipf stream") {
     val df = zipf
     val n = df.count()
