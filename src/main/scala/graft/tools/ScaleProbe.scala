@@ -259,7 +259,12 @@ object ScaleProbe {
       "corpus_top_ngrams",       // hash-keyed count + TakeOrdered + resolve
       "quality_filter_overlap",  // 4 signal passes + ONE 18-sum aggregate
       "embedding_whitening",     // Gram pass + 2 staged-decimal passes
-      "pipeline_multi_signal_keep_best") // 4-leg clusters + keep policy
+      "pipeline_multi_signal_keep_best", // 4-leg clusters + keep policy
+      "decontamination_semantic", // broadcast eval vecs x corpus scan
+      "bpe_fertility_by_lang",   // trainer + broadcast vocab, lang agg
+      "dedup_rate_by_source",    // one hash shuffle + source agg
+      "sketch_kmv_overlap",      // 3 TakeOrdered k-sets, scalar merge
+      "daily_anomaly_days")      // day-frame seasonal chain + MAD gate
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
