@@ -69,6 +69,51 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/test LEAKAGE audit: near-duplicate pairs whose members
+    * landed in DIFFERENT splits — the contamination a random
+    * per-document split always produces (near-copies of training
+    * documents sitting in the eval split inflate every metric).
+    * Composes the bounded-Jaccard pair generator with
+    * [[splitAssign]]'s hash split; the output is the leak list a
+    * dedup-aware splitter must empty. Pair-graph-sized — the split
+    * relation joins doc-keyed onto the (already sub-linear) pair
+    * frame. */
+  def splitLeakagePairs(s: SparkSession, dir: String,
+                        trainHex: String = "e6", valHex: String = "f3"): DataFrame = {
+    val sp = splitAssign(s, dir, trainHex, valHex)
+      .select(col("doc_id"), col("split"))
+    Dedup.jaccardPairs(s, dir)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The REPAIR for [[splitLeakagePairs]]: split by the near-dup
+    * CLUSTER id instead of the document id, so every member of a
+    * duplicate cluster lands in the same split BY CONSTRUCTION —
+    * the dedup-aware splitting rule training pipelines adopt once
+    * the leakage audit comes back non-empty. Loners (docs in no
+    * cluster) use their own id as the cluster key, which degenerates
+    * to [[splitAssign]] exactly where there is nothing to leak. */
+  def clusterConsistentSplit(s: SparkSession, dir: String,
+                             trainHex: String = "e6",
+                             valHex: String = "f3"): DataFrame = {
+    val labels = Dedup.neardupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = substring(md5(col("cluster_id").cast("string")), 1, 2)
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < trainHex, "train")
+          .when(bucket < valHex, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic WEIGHTED sample (Efraimidis–Spirakis exponential
     * keys, A-ES): each doc gets key = ln(u)/w with u a hash-uniform in
     * (0, 1] derived from the M61+fmix64 hash of its id and w its
@@ -106,6 +151,30 @@ object Sampling {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Leakage audit + its repair: the pair generator and the CC chain
+    // are the Dedup module's shared oracle sources, so the split rows
+    // cannot drift from the dedup rows they compose.
+    "split_leakage_pairs" -> QueryDef((s, d) => splitLeakagePairs(s, d), Some(
+      s"""WITH pairs AS (${Dedup.boundedJaccardSql}),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b, jac
+         |FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+         |WHERE a.split <> b.split
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+    "cluster_consistent_split" -> QueryDef((s, d) => clusterConsistentSplit(s, d), Some(
+      s"""WITH RECURSIVE pairs AS (${Dedup.boundedJaccardSql}),
+         |${Dedup.ccFromPairsSql},
+         |cl AS (SELECT d.doc_id, coalesce(lb.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN labels lb ON d.doc_id = lb.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+         |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin)),
     "sample_docs_hash" -> QueryDef((s, d) => sampleDocs(s, d), Some(
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

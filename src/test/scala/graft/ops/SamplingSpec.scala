@@ -15,6 +15,27 @@ class SamplingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("leakage audit finds id-split leaks; the cluster-consistent split has none by construction") {
+    val leaks = Sampling.splitLeakagePairs(spark, dir).collect()
+    assert(leaks.nonEmpty,
+      "the testdata's planted near-dups must leak under the per-id split")
+    leaks.foreach(r => assert(r.getString(2) != r.getString(3)))
+    // the repair: every near-dup pair's members share a split
+    val cs = Sampling.clusterConsistentSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(cs(a)._2 == cs(b)._2, s"pair ($a,$b) split ${cs(a)._2}/${cs(b)._2}")
+    }
+    // loners degenerate to the plain id split
+    val idSplit = Sampling.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    cs.filter { case (id, (cid, _)) => cid == id && !clustered(id) }
+      .foreach { case (id, (_, sp)) => assert(sp == idSplit(id), s"loner $id moved") }
+  }
+
   test("hash samples are deterministic and compose by threshold") {
     def ids(thr: String): Set[Long] =
       Sampling.sampleDocs(spark, dir, thr).collect().map(_.getLong(0)).toSet
