@@ -264,7 +264,9 @@ object ScaleProbe {
       "bpe_fertility_by_lang",   // trainer + broadcast vocab, lang agg
       "dedup_rate_by_source",    // one hash shuffle + source agg
       "sketch_kmv_overlap",      // 3 TakeOrdered k-sets, scalar merge
-      "daily_anomaly_days")      // day-frame seasonal chain + MAD gate
+      "daily_anomaly_days",      // day-frame seasonal chain + MAD gate
+      "split_leakage_pairs",     // pair graph + doc-keyed split joins
+      "cluster_consistent_split")// CC labels + scan-stage cluster hash
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
