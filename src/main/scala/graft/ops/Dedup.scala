@@ -555,6 +555,76 @@ object Dedup {
     clustersFromEdges(j.union(sh).union(se).union(cd).distinct())
   }
 
+  // ----------------------------------------------------- family agreement
+
+  /** Pairwise agreement matrix of the near-dup candidate families —
+    * the four multi-signal generator legs at the SAME parameters as
+    * [[multiSignalClusters]], plus `exact_truth` (md5-equal text — the
+    * only free labels a raw corpus carries) as a fifth pseudo-family.
+    * One row per unordered family pair: each side's pair volume, the
+    * intersection, and the Jaccard overlap of the two pair SETS.
+    *
+    * This is the dedup-QA harness a production pipeline re-runs after
+    * every recipe change, answering two questions at once: the
+    * `exact_truth` rows read as planted-copy recall/precision (n_both
+    * / n_truth and n_both / n_family), and the leg-vs-leg rows read as
+    * redundancy — two generators with overlap ≈ 1 are paying twice
+    * for one signal, overlap ≈ 0 means each leg is earning its keep
+    * (the empirical justification for a union-of-generators endgame).
+    *
+    * Scale posture: each leg is its own already-audited bounded
+    * generator (inverted-index / banded / cell-pruned / chunk
+    * postings — never all-pairs) and runs ONCE (persisted pair-set
+    * frames, pair-graph-sized ≪ corpus); the matrix is 10 scalar
+    * aggregates over semi-joins of those small frames. */
+  def familyAgreement(s: SparkSession, dir: String): DataFrame = {
+    val hashes = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val truth = hashes.as("a")
+      .join(hashes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // alphabetical so the (i < j) enumeration yields fam_a < fam_b
+    familyAgreementOn(Seq(
+      "cdc_coverage" -> cdcCoverPairs(s, dir, threshold = 0.8),
+      "exact_truth" -> truth,
+      "jaccard" -> jaccardPairs(s, dir),
+      "semantic" -> Similarity.semanticPairs(s, dir),
+      "simhash" -> simhashPairs(s, dir, maxHamming = 6)))
+  }
+
+  /** Generic variant: named (doc_a, doc_b, …) pair frames (extra
+    * columns ignored; frames must be a < b oriented and pair-unique,
+    * like every generator here — intersection counting relies on it). */
+  def familyAgreementOn(families: Seq[(String, DataFrame)]): DataFrame = {
+    val cached = families.map { case (name, df) =>
+      // cache lifetime: boundedSharedCounts' contract — each frame is
+      // read by its count plus every intersection; serial drivers
+      // clearCache between queries
+      name -> df.select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val rows = for {
+      i <- cached.indices
+      j <- (i + 1) until cached.size
+    } yield {
+      val (nameA, pa) = cached(i)
+      val (nameB, pb) = cached(j)
+      val both = pa.join(broadcast(pb), Seq("doc_a", "doc_b"), "left_semi")
+      pa.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(pb.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+        .select(lit(nameA).as("fam_a"), lit(nameB).as("fam_b"),
+          col("n_a"), col("n_b"), col("n_both"))
+    }
+    rows.reduce(_ unionAll _)
+      .withColumn("overlap_jaccard",
+        when(col("n_a") + col("n_b") - col("n_both") > 0,
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")), 4))
+          .otherwise(lit(0.0)))
+      .orderBy(col("fam_a"), col("fam_b"))
+  }
+
   // -------------------------------------------------------- containment
 
   /** ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| —
@@ -1632,6 +1702,41 @@ object Dedup {
          |$multiSignalPairsCtes,
          |$ccFromPairsSql
          |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin)),
+    // Oracle: the four generator-leg CTEs verbatim from the
+    // multi-signal chain (one source of truth for the leg parameters,
+    // MATERIALIZED — each leg is referenced 5×) + the md5 truth pair
+    // set; every frame is pair-unique and a<b oriented, so the inner
+    // USING join counts the exact intersection.
+    "dedup_family_agreement" -> QueryDef(familyAgreement, Some({
+      val legs = Seq("cdc_coverage" -> "pc", "exact_truth" -> "truth",
+        "jaccard" -> "pj", "semantic" -> "pe", "simhash" -> "ps")
+      val matRows = (for {
+        i <- legs.indices
+        j <- (i + 1) until legs.size
+      } yield {
+        val (na, ca) = legs(i)
+        val (nb, cb) = legs(j)
+        s"""  SELECT '$na' AS fam_a, '$nb' AS fam_b,
+           |    (SELECT count(*) FROM $ca) AS n_a,
+           |    (SELECT count(*) FROM $cb) AS n_b,
+           |    (SELECT count(*) FROM (SELECT doc_a, doc_b FROM $ca) x
+           |       JOIN (SELECT doc_a, doc_b FROM $cb) y USING (doc_a, doc_b)) AS n_both""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH ${multiSignalLegCtes(materialized = true)},
+         |hsh AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |truth AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |mat AS (
+         |$matRows)
+         |SELECT fam_a, fam_b, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+         |  CASE WHEN n_a + n_b - n_both > 0
+         |       THEN ${graft.OracleSql.round(
+                  "CAST(n_both AS DOUBLE) / (n_a + n_b - n_both)", 4)}
+         |       ELSE 0.0 END AS overlap_jaccard
+         |FROM mat ORDER BY fam_a, fam_b""".stripMargin
+    })),
     "dedup_containment_pairs" -> QueryDef((s, d) => containmentPairs(s, d), Some(
       s"""WITH ${postingSharedCtesFrom("documents")},
          |scored AS (SELECT doc_a, doc_b,
@@ -2211,12 +2316,24 @@ object Dedup {
     * simhash leg mirrors the engine's maxHamming = 6 (the complete
     * range of the block-pair scheme — see multiSignalClusters); the
     * CDC leg mirrors the engine's coverage 0.8 endgame bar. */
-  private[ops] def multiSignalPairsCtes: String =
-    s"""pj AS ($boundedJaccardSql),
-       |ps AS (${simhashPairsSqlAt(6)}),
-       |pe AS (WITH ${Similarity.semanticAvCtes}
+  /** The four generator-leg CTEs (pj/ps/pe/pc) of the multi-signal
+    * chain — ONE place owns the leg parameters, shared by the cluster
+    * endgame, the keep-best pipeline, and the agreement matrix.
+    * `materialized = true` pins DuckDB's CTE materialization for
+    * consumers that reference each leg several times (the agreement
+    * matrix reads every leg 5×; inlined, each reference re-expands
+    * the leg's whole posting chain). */
+  private[ops] def multiSignalLegCtes(materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""pj AS$m ($boundedJaccardSql),
+       |ps AS$m (${simhashPairsSqlAt(6)}),
+       |pe AS$m (WITH ${Similarity.semanticAvCtes}
        |       ${Similarity.semanticPairSelect}),
-       |pc AS (WITH ${cdcPairsSqlBody(6, 16, 256, 0.8, 1000, 80)}),
+       |pc AS$m (WITH ${cdcPairsSqlBody(6, 16, 256, 0.8, 1000, 80)})""".stripMargin
+  }
+
+  private[ops] def multiSignalPairsCtes: String =
+    s"""${multiSignalLegCtes()},
        |pairs AS (SELECT doc_a, doc_b FROM pj
        |          UNION SELECT doc_a, doc_b FROM ps
        |          UNION SELECT doc_a, doc_b FROM pe

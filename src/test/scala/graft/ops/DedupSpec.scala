@@ -773,6 +773,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got("crawlB") == ((2L, 1L, 0.5)), s"${got("crawlB")}")
   }
 
+  test("family agreement: exact matrix on constructed pair sets") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val c = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.familyAgreementOn(Seq("fa" -> a, "fb" -> b, "fc" -> c))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got(("fa", "fb")) == ((3L, 2L, 2L, 0.6667)), s"${got(("fa", "fb"))}")
+    assert(got(("fa", "fc")) == ((3L, 0L, 0L, 0.0)))
+    // empty ∩ empty: the 0-denominator guard, not NaN
+    assert(got(("fb", "fc")) == ((2L, 0L, 0L, 0.0)))
+    assert(got.size == 3)
+  }
+
+  test("family agreement on testdata: legs match their standalone generators") {
+    val m = Dedup.familyAgreement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val nJac = Dedup.jaccardPairs(spark, dir).count()
+    val nCdc = Dedup.cdcCoverPairs(spark, dir, threshold = 0.8).count()
+    // the matrix's per-family volumes are the standalone generators'
+    assert(m(("cdc_coverage", "jaccard")) == ((nCdc, nJac)))
+    // alphabetical orientation: every row has fam_a < fam_b
+    assert(m.keys.forall { case (x, y) => x < y })
+  }
+
   test("cdc pairs: within-doc repeats alone never produce a self pair") {
     import spark.implicits._
     val phrase = cdcText(300, seed = 41L)
