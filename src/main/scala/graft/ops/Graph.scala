@@ -143,6 +143,65 @@ object Graph {
     result
   }
 
+  /** Synchronous label propagation over an undirected unique (u < v)
+    * edge list: every node starts labeled with its own id; each round
+    * it adopts the most frequent label among its neighbors PLUS its
+    * own current label (the self-vote — the standard inertia term
+    * that damps the 2-cycle oscillation synchronous LPA exhibits on
+    * bipartite-ish structure), ties broken toward the SMALLEST label.
+    * Deterministic by construction (exact integer counts, total
+    * tie-break order), unlike classic asynchronous LPA whose result
+    * depends on visit order — determinism is what makes the row
+    * oracle-checkable, and the fixed round count is mirrored CTE-for-
+    * round in the oracle exactly like [[pageRank]].
+    *
+    * Scale posture: the adjacency relation (2m rows) is the only
+    * large operand; per round it joins the node-sized label frame
+    * (shuffle on the label lookup key) and aggregates exact integer
+    * votes — map-side combinable. Rounds are lineage-truncated like
+    * every iterative op here (the vote union references the previous
+    * labels twice, so a declarative loop would double the plan per
+    * round). Label frames stay node-sized; nothing is collected. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      // the per-round join looks labels up BY NEIGHBOR: partition once
+      // on that key so every round reuses the layout (pageRank's edge
+      // contract)
+      .repartition(col("nbr")).persist()
+    var lab = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(lab.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .select(col("node"), col("lbl"))
+        .unionAll(lab.select(col("node"), col("lbl")))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax with min-label tie-break as ONE aggregate:
+      // max(struct(c, -lbl)) picks the largest count, then the
+      // smallest label — the same total order the oracle's
+      // row_number() OVER (ORDER BY c DESC, lbl ASC) walks
+      val stepped = votes.groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+      val rdd = stepped.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      lab = edges.sparkSession.createDataFrame(rdd, stepped.schema)
+    }
+    // DataFrame-persist the result so clearCache covers it, then drop
+    // the loop's raw RDD cache (clearCache never unpersists raw RDDs)
+    val result = lab.persist()
+    result.count()
+    prevRdd.foreach(_.unpersist(blocking = false))
+    adj.unpersist(blocking = false)
+    result
+  }
+
   /** Driver row: how much of the trade graph the FIRST supplier
     * (minimum suppkey — a deterministic seed) reaches per hop count,
     * horizon 4. The oracle is a recursive-CTE BFS with the same hop
@@ -368,6 +427,48 @@ object Graph {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Driver row: LPA communities of the strong-tie supplier graph —
+    * per node its 4-round label and the community size. Communities
+    * REFINE the connected components ([[supplierComponents]] — LPA
+    * labels never cross a component boundary, pinned in GraphSpec):
+    * where a component chains two dense groups through a thin bridge,
+    * LPA splits them — the community-vs-component gap is exactly the
+    * "one near-dup cluster or two topics?" question a curation
+    * pipeline asks of its dedup graph. */
+  def supplierCommunitiesLpa(s: SparkSession, dir: String): DataFrame = {
+    val lab = labelPropagation(strongTieEdges(s, dir), rounds = 4)
+    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    lab.join(broadcast(sizes), Seq("lbl"))
+      .select(col("node").as("s_suppkey"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** One LPA oracle round: neighbor votes + the self-vote, then the
+    * (count DESC, label ASC) argmax — the generated-CTE twin of the
+    * loop body above. Exact integer arithmetic throughout, so unlike
+    * the pageRank rounds there is nothing to stage. */
+  private def lpaIterCtes(t: Int): String =
+    s"""v$t AS (SELECT node, lbl, count(*) AS c FROM (
+       |    SELECT a.node, l.lbl FROM adj a JOIN l${t - 1} l ON l.node = a.nbr
+       |    UNION ALL SELECT node, lbl FROM l${t - 1}) u GROUP BY 1, 2),
+       |l$t AS (SELECT node, lbl FROM (
+       |    SELECT node, lbl,
+       |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+       |    FROM v$t) r WHERE rn = 1)""".stripMargin
+
+  private def lpaOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map(lpaIterCtes).mkString(",\n")
+    s"""WITH $strongTieCtes,
+       |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$iters,
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+       |       FROM l$rounds GROUP BY 1)
+       |SELECT node AS s_suppkey, lbl AS community, comm_size
+       |FROM l$rounds JOIN sz USING (lbl) ORDER BY s_suppkey""".stripMargin
+  }
+
   /** Ranks sit around 1/N — sub-unit, so every oracle round here uses
     * the scale-28 staging variant (see [[OracleSql.roundDecSub]]; the
     * double-rounding flip was first observed on THIS query). */
@@ -452,6 +553,8 @@ object Graph {
          |SELECT doc_id AS s_suppkey, cluster_id AS component, comp_size
          |FROM labels JOIN sz USING (cluster_id)
          |ORDER BY s_suppkey""".stripMargin)),
+    "supplier_communities_lpa" -> QueryDef(supplierCommunitiesLpa,
+      Some(lpaOracle(4))),
     "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))),
     "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
       """WITH RECURSIVE eo AS (

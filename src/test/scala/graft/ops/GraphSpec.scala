@@ -177,4 +177,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (4L, 4L, 2L), (5L, 4L, 2L)), s"${got.toSeq}")
   }
+
+  test("LPA: a barbell splits into its two triangles across the bridge") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4: one
+    // connected component, but LPA's majority vote never lets either
+    // triangle's label cross the bridge (hand-traced: round 1 seeds
+    // 1 and 3→min-tie, round 2 settles {1,2,3}→1 and {4,5,6}→4,
+    // rounds 3-4 are stable)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"$got")
+  }
+
+  test("LPA refines components: no community ever crosses a component") {
+    val dir = "/root/testdata/sf0.001"
+    val comp = Graph.supplierComponents(spark, dir)
+      .select(col("s_suppkey"), col("component"))
+    val comm = Graph.supplierCommunitiesLpa(spark, dir)
+      .select(col("s_suppkey"), col("community"))
+    val crossings = comm.join(comp, "s_suppkey")
+      .groupBy(col("community"))
+      .agg(countDistinct(col("component")).as("nc"))
+      .filter(col("nc") > 1)
+      .count()
+    assert(crossings == 0L, "a label propagated across a component boundary")
+  }
 }
