@@ -202,6 +202,63 @@ object Graph {
     result
   }
 
+  /** Core decomposition by H-INDEX ITERATION (Lü, Zhou, Zhang &
+    * Stanley, Nature Comm. 2016): every node starts at its degree;
+    * each round it becomes the h-index of its neighbors' current
+    * values (the largest h such that ≥ h neighbors hold ≥ h). The
+    * sequence is monotone non-increasing (h ≤ neighbor count = the
+    * initial value) and converges to the CORENESS — the largest k
+    * such that the node survives in the k-core. Classic peeling is
+    * inherently sequential (remove the min, recompute, repeat — n
+    * rounds of driver ping-pong); the h-index form is one join + one
+    * bounded window per round for EVERY node simultaneously, the
+    * formulation that actually distributes.
+    *
+    * `rounds` is FIXED and mirrored CTE-for-round in the oracle (the
+    * pageRank contract). On real graphs convergence is a handful of
+    * rounds (GraphSpec pins rounds-8 ≡ rounds-12 on the testdata
+    * surface and exact peeling equality on constructed graphs); a
+    * caller on a deeper graph raises `rounds` — the value is exact
+    * coreness whenever the fixpoint is reached, an upper bound
+    * otherwise. Exact integer arithmetic throughout; the per-node
+    * h-index is tie-order-insensitive (equal neighbor values receive
+    * consecutive ranks in some order, but max(least(rank, value)) is
+    * a function of the multiset). */
+  def corenessHIndex(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("u"), col("v"))
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr")).persist()
+    var c = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (_ <- 1 to rounds) {
+      val nbrc = adj
+        .join(c.select(col("node").as("nbr"), col("c")), "nbr")
+        .select(col("node"), col("c"))
+      // h-index per node: rank neighbor values descending, take
+      // max(min(rank, value)) — a node-bounded window, never global
+      val stepped = nbrc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("c").desc)))
+        .groupBy(col("node"))
+        .agg(max(least(col("rn").cast("long"), col("c"))).as("c"))
+      val rdd = stepped.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      c = edges.sparkSession.createDataFrame(rdd, stepped.schema)
+    }
+    // DataFrame-persist the result so clearCache covers it, then drop
+    // the loop's raw RDD cache (clearCache never unpersists raw RDDs)
+    val result = c.persist()
+    result.count()
+    prevRdd.foreach(_.unpersist(blocking = false))
+    adj.unpersist(blocking = false)
+    result
+  }
+
   /** Driver row: how much of the trade graph the FIRST supplier
     * (minimum suppkey — a deterministic seed) reaches per hop count,
     * horizon 4. The oracle is a recursive-CTE BFS with the same hop
@@ -444,6 +501,43 @@ object Graph {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Driver row: coreness of every node of the strong-tie supplier
+    * graph plus the size of its core class — the density layering a
+    * dedup/cluster audit reads before trusting a community: a high
+    * max-coreness cluster is a genuine dense group, a coreness-1 tree
+    * is chained evidence. 12 h-index rounds (the sf0.01 graph needs
+    * 10, sf0.1 needs 9 — convergence does NOT grow with graph size,
+    * it tracks the peel depth; GraphSpec pins 12 ≡ 16 at sf0.01 and
+    * exact peeling equality). */
+  def supplierKcore(s: SparkSession, dir: String): DataFrame = {
+    val c = corenessHIndex(strongTieEdges(s, dir), rounds = 12)
+    val sizes = c.groupBy(col("c")).agg(count(lit(1)).as("n_at_coreness"))
+    c.join(broadcast(sizes), Seq("c"))
+      .select(col("node").as("s_suppkey"), col("c").as("coreness"),
+        col("n_at_coreness"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** One h-index oracle round — the generated-CTE twin of the
+    * [[corenessHIndex]] loop body (exact integers, nothing staged). */
+  private def kcoreIterCtes(t: Int): String =
+    s"""r$t AS (SELECT a.node, p.c,
+       |        row_number() OVER (PARTITION BY a.node ORDER BY p.c DESC) AS rn
+       |        FROM adj a JOIN c${t - 1} p ON p.node = a.nbr),
+       |c$t AS (SELECT node, max(least(rn, c)) AS c FROM r$t GROUP BY 1)""".stripMargin
+
+  private def kcoreOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map(kcoreIterCtes).mkString(",\n")
+    s"""WITH $strongTieCtes,
+       |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+       |c0 AS (SELECT node, count(*) AS c FROM adj GROUP BY 1),
+       |$iters,
+       |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n_at_coreness
+       |       FROM c$rounds GROUP BY 1)
+       |SELECT node AS s_suppkey, CAST(c AS BIGINT) AS coreness, n_at_coreness
+       |FROM c$rounds JOIN sz USING (c) ORDER BY s_suppkey""".stripMargin
+  }
+
   /** One LPA oracle round: neighbor votes + the self-vote, then the
     * (count DESC, label ASC) argmax — the generated-CTE twin of the
     * loop body above. Exact integer arithmetic throughout, so unlike
@@ -555,6 +649,7 @@ object Graph {
          |ORDER BY s_suppkey""".stripMargin)),
     "supplier_communities_lpa" -> QueryDef(supplierCommunitiesLpa,
       Some(lpaOracle(4))),
+    "supplier_kcore" -> QueryDef(supplierKcore, Some(kcoreOracle(12))),
     "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))),
     "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
       """WITH RECURSIVE eo AS (

@@ -193,6 +193,58 @@ class GraphSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L), s"$got")
   }
 
+  /** Classic sequential peeling — the independent scalar reference:
+    * repeatedly remove a minimum-degree node; a node's coreness is the
+    * highest minimum degree seen up to its removal. */
+  private def peelCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set()) += u
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (node, nbrs) = adj.minBy { case (n, ns) => (ns.size, n) }
+      k = math.max(k, nbrs.size.toLong)
+      core(node) = k
+      adj.remove(node)
+      nbrs.foreach(n => adj.get(n).foreach(_ -= node))
+    }
+    core.toMap
+  }
+
+  test("coreness: K4 with a pendant — 3-core plus a degree-1 tail") {
+    import spark.implicits._
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ (4L, 5L)).toDF("u", "v")
+    val got = Graph.corenessHIndex(edges, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L), s"$got")
+  }
+
+  test("coreness: h-index fixpoint equals sequential peeling on the real graph") {
+    val edges = Graph.strongTieEdges(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = peelCoreness(edges)
+    import spark.implicits._
+    val got = Graph.corenessHIndex(edges.toDF("u", "v"), rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("coreness: 12 rounds is the fixpoint at the gate scale (12 = 16 at sf0.01)") {
+    // sf0.01 is the deepest peel on the testdata surface (10 rounds;
+    // sf0.1 needs only 9 — depth tracks the peel structure, not size)
+    val e = Graph.strongTieEdges(spark, "/root/testdata/sf0.01")
+      .persist()
+    val at12 = Graph.corenessHIndex(e, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val at16 = Graph.corenessHIndex(e, rounds = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(at12 == at16, "h-index iteration had not converged by round 12")
+  }
+
   test("LPA refines components: no community ever crosses a component") {
     val dir = "/root/testdata/sf0.001"
     val comp = Graph.supplierComponents(spark, dir)
