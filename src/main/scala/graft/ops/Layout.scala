@@ -52,21 +52,48 @@ object Layout {
     * crossJoin (the established scalar-seed pattern); the binning is a
     * single groupBy on a 32-value key. Everything is integer
     * arithmetic — exact on both engines. */
-  def zorderLayoutStats(s: SparkSession, dir: String): DataFrame = {
+  def zorderLayoutStats(s: SparkSession, dir: String): DataFrame =
+    binSpanStats(scaledOrders(s, dir)
+      .withColumn("code", zInterleave(col("x8"), col("y8"), 8)))
+
+  /** The Hilbert-curve sibling of [[zorderLayoutStats]] — identical
+    * normalization, binning, and span statistics, but cells are laid
+    * along the Hilbert curve ([[graft.functions.HilbertIndex]], a
+    * native codegen kernel) instead of the Z interleave. Hilbert is
+    * what a layout-quality bake-off reaches for next: every pair of
+    * curve-adjacent cells is grid-adjacent (Z-order seams jump across
+    * the plane at power-of-two boundaries), so bin spans — and
+    * therefore min/max file-skipping selectivity — are never worse
+    * and usually tighter on at least one dimension. Running both rows
+    * on the same table IS the bake-off: compare span fractions bin
+    * for bin. */
+  def hilbertLayoutStats(s: SparkSession, dir: String): DataFrame =
+    binSpanStats(scaledOrders(s, dir)
+      .withColumn("code", graft.functions.spatialFunctions.hilbert_index(
+        col("x8"), col("y8"), 8)))
+
+  /** Orders normalized to the shared 8-bit-per-dim grid: (custkey,
+    * epoch day) → (x8, y8) ∈ [0, 256)², bounds carried for the span
+    * fractions. */
+  private def scaledOrders(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
       .select(col("o_custkey").cast("long").as("x"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
           .cast("long").as("y"))
     val bounds = o.agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
       min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
-    val scaled = o.crossJoin(broadcast(bounds))
+    o.crossJoin(broadcast(bounds))
       // integral DIV keeps the binning exact at ANY key magnitude
       // (a double divide would round above 2^53)
       .withColumn("x8", expr("((x - x_lo) * 256) DIV (x_hi - x_lo + 1)"))
       .withColumn("y8", expr("((y - y_lo) * 256) DIV (y_hi - y_lo + 1)"))
-    scaled
-      .withColumn("z", zInterleave(col("x8"), col("y8"), 8))
-      .withColumn("bin", shiftright(col("z"), 11))
+  }
+
+  /** 32 equal-width bins of a 16-bit curve code → per-bin row count
+    * and min/max span (+ fraction) in both original dimensions. */
+  private def binSpanStats(coded: DataFrame): DataFrame =
+    coded
+      .withColumn("bin", shiftright(col("code"), 11))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("x")).as("cust_lo"), max(col("x")).as("cust_hi"),
@@ -80,7 +107,6 @@ object Layout {
         round((col("day_hi") - col("day_lo") + 1).cast("double") /
           col("yr").cast("double"), 6).as("day_span_frac"))
       .orderBy(col("bin"))
-  }
 
   /** Date-partitioned write + partition-pruned read: land events
     * partitioned by calendar day (the standard time-series ingest
@@ -118,22 +144,61 @@ object Layout {
       .orderBy(col("event_type"))
   }
 
+  /** o/b/sc CTE prefix — the DuckDB twin of [[scaledOrders]]. */
+  private def scaledOrdersSql: String =
+    s"""o AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y FROM orders),
+       |b AS (SELECT min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi FROM o),
+       |sc AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi,
+       |    ((x - x_lo) * 256) // (x_hi - x_lo + 1) AS x8,
+       |    ((y - y_lo) * 256) // (y_hi - y_lo + 1) AS y8 FROM o, b)""".stripMargin
+
+  /** Final per-bin span aggregation over a `zb(…, bin)` CTE — the
+    * DuckDB twin of [[binSpanStats]]' aggregate. */
+  private def binStatsSelectSql: String =
+    s"""SELECT bin, count(*) AS n_orders,
+       |  min(x) AS cust_lo, max(x) AS cust_hi, min(y) AS day_lo, max(y) AS day_hi,
+       |  ${OracleSql.round("CAST(max(x) - min(x) + 1 AS DOUBLE) / CAST(any_value(x_hi) - any_value(x_lo) + 1 AS DOUBLE)", 6)} AS cust_span_frac,
+       |  ${OracleSql.round("CAST(max(y) - min(y) + 1 AS DOUBLE) / CAST(any_value(y_hi) - any_value(y_lo) + 1 AS DOUBLE)", 6)} AS day_span_frac
+       |FROM zb GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Per-level CTE chain hl0..hl`bits` replaying
+    * [[graft.functions.HilbertIndex]]'s rotate/reflect walk step for
+    * step over the sc frame (exact integers — nothing staged): at each
+    * level the quadrant digit lands in d, then the frame reflects and
+    * swaps so the next bit is read in curve-local coordinates. */
+  private[ops] def hilbertSqlCtes(bits: Int): String = {
+    val levels = (0 until bits).map { i =>
+      val b = bits - 1 - i
+      val sVal = 1L << b
+      val ss = sVal * sVal
+      s"""hl${i + 1} AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi,
+         |  d + $ss * xor(3 * ((hx >> $b) & 1), (hy >> $b) & 1) AS d,
+         |  CASE WHEN ((hy >> $b) & 1) = 0
+         |       THEN CASE WHEN ((hx >> $b) & 1) = 1 THEN $sVal - 1 - hy ELSE hy END
+         |       ELSE hx END AS hx,
+         |  CASE WHEN ((hy >> $b) & 1) = 0
+         |       THEN CASE WHEN ((hx >> $b) & 1) = 1 THEN $sVal - 1 - hx ELSE hx END
+         |       ELSE hy END AS hy
+         | FROM hl$i)""".stripMargin
+    }.mkString(",\n")
+    s"""hl0 AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi, x8 AS hx, y8 AS hy,
+       |        CAST(0 AS BIGINT) AS d FROM sc),
+       |$levels""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "zorder_layout_stats" -> QueryDef(zorderLayoutStats, Some {
       val z = zInterleaveSql("x8", "y8", 8)
-      s"""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS x,
-         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y FROM orders),
-         |b AS (SELECT min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi FROM o),
-         |sc AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi,
-         |    ((x - x_lo) * 256) // (x_hi - x_lo + 1) AS x8,
-         |    ((y - y_lo) * 256) // (y_hi - y_lo + 1) AS y8 FROM o, b),
+      s"""WITH $scaledOrdersSql,
          |zb AS (SELECT *, ($z) >> 11 AS bin FROM sc)
-         |SELECT bin, count(*) AS n_orders,
-         |  min(x) AS cust_lo, max(x) AS cust_hi, min(y) AS day_lo, max(y) AS day_hi,
-         |  ${OracleSql.round("CAST(max(x) - min(x) + 1 AS DOUBLE) / CAST(any_value(x_hi) - any_value(x_lo) + 1 AS DOUBLE)", 6)} AS cust_span_frac,
-         |  ${OracleSql.round("CAST(max(y) - min(y) + 1 AS DOUBLE) / CAST(any_value(y_hi) - any_value(y_lo) + 1 AS DOUBLE)", 6)} AS day_span_frac
-         |FROM zb GROUP BY bin ORDER BY bin""".stripMargin
+         |$binStatsSelectSql""".stripMargin
     }),
+    "hilbert_layout_stats" -> QueryDef(hilbertLayoutStats, Some(
+      s"""WITH $scaledOrdersSql,
+         |${hilbertSqlCtes(8)},
+         |zb AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi, d >> 11 AS bin FROM hl8)
+         |$binStatsSelectSql""".stripMargin)),
     "partitioned_events_prune" -> QueryDef(partitionedEventsPrune, Some(
       s"""WITH t AS (SELECT CAST(min(ts) AS DATE) + 14 AS d FROM events)
          |SELECT event_type, count(*) AS n_events,

@@ -89,4 +89,33 @@ class LayoutSpec extends AnyFunSuite {
     // i=34 even click, i=54 even click. All three land on click.
     assert(got.toSeq == Seq(("click", 3L, 6.0)))
   }
+
+  test("hilbert index: base-case quadrant order at bits=1") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.spatialFunctions.hilbert_index(col("x"), col("y"), 1).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L), s"$got")
+  }
+
+  test("hilbert index: bijective AND curve-adjacent at bits=3 (z-order is not)") {
+    import spark.implicits._
+    val cells = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)).toDF("x", "y")
+    val d2xy = cells
+      .select(graft.functions.spatialFunctions.hilbert_index(col("x"), col("y"), 3).as("d"),
+        col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bijection onto [0, 64)
+    assert(d2xy.keySet == (0L until 64L).toSet)
+    // THE Hilbert property — consecutive curve positions are grid
+    // neighbors (|dx| + |dy| = 1). The Z interleave fails this at
+    // every power-of-two seam; holding it proves real curve structure.
+    for (d <- 0L until 63L) {
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
 }
