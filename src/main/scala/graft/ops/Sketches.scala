@@ -51,6 +51,39 @@ object Sketches {
   def kmvUserCardinality(s: SparkSession, dir: String, k: Int = 32): DataFrame =
     kmvDistinct(Tables(s, dir, "events"), col("user_id"), k)
 
+  /** [[kmvUserCardinality]] through the REAL Structured Streaming
+    * micro-batch engine — the continuously-maintained cardinality a
+    * corpus intake dashboard reads: the k-set lives in streaming
+    * aggregation state (RocksDB) as a typed [[KmvAgg]] buffer and
+    * every micro-batch folds its new hashes in. THE point of KMV over
+    * register sketches here: the k-min-set end state is a function of
+    * the SET of inputs — arrival order, batch boundaries, and
+    * partition layout all cancel — so the streaming row shares the
+    * batch row's DuckDB oracle verbatim (the strongest equivalence
+    * check two engines can give), where an HLL's register state would
+    * be engine-private. Complete-mode global aggregate: state is one
+    * ≤ k-element buffer, output one row per trigger, the sink keeps
+    * the final snapshot (the dedup_exact_streaming contract). */
+  def kmvUserCardinalityStreaming(s: SparkSession, dir: String,
+                                  k: Int = 32): DataFrame = {
+    val sch = Tables(s, dir, "events").schema
+    // glob so the file source's basePath lands on the directory (the
+    // established streaming-source recipe, see Dedup)
+    val src = s.readStream.schema(sch).parquet(s"$dir/events.parque[t]")
+    val kmv = udaf(new KmvAgg(k))
+    val agg = src
+      .select(hash63(col("user_id")).as("hm"))
+      .agg(kmv(col("hm")).as("sk"))
+      .select(size(col("sk.hs")).cast("long").as("k_eff"),
+        element_at(col("sk.hs"), size(col("sk.hs"))).as("kth_hash"))
+      .select(col("k_eff"), col("kth_hash"),
+        round(when(col("k_eff") < k, col("k_eff").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9223372036854775808.0) /
+            col("kth_hash").cast("double")), 4).as("est_users"))
+    graft.streaming.StreamingPipeline.runOneShot(
+      agg, "kmv_stream", "complete", Seq("k_eff"))
+  }
+
   /** KMV SET-OPERATION estimates — the multiset-ops half of Beyer et
     * al. SIGMOD'07, and what makes KMV the audience-overlap sketch:
     * |A|, |B| from each side's sketch, |A∪B| from the MERGED sketch
@@ -158,17 +191,25 @@ object Sketches {
       phiNum = 1, phiDen = 10, k = 16)
       .withColumnRenamed("k", "event_type")
 
+  private def kmvUsersOracleSql: String =
+    s"""WITH du AS (SELECT DISTINCT user_id FROM events),
+       |${OracleSql.m61FmixScalarCtes("du", "CAST(user_id AS VARCHAR)")},
+       |hm AS (SELECT DISTINCT h & 9223372036854775807 AS hm FROM mh),
+       |topk AS (SELECT hm FROM hm ORDER BY hm LIMIT 32),
+       |agg AS (SELECT count(*) AS k_eff, max(hm) AS kth_hash FROM topk)
+       |SELECT k_eff, kth_hash,
+       |  ${OracleSql.round(
+           "CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE) ELSE 31.0 * 9223372036854775808.0 / CAST(kth_hash AS DOUBLE) END", 4)} AS est_users
+       |FROM agg""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "sketch_kmv_users" -> QueryDef((s, d) => kmvUserCardinality(s, d), Some(
-      s"""WITH du AS (SELECT DISTINCT user_id FROM events),
-         |${OracleSql.m61FmixScalarCtes("du", "CAST(user_id AS VARCHAR)")},
-         |hm AS (SELECT DISTINCT h & 9223372036854775807 AS hm FROM mh),
-         |topk AS (SELECT hm FROM hm ORDER BY hm LIMIT 32),
-         |agg AS (SELECT count(*) AS k_eff, max(hm) AS kth_hash FROM topk)
-         |SELECT k_eff, kth_hash,
-         |  ${OracleSql.round(
-             "CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE) ELSE 31.0 * 9223372036854775808.0 / CAST(kth_hash AS DOUBLE) END", 4)} AS est_users
-         |FROM agg""".stripMargin)),
+    "sketch_kmv_users" -> QueryDef((s, d) => kmvUserCardinality(s, d),
+      Some(kmvUsersOracleSql)),
+    // The streaming row shares the batch oracle VERBATIM: the k-min
+    // set is a function of the input SET, so engine, batching, and
+    // arrival order must all cancel — that equality is the check.
+    "sketch_kmv_users_streaming" -> QueryDef(
+      (s, d) => kmvUserCardinalityStreaming(s, d), Some(kmvUsersOracleSql)),
     "sketch_kmv_overlap" -> QueryDef((s, d) => kmvUserOverlap(s, d), Some {
       def side(tag: String, t: String) =
         s"""du$tag AS (SELECT DISTINCT user_id FROM events WHERE event_type = '$t'),
@@ -198,4 +239,30 @@ object Sketches {
          |GROUP BY event_type
          |HAVING count(*) * 10 > (SELECT n_total FROM n) * 1
          |ORDER BY cnt DESC, event_type""".stripMargin)))
+}
+
+/** ≤ k smallest distinct hashes, ascending (so the last element is
+  * the k-th minimum). */
+final case class KmvBuf(hs: Seq[Long])
+
+/** The KMV sketch as a typed mergeable `Aggregator` — reduce inserts
+  * one hash, merge unions two k-sets, both re-trim to the k smallest
+  * DISTINCT values. Mergeability is the whole sketch (Beyer et al.
+  * SIGMOD'07): Catalyst plans it partial→merge→final across
+  * partitions, and Structured Streaming folds each micro-batch into
+  * RocksDB state with the SAME merge — one implementation serves
+  * batch, streaming, and any per-shard/per-day rollup at 100 TB.
+  * Buffers are ≤ k longs; the per-row re-sort is O(k log k) with
+  * k = 32, noise next to the scan. */
+final class KmvAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, KmvBuf] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private def trim(a: Seq[Long], b: Seq[Long]): KmvBuf =
+    KmvBuf((a ++ b).distinct.sorted.take(k))
+  override def zero: KmvBuf = KmvBuf(Seq.empty)
+  override def reduce(b: KmvBuf, h: Long): KmvBuf = trim(b.hs, Seq(h))
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = trim(a.hs, b.hs)
+  override def finish(r: KmvBuf): KmvBuf = r
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
 }

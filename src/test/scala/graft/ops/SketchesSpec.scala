@@ -82,4 +82,33 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.heavyHitters(zipf, col("key"), 1, 100, k = 64)
     }
   }
+
+  test("KmvAgg: duplicates never occupy slots, merge re-trims, order cancels") {
+    val agg = new KmvAgg(4)
+    // duplicates collapse — 3 distinct values fill only 3 slots
+    val a = Seq(5L, 1L, 5L, 9L, 1L).foldLeft(agg.zero)(agg.reduce)
+    assert(a.hs == Seq(1L, 5L, 9L))
+    // merge unions then keeps the 4 smallest distinct
+    val b = Seq(2L, 7L, 11L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(a, b).hs == Seq(1L, 2L, 3L, 5L))
+    // arrival order and grouping cancel: any shuffle, same state
+    val xs = Seq(8L, 3L, 8L, 12L, 1L, 7L, 3L)
+    val lhs = xs.foldLeft(agg.zero)(agg.reduce)
+    val rhs = agg.merge(
+      xs.take(3).foldLeft(agg.zero)(agg.reduce),
+      xs.drop(3).reverse.foldLeft(agg.zero)(agg.reduce))
+    assert(lhs == rhs)
+  }
+
+  test("streaming KMV equals the batch sketch and runs stateful on RocksDB") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Sketches.kmvUserCardinality(spark, dir).collect().head
+    val stream = Sketches.kmvUserCardinalityStreaming(spark, dir).collect().head
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+    val progress = graft.streaming.StreamingPipeline.lastOneShotProgress
+      .getOrElse(fail("runOneShot did not record progress"))
+    assert(progress.stateOperators.nonEmpty,
+      "expected the KMV aggregate to hold streaming state")
+  }
 }
