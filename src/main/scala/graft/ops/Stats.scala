@@ -188,6 +188,92 @@ object Stats {
       .orderBy(col("user_id"))
   }
 
+  /** Kaplan–Meier survival curve over order-to-ship delays, with the
+    * CENSORING a naive histogram of ship − order gets wrong: the
+    * observation window closes at the latest ORDER date, so an item
+    * whose ship date falls beyond the window tells us its delay
+    * EXCEEDS what we observed, not what it was — and TPC-H ship lags
+    * run to ~120 days, so the tail of the order book is heavily
+    * censored. KM is the estimator built for exactly that: each item
+    * contributes an observed duration (its ship lag if shipped inside
+    * the window, window-end − order date otherwise) and an event
+    * flag; at each shipped-delay t, n_risk = items whose observed
+    * duration ≥ t, d = ships at t, and S(t) = Π (1 − d/n_risk) — the
+    * probability an ordered item is STILL UNSHIPPED after t days. One
+    * row per shipped-delay day.
+    *
+    * Data honesty: THIS testdata's ship and order dates are drawn
+    * independently, so observed delays span negative values — the
+    * estimator is indifferent (the time axis is ordinal; risk sets
+    * and the product telescope identically), and the textbook
+    * semantics are pinned on hand-computed durations in StatsSpec.
+    * On real TPC-H-shaped data delays are the 1..121-day ship lag.
+    *
+    * Determinism: counts are exact integers; the survival product is
+    * a SEQUENTIAL fold with a 9dp shortest-repr round per step, which
+    * no distributed aggregate expresses — so, exactly like the PCA
+    * power solver, the distributed plan reduces the corpus to the
+    * bounded delay-day frame (≤ one row per distinct delay day — the
+    * calendar-frame contract) and the fold runs driver-side,
+    * mirrored step for step by the oracle's recursive CTE. Survival
+    * values sit far above the scale-28 staging floor
+    * ([[graft.OracleSql.roundDecSub]]).
+    *
+    * Scale posture: one scan-stage projection, one bounded-frame
+    * aggregate + running window, a ≤ span-days collect. Nothing else
+    * touches the driver. */
+  def deliverySurvivalCurve(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          to_date(col("o_orderdate")).as("odate")), "l_orderkey")
+    val wend = li.agg(max(col("odate")).as("wend"))
+    val lab = li.crossJoin(broadcast(wend))
+      .select(
+        when(col("ship") <= col("wend"), datediff(col("ship"), col("odate")))
+          .otherwise(datediff(col("wend"), col("odate")))
+          .cast("long").as("dur"),
+        (col("ship") <= col("wend")).as("dead"))
+    survivalFromDurations(s, lab)
+  }
+
+  /** KM machinery over a (dur: long, dead: boolean) frame — shared by
+    * the driver row and any other time-to-event surface. */
+  private[ops] def survivalFromDurations(s: SparkSession,
+                                         lab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = lab.agg(count(lit(1)).as("n_total"))
+    val frame = lab.groupBy(col("dur").as("delay_days"))
+      .agg(sum(when(col("dead"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    // deliberate unpartitioned running window: the frame is
+    // day-cardinality-bounded BY CONSTRUCTION (one row per distinct
+    // delay day), never corpus-sized — the calendar-frame contract
+    val w = Window.orderBy(col("delay_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val deathDays = frame
+      .withColumn("left_before", coalesce(sum(col("leaving")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("delay_days"), col("d"),
+        (col("n_total") - col("left_before")).as("n_risk"))
+      .filter(col("d") > 0)
+      .orderBy(col("delay_days"))
+      .collect()
+    var sPrev = 1.0d
+    val out = deathDays.map { r =>
+      val (day, d, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // the oracle's roundDecSub twin: shortest repr, HALF_UP at 9dp
+      val s9 = BigDecimal.decimal(sPrev * (1.0 - d.toDouble / n.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      sPrev = s9.toDouble
+      (day, n, d, s9.toDouble)
+    }.toSeq
+    import s.implicits._
+    out.toDF("delay_days", "n_risk", "n_shipped", "survival")
+      .orderBy(col("delay_days"))
+  }
+
   /** Winsorized per-type value stats — the robust-mean counterpart of
     * [[Insights.valueOutliers]]' z-scores: clamp `value` into its
     * exact interpolated [p05, p95] (bounds rounded at 4dp FIRST —
@@ -267,6 +353,44 @@ object Stats {
          |  ${OracleSql.round("(a.mean - b.mean) / sqrt(a.variance / a.nd + b.variance / b.nd)", 4)} AS z
          |FROM (SELECT * FROM x WHERE variant = 'A') a,
          |     (SELECT * FROM x WHERE variant = 'B') b""".stripMargin
+    }),
+    // The survival product is mirrored by a sequential recursive CTE
+    // (row rn+1 folds row rn's value) — same step arithmetic as the
+    // driver-side fold: CAST(prev AS DOUBLE) * (1 − d/n), scale-28
+    // staged 9dp round (roundDecSub).
+    "shipping_survival" -> QueryDef(deliverySurvivalCurve, Some {
+      val step = OracleSql.roundDecSub(
+        "CAST(k.s AS DOUBLE) * (1.0 - CAST(x.d AS DOUBLE) / CAST(x.n_risk AS DOUBLE))", 9)
+      val base = OracleSql.roundDecSub(
+        "1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)", 9)
+      s"""WITH RECURSIVE li AS (SELECT CAST(l_shipdate AS DATE) AS ship,
+         |              CAST(o_orderdate AS DATE) AS odate
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |w AS (SELECT max(odate) AS wend FROM li),
+         |lab AS (SELECT CASE WHEN ship <= (SELECT wend FROM w)
+         |                    THEN CAST(ship - odate AS BIGINT)
+         |                    ELSE CAST((SELECT wend FROM w) - odate AS BIGINT) END AS dur,
+         |               ship <= (SELECT wend FROM w) AS dead FROM li),
+         |tot AS (SELECT count(*) AS n_total FROM lab),
+         |df AS (SELECT dur AS delay_days,
+         |         CAST(count(*) FILTER (WHERE dead) AS BIGINT) AS d,
+         |         count(*) AS leaving
+         |       FROM lab GROUP BY 1),
+         |days AS (SELECT delay_days, d,
+         |    CAST((SELECT n_total FROM tot) - coalesce(sum(leaving) OVER
+         |      (ORDER BY delay_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_risk
+         |  FROM df),
+         |dd AS (SELECT delay_days, d, n_risk,
+         |         row_number() OVER (ORDER BY delay_days) AS rn
+         |       FROM days WHERE d > 0),
+         |km AS (
+         |  SELECT rn, delay_days, d, n_risk, $base AS s FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT x.rn, x.delay_days, x.d, x.n_risk, $step AS s
+         |  FROM dd x JOIN km k ON x.rn = k.rn + 1)
+         |SELECT delay_days, n_risk, d AS n_shipped, CAST(s AS DOUBLE) AS survival
+         |FROM km ORDER BY delay_days""".stripMargin
     }),
     "churned_users" -> QueryDef(churnedUsers, Some(
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -216,4 +216,30 @@ class StatsSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(5) == wantStd, s"win_std: $r want $wantStd")
   }
+
+  test("Kaplan-Meier: textbook curve on hand-computed durations with censoring") {
+    import spark.implicits._
+    // events at t=10 (x2) and t=20; censored at 15, 50, 100.
+    // t=10: risk 6, d 2 -> S = round9(1 - 2/6)            = 0.666666667
+    // t=20: risk 3 (two deaths + one censor left), d 1 ->
+    //       S = round9(0.666666667 * (1 - 1/3))           = 0.444444445
+    // the censored-at-15 row shrinks the t=20 risk set WITHOUT a
+    // death row - the property a plain histogram cannot express
+    val lab = Seq((10L, true), (10L, true), (15L, false),
+      (20L, true), (50L, false), (100L, false)).toDF("dur", "dead")
+    val got = Stats.survivalFromDurations(spark, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((10L, 6L, 2L, 0.666666667), (20L, 3L, 1L, 0.444444445)),
+      s"${got.toSeq}")
+  }
+
+  test("Kaplan-Meier: no censoring degenerates to the exact empirical tail") {
+    import spark.implicits._
+    val lab = Seq((1L, true), (2L, true), (2L, true), (3L, true))
+      .toDF("dur", "dead")
+    val got = Stats.survivalFromDurations(spark, lab).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // S(t) = fraction with dur > t when nothing is censored
+    assert(got.toSeq == Seq((1L, 0.75), (2L, 0.25), (3L, 0.0)), s"${got.toSeq}")
+  }
 }
