@@ -391,7 +391,7 @@ object Graph {
     * [[supplierTriangles]]' scaladoc for why raw co-occurrence is
     * degenerate here). Shared by the triangle census and link
     * prediction rows — and by their oracles via [[strongTieCtes]]. */
-  private[ops] def strongTieEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def strongTieEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()

@@ -266,7 +266,13 @@ object ScaleProbe {
       "sketch_kmv_overlap",      // 3 TakeOrdered k-sets, scalar merge
       "daily_anomaly_days",      // day-frame seasonal chain + MAD gate
       "split_leakage_pairs",     // pair graph + doc-keyed split joins
-      "cluster_consistent_split")// CC labels + scan-stage cluster hash
+      "cluster_consistent_split",// CC labels + scan-stage cluster hash
+      "dedup_family_agreement",  // 4 pair generators once + 10 scalar aggs
+      "supplier_communities_lpa",// 4 vote rounds on node-sized frames
+      "supplier_kcore",          // 12 h-index rounds, node-bounded windows
+      "hilbert_layout_stats",    // scalar bounds + native curve + 32-bin agg
+      "sketch_kmv_users_streaming", // micro-batch KMV, <=k-long state
+      "shipping_survival")       // one join+agg to the day frame, driver fold
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

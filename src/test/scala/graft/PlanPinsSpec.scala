@@ -415,4 +415,62 @@ class PlanPinsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"winner set must broadcast into the resolve scan:\n$p")
   }
+
+  test("LPA and coreness: final plans are iteration-count-independent") {
+    // both round-8 iterative graph ops follow the pageRank lineage
+    // contract: every round materializes through a persisted RDD, so
+    // the returned plan is the same constant-size shape at ANY round
+    // count and roots on a materialized frame
+    import org.apache.spark.sql.functions.col
+    val e = ops.Graph.strongTieEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def shapes(f: Int => org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+      def nodes(r: Int) = f(r).queryExecution.executedPlan.collect { case p => p.nodeName }
+      (nodes(2), nodes(5))
+    }
+    val (l2, l5) = shapes(r => ops.Graph.labelPropagation(e, rounds = r))
+    assert(l2 == l5, s"LPA plan grows with round count:\n2 -> $l2\n5 -> $l5")
+    val (c2, c5) = shapes(r => ops.Graph.corenessHIndex(e, rounds = r))
+    assert(c2 == c5, s"coreness plan grows with round count:\n2 -> $c2\n5 -> $c5")
+    assert(l2.exists(n => n.contains("InMemoryTableScan") ||
+      n.contains("ExistingRDD") || n.contains("RDDScan")),
+      s"LPA result does not root on a materialized frame: $l2")
+    e.unpersist(blocking = false)
+    spark.catalog.clearCache()
+  }
+
+  test("shipping survival: result is a bounded local relation — the fold never became jobs") {
+    // the corpus reduces to the delay-day frame inside the builder;
+    // the returned curve must be driver-built (≤ span-days rows), so
+    // a regression to per-step distributed work shows as Exchange/Join
+    val p = plan("shipping_survival")
+    assert(p.contains("LocalTableScan"), s"not a local relation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), s"fold work leaked into the result:\n$p")
+  }
+
+  test("hilbert stats: scalar bounds broadcast, curve code computed scan-stage") {
+    val p = plan("hilbert_layout_stats")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"dim bounds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+    // the native kernel shows up as a plain projected expression —
+    // whole-stage codegen, no UDF barrier
+    assert(p.contains("hilbert_index"), s"native kernel missing from plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"kernel fell back to a UDF barrier:\n$p")
+  }
+
+  test("streaming KMV: drained snapshot is local, state operator ran in the engine") {
+    // running the row executes the one-shot stream; the returned frame
+    // is the drained memory-sink snapshot (bounded — one row), and the
+    // recorded progress must show the aggregate actually held
+    // streaming state (vs silently planning as a stateless pass-through)
+    val df = SparkEntry.queries("sketch_kmv_users_streaming")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), s"drained snapshot not local:\n$p")
+    val prog = graft.streaming.StreamingPipeline.lastOneShotProgress
+      .getOrElse(fail("one-shot run recorded no progress"))
+    assert(prog.stateOperators.nonEmpty, "no stateful operator in the KMV stream")
+  }
 }
