@@ -72,6 +72,63 @@ object Layout {
       .withColumn("code", graft.functions.spatialFunctions.hilbert_index(
         col("x8"), col("y8"), 8)))
 
+  /** File-skipping SIMULATION — the number the span fractions only
+    * gesture at: for four layouts of the same orders table (sort by
+    * custkey, sort by day, Z-order, Hilbert), how many of the 32
+    * "files" (equal-width code bins) must a two-dimensional predicate
+    * actually READ under standard min/max pruning, and how many rows
+    * ride along? A bin is read iff its per-bin [min, max] box in grid
+    * coordinates overlaps the query rectangle (x8, y8 ∈ [64, 96) —
+    * 1/64 of the plane); read_amplification = rows_read /
+    * matching_rows. A single-dimension sort prunes perfectly on its
+    * own dim and not at all on the other (it must read every matching
+    * x-stripe in full, ~8× amplification on a 1/8 × 1/8 rect); the
+    * space-filling curves read only the bins whose boxes cross the
+    * rectangle. This is the decision row a 100 TB table layout is
+    * chosen by.
+    *
+    * Structural invariants (pinned in LayoutSpec): the linear layouts
+    * read at most 4 of 32 bins BY CONSTRUCTION (bin = top-5 bits of
+    * the leading dim, and the rect covers 4 values of them);
+    * rows_read ≥ matching_rows for every layout. All arithmetic is
+    * integer except the final guarded ratio. */
+  def layoutSkipSimulation(s: SparkSession, dir: String): DataFrame = {
+    val sc = scaledOrders(s, dir)
+      // four layout passes + the matching count read it; serial
+      // drivers clearCache between queries (the module contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val layouts: Seq[(String, Column)] = Seq(
+      "hilbert" -> graft.functions.spatialFunctions.hilbert_index(
+        col("x8"), col("y8"), 8),
+      "linear_cust" -> (col("x8") * 256 + col("y8")),
+      "linear_day" -> (col("y8") * 256 + col("x8")),
+      "zorder" -> zInterleave(col("x8"), col("y8"), 8))
+    val matching = sc
+      .filter(col("x8") >= 64 && col("x8") < 96 &&
+        col("y8") >= 64 && col("y8") < 96)
+      .agg(count(lit(1)).as("matching_rows"))
+    val rows = layouts.map { case (name, code) =>
+      val bins = sc.withColumn("bin", shiftright(code, 11))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x8")).as("xlo"), max(col("x8")).as("xhi"),
+          min(col("y8")).as("ylo"), max(col("y8")).as("yhi"))
+      bins
+        .filter(col("xhi") >= 64 && col("xlo") < 96 &&
+          col("yhi") >= 64 && col("ylo") < 96)
+        .agg(count(lit(1)).as("bins_read"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("rows_read"))
+        .select(lit(name).as("layout"), col("bins_read"), col("rows_read"))
+    }.reduce(_ unionAll _)
+    rows.crossJoin(broadcast(matching))
+      .select(col("layout"), col("bins_read"), col("rows_read"),
+        col("matching_rows"),
+        when(col("matching_rows") > 0,
+          round(col("rows_read").cast("double") / col("matching_rows"), 4))
+          .otherwise(lit(0.0)).as("read_amplification"))
+      .orderBy(col("layout"))
+  }
+
   /** Orders normalized to the shared 8-bit-per-dim grid: (custkey,
     * epoch day) → (x8, y8) ∈ [0, 256)², bounds carried for the span
     * fractions. */
@@ -172,7 +229,7 @@ object Layout {
       val b = bits - 1 - i
       val sVal = 1L << b
       val ss = sVal * sVal
-      s"""hl${i + 1} AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi,
+      s"""hl${i + 1} AS (SELECT x, y, x8, y8, x_lo, x_hi, y_lo, y_hi,
          |  d + $ss * xor(3 * ((hx >> $b) & 1), (hy >> $b) & 1) AS d,
          |  CASE WHEN ((hy >> $b) & 1) = 0
          |       THEN CASE WHEN ((hx >> $b) & 1) = 1 THEN $sVal - 1 - hy ELSE hy END
@@ -182,7 +239,7 @@ object Layout {
          |       ELSE hy END AS hy
          | FROM hl$i)""".stripMargin
     }.mkString(",\n")
-    s"""hl0 AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi, x8 AS hx, y8 AS hy,
+    s"""hl0 AS (SELECT x, y, x8, y8, x_lo, x_hi, y_lo, y_hi, x8 AS hx, y8 AS hy,
        |        CAST(0 AS BIGINT) AS d FROM sc),
        |$levels""".stripMargin
   }
@@ -199,6 +256,37 @@ object Layout {
          |${hilbertSqlCtes(8)},
          |zb AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi, d >> 11 AS bin FROM hl8)
          |$binStatsSelectSql""".stripMargin)),
+    "layout_skip_simulation" -> QueryDef(layoutSkipSimulation, Some {
+      val z = zInterleaveSql("x8", "y8", 8)
+      def leg(name: String, codedSrc: String) =
+        s"""b_$name AS (SELECT bin, count(*) AS n_rows,
+           |  min(x8) AS xlo, max(x8) AS xhi, min(y8) AS ylo, max(y8) AS yhi
+           |  FROM $codedSrc GROUP BY bin),
+           |r_$name AS (SELECT CAST(count(*) AS BIGINT) AS bins_read,
+           |  CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_read
+           |  FROM b_$name
+           |  WHERE xhi >= 64 AND xlo < 96 AND yhi >= 64 AND ylo < 96)""".stripMargin
+      s"""WITH $scaledOrdersSql,
+         |${hilbertSqlCtes(8)},
+         |${leg("hilbert", "(SELECT x8, y8, d >> 11 AS bin FROM hl8) t")},
+         |${leg("linear_cust", "(SELECT x8, y8, (x8 * 256 + y8) >> 11 AS bin FROM sc) t")},
+         |${leg("linear_day", "(SELECT x8, y8, (y8 * 256 + x8) >> 11 AS bin FROM sc) t")},
+         |${leg("zorder", s"(SELECT x8, y8, ($z) >> 11 AS bin FROM sc) t")},
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS matching_rows FROM sc
+         |       WHERE x8 >= 64 AND x8 < 96 AND y8 >= 64 AND y8 < 96),
+         |u AS (
+         |  SELECT 'hilbert' AS layout, bins_read, rows_read FROM r_hilbert
+         |  UNION ALL SELECT 'linear_cust', bins_read, rows_read FROM r_linear_cust
+         |  UNION ALL SELECT 'linear_day', bins_read, rows_read FROM r_linear_day
+         |  UNION ALL SELECT 'zorder', bins_read, rows_read FROM r_zorder)
+         |SELECT layout, bins_read, rows_read,
+         |  (SELECT matching_rows FROM mt) AS matching_rows,
+         |  CASE WHEN (SELECT matching_rows FROM mt) > 0
+         |       THEN ${OracleSql.round(
+                  "CAST(rows_read AS DOUBLE) / (SELECT matching_rows FROM mt)", 4)}
+         |       ELSE 0.0 END AS read_amplification
+         |FROM u ORDER BY layout""".stripMargin
+    }),
     "partitioned_events_prune" -> QueryDef(partitionedEventsPrune, Some(
       s"""WITH t AS (SELECT CAST(min(ts) AS DATE) + 14 AS d FROM events)
          |SELECT event_type, count(*) AS n_events,

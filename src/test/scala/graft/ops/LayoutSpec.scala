@@ -90,6 +90,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("click", 3L, 6.0)))
   }
 
+  test("skip simulation: pruning invariants and the multi-dim layout win") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Layout.layoutSkipSimulation(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val matching = got.values.head._3
+    for ((name, (bins, rows, m)) <- got) {
+      assert(m == matching, "matching_rows must be layout-independent")
+      assert(rows >= m, s"$name claims to read fewer rows than match")
+      assert(bins <= 32, s"$name reads more bins than exist")
+    }
+    // structural: a linear sort's bin is the top-5 bits of its leading
+    // dim, and the rect covers exactly 4 of those values
+    assert(got("linear_cust")._1 <= 4 && got("linear_day")._1 <= 4)
+    // the decision the row exists to make: on a two-dim predicate the
+    // space-filling curves read fewer rows than either linear sort
+    assert(got("hilbert")._2 < got("linear_cust")._2 &&
+      got("hilbert")._2 < got("linear_day")._2,
+      s"hilbert did not beat the linear sorts: $got")
+    assert(got("zorder")._2 < got("linear_cust")._2, s"$got")
+  }
+
   test("hilbert index: base-case quadrant order at bits=1") {
     import spark.implicits._
     val got = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
