@@ -644,6 +644,90 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Monotonic per-invocation suffix for the append-index scratch
+    * path (the concurrent-run collision rationale of
+    * [[Ivf.ivfIndexedQuery]]). */
+  private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Incremental index maintenance for the seeded-IVF layout — the
+    * ANN sibling of the dedup posting-index ingest loop: build the
+    * cell-partitioned index over the BASE corpus, APPEND a late batch
+    * by assigning it against the index's FROZEN seed geometry (no
+    * retrain, no rewrite of existing cells — appended vectors land as
+    * new files inside their cell partitions), then answer the query
+    * protocol through the grown index with the partition-pruned scan.
+    * This is how a production ANN index actually lives: geometry is
+    * trained rarely, content arrives continuously; re-clustering per
+    * batch would rewrite the whole layout for every intake.
+    *
+    * The frozen geometry is what the oracle checks: seeds come from
+    * the base slice ONLY (vec_id < `baseBound`), so the result is NOT
+    * [[seededIvfTopK]]'s full-corpus-seeded answer — the append
+    * discipline is visible in the output, not an implementation
+    * detail. Bounded collects only: the k-seed matrix and the
+    * |queries| × nProbe probe set, which re-enter as local relations
+    * (the literal probe cells become PartitionFilters at the index
+    * scan — pinned in SimilaritySpec). */
+  def seededIvfAppendQuery(s: SparkSession, dir: String,
+                           nQueries: Int = 5, k: Int = 10,
+                           kSeeds: Int = 8, nProbe: Int = 2,
+                           baseBound: Long = 400L): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    val queries = e.filter(col("vec_id") < nQueries)
+    val base = e.filter(col("vec_id") >= nQueries && col("vec_id") < baseBound)
+    val late = e.filter(col("vec_id") >= baseBound)
+    // frozen geometry: hash-min seeds from the BASE corpus only;
+    // k rows — collected once, reused by both writes and the probes
+    // without any cache to leak
+    val seedsPlan = base
+      .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
+      .orderBy(col("hm"), col("vec_id"))
+      .limit(kSeeds)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val seedRows = seedsPlan.collect()
+    val seeds = s.createDataFrame(
+      java.util.Arrays.asList(seedRows: _*), seedsPlan.schema)
+    def assign(c: DataFrame): DataFrame = c
+      .crossJoin(broadcast(seeds))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+    val path = new java.io.File(
+      s"target/scratch/seeded_ivf_append_${s.sparkContext.applicationId}_" +
+        s"${appendSeq.incrementAndGet()}").getAbsolutePath
+    assign(base).write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+    // the append: only the late batch's rows move; existing files of
+    // every cell partition are untouched
+    assign(late).write.mode(SaveMode.Append)
+      .partitionBy("cell").parquet(path)
+    val probesPlan = queries
+      .crossJoin(broadcast(seeds))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val probeRows = probesPlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    s.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** [[vectorNorms]] expressed ENTIRELY through the SQL entry path —
     * temp view + `spark.sql` text calling the registered native
     * `l2_norm` — so the driver gate covers the surface a pure-SQL
@@ -1294,6 +1378,41 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |corpus AS (SELECT * FROM e WHERE vec_id >= 5),
          |${graft.OracleSql.m61FmixScalarCtes("corpus", "CAST(vec_id AS VARCHAR)", p = "sh")},
+         |seeds AS (SELECT vec_id AS cell, v AS cv FROM sh
+         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT neighbor_id, nv, cell FROM (
+         |    SELECT c.vec_id AS neighbor_id, c.v AS nv, s.cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cos("c.v", "s.cv")} DESC, s.cell) AS crnk
+         |    FROM corpus c CROSS JOIN seeds s)
+         |  WHERE crnk = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, s.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cos("q.v", "s.cv")} DESC, s.cell) AS crnk
+         |    FROM e q CROSS JOIN seeds s WHERE q.vec_id < 5)
+         |  WHERE crnk <= 2),
+         |scored AS (SELECT query_id, neighbor_id, ${cos("p.qv", "a.nv")} AS sim
+         |           FROM assigned a JOIN probes p USING (cell)),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    })),
+    // [[seededIvfTopK]]'s oracle with the seed source narrowed to the
+    // base slice — the frozen-geometry contract: appended vectors are
+    // assigned and scored, but never move the cells.
+    "ann_ivf_append" -> QueryDef((s, d) => seededIvfAppendQuery(s, d), Some({
+      def cos(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+           |      (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (SELECT * FROM e WHERE vec_id >= 5),
+         |base AS (SELECT * FROM corpus WHERE vec_id < 400),
+         |${graft.OracleSql.m61FmixScalarCtes("base", "CAST(vec_id AS VARCHAR)", p = "sh")},
          |seeds AS (SELECT vec_id AS cell, v AS cv FROM sh
          |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
          |assigned AS (

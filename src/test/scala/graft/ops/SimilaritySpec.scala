@@ -400,4 +400,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.head._4 > 0.9999 && rows.head._4 <= 1.0001,
       s"var_explained=${rows.head._4}")
   }
+
+  test("IVF append: appended vectors are searchable through the pruned scan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.seededIvfAppendQuery(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // late-batch content (vec_id >= 400) must be reachable: the whole
+    // point of the append is that intake lands in the index
+    assert(rows.exists(_.getLong(1) >= 400L),
+      "no appended vector surfaced in any top-k — the append is invisible")
+    // and the index scan prunes to the probe cells (the production
+    // I/O shape: reads follow cells, not the corpus)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"no cell PartitionFilters on the append-index scan:\n$plan")
+    // frozen geometry: every emitted neighbor's cell comes from the
+    // base slice — seeds are base-only by construction
+    spark.catalog.clearCache()
+  }
 }
