@@ -272,7 +272,9 @@ object ScaleProbe {
       "supplier_kcore",          // 12 h-index rounds, node-bounded windows
       "hilbert_layout_stats",    // scalar bounds + native curve + 32-bin agg
       "sketch_kmv_users_streaming", // micro-batch KMV, <=k-long state
-      "shipping_survival")       // one join+agg to the day frame, driver fold
+      "shipping_survival",       // one join+agg to the day frame, driver fold
+      "layout_skip_simulation",  // 4 layout passes over one cached grid
+      "ann_ivf_append")          // frozen-geometry assign + pruned scan
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
