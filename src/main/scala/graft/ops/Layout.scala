@@ -129,12 +129,93 @@ object Layout {
       .orderBy(col("layout"))
   }
 
+  /** Per-file BLOOM skipping for point lookups — the half of the
+    * file-skipping story [[layoutSkipSimulation]]'s zone maps cannot
+    * cover: `o_orderkey` is uncorrelated with the (custkey, day)
+    * layout, so every bin's [min, max] orderkey range spans
+    * essentially the whole domain and min/max pruning reads ALL bins
+    * for a point lookup. A per-bin Bloom filter prunes by content:
+    * m = 2^16 bits, 4 probe positions per key taken as 16-bit slices
+    * of the library's M61+fmix63 hash (the double-hashing variant;
+    * the SAME DuckDB-reproducible family every sketch here uses, so
+    * the filter BITS — not just the outcome — are oracle-checked).
+    *
+    * Probes: the 8 hash-minimal candidates from {okey} ∪ {okey+1} —
+    * the KMV-style deterministic pick, landing MID-DOMAIN (a
+    * boundary key would let min/max prune trivially and hide the
+    * story), a mix of present keys and (on a gappy key domain)
+    * absent neighbors. Per probe key: bins read under zone-map
+    * pruning (≈ all of them — every bin's okey span covers a
+    * mid-domain point), under Bloom pruning (true bins + false
+    * positives, expected ≈ bins · fill⁴), and the true bin count.
+    *
+    * Scale posture: filter construction is one scan + a distinct over
+    * (bin, pos) — the per-file build cost any Bloom-indexed layout
+    * pays at write time; probes are a bounded local set broadcast
+    * everywhere; nothing driver-side beyond the 8 probe keys. */
+  def bloomSkipSimulation(s: SparkSession, dir: String): DataFrame = {
+    val coded = scaledOrders(s, dir)
+      .withColumn("bin",
+        shiftright(zInterleave(col("x8"), col("y8"), 8), 11))
+      .select(col("okey"), col("bin"))
+      // read by zones, bits, truth, and the probe-key min — the
+      // module cache contract (serial drivers clearCache between rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def slices(df: DataFrame): DataFrame = df
+      .withColumn("h", graft.functions.textFunctions.m61_fmix_hash63(col("okey")))
+      .select(df.columns.map(col) :+ posexplode(array(
+        (0 until 4).map(i =>
+          shiftright(col("h"), 12 * i).bitwiseAND(lit(65535L))): _*)): _*)
+      .withColumnRenamed("pos", "slice").withColumnRenamed("col", "bit")
+    def hashMin4(df: DataFrame): DataFrame = df
+      .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("okey")))
+      .orderBy(col("hm"), col("okey"))
+      .limit(4)
+      .select(col("okey"))
+    val present = hashMin4(coded.select(col("okey")))
+    // guaranteed-nonempty absent pool: successors that are not keys
+    // themselves (max+1 is always in it)
+    val absent = hashMin4(
+      coded.select((col("okey") + 1).as("okey")).distinct()
+        .join(coded.select(col("okey")), Seq("okey"), "left_anti"))
+    val probes = present.unionAll(absent)
+    val probeRows = probes.collect()
+    val probesDf = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val zones = coded.groupBy(col("bin"))
+      .agg(min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+    val bits = slices(coded).select(col("bin"), col("bit")).distinct()
+    val probeBits = slices(probesDf)
+    val zoneCnt = zones.join(broadcast(probesDf),
+        col("okey") >= col("lo") && col("okey") <= col("hi"))
+      .groupBy(col("okey")).agg(count(lit(1)).as("zone_bins_read"))
+    val bloomCnt = bits.join(broadcast(probeBits), Seq("bit"))
+      .groupBy(col("okey"), col("bin"))
+      .agg(countDistinct(col("slice")).as("nslices"))
+      .filter(col("nslices") === 4)
+      .groupBy(col("okey")).agg(count(lit(1)).as("bloom_bins_read"))
+    val trueCnt = coded.join(broadcast(probesDf), Seq("okey"))
+      .groupBy(col("okey"))
+      .agg(countDistinct(col("bin")).as("true_bins"))
+    probesDf
+      .join(zoneCnt, Seq("okey"), "left")
+      .join(bloomCnt, Seq("okey"), "left")
+      .join(trueCnt, Seq("okey"), "left")
+      .select(col("okey").as("probe_key"),
+        (coalesce(col("true_bins"), lit(0L)) > 0).as("present"),
+        coalesce(col("zone_bins_read"), lit(0L)).as("zone_bins_read"),
+        coalesce(col("bloom_bins_read"), lit(0L)).as("bloom_bins_read"),
+        coalesce(col("true_bins"), lit(0L)).as("true_bins"))
+      .orderBy(col("probe_key"))
+  }
+
   /** Orders normalized to the shared 8-bit-per-dim grid: (custkey,
     * epoch day) → (x8, y8) ∈ [0, 256)², bounds carried for the span
     * fractions. */
   private def scaledOrders(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
-      .select(col("o_custkey").cast("long").as("x"),
+      .select(col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("x"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
           .cast("long").as("y"))
     val bounds = o.agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
@@ -203,10 +284,11 @@ object Layout {
 
   /** o/b/sc CTE prefix — the DuckDB twin of [[scaledOrders]]. */
   private def scaledOrdersSql: String =
-    s"""o AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+    s"""o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       |    CAST(o_custkey AS BIGINT) AS x,
        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y FROM orders),
        |b AS (SELECT min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi FROM o),
-       |sc AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi,
+       |sc AS (SELECT okey, x, y, x_lo, x_hi, y_lo, y_hi,
        |    ((x - x_lo) * 256) // (x_hi - x_lo + 1) AS x8,
        |    ((y - y_lo) * 256) // (y_hi - y_lo + 1) AS y8 FROM o, b)""".stripMargin
 
@@ -256,6 +338,49 @@ object Layout {
          |${hilbertSqlCtes(8)},
          |zb AS (SELECT x, y, x_lo, x_hi, y_lo, y_hi, d >> 11 AS bin FROM hl8)
          |$binStatsSelectSql""".stripMargin)),
+    // The filter BITS are mirrored, not just the outcome: both engines
+    // slice the same M61+fmix63 key hash into four 16-bit positions.
+    "bloom_skip_simulation" -> QueryDef(bloomSkipSimulation, Some {
+      val z = zInterleaveSql("x8", "y8", 8)
+      val mask = "9223372036854775807"
+      s"""WITH $scaledOrdersSql,
+         |coded AS (SELECT okey, ($z) >> 11 AS bin FROM sc),
+         |pres0 AS (SELECT okey FROM coded),
+         |${OracleSql.m61FmixScalarCtes("pres0", "CAST(okey AS VARCHAR)", p = "kp")},
+         |pres AS (SELECT okey FROM kp ORDER BY h & $mask, okey LIMIT 4),
+         |abs0 AS (SELECT DISTINCT okey + 1 AS okey FROM coded
+         |         EXCEPT SELECT okey FROM coded),
+         |${OracleSql.m61FmixScalarCtes("abs0", "CAST(okey AS VARCHAR)", p = "ka")},
+         |absn AS (SELECT okey FROM ka ORDER BY h & $mask, okey LIMIT 4),
+         |probes AS (SELECT okey FROM pres UNION ALL SELECT okey FROM absn),
+         |${OracleSql.m61FmixScalarCtes("coded", "CAST(okey AS VARCHAR)", p = "ch")},
+         |cbits AS (SELECT DISTINCT bin,
+         |            ((h & $mask) >> (12 * i.i)) & 65535 AS bit
+         |          FROM ch, (SELECT unnest(range(4)) AS i) i),
+         |${OracleSql.m61FmixScalarCtes("probes", "CAST(okey AS VARCHAR)", p = "ph")},
+         |ppos AS (SELECT okey, i.i AS slice,
+         |           ((h & $mask) >> (12 * i.i)) & 65535 AS bit
+         |         FROM ph, (SELECT unnest(range(4)) AS i) i),
+         |zones AS (SELECT bin, min(okey) AS lo, max(okey) AS hi
+         |          FROM coded GROUP BY 1),
+         |zc AS (SELECT p.okey, count(*) AS c FROM probes p
+         |       JOIN zones z ON p.okey >= z.lo AND p.okey <= z.hi GROUP BY 1),
+         |bp AS (SELECT p.okey, c.bin FROM ppos p JOIN cbits c ON p.bit = c.bit
+         |       GROUP BY p.okey, c.bin HAVING count(DISTINCT p.slice) = 4),
+         |bc AS (SELECT okey, count(*) AS c FROM bp GROUP BY 1),
+         |tc AS (SELECT p.okey, count(DISTINCT c.bin) AS c
+         |       FROM probes p JOIN coded c USING (okey) GROUP BY 1)
+         |SELECT p.okey AS probe_key,
+         |  coalesce(tc.c, 0) > 0 AS present,
+         |  CAST(coalesce(zc.c, 0) AS BIGINT) AS zone_bins_read,
+         |  CAST(coalesce(bc.c, 0) AS BIGINT) AS bloom_bins_read,
+         |  CAST(coalesce(tc.c, 0) AS BIGINT) AS true_bins
+         |FROM probes p
+         |LEFT JOIN zc ON p.okey = zc.okey
+         |LEFT JOIN bc ON p.okey = bc.okey
+         |LEFT JOIN tc ON p.okey = tc.okey
+         |ORDER BY probe_key""".stripMargin
+    }),
     "layout_skip_simulation" -> QueryDef(layoutSkipSimulation, Some {
       val z = zInterleaveSql("x8", "y8", 8)
       def leg(name: String, codedSrc: String) =

@@ -112,6 +112,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(got("zorder")._2 < got("linear_cust")._2, s"$got")
   }
 
+  test("bloom skipping: no false negatives, and absent mid-domain keys prune") {
+    import spark.implicits._
+    // gappy key domain (even keys only) so absent probes land
+    // MID-DOMAIN — the case the dense driver table cannot exhibit
+    val dir = java.nio.file.Files.createTempDirectory("bloomskip").toString
+    (0 until 64).map(i => (i.toLong * 2, i.toLong % 16,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i))))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = Layout.bloomSkipSimulation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 8, s"${rows.toSeq}")
+    val (present, absent) = rows.partition(_._2)
+    assert(present.length == 4 && absent.length == 4)
+    for ((k, _, zone, bloom, truth) <- present) {
+      assert(truth >= 1 && bloom >= truth,
+        s"false negative at $k: bloom=$bloom true=$truth")
+      assert(bloom <= zone, s"bloom must never read more than zones at $k")
+    }
+    // every absent probe except possibly max+1 is mid-domain: zone
+    // maps read bins, the bloom reads only false positives
+    for ((k, _, zone, bloom, truth) <- absent) {
+      assert(truth == 0, s"$k marked absent but found")
+      assert(bloom <= zone, s"$k: bloom=$bloom zone=$zone")
+    }
+    assert(absent.exists(_._3 > 0), "no mid-domain absent probe exercised zones")
+    spark.catalog.clearCache()
+  }
+
   test("hilbert index: base-case quadrant order at bits=1") {
     import spark.implicits._
     val got = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
