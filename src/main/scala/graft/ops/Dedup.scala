@@ -594,34 +594,49 @@ object Dedup {
 
   /** Generic variant: named (doc_a, doc_b, …) pair frames (extra
     * columns ignored; frames must be a < b oriented and pair-unique,
-    * like every generator here — intersection counting relies on it). */
+    * like every generator here — intersection counting relies on it).
+    *
+    * One tagged union computes the WHOLE matrix in two aggregates
+    * (per-family counts + a pair-keyed self-join for every
+    * intersection at once) instead of C(n,2) separate jobs — per-leg
+    * generation still dominates, but the matrix itself stops paying
+    * ~15 job launches over cached frames. Zero-intersection family
+    * pairs are restored from the counts cross product. */
   def familyAgreementOn(families: Seq[(String, DataFrame)]): DataFrame = {
-    val cached = families.map { case (name, df) =>
-      // cache lifetime: boundedSharedCounts' contract — each frame is
-      // read by its count plus every intersection; serial drivers
+    val tagged = families.map { case (name, df) =>
+      df.select(lit(name).as("fam"), col("doc_a"), col("doc_b"))
+    }.reduce(_ unionAll _)
+      // cache lifetime: boundedSharedCounts' contract — read by the
+      // count pass and both self-join sides; serial drivers
       // clearCache between queries
-      name -> df.select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = tagged.groupBy(col("fam")).agg(count(lit(1)).as("n"))
+    // families with ZERO pairs vanish from `tagged` — restore them so
+    // the matrix shape never depends on the data
+    val allFams = {
+      import tagged.sparkSession.implicits._
+      families.map(_._1).toDF("fam")
     }
-    val rows = for {
-      i <- cached.indices
-      j <- (i + 1) until cached.size
-    } yield {
-      val (nameA, pa) = cached(i)
-      val (nameB, pb) = cached(j)
-      val both = pa.join(broadcast(pb), Seq("doc_a", "doc_b"), "left_semi")
-      pa.agg(count(lit(1)).as("n_a"))
-        .crossJoin(broadcast(pb.agg(count(lit(1)).as("n_b"))))
-        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
-        .select(lit(nameA).as("fam_a"), lit(nameB).as("fam_b"),
-          col("n_a"), col("n_b"), col("n_both"))
-    }
-    rows.reduce(_ unionAll _)
+    val full = allFams.join(counts, Seq("fam"), "left")
+      .select(col("fam"), coalesce(col("n"), lit(0L)).as("n"))
+    val inter = tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.doc_a") === col("b.doc_a") && col("a.doc_b") === col("b.doc_b") &&
+          col("a.fam") < col("b.fam"))
+      .groupBy(col("a.fam").as("fam_a"), col("b.fam").as("fam_b"))
+      .agg(count(lit(1)).as("n_both"))
+    full.as("x").join(full.as("y"), col("x.fam") < col("y.fam"))
+      .select(col("x.fam").as("fam_a"), col("y.fam").as("fam_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .join(broadcast(inter), Seq("fam_a", "fam_b"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
       .withColumn("overlap_jaccard",
         when(col("n_a") + col("n_b") - col("n_both") > 0,
           round(col("n_both").cast("double") /
             (col("n_a") + col("n_b") - col("n_both")), 4))
           .otherwise(lit(0.0)))
+      .select(col("fam_a"), col("fam_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("overlap_jaccard"))
       .orderBy(col("fam_a"), col("fam_b"))
   }
 
