@@ -138,7 +138,92 @@ object Sampling {
       .limit(n)
   }
 
+  /** Neyman-optimal stratified sample allocation: split a fixed
+    * sampling budget across strata proportionally to N_h·σ_h — the
+    * allocation that minimizes the variance of the stratified mean
+    * estimator (Neyman 1934), versus the naive proportional split
+    * that over-samples large-but-homogeneous strata. The row emits
+    * both allocations side by side: the gap IS the decision (a
+    * high-variance minority stratum earns a multiple of its
+    * proportional share). This is the planning half of every
+    * eval/labeling budget question a curation pipeline asks; the
+    * execution half is the existing deterministic hash sampling with
+    * per-stratum thresholds ([[stratifiedSampleDocs]]).
+    *
+    * Determinism: σ_h comes from exact 6dp-decimal moments (the
+    * module-standard recipe — order-independent sums, ONE IEEE
+    * expression after); the weight N_h·σ_h is re-rounded to a 6dp
+    * DECIMAL before the cross-strata total so the denominator is an
+    * exact order-free sum, not a float accumulation; integer parts
+    * come from floor (no midpoint hazard) and the leftover budget
+    * goes to the largest fractional remainders with a (remainder
+    * DESC, stratum ASC) total order. Everything after the one
+    * fact-sized moment aggregate runs on the strata frame — bounded
+    * by |event types|, the calendar-frame contract. */
+  def neymanAllocation(s: SparkSession, dir: String,
+                       budget: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventQueries.events(s, dir)
+      .select(col("event_type"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sv2"))
+      .select(col("event_type"), col("n"),
+        sqrt(greatest(
+          (col("sv2").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"),
+          lit(0.0d))).as("std"))
+      .withColumn("w",
+        round(col("n").cast("double") * col("std"), 6).cast("decimal(30,6)"))
+    val totals = m.agg(sum(col("w")).as("sw"), sum(col("n")).as("nt"))
+    val scored = m.crossJoin(broadcast(totals))
+      .withColumn("target",
+        lit(budget.toDouble) * (col("w").cast("double") / col("sw").cast("double")))
+      .withColumn("base", floor(col("target")))
+      .withColumn("rem", col("target") - col("base"))
+      // proportional contrast: exact integer arithmetic throughout
+      .withColumn("proportional_n", expr(s"(n * $budget) DIV nt"))
+    val deficit = scored.agg((lit(budget.toLong) - sum(col("base"))).as("d"))
+    // deliberate unpartitioned window: the strata frame is bounded by
+    // |event types| — the calendar-frame contract
+    val w = Window.orderBy(col("rem").desc, col("event_type"))
+    scored.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(w))
+      .select(col("event_type"), col("n").as("n_events"),
+        round(col("std"), 4).as("std"),
+        (col("base") + when(col("rk") <= col("d"), 1L).otherwise(0L))
+          .cast("long").as("neyman_n"),
+        col("proportional_n").cast("long").as("proportional_n"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "sample_neyman_alloc" -> QueryDef((s, d) => neymanAllocation(s, d), Some {
+      val std = "sqrt(greatest((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0))"
+      s"""WITH ev AS (SELECT event_type,
+         |  CAST(${graft.OracleSql.round("value", 6)} AS DECIMAL(18,6)) AS v FROM events),
+         |mo AS (SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS sv2
+         |       FROM ev GROUP BY 1),
+         |st AS (SELECT event_type, n, $std AS std,
+         |         CAST(${graft.OracleSql.round(s"CAST(n AS DOUBLE) * ($std)", 6)}
+         |           AS DECIMAL(30,6)) AS w
+         |       FROM mo),
+         |tot AS (SELECT sum(w) AS sw, sum(n) AS nt FROM st),
+         |sc AS (SELECT event_type, n, std,
+         |         1000.0 * (CAST(w AS DOUBLE) / CAST((SELECT sw FROM tot) AS DOUBLE)) AS target,
+         |         (n * 1000) // (SELECT nt FROM tot) AS proportional_n
+         |       FROM st),
+         |fb AS (SELECT *, floor(target) AS base, target - floor(target) AS rem FROM sc),
+         |dk AS (SELECT 1000 - sum(base) AS d FROM fb),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rk FROM fb)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+         |  ${graft.OracleSql.round("std", 4)} AS std,
+         |  CAST(base + CASE WHEN rk <= (SELECT d FROM dk) THEN 1 ELSE 0 END AS BIGINT) AS neyman_n,
+         |  CAST(proportional_n AS BIGINT) AS proportional_n
+         |FROM rk ORDER BY event_type""".stripMargin
+    }),
     "sample_docs_weighted" -> QueryDef((s, d) => weightedSampleDocs(s, d), Some(
       s"""WITH ${graft.OracleSql.m61FmixScalarCtes("documents", "CAST(doc_id AS VARCHAR)")}
          |SELECT doc_id, n_chars,

@@ -111,4 +111,25 @@ class SamplingSpec extends AnyFunSuite {
     val nextBest = all.find(r => !selected.contains(r._1))
     for ((_, _, nt) <- nextBest) assert(run + nt > 2000L)
   }
+
+  test("Neyman allocation: a zero-variance stratum earns zero, budget is exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neyman").toString
+    // two equal-size strata: 'flat' is constant (sigma = 0), 'wild'
+    // alternates +-100 (sigma = 100). Proportional splits 500/500;
+    // Neyman sends the WHOLE budget to the stratum with information.
+    val rows = (0 until 200).map { i =>
+      val (t, v) = if (i % 2 == 0) ("flat", 5.0)
+                   else ("wild", if (i % 4 == 1) 100.0 else -100.0)
+      (java.sql.Timestamp.valueOf(s"2024-01-01 00:0${i % 6}:00"), t, v)
+    }
+    rows.toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Sampling.neymanAllocation(spark, dir, budget = 1000).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("flat") == ((100L, 0.0, 0L, 500L)), s"${got("flat")}")
+    assert(got("wild") == ((100L, 100.0, 1000L, 500L)), s"${got("wild")}")
+    assert(got.values.map(_._3).sum == 1000L, "Neyman allocation must spend the exact budget")
+  }
 }
