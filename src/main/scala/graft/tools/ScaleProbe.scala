@@ -274,7 +274,9 @@ object ScaleProbe {
       "sketch_kmv_users_streaming", // micro-batch KMV, <=k-long state
       "shipping_survival",       // one join+agg to the day frame, driver fold
       "layout_skip_simulation",  // 4 layout passes over one cached grid
-      "ann_ivf_append")          // frozen-geometry assign + pruned scan
+      "ann_ivf_append",          // frozen-geometry assign + pruned scan
+      "bloom_skip_simulation",   // scan-stage slices + 32-bin bit distinct
+      "sample_neyman_alloc")     // one moment agg + strata-frame window
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
