@@ -118,7 +118,34 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iterations":2,"sf":"$sfDir"}""")
+    // Tiered totals: the ingest/streaming LIFECYCLE rows each run a
+    // full index build + micro-batch/epoch loop (or engine lifecycle)
+    // inline per invocation — amortized across batches in production —
+    // and their wall time swings ±6 s run-to-run on FS page-cache
+    // temperature alone (r8b vs r8c, zero code change). Reporting them
+    // beside `total_query` lets round-over-round comparison track QUERY
+    // latency instead of scratch-FS state. A row is lifecycle iff its
+    // name marks it as an ingest loop or a streaming-engine run.
+    def isLifecycle(name: String): Boolean =
+      name.contains("ingest") || name.contains("stream")
+    val totalLifecycle =
+      results.collect { case (k, v, true) if isLifecycle(k) => v }.sum
+    val totalQuery = total - totalLifecycle
+    val nOk = results.count(_._3)
+    // A compact summary line (no per-query map) prints BEFORE AND
+    // AFTER the full line: the driver keeps a bounded stdout tail, and
+    // the 240+-entry queries map pushes the full line's head out of it
+    // ("parsed": null in BENCH_r0*.json) — the trailing compact line is
+    // whole inside any tail window, and the leading one serves
+    // head-truncated captures. Parsers that scan for the first or last
+    // {"metric":...} line get consistent totals either way.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,""" +
+        s""""total_lifecycle":$totalLifecycle,"n_queries":$nOk,"errors":$errs,""" +
+        s""""iterations":2,"sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,"total_lifecycle":$totalLifecycle,"queries":$qs,"errors":$errs,"iterations":2,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

@@ -92,6 +92,59 @@ object ScaleProbe {
       return
     }
 
+    // --embed-scale: probe the LSH chain one decade PAST the knee —
+    // the 1x/10x pair (2k/20k vectors) straddles autoBits' occupancy
+    // knee at 2^14 by construction, so its ratio mixes the mid-band
+    // shade with the asymptote. Replicating embeddings --factor=N
+    // (default 100, i.e. 200k vectors — firmly occupancy-pinned) and
+    // timing 10x vs Nx isolates the post-knee growth law
+    // (candidates ≈ 2^6·n·T(b), T ≈ n^0.15).
+    if (args.contains("--embed-scale")) {
+      val factor = args.collectFirst {
+        case a if a.startsWith("--factor=") => a.stripPrefix("--factor=").toInt
+      }.getOrElse(100)
+      val dir = s"target/scratch/sf${factor}x_emb"
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        // DIRECTION-salted replicas (each replica's vectors shifted by a
+        // replica-keyed offset vector), not exact copies: 100 exact
+        // copies of every vector make the TRUE pair output grow ~2000×
+        // (every copy pair sits at cosine 1 — the documented
+        // replication artifact, measured 94.5× wall here), which probes
+        // output growth, not the candidate-volume law. Salting keeps
+        // each replica's internal near-dup structure while breaking
+        // cross-replica duplicates — the honest "Nx fresh corpus" model
+        // (the token-salted ingest replicas' vector twin).
+        val base = graft.Tables(spark, src, "embeddings")
+        (0 until factor).map { i =>
+          base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+            .withColumn("embedding", transform(col("embedding"),
+              (x, d) => (x.cast("double") +
+                lit(0.3) * sin((d + 1) * lit((i + 1).toDouble))).cast("float")))
+        }.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      def t(name: String, d: String): Double = {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      println(s"query,t10x_sec,t${factor}x_sec,ratio")
+      for (q <- Seq("ann_lsh_topk", "embedding_neardup_pairs")) {
+        val t10 = t(q, big)
+        val tN = t(q, dir)
+        println(f"EMBSCALE $q,$t10%.2f,$tN%.2f,${tN / t10}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
       val base = graft.Tables(spark, src, table)
       val out = (0 until 10).map { i =>

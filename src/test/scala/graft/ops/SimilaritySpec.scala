@@ -65,11 +65,19 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("autoBits keeps LSH candidate volume ~linear across corpus sizes") {
-    // formula pins: log₂ n − 6 at every n (occupancy pinned at ~2^6),
-    // floored at 2 only to keep ≥4 buckets at tiny n — the round-7
-    // floor-8 plateau made sub-knee candidate volume grow ~n²/2^8
-    assert(Similarity.autoBits(1000) == 4)
-    assert(Similarity.autoBits(1L << 14) == 8)
+    // formula pins, three regimes (occupancy = n/2^bits NEVER above 64):
+    // tiny (n < 2^10): log₂n − 2, occupancy ≈ 4; mid band
+    // (2^10 ≤ n < 2^14): bits pinned at 8 (256 buckets), occupancy
+    // shades 4 → 64 meeting the knee exactly; past the knee:
+    // log₂n − 6, occupancy pinned at 64. The round-8
+    // occupancy-64-everywhere dial coarsened small corpora 8× for no
+    // asymptotic gain; the round-7 floor-8 plateau let occupancy grow
+    // unboundedly past 2^16 — this dial is the envelope of both.
+    assert(Similarity.autoBits(120) == 5)        // tiny: occupancy ~4
+    assert(Similarity.autoBits(1000) == 8)       // mid band: 256 buckets
+    assert(Similarity.autoBits(2000) == 8)       // sf0.1 embeddings point
+    assert(Similarity.autoBits(1L << 14) == 8)   // the knee: both lines meet
+    assert(Similarity.autoBits(20000) == 9)      // 10×-probe point unchanged
     assert(Similarity.autoBits(1L << 16) == 10)
     assert(Similarity.autoBits(1L << 20) == 14)
     assert(Similarity.autoBits(1L << 30) == 24)
