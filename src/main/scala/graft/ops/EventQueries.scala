@@ -685,12 +685,16 @@ object EventQueries {
       .orderBy(col("event_type"))
 
   /** Approximate percentiles via the engine's mergeable quantile
-    * sketch (`percentile_approx`, Greenwald-Khanna) — the 100 TB path
-    * for the `value_percentiles` shape: single pass, bounded memory,
-    * mergeable across partitions, no sort. Sketch internals are
-    * engine-private → rows-only driver row; JoinOpsSpec bounds the
-    * rank error against the exact interpolated percentiles at two
-    * scale factors (accuracy 10000 ⇒ rank error ≤ n/10000). */
+    * sketch (`percentile_approx`, Greenwald-Khanna) — single pass,
+    * bounded memory, mergeable across partitions, no sort. Sketch
+    * internals are engine-private, so since round 9 this is a
+    * PROPERTY-TEST surface only (JoinOpsSpec bounds the rank error
+    * against the exact interpolated percentiles at two scale factors;
+    * accuracy 10000 ⇒ rank error ≤ n/10000); the
+    * `approx_value_percentiles` driver row runs the deterministic
+    * bottom-k-sample estimator
+    * ([[Sketches.sampledValuePercentiles]]) instead, which shares the
+    * bounded/mergeable scale posture AND hash-checks against DuckDB. */
   def approxValuePercentiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
@@ -701,11 +705,14 @@ object EventQueries {
         element_at(col("p"), 3).as("p75"))
       .orderBy(col("event_type"))
 
-  /** HLL sketch cardinality — the 100 TB path for README #7-style
-    * distinct counts (single pass, mergeable, no distinct shuffle).
-    * Sketch values are engine-specific → rows-only check; the spec
-    * asserts ≤5% relative error against the exact count at two scale
-    * factors. rsd = 0.02 (≈2700 registers, a few KB per group) rather
+  /** HLL sketch cardinality (single pass, mergeable, no distinct
+    * shuffle). Sketch registers are engine-specific, so since round 9
+    * this is a PROPERTY-TEST surface only (the spec asserts ≤5%
+    * relative error against the exact count at two scale factors);
+    * the `approx_user_cardinality` driver row runs the deterministic
+    * per-group KMV estimator ([[Sketches.kmvUserCardinalityByType]])
+    * instead — same bounded mergeable-state shape, fully
+    * hash-checked. rsd = 0.02 (≈2700 registers, a few KB per group) rather
     * than the 0.05 default, which is a STANDARD DEVIATION — at 0.05
     * a >5% miss is a coin flip per group and was observed at sf0.1;
     * 0.02 leaves the 5% contract ≈2.5σ of headroom while the sketch
@@ -948,8 +955,17 @@ object EventQueries {
          |  ${graft.OracleSql.round("quantile_cont(value, 0.5)", 4)} AS p50,
          |  ${graft.OracleSql.round("quantile_cont(value, 0.75)", 4)} AS p75
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
-    "approx_user_cardinality" -> QueryDef(approxUserCardinality),
-    "approx_value_percentiles" -> QueryDef((s, d) => approxValuePercentiles(s, d)),
+    // Round 9: both approx rows moved off engine-private register
+    // sketches (HLL / GK — each kept as an error-bound property test
+    // on approxUserCardinality / approxValuePercentiles) onto
+    // deterministic k-min-set constructions, making them full DuckDB
+    // hash checks — the last two rows-only queries, closed.
+    "approx_user_cardinality" -> QueryDef(
+      (s, d) => Sketches.kmvUserCardinalityByType(s, d),
+      Some(Sketches.kmvUsersByTypeOracleSql())),
+    "approx_value_percentiles" -> QueryDef(
+      (s, d) => Sketches.sampledValuePercentiles(s, d),
+      Some(Sketches.sampledValuePctOracleSql())),
     "user_first_last_salted" -> QueryDef(userFirstLastSalted, Some(
       "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "user_auth_count" -> QueryDef(userAuthCount, Some(

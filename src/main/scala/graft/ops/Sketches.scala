@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic cardinality sketching.
   *
-  * The library's HLL surface (`approx_user_cardinality`,
-  * `approx_count_distinct`) is engine-private — its register layout is
-  * not reproducible by an independent engine, so its driver row is
-  * rows-only. KMV (k-minimum-values) is the oracle-checkable
-  * complement: keep the k smallest values of a uniform hash of the
+  * The engine's own register sketches (HLL `approx_count_distinct`,
+  * GK `percentile_approx`) have engine-private state not reproducible
+  * by an independent engine; both remain available (and error-bound
+  * property-tested) but since round 9 every DRIVER row here rides a
+  * deterministic k-min-set construction instead, so the whole sketch
+  * family is DuckDB hash-checked. KMV (k-minimum-values) is the
+  * oracle-checkable workhorse: keep the k smallest values of a uniform hash of the
   * distinct keys; with r_k = the k-th smallest hash scaled to [0, 1),
   * E[distinct] ≈ (k-1)/r_k (Beyer et al., "On Synopses for Distinct-
   * Value Estimation Under Multiset Operations", SIGMOD'07). Every step
@@ -112,6 +114,113 @@ object Sketches {
         round(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)), 4)
           .as("est_intersect"))
   }
+
+  /** Per-group KMV distinct-count — the grouped flavor of
+    * [[kmvDistinct]], replacing the engine-private HLL register sketch
+    * on the `approx_user_cardinality` driver row (the HLL path itself
+    * stays exercised as an error-bound property test on
+    * [[graft.ops.EventQueries.approxUserCardinality]]): per event
+    * type, the k-min-set lives in the typed mergeable [[KmvAgg]]
+    * buffer (≤ k longs of state per group, partial→merge→final across
+    * partitions — the same bounded-state single-pass shape HLL gives),
+    * and the (k−1)/r_k estimate surfaces beside the exact row count.
+    * Every step is the deterministic M61+fmix63 hash, a pure function
+    * of the input SET — which is what upgrades the row from rows-only
+    * to a full DuckDB hash check. */
+  def kmvUserCardinalityByType(s: SparkSession, dir: String,
+                               k: Int = 32): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    Tables(s, dir, "events")
+      .select(col("event_type"), hash63(col("user_id")).as("hm"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("hm")).as("sk"), count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        round(when(size(col("sk.hs")) < k, size(col("sk.hs")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9223372036854775808.0) /
+            element_at(col("sk.hs"), size(col("sk.hs"))).cast("double")), 4)
+          .as("approx_users"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-group approximate percentiles over a BOTTOM-K HASH SAMPLE —
+    * the deterministic, oracle-checkable replacement for the
+    * engine-private Greenwald-Khanna register sketch on the
+    * `approx_value_percentiles` driver row (the GK path stays as the
+    * error-bound property test on
+    * [[graft.ops.EventQueries.approxValuePercentiles]]): the k rows
+    * with the smallest M61+fmix63(event_id) per event type are a
+    * uniform random sample DETERMINED BY THE DATA (bottom-k sampling —
+    * the same k-min-set mergeability as KMV: union two samples,
+    * re-take the k smallest, so per-shard samples combine at 100 TB),
+    * and the exact interpolated percentiles of the sample estimate the
+    * population's with rank error ~ sqrt(p(1−p)/k). Sample membership
+    * is a pure function of the input set and the interpolation is the
+    * cross-engine-proven `percentile`/`quantile_cont` pair (4dp
+    * equality established by the exact `value_percentiles` row), so
+    * the row is a full hash check. */
+  def sampledValuePercentiles(s: SparkSession, dir: String,
+                              k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        hash63(col("event_id")).as("hm"), col("event_id"))
+    // (hm, event_id) is a TOTAL order: event_id is unique, so sample
+    // membership cannot flip between engines on a hash collision
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hm"), col("event_id"))
+    v.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("p"),
+        count(lit(1)).as("sample_n"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 4).as("p25"),
+        round(element_at(col("p"), 2), 4).as("p50"),
+        round(element_at(col("p"), 3), 4).as("p75"),
+        col("sample_n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle for [[kmvUserCardinalityByType]]: per-type distinct user
+    * hashes, per-type k-min set via a partitioned row_number, the
+    * (k−1)/r_k estimate beside the exact event count. */
+  private[ops] def kmvUsersByTypeOracleSql(k: Int = 32): String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |${OracleSql.m61FmixScalarCtes("du", "CAST(user_id AS VARCHAR)")},
+       |hm AS (SELECT DISTINCT event_type, h & 9223372036854775807 AS hm FROM mh),
+       |rk AS (SELECT event_type, hm,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY hm) AS rn
+       |       FROM hm),
+       |ag AS (SELECT event_type, count(*) AS k_eff, max(hm) AS kth
+       |       FROM rk WHERE rn <= $k GROUP BY event_type),
+       |n AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+       |SELECT ag.event_type,
+       |  ${OracleSql.round(
+           s"CASE WHEN k_eff < $k THEN CAST(k_eff AS DOUBLE) " +
+             s"ELSE ${(k - 1).toDouble} * 9223372036854775808.0 / CAST(kth AS DOUBLE) END", 4)} AS approx_users,
+       |  n.n_events
+       |FROM ag JOIN n ON ag.event_type = n.event_type
+       |ORDER BY ag.event_type""".stripMargin
+
+  /** Oracle for [[sampledValuePercentiles]]: the same bottom-k hash
+    * sample (total (hm, event_id) order), quantile_cont interpolation
+    * rounded at 4dp — the value_percentiles cross-engine recipe. */
+  private[ops] def sampledValuePctOracleSql(k: Int = 256): String =
+    s"""WITH v AS (SELECT event_type, value, event_id FROM events
+       |           WHERE value IS NOT NULL),
+       |${OracleSql.m61FmixScalarCtes("v", "CAST(event_id AS VARCHAR)")},
+       |rk AS (SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |           ORDER BY h & 9223372036854775807, event_id) AS rn
+       |       FROM mh),
+       |smp AS (SELECT event_type, value FROM rk WHERE rn <= $k)
+       |SELECT event_type,
+       |  ${OracleSql.round("quantile_cont(value, 0.25)", 4)} AS p25,
+       |  ${OracleSql.round("quantile_cont(value, 0.5)", 4)} AS p50,
+       |  ${OracleSql.round("quantile_cont(value, 0.75)", 4)} AS p75,
+       |  count(*) AS sample_n
+       |FROM smp GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Misra-Gries candidate keys, one bounded summary per partition.
     *

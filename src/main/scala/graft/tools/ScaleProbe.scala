@@ -105,21 +105,35 @@ object ScaleProbe {
       }.getOrElse(100)
       val dir = s"target/scratch/sf${factor}x_emb"
       if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
-        // DIRECTION-salted replicas (each replica's vectors shifted by a
-        // replica-keyed offset vector), not exact copies: 100 exact
-        // copies of every vector make the TRUE pair output grow ~2000×
-        // (every copy pair sits at cosine 1 — the documented
-        // replication artifact, measured 94.5× wall here), which probes
-        // output growth, not the candidate-volume law. Salting keeps
-        // each replica's internal near-dup structure while breaking
-        // cross-replica duplicates — the honest "Nx fresh corpus" model
-        // (the token-salted ingest replicas' vector twin).
+        // ORTHOGONALLY-salted replicas (per-replica dimension rotation +
+        // hash-keyed sign flips), not exact copies: 100 exact copies of
+        // every vector put every copy pair at cosine 1 and the TRUE
+        // pair output grows ~2000× (the documented replication
+        // artifact, measured 94.5× wall here) — that probes output
+        // growth, not the candidate-volume law. An orthogonal
+        // transform preserves each replica's internal cosine structure
+        // BIT-FOR-BIT (rotation and ±1 flips are exact in float) while
+        // cross-replica cosines collapse to ~0 on these near-random
+        // unit vectors — the honest "Nx fresh corpus" model (the
+        // token-salted ingest replicas' vector twin). Additive offsets
+        // cannot do this: large ones dominate the unit-norm base
+        // (within-replica graph goes complete), small ones leave
+        // cross-replica copies at cosine ≈ 1.
         val base = graft.Tables(spark, src, "embeddings")
+        val dims = 64
         (0 until factor).map { i =>
+          val h = graft.functions.TextExpressions.fmix64(i + 1L)
+          val signs = array(Array.tabulate(dims) { d =>
+            lit(if (((h >> (d % 63)) & 1L) == 1L) -1.0f else 1.0f)
+          }: _*)
+          val shift = i % dims
+          val rotated =
+            if (shift == 0) col("embedding")
+            else concat(slice(col("embedding"), shift + 1, dims - shift),
+              slice(col("embedding"), 1, shift))
           base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
-            .withColumn("embedding", transform(col("embedding"),
-              (x, d) => (x.cast("double") +
-                lit(0.3) * sin((d + 1) * lit((i + 1).toDouble))).cast("float")))
+            .withColumn("embedding",
+              zip_with(rotated, signs, (x, s) => (x * s).cast("float")))
         }.reduce(_ unionByName _)
           .repartition(32)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
