@@ -96,6 +96,116 @@ object Graph {
     result
   }
 
+  /** PageRank over a BUCKETED edge layout — the co-partitioned
+    * exchange-free iteration the plain [[pageRank]]'s scale note
+    * promises: edges land once, bucketed+sorted by `src`, and every
+    * derived frame inherits that partitioning, so each round's two
+    * joins plan with NO ShuffleExchange —
+    *  - `deg`: groupBy(src) directly over the bucketed scan (the
+    *    scan's hash(src, buckets) already satisfies the aggregate's
+    *    required clustering);
+    *  - the contribution join p ⋈ edges on node = src: p carries
+    *    hash(node, buckets) from the previous round's output and the
+    *    scan side is bucketed on src — co-partitioned SMJ/BHJ;
+    *  - the update join deg ⋈ Σcontrib on node = dst: deg is cached
+    *    with the scan's partitioning and the aggregation's exchange
+    *    is planned straight to `buckets` partitions to match it.
+    * What remains is exactly ONE ShuffleExchange per round: the
+    * groupBy(dst) message aggregation. That one is the
+    * information-theoretic floor, not plan debt — PageRank moves rank
+    * mass along every edge whose endpoints hash to different
+    * partitions (≈ (1−1/P) of edges under any hash layout), so only a
+    * graph partitioner with vertex mirroring (the GraphX design)
+    * could shrink it further; under hash bucketing the exchange's
+    * VOLUME is already minimized by map-side partial aggregation to
+    * O(nodes·partitions) partial sums, never O(edges). GraphSpec pins
+    * the per-round plan at exactly one ShuffleExchangeExec and zero
+    * exchanges above the bucketed scans (vs three node/edge-sized
+    * exchanges per round in the unbucketed formulation).
+    *
+    * Lineage per round is truncated by eager DataFrame persist —
+    * NOT the RDD round-trip [[pageRank]] uses, because
+    * `createDataFrame(rdd)` erases the output partitioning and every
+    * subsequent round would re-exchange p; `InMemoryTableScan`
+    * preserves it, which is what keeps round k+1's contribution join
+    * exchange-free. Decimal staging is identical to [[pageRank]], so
+    * the result (and oracle) are shared bit-for-bit.
+    *
+    * `buckets` defaults to the session's shuffle partition count so
+    * the aggregation exchange lands co-partitioned with the bucketed
+    * side at any CPU count (a mismatch costs one extra node-sized
+    * exchange per round, nothing more). At 100 TB the bucketed write
+    * happens once per ingest; this row pays it inline (the
+    * [[Bucketing.bucketedOrderRevenueQuery]] hermeticity pattern —
+    * fixed table name, previous copy dropped). */
+  def pageRankBucketed(s: SparkSession, edges: DataFrame,
+                       iterations: Int = 5, damping: Double = 0.85,
+                       buckets: Int = -1): DataFrame = {
+    val (e, deg) = prBucketedOperands(s, edges, buckets)
+    var p = deg.select(col("node"), col("outdeg"), col("n_total"),
+      round(lit(1.0) / col("n_total").cast("double"), 9)
+        .cast("decimal(20,9)").as("rank"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val stepped = prRound(p, e, deg, damping).persist()
+      stepped.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(stepped)
+      p = stepped
+    }
+    val result = p.select(col("node"), col("rank")).persist()
+    result.count()
+    prev.foreach(_.unpersist(blocking = false))
+    deg.unpersist(blocking = false)
+    result
+  }
+
+  /** Land `edges` bucketed+sorted by src and derive the cached degree
+    * frame WITHOUT leaving the scan's partitioning (groupBy(src) over
+    * the bucketed scan — no exchange; n_total folded in once via a
+    * broadcast scalar). Returns (edge scan, persisted deg). */
+  private[ops] def prBucketedOperands(s: SparkSession, edges: DataFrame,
+                                      buckets: Int = -1): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.SaveMode
+    val nBuckets = if (buckets > 0) buckets
+      else s.sessionState.conf.numShufflePartitions
+    val table = "pr_edges_bq"
+    val loc = s"target/scratch/bucketed_$table"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p0 = new org.apache.hadoop.fs.Path(loc)
+    val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p0)) fs.delete(p0, true)
+    edges.select(col("src"), col("dst"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .option("path", loc).format("parquet").saveAsTable(table)
+    val e = s.table(table)
+    val degBase = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nTotal = degBase.agg(count(lit(1)).as("n_total"))
+    val deg = degBase.crossJoin(broadcast(nTotal)).persist()
+    (e, deg)
+  }
+
+  /** One PageRank round over the co-partitioned operands — the frame
+    * the spec's exchange-count pin inspects. Decimal staging is
+    * bit-identical to [[pageRank]]'s round. */
+  private[ops] def prRound(p: DataFrame, e: DataFrame, deg: DataFrame,
+                           damping: Double = 0.85): DataFrame = {
+    val contrib = p
+      .join(e, col("src") === col("node"))
+      .select(col("dst"),
+        round(col("rank").cast("double") / col("outdeg").cast("double"), 9)
+          .cast("decimal(20,9)").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+    deg
+      .join(contrib, col("dst") === col("node"), "left")
+      .select(col("node"), col("outdeg"), col("n_total"),
+        round(lit(1.0 - damping) / col("n_total").cast("double") +
+          lit(damping) * coalesce(col("sc"), lit(0).cast("decimal(20,9)")).cast("double"), 9)
+          .cast("decimal(20,9)").as("rank"))
+  }
+
   /** Bounded-horizon BFS: minimum hop count from a seed set by
     * `maxHops` rounds of relaxation (extend every known distance one
     * edge, keep the per-node min). Unreached nodes are absent. A
@@ -292,7 +402,20 @@ object Graph {
     * rank as a double (a DECIMAL(20,9) converts to the same double in
     * every engine). */
   def supplierPageRank(s: SparkSession, dir: String): DataFrame =
-    pageRank(tradeEdges(s, dir), iterations = 5)
+    supplierRanks(s, dir, pageRank(tradeEdges(s, dir), iterations = 5))
+
+  /** Driver row: [[supplierPageRank]] recomputed over the bucketed
+    * co-partitioned layout ([[pageRankBucketed]]) — same iterations,
+    * same decimal staging, so it SHARES supplier_pagerank's oracle
+    * verbatim; bucketing must be output-invisible (only the physical
+    * plan changes — one ShuffleExchange per round instead of three,
+    * pinned in GraphSpec). */
+  def supplierPageRankBucketed(s: SparkSession, dir: String): DataFrame =
+    supplierRanks(s, dir, pageRankBucketed(s, tradeEdges(s, dir), iterations = 5))
+
+  private def supplierRanks(s: SparkSession, dir: String,
+                            ranks: DataFrame): DataFrame =
+    ranks
       .filter(col("node") % 2 === 1)
       .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
         col("rank").cast("double").as("pagerank"))
@@ -651,6 +774,9 @@ object Graph {
       Some(lpaOracle(4))),
     "supplier_kcore" -> QueryDef(supplierKcore, Some(kcoreOracle(12))),
     "supplier_pagerank" -> QueryDef(supplierPageRank, Some(pageRankOracle(5))),
+    // same fixpoint over the bucketed layout — shares the oracle
+    "supplier_pagerank_bucketed" -> QueryDef(supplierPageRankBucketed,
+      Some(pageRankOracle(5))),
     "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
       """WITH RECURSIVE eo AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su

@@ -245,6 +245,57 @@ class GraphSpec extends AnyFunSuite {
     assert(at12 == at16, "h-index iteration had not converged by round 12")
   }
 
+  test("bucketed ranks equal the scalar 9dp reference bit-for-bit") {
+    val und = (1 to 6).map(i => (0L, i.toLong)) :+ (1L, 2L)
+    val got = Graph.pageRankBucketed(spark, starEdges, iterations = 5)
+      .collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val want = reference(und, 5)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(got(k) == v, s"node $k: got ${got(k)} want $v")
+  }
+
+  test("bucketed round: exactly ONE shuffle exchange — both joins co-partitioned") {
+    // The claim the bucketed layout exists to make checkable: with
+    // edges bucketed by src and deg/p inheriting that partitioning,
+    // a round's contribution join and update join plan with no
+    // ShuffleExchange; the lone remaining exchange is the groupBy(dst)
+    // message aggregation (the information-theoretic floor — rank
+    // mass crosses partitions along edges no matter the layout).
+    // The unbucketed prose baseline is three exchanges per round.
+    val (e, deg) = Graph.prBucketedOperands(spark, starEdges, buckets = 4)
+    try {
+      val p0 = deg.select(col("node"), col("outdeg"), col("n_total"),
+        round(lit(1.0) / col("n_total").cast("double"), 9)
+          .cast("decimal(20,9)").as("rank"))
+      val stepped = Graph.prRound(p0, e, deg)
+      stepped.collect() // materialize so AQE's final plan is inspectable
+      // Count ShuffleExchangeExec in the EXECUTED round: descend
+      // through AQE wrappers and query stages, but not into cached
+      // relations (deg is built once, outside the loop) and not into
+      // the pre-AQE "initial plan" (string matching would count both).
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def countShuffles(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+        val kids: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _: InMemoryTableScanExec => Nil
+          case other => other.children
+        }
+        self + kids.map(countShuffles).sum
+      }
+      val shuffles = countShuffles(stepped.queryExecution.executedPlan)
+      assert(shuffles == 1,
+        s"expected exactly 1 shuffle exchange in the round, got $shuffles:\n" +
+          stepped.queryExecution.executedPlan)
+    } finally deg.unpersist(blocking = false)
+  }
+
   test("LPA refines components: no community ever crosses a component") {
     val dir = "/root/testdata/sf0.001"
     val comp = Graph.supplierComponents(spark, dir)
