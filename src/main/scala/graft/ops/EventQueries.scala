@@ -563,6 +563,28 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The same enrichment with the salt decision driven by the
+    * MEASURED key profile ([[SkewUtils.adaptiveSaltedJoin]]) instead
+    * of the caller: one profile pass over the fact side, salt only
+    * when the hottest key exceeds 4× the mean per-reducer load. On
+    * this corpus user_id is near-uniform (max key ≈ mean), so the
+    * row demonstrates the DON'T-salt branch — the plan must not pay
+    * the salt constant (no __salt column, no 8× dim replication;
+    * SkewUtilsSpec pins both branches on planted inputs, and the
+    * planted-skew ScaleProbe shows the other branch engaging at
+    * volume). Oracle = the plain-join SQL, shared with the static
+    * row — the decision must be output-invisible by construction. */
+  def userEnrichAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("ms")).as("first_ms"))
+    SkewUtils.adaptiveSaltedJoin(ev, dim, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ms") - col("first_ms")).as("max_age_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** Mergeable per-user rollup: count, min/max epoch-ms, and an exact
     * 9dp-decimal value sum — every field merges associatively, which
     * is the property incremental maintenance needs. */
@@ -931,6 +953,8 @@ object EventQueries {
         |    CAST(round(CAST(CAST(0.2 * x + 0.8 * acc AS VARCHAR) AS DECIMAL(38,28)), 9) AS DOUBLE)) AS ewma
         |FROM l ORDER BY user_id""".stripMargin)),
     "user_enrich_salted" -> QueryDef(userEnrichSalted, Some(enrichOracle)),
+    // measurement-driven salt decision, same join semantics → same oracle
+    "user_enrich_adaptive" -> QueryDef(userEnrichAdaptive, Some(enrichOracle)),
     "user_stats_incremental" -> QueryDef(userStatsIncremental, Some(
       s"""SELECT user_id, count(*) AS n_events,
          |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,

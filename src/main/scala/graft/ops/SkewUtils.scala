@@ -51,6 +51,66 @@ object SkewUtils {
     salted.join(repl, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Measured skew decision (round-9 verdict task: salting engaged by
+    * MEASUREMENT, not by caller). The baseline load is the mean
+    * per-reducer volume of everything EXCEPT the hottest key,
+    * (nRows − maxCnt) / partitions — comparing against the overall
+    * mean cannot work, because a single dominant key IS most of the
+    * mean (max/mean asymptotes to the partition count no matter how
+    * extreme the skew). A key is hot when it exceeds `skewFactor`×
+    * that baseline — below, AQE's runtime skew split rebalances fine
+    * and static salting would only pay its constant (nSalts× the
+    * small side on the wire + a wider shuffle key). Returns 1 (don't
+    * salt) or the salt count that spreads the hottest key back to
+    * ≈ baseline load, capped at `maxSalts` (beyond ~16 the
+    * replication cost dominates what one key can save).
+    * Deterministic in its inputs — the planted-skew spec pins both
+    * branches. */
+  private[graft] def decideSalts(nRows: Long, maxCnt: Long, partitions: Int,
+                               skewFactor: Double = 4.0,
+                               maxSalts: Int = 16): Int = {
+    val restMean = math.max(1.0,
+      (nRows - maxCnt).toDouble / math.max(1, partitions))
+    if (maxCnt.toDouble <= skewFactor * restMean) 1
+    else math.min(maxSalts, math.max(2, math.ceil(maxCnt.toDouble / restMean).toInt))
+  }
+
+  /** One-pass profile of `df`'s join-key distribution: (total rows,
+    * hottest key's rows). `sampleOneIn` > 1 profiles a deterministic
+    * 1-in-N row sample instead (row-hash gate — a hot key's share
+    * survives uniform row sampling, so the scaled estimate stays
+    * honest) and scales both counts back up: the 100 TB posture,
+    * where an exact profile pass would cost as much as the join it
+    * sizes. */
+  private[graft] def profileKey(df: DataFrame, key: String,
+                              sampleOneIn: Int = 1): (Long, Long) = {
+    val base = if (sampleOneIn > 1)
+      df.filter(rowSalt(df, sampleOneIn) === 0) else df
+    val row = base.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("mx"))
+      .collect()(0)
+    if (row.isNullAt(0)) (0L, 0L)
+    else (row.getLong(0) * sampleOneIn, row.getLong(1) * sampleOneIn)
+  }
+
+  /** Equi-join that decides salting FROM the measured key profile:
+    * one profile pass over the big side (or a 1-in-`sampleOneIn`
+    * sample of it), then [[decideSalts]] — uniform keys take the
+    * plain join (no salt column, no small-side replication: the
+    * profile is the only cost), a hot key takes [[saltedJoin]] with
+    * the salt count sized to the measured excess. Output is exactly
+    * the plain join either way (SkewUtilsSpec pins both branches and
+    * their plans; the driver row's oracle is the plain-join SQL). */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+                         skewFactor: Double = 4.0, maxSalts: Int = 16,
+                         sampleOneIn: Int = 1): DataFrame = {
+    val (nRows, maxCnt) = profileKey(big, key, sampleOneIn)
+    val parts = big.sparkSession.sessionState.conf.numShufflePartitions
+    val n = decideSalts(nRows, maxCnt, parts, skewFactor, maxSalts)
+    if (n <= 1) big.join(small, Seq(key))
+    else saltedJoin(big, small, key, n)
+  }
+
   /** Salted sum/min/max/count bundle — the UserTimeRec shape
     * (first/last/count) under skew. */
   def saltedUserTimes(df: DataFrame, key: String, tsCol: String,

@@ -159,6 +159,65 @@ object ScaleProbe {
       return
     }
 
+    // --skew: the planted-skew probe behind SkewUtils.adaptiveSaltedJoin
+    // (round-9 verdict task 4). Two synthetic fact tables per scale —
+    // one with a single hot key carrying ~40% of rows, one uniform —
+    // joined to their key dimension three ways: plain, statically
+    // salted (nSalts=8), and adaptive. The claims the table must show:
+    // (a) adaptive ENGAGES on the skewed table (salts > 1, sized from
+    // the measured excess) and tracks-or-beats plain there;
+    // (b) adaptive does NOT pay the salt constant on the uniform
+    // table (its time ≈ plain + one profile pass, while static
+    // salting pays the 8x dim replication for nothing).
+    if (args.contains("--skew")) {
+      def mkFact(n: Long, skewed: Boolean, path: String): Unit = {
+        if (new java.io.File(path).exists()) return
+        val nKeys = 4096
+        val key = if (skewed)
+          when(pmod(col("id"), lit(100)) < 40, lit("hot"))
+            .otherwise(concat(lit("k_"), pmod(col("id"), lit(nKeys))))
+        else concat(lit("k_"), pmod(col("id"), lit(nKeys)))
+        spark.range(n).select(key.as("key"), col("id").as("x"))
+          .repartition(32).write.mode("overwrite").parquet(path)
+      }
+      def timeJoin(fact: DataFrame, dim: DataFrame,
+                   mk: (DataFrame, DataFrame) => DataFrame): Double = {
+        mk(fact, dim).write.format("noop").mode("overwrite").save()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk(fact, dim).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      println("scale,dist,n_rows,salts_decided,t_plain,t_salted8,t_adaptive,t_adaptive_s16")
+      for ((scale, n) <- Seq(("1x", 2000000L), ("10x", 20000000L));
+           dist <- Seq("skew", "uniform")) {
+        val path = s"target/scratch/skewprobe_${dist}_$scale"
+        mkFact(n, dist == "skew", path)
+        val fact = spark.read.parquet(path)
+        val dim = fact.select(col("key")).distinct()
+          .withColumn("tag", length(col("key")).cast("long"))
+          .persist()
+        dim.count()
+        val (nRows, maxCnt) = graft.ops.SkewUtils.profileKey(fact, "key")
+        val salts = graft.ops.SkewUtils.decideSalts(nRows, maxCnt, 32)
+        val tPlain = timeJoin(fact, dim, (b, s) => b.join(s, Seq("key")))
+        val tSalted = timeJoin(fact, dim,
+          (b, s) => graft.ops.SkewUtils.saltedJoin(b, s, "key", 8))
+        val tAdaptive = timeJoin(fact, dim,
+          (b, s) => graft.ops.SkewUtils.adaptiveSaltedJoin(b, s, "key"))
+        // the at-scale posture: profile a 1-in-16 row sample — same
+        // decision, profile cost cut ~16x
+        val tAdaptiveS = timeJoin(fact, dim,
+          (b, s) => graft.ops.SkewUtils.adaptiveSaltedJoin(b, s, "key",
+            sampleOneIn = 16))
+        println(f"SKEW $scale,$dist,$nRows,$salts,$tPlain%.2f,$tSalted%.2f,$tAdaptive%.2f,$tAdaptiveS%.2f")
+        dim.unpersist(blocking = false)
+      }
+      spark.stop()
+      return
+    }
+
     def replicate(table: String, keyCols: Map[String, Long]): Unit = {
       val base = graft.Tables(spark, src, table)
       val out = (0 until 10).map { i =>

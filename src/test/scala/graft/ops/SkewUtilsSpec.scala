@@ -44,6 +44,57 @@ class SkewUtilsSpec extends AnyFunSuite {
     assert(salted.length == plain.length && salted.sameElements(plain))
   }
 
+  test("decideSalts: uniform keys never salt, a hot key salts to its excess, capped") {
+    // baseline = mean per-reducer load of everything EXCEPT the top key
+    assert(SkewUtils.decideSalts(1000, 250, 4) == 1)   // rest 187.5, 250 < 4x
+    assert(SkewUtils.decideSalts(1000, 500, 4) == 1)   // rest 125, 500 = 4x exactly
+    assert(SkewUtils.decideSalts(1000, 600, 4) == 6)   // rest 100, ceil(600/100)
+    assert(SkewUtils.decideSalts(101000, 100000, 4) == 16) // cap
+    assert(SkewUtils.decideSalts(0, 0, 4) == 1)        // empty input
+  }
+
+  test("adaptive join: planted hot key engages salting, output still exact") {
+    import spark.implicits._
+    val big = (Seq.tabulate(8000)(i => ("hot", i.toLong)) ++
+      Seq.tabulate(60)(i => (s"k_$i", i.toLong))).toDF("key", "x")
+    val small = (("hot", 99L) +: Seq.tabulate(60)(i => (s"k_$i", i.toLong)))
+      .toDF("key", "tag")
+    // 8060 rows / 4 partitions = 2015 mean; hot = 8000 > 4x mean
+    val joined = SkewUtils.adaptiveSaltedJoin(big, small, "key")
+    assert(joined.queryExecution.analyzed.toString.contains("__salt"),
+      "planted hot key did not engage the salted path")
+    val got = joined.select("key", "x", "tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val want = big.join(small, Seq("key")).select("key", "x", "tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("adaptive join: uniform keys do NOT pay the salt constant") {
+    import spark.implicits._
+    val big = (0 until 4000).map(i => (s"k_${i % 400}", i.toLong)).toDF("key", "x")
+    val small = (0 until 400).map(i => (s"k_$i", i.toLong)).toDF("key", "tag")
+    // mean load 1000, max key 10 — far below the 4x threshold
+    val joined = SkewUtils.adaptiveSaltedJoin(big, small, "key")
+    val plan = joined.queryExecution.analyzed.toString
+    assert(!plan.contains("__salt"),
+      s"uniform input paid the salt constant:\n$plan")
+    assert(!plan.toLowerCase.contains("explode"),
+      s"uniform input replicated the small side:\n$plan")
+    assert(joined.count() == 4000L)
+  }
+
+  test("sampled profile preserves a hot key's scaled share") {
+    import spark.implicits._
+    val big = (Seq.tabulate(8000)(i => ("hot", i.toLong)) ++
+      Seq.tabulate(2000)(i => (s"k_${i % 200}", i.toLong))).toDF("key", "x")
+    val (n, mx) = SkewUtils.profileKey(big, "key", sampleOneIn = 8)
+    // 1-in-8 row sample scaled by 8: totals land near truth (binomial
+    // noise ~ sqrt(n)·8), and the hot key keeps its dominant share
+    assert(math.abs(n - 10000L) < 2000, s"scaled total off: $n")
+    assert(mx > 5000L, s"hot key share lost in the sample: $mx")
+  }
+
   test("salted user-times equals plain min/max/count on real events") {
     val ev = EventQueries.events(spark, dir)
       .withColumn("ms", unix_millis(col("ts"))).select("user_id", "ms")
