@@ -702,21 +702,8 @@ object Similarity {
     // frozen geometry: hash-min seeds from the BASE corpus only;
     // k rows — collected once, reused by both writes and the probes
     // without any cache to leak
-    val seedsPlan = base
-      .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
-      .orderBy(col("hm"), col("vec_id"))
-      .limit(kSeeds)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    val seedRows = seedsPlan.collect()
-    val seeds = s.createDataFrame(
-      java.util.Arrays.asList(seedRows: _*), seedsPlan.schema)
-    def assign(c: DataFrame): DataFrame = c
-      .crossJoin(broadcast(seeds))
-      .withColumn("csim", cosine(col("v"), col("cv")))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+    val seeds = frozenSeeds(s, base, kSeeds)
+    def assign(c: DataFrame): DataFrame = assignToCells(c, seeds)
     val path = new java.io.File(
       s"target/scratch/seeded_ivf_append_${s.sparkContext.applicationId}_" +
         s"${appendSeq.incrementAndGet()}").getAbsolutePath
@@ -748,6 +735,160 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** [[seededIvfAppendQuery]] with the late batch arriving through the
+    * REAL micro-batch engine — the ANN sibling of the dedup intake
+    * loop ([[Dedup.ingestDedupStreamingOn]]'s pattern), closing the
+    * round-8 asymmetry where only the posting index had a streaming
+    * maintenance story. The late slice lands as two mtime-ordered
+    * parquet drops; `maxFilesPerTrigger = 1` delivers one drop per
+    * micro-batch, and `foreachBatch` assigns each drop against the
+    * FROZEN base-trained seed geometry (collected once, before the
+    * stream starts — geometry never re-trains on intake, the
+    * discipline the shared oracle makes output-visible) and writes its
+    * cell-partitioned rows KEYED BY batchId with overwrite-per-batch:
+    * a replayed batch rewrites exactly its own delta directory, so the
+    * index is idempotent under the engine's at-least-once delivery
+    * (SimilaritySpec replays a batch body and pins the final answer
+    * unchanged). The closing query scans base ∪ deltas with the probe
+    * cells as literal filters — both layouts stay cell-partitioned, so
+    * the scans prune (PartitionFilters pinned in SimilaritySpec).
+    * Shares `ann_ivf_append`'s oracle verbatim: the index CONTENT is
+    * identical whether the late batch arrived in one batch write or N
+    * micro-batch deltas. Result is localized (|queries|·k rows)
+    * before the scratch area is reclaimed. */
+  def seededIvfAppendStreaming(s: SparkSession, dir: String,
+                               nQueries: Int = 5, k: Int = 10,
+                               kSeeds: Int = 8, nProbe: Int = 2,
+                               baseBound: Long = 400L,
+                               dropBound: Long = 450L): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val scratch = new java.io.File(
+      s"target/scratch/seeded_ivf_stream_${s.sparkContext.applicationId}_" +
+        s"${appendSeq.incrementAndGet()}").getAbsolutePath
+    try {
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      val queries = e.filter(col("vec_id") < nQueries)
+      val base = e.filter(col("vec_id") >= nQueries && col("vec_id") < baseBound)
+      val seeds = frozenSeeds(s, base, kSeeds)
+      def assign(c: DataFrame): DataFrame = assignToCells(c, seeds)
+      val basePath = s"$scratch/index/base"
+      val deltaPath = s"$scratch/index/delta"
+      assign(base).write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(basePath)
+      // the late slice as two mtime-ordered crawl drops of raw
+      // (vec_id, embedding) — conversion to the double-array v happens
+      // inside the batch function, the same seam emb() applies
+      val srcDir = s"$scratch/drops"
+      writeVectorDropSource(s,
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        srcDir, Seq((baseBound, dropBound), (dropBound, Long.MaxValue)))
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (drop: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          assign(drop.withColumn("v", col("embedding").cast("array<double>"))
+              .select(col("vec_id"), col("v")))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("cell").parquet(s"$deltaPath/batch=$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val probesPlan = queries
+        .crossJoin(broadcast(seeds))
+        .withColumn("csim", cosine(col("v"), col("cv")))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))))
+        .filter(col("crnk") <= nProbe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      val probeRows = probesPlan.collect()
+      val probes = s.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+      val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+      def pruned(path: String): DataFrame = s.read.parquet(path)
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .select(col("neighbor_id"), col("nv"), col("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("sim"), col("neighbor_id"))
+      val resultPlan = pruned(basePath).unionByName(pruned(deltaPath))
+        .join(broadcast(probes), Seq("cell"))
+        .withColumn("sim", cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rnk").cast("long").as("rnk"))
+      val rows = resultPlan.orderBy(col("query_id"), col("rnk")).collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), resultPlan.schema)
+        .orderBy(col("query_id"), col("rnk"))
+    } finally
+      // bounded result is driver-local; index, drops, checkpoint are
+      // scratch — reclaim (long-lived sessions must not grow disk)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+  }
+
+  /** The frozen seed geometry: hash-min `kSeeds` rows of `base`,
+    * collected once and re-entered as a local relation (k rows —
+    * bounded; re-broadcast wherever assignment happens, never
+    * re-derived from grown content). Shared by both intake paths and
+    * the replay spec. */
+  private[ops] def frozenSeeds(s: SparkSession, base: DataFrame,
+                               kSeeds: Int): DataFrame = {
+    val seedsPlan = base
+      .withColumn("hm", graft.functions.textFunctions.m61_fmix_hash63(col("vec_id")))
+      .orderBy(col("hm"), col("vec_id"))
+      .limit(kSeeds)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val seedRows = seedsPlan.collect()
+    s.createDataFrame(java.util.Arrays.asList(seedRows: _*), seedsPlan.schema)
+  }
+
+  /** Nearest-seed cell assignment of a (vec_id, v) frame — the batch
+    * body both intake paths write through. Deterministic in its
+    * inputs (cosine + (desc sim, cell) tie-break), which with keyed
+    * Overwrite is what makes a replayed micro-batch rewrite exactly
+    * its own bytes. */
+  private[ops] def assignToCells(c: DataFrame, seeds: DataFrame): DataFrame = c
+    .crossJoin(broadcast(seeds))
+    .withColumn("csim", cosine(col("v"), col("cv")))
+    .withColumn("crnk", row_number().over(
+      Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))))
+    .filter(col("crnk") === 1)
+    .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cell"))
+
+  /** The vector twin of Dedup's drop-source writer: one parquet file
+    * per [lo, hi) vec_id slice, mtimes pinned strictly ascending so
+    * the mtime-ordered file source replays drops in slice order. */
+  private def writeVectorDropSource(s: SparkSession, all: DataFrame,
+                                    path: String,
+                                    splits: Seq[(Long, Long)]): Unit = {
+    new java.io.File(path).mkdirs()
+    for (((lo, hi), i) <- splits.zipWithIndex) {
+      val tmp = s"$path/_drop_tmp$i"
+      all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no drop part file under $tmp"))
+      val drop = new java.io.File(s"$path/drop$i.parquet")
+      java.nio.file.Files.move(part.toPath, drop.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val target = 1700000000000L + i * 60000L
+      if (!drop.setLastModified(target))
+        java.nio.file.Files.setLastModifiedTime(drop.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(target))
+      if (drop.lastModified() != target)
+        sys.error(s"cannot pin drop mtime: $drop")
+    }
   }
 
   /** [[vectorNorms]] expressed ENTIRELY through the SQL entry path —
@@ -1228,6 +1369,43 @@ object Similarity {
        |         FROM $vecSrc c CROSS JOIN sgn g),
        |sigs AS (SELECT id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bitv GROUP BY id, t)""".stripMargin
 
+  /** Shared by `ann_ivf_append` (batch) and `ann_ivf_append_streaming`
+    * (micro-batch deltas): both grow the same cell-partitioned index
+    * against the base-slice-frozen seed geometry, so one oracle checks
+    * both intake paths. */
+  private lazy val ivfAppendOracleSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+         |      (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |corpus AS (SELECT * FROM e WHERE vec_id >= 5),
+       |base AS (SELECT * FROM corpus WHERE vec_id < 400),
+       |${graft.OracleSql.m61FmixScalarCtes("base", "CAST(vec_id AS VARCHAR)", p = "sh")},
+       |seeds AS (SELECT vec_id AS cell, v AS cv FROM sh
+       |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
+       |assigned AS (
+       |  SELECT neighbor_id, nv, cell FROM (
+       |    SELECT c.vec_id AS neighbor_id, c.v AS nv, s.cell,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cos("c.v", "s.cv")} DESC, s.cell) AS crnk
+       |    FROM corpus c CROSS JOIN seeds s)
+       |  WHERE crnk = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, s.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.v", "s.cv")} DESC, s.cell) AS crnk
+       |    FROM e q CROSS JOIN seeds s WHERE q.vec_id < 5)
+       |  WHERE crnk <= 2),
+       |scored AS (SELECT query_id, neighbor_id, ${cos("p.qv", "a.nv")} AS sim
+       |           FROM assigned a JOIN probes p USING (cell)),
+       |ranked AS (SELECT query_id, neighbor_id, sim,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "embedding_pca_power" -> QueryDef((s, d) => pcaPower(s, d),
       Some(pcaPowerOracle(6))),
@@ -1429,38 +1607,12 @@ object Similarity {
     // [[seededIvfTopK]]'s oracle with the seed source narrowed to the
     // base slice — the frozen-geometry contract: appended vectors are
     // assigned and scored, but never move the cells.
-    "ann_ivf_append" -> QueryDef((s, d) => seededIvfAppendQuery(s, d), Some({
-      def cos(a: String, b: String) =
-        s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
-           |      (sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |corpus AS (SELECT * FROM e WHERE vec_id >= 5),
-         |base AS (SELECT * FROM corpus WHERE vec_id < 400),
-         |${graft.OracleSql.m61FmixScalarCtes("base", "CAST(vec_id AS VARCHAR)", p = "sh")},
-         |seeds AS (SELECT vec_id AS cell, v AS cv FROM sh
-         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
-         |assigned AS (
-         |  SELECT neighbor_id, nv, cell FROM (
-         |    SELECT c.vec_id AS neighbor_id, c.v AS nv, s.cell,
-         |      row_number() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ${cos("c.v", "s.cv")} DESC, s.cell) AS crnk
-         |    FROM corpus c CROSS JOIN seeds s)
-         |  WHERE crnk = 1),
-         |probes AS (
-         |  SELECT query_id, qv, cell FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, s.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cos("q.v", "s.cv")} DESC, s.cell) AS crnk
-         |    FROM e q CROSS JOIN seeds s WHERE q.vec_id < 5)
-         |  WHERE crnk <= 2),
-         |scored AS (SELECT query_id, neighbor_id, ${cos("p.qv", "a.nv")} AS sim
-         |           FROM assigned a JOIN probes p USING (cell)),
-         |ranked AS (SELECT query_id, neighbor_id, sim,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-         |           FROM scored)
-         |SELECT query_id, neighbor_id, ${R("sim", 6)} AS sim, rnk FROM ranked
-         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    })),
+    "ann_ivf_append" -> QueryDef((s, d) => seededIvfAppendQuery(s, d),
+      Some(ivfAppendOracleSql)),
+    // the micro-batch intake twin builds the IDENTICAL index content
+    // (frozen geometry, batchId-keyed deltas), so it shares the oracle
+    "ann_ivf_append_streaming" -> QueryDef(
+      (s, d) => seededIvfAppendStreaming(s, d), Some(ivfAppendOracleSql)),
     "embedding_cluster_assign" -> QueryDef((s, d) => clusterAssign(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},

@@ -427,4 +427,43 @@ class SimilaritySpec extends AnyFunSuite {
     // base slice — seeds are base-only by construction
     spark.catalog.clearCache()
   }
+
+  test("streaming IVF append equals the batch append; late content searchable") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val batch = rows(Similarity.seededIvfAppendQuery(spark, dir))
+    val streamed = rows(Similarity.seededIvfAppendStreaming(spark, dir))
+    // index CONTENT must be identical whether the late slice arrived
+    // as one batch write or two micro-batch deltas — the property the
+    // shared driver oracle also checks
+    assert(streamed == batch, "micro-batch intake diverged from the batch append")
+    assert(streamed.exists(_._2 >= 400L),
+      "no micro-batch-appended vector surfaced in any top-k")
+    spark.catalog.clearCache()
+  }
+
+  test("streaming IVF delta: replaying a batch body rewrites exactly its own bytes") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"))
+    val seeds = Similarity.frozenSeeds(spark,
+      e.filter(col("vec_id") >= 5 && col("vec_id") < 400), kSeeds = 8)
+    val drop = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val delta = new java.io.File(
+      "target/scratch/spec_ivf_replay_" + System.nanoTime()).getAbsolutePath
+    def writeBatch(): Unit =
+      Similarity.assignToCells(drop, seeds)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$delta/batch=0")
+    def state() = spark.read.parquet(delta)
+      .select(col("neighbor_id"), col("cell"))
+      .orderBy(col("neighbor_id")).collect().toSeq
+    writeBatch()
+    val after1 = state()
+    writeBatch() // at-least-once REPLAY of batch 0
+    assert(state() == after1, "replaying batch 0 changed the durable delta")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(delta))
+  }
 }
