@@ -464,14 +464,17 @@ object EventQueries {
     * the trailing average divides the frame SUMS (never averages the
     * rates, which would weight days equally regardless of traffic). */
   def dailyErrorRate(s: SparkSession, dir: String): DataFrame = {
-    val daily = events(s, dir)
-      .withColumn("d", col("ts").cast("date"))
-      .groupBy(col("d"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
-      .withColumn("dayn", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    val daily = FrameGuard.assertCalendarBounded(
+      events(s, dir)
+        .withColumn("d", col("ts").cast("date"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("dayn", datediff(col("d"), to_date(lit("1970-01-01"))).cast("long")),
+      "daily_error_rate")
     // deliberately unpartitioned (WindowExec warns): the trailing-7
-    // range frame runs on the calendar-bounded day aggregate
+    // range frame runs on the calendar-bounded day aggregate — an
+    // invariant FrameGuard above enforces at runtime, at any scale
     val w = Window.orderBy(col("dayn")).rangeBetween(-6, Window.currentRow)
     daily
       .withColumn("rate", round(col("n_errors") / col("n_events"), 4))

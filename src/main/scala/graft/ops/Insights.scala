@@ -161,17 +161,20 @@ object Insights {
     * calendar-bounded day frame (the changepoint/error-rate pattern —
     * the unpartitioned trend window is over days, never events). */
   def dailyValueSeasonal(s: SparkSession, dir: String): DataFrame = {
-    val daily = events(s, dir)
-      .select(to_date(col("ts")).as("day"),
-        round(col("value"), 6).cast("decimal(18,6)").as("v"))
-      .groupBy(col("day")).agg(sum(col("v")).as("sv"))
+    val daily = FrameGuard.assertCalendarBounded(
+      events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          round(col("value"), 6).cast("decimal(18,6)").as("v"))
+        .groupBy(col("day")).agg(sum(col("v")).as("sv")),
+      "daily_value_seasonal")
     val dowMean = daily.groupBy(dayofweek(col("day")).as("dow"))
       .agg(sum(col("sv")).as("ds"), count(lit(1)).as("dn"))
       .select(col("dow"),
         round(col("ds").cast("double") / col("dn").cast("double"), 4)
           .as("seasonal_mean"))
     // deliberately unpartitioned (WindowExec warns): the frame is the
-    // calendar-bounded day aggregate, never the fact table
+    // calendar-bounded day aggregate, never the fact table — an
+    // invariant FrameGuard above enforces at runtime, at any scale
     val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
     daily
       .withColumn("dow", dayofweek(col("day")))
@@ -315,13 +318,16 @@ object Insights {
     * fact table); the candidate ranking compares IEEE doubles derived
     * from identical exact sums, tie-broken by day. */
   def dailyValueChangepoint(s: SparkSession, dir: String): DataFrame = {
-    val daily = events(s, dir)
-      .select(to_date(col("ts")).as("day"),
-        round(col("value"), 6).cast("decimal(18,6)").as("v"))
-      .groupBy(col("day"))
-      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val daily = FrameGuard.assertCalendarBounded(
+      events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          round(col("value"), 6).cast("decimal(18,6)").as("v"))
+        .groupBy(col("day"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n")),
+      "daily_value_changepoint")
     // deliberately unpartitioned (WindowExec warns): cumulative sums
-    // over the calendar-bounded day frame, never the fact table
+    // over the calendar-bounded day frame, never the fact table — an
+    // invariant FrameGuard above enforces at runtime, at any scale
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum(col("sv")).as("tot_s"), sum(col("n")).as("tot_n"))

@@ -141,4 +141,19 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(Insights.userTimeWeightedValue(spark, dir).count() == 0L)
     assert(Insights.userValueGapfill(spark, dir).count() == 1L)
   }
+
+  test("FrameGuard: calendar frames pass, a fact-sized frame is refused by name") {
+    // at the bound passes; one past it fails fast with the query named
+    val ok = FrameGuard.assertCalendarBounded(
+      spark.range(10).toDF("x"), "in_bounds", bound = 10)
+    assert(ok.count() == 10L)
+    val e = intercept[IllegalArgumentException] {
+      FrameGuard.assertCalendarBounded(
+        spark.range(11).toDF("x"), "daily_guard_probe", bound = 10)
+    }
+    assert(e.getMessage.contains("daily_guard_probe") &&
+      e.getMessage.contains("11"),
+      s"guard error must name the query and the size: ${e.getMessage}")
+    spark.catalog.clearCache()
+  }
 }
