@@ -111,7 +111,20 @@ object Similarity {
     * column stack it replaces put nTables·nBits·dims literal nodes in
     * the plan and its analysis/codegen dominated the ANN wall clock). */
   private[ops] def lshBuckets(df: DataFrame, idCol: String, nTables: Int = 8,
-                              nBits: Int = 8, dims: Int = 64): DataFrame = {
+                              nBits: Int = 8, dims: Int = 64): DataFrame =
+    df.select(col(idCol), col("v"),
+        posexplode(packedSigCol(nTables, nBits, dims)).as(Seq("tbl", "bucket")))
+      .select(col(idCol), col("v"), col("tbl"), col("bucket"))
+
+  /** The PACKED flavor: one row per id, `sg` = array of per-table
+    * bucket longs (the full tables×bits sign bitmap — what the
+    * Hamming pre-verify XORs). [[lshBuckets]] is its posexploded
+    * projection; both run the same one-pass kernel column. */
+  private[ops] def lshPacked(df: DataFrame, idCol: String, nTables: Int,
+                             nBits: Int, dims: Int): DataFrame =
+    df.select(col(idCol), packedSigCol(nTables, nBits, dims).as("sg"))
+
+  private def packedSigCol(nTables: Int, nBits: Int, dims: Int): Column = {
     // [[lshSigCtes]]'s oracle regenerates the hyperplane grid from a
     // static range(32)×range(16)×range(128) — params past those bounds
     // would silently TRUNCATE the oracle's grid and surface as a
@@ -124,10 +137,8 @@ object Similarity {
       s"LSH params (tables=$nTables, bits=$nBits, dims=$dims) exceed the " +
         "oracle grid bounds (32 tables × 16 bits × 128 dims); widen lshSigCtes " +
         "in step or pass explicit in-range params")
-    df.select(col(idCol), col("v"),
-        posexplode(graft.functions.vectorFunctions.lsh_bucket_sigs(
-          col("v"), hyperplanes(nTables, nBits, dims))).as(Seq("tbl", "bucket")))
-      .select(col(idCol), col("v"), col("tbl"), col("bucket"))
+    graft.functions.vectorFunctions.lsh_bucket_sigs(
+      col("v"), hyperplanes(nTables, nBits, dims))
   }
 
   /** LSH-bucketed ANN top-k: candidates from any shared (table,
@@ -257,30 +268,74 @@ object Similarity {
   def neardupPairsOn(vecs: DataFrame, threshold: Double,
                      nTables: Int = -1, nBits: Int = -1, dims: Int = -1): DataFrame = {
     val bits = resolveBits(nBits, vecs)
-    // persist: the self-join would re-derive all hyperplane dot
-    // products on both sides (same pattern as Dedup's band joins).
-    // Signatures carry ONLY (id, tbl, bucket): the bucket self-join and
-    // the multi-table dropDuplicates move 8-byte ids, never vectors —
-    // a candidate row that carried both 64-double payloads through the
-    // dedup shuffle cost ~1 KB/row on the wire (~150 GB at the 100×
-    // probe point, the round-9 OOM); the exact verify re-joins the
-    // n-sized vector frame against the DEDUPED pair set instead.
-    val sigs = lshBuckets(vecs, "id", resolveTables(nTables, bits), bits,
-        if (dims > 0) dims else dimsOf(vecs))
-      .select(col("id"), col("tbl"), col("bucket"))
+    val tables = resolveTables(nTables, bits)
+    val d = if (dims > 0) dims else dimsOf(vecs)
+    // persist the PACKED per-id signature (one kernel pass, nTables
+    // longs per row): the exploded (id, tbl, bucket) self-join rows
+    // AND the Hamming pre-verify bitmap both derive from this cache.
+    // The bucket self-join and the multi-table dropDuplicates move
+    // 8-byte ids, never vectors — a candidate row that carried both
+    // 64-double payloads through the dedup shuffle cost ~1 KB/row on
+    // the wire (~150 GB at the 100× probe point, the round-9 OOM).
+    val packed = lshPacked(vecs, "id", tables, bits, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = packed
+      .select(col("id"), posexplode(col("sg")).as(Seq("tbl", "bucket")))
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Hamming PRE-VERIFY (the round-9 100×-probe finding): the exact
+    // verify must co-locate both 64-double payloads per surviving
+    // candidate — at 200k vectors the deduped candidate set is ~117M
+    // pairs and that join shuffled ~64 GB for an output of ~0 (noise
+    // candidates collide in one table and fail the cosine). The
+    // signatures the buckets were built from ALREADY estimate the
+    // cosine (SRP: E[hamming]/B = acos(cos)/π over B = tables·bits
+    // sign bits), so candidates first join the ~100-byte packed
+    // bitmaps and keep only ham ≤ [[hamCutFor]] — an integer cutoff
+    // at θ(threshold) + 2.5σ, dropping the bulk of the noise mass
+    // (centered at B/2) while a pair AT the threshold survives with
+    // P ≈ 99.4%; pairs comfortably above it (real near-dups) sit many
+    // σ below the cut and never drop. This trades ≤ ~0.6% recall at
+    // the exact threshold boundary — the same order as the banded-LSH
+    // 98% candidate-recall target itself — for a payload join that
+    // touches only plausible pairs. The cutoff is a pure integer
+    // function of (threshold, bits) computed ONCE in Scala and inlined
+    // into the DuckDB oracle as a CASE over bits, so both engines drop
+    // exactly the same pairs and the hash gate stays exact.
+    val cut = hamCutFor(threshold, bits, tables)
+    val pre =
+      if (cut >= tables * bits) cand // vacuous cut: skip the bitmap join
+      else cand
+        .join(packed.select(col("id").as("id_a"), col("sg").as("sga")), Seq("id_a"))
+        .join(packed.select(col("id").as("id_b"), col("sg").as("sgb")), Seq("id_b"))
+        .filter(aggregate(
+          zip_with(col("sga"), col("sgb"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0L), (acc, h) => acc + h.cast("long")) <= lit(cut.toLong))
+        .select(col("id_a"), col("id_b"))
     val va = vecs.select(col("id").as("id_a"), col("v").as("va"))
     val vb = vecs.select(col("id").as("id_b"), col("v").as("vb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    pre.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Integer Hamming cutoff for the SRP pre-verify: a pair at cosine
+    * exactly `threshold` has expected Hamming B·p with p = acos(τ)/π
+    * over B = tables·bits sign bits; keep candidates within 2.5
+    * binomial σ of that mean (one-sided miss ≈ 0.6% AT the boundary,
+    * vanishing above it). Computed engine-side only and INLINED into
+    * the oracle per possible bits value — no transcendental ever
+    * evaluates in SQL, so a 1-ulp acos difference can never flip the
+    * integer across engines. */
+  private[ops] def hamCutFor(threshold: Double, bits: Int, tables: Int): Int = {
+    val b = (tables * bits).toDouble
+    val p = math.acos(threshold) / math.Pi
+    math.floor(b * p + 2.5 * math.sqrt(b * p * (1.0 - p))).toInt
   }
 
   /** Dimension-truncation recall — the evaluation behind
@@ -1369,6 +1424,28 @@ object Similarity {
        |         FROM $vecSrc c CROSS JOIN sgn g),
        |sigs AS (SELECT id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM bitv GROUP BY id, t)""".stripMargin
 
+  /** Mirror of the engine's Hamming pre-verify over [[lshSigCtes]]'
+    * output: CTEs ending in `pre` = the candidate pairs whose packed-
+    * signature Hamming distance is within [[hamCutFor]]'s cutoff.
+    * The cutoff inlines as a CASE over every bits value the adaptive
+    * dial can produce — each branch an INTEGER computed by the same
+    * Scala function the engine used, so no transcendental evaluates
+    * in SQL and the two engines drop identical pairs. Expects a
+    * `cand` CTE of (id_a, id_b). */
+  private def hamPreCtes(threshold: Double): String = {
+    val cases = (2 to 16)
+      .map(b => s"WHEN $b THEN ${hamCutFor(threshold, b, autoTables(b))}")
+      .mkString(" ")
+    s"""sigp AS (SELECT id, list(bucket ORDER BY t) AS sg FROM sigs GROUP BY id),
+       |hcut AS (SELECT CASE bits $cases END AS cut, tables * bits AS totbits FROM prm2),
+       |pre AS (SELECT c.id_a, c.id_b FROM cand c
+       |        JOIN sigp sa ON sa.id = c.id_a
+       |        JOIN sigp sb ON sb.id = c.id_b
+       |        WHERE (SELECT cut >= totbits FROM hcut)
+       |           OR list_sum(list_transform(list_zip(sa.sg, sb.sg),
+       |                x -> bit_count(xor(x[1], x[2])))) <= (SELECT cut FROM hcut))""".stripMargin
+  }
+
   /** Shared by `ann_ivf_append` (batch) and `ann_ivf_append_streaming`
     * (micro-batch deltas): both grow the same cell-partitioned index
     * against the base-slice-frozen seed geometry, so one oracle checks
@@ -1495,8 +1572,9 @@ object Similarity {
          |${lshSigCtes(prmSrc = "e", vecSrc = "e")},
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |         FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         |${hamPreCtes(0.4)},
          |pr AS (SELECT c.id_a, c.id_b, ${lshCos("ea.v", "eb.v")} AS sim
-         |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b)
+         |       FROM pre c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b)
          |SELECT id_a, id_b, ${R("sim", 6)} AS sim FROM pr
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
     "ann_truncation_recall" -> QueryDef((s, d) => truncationRecall(s, d), Some(
@@ -1548,8 +1626,9 @@ object Similarity {
          |${lshSigCtes(prmSrc = "e", vecSrc = "e")},
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |         FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         |${hamPreCtes(0.25)},
          |epairs AS (SELECT c.id_a, c.id_b
-         |       FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+         |       FROM pre c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
          |       WHERE ${lshCos("ea.v", "eb.v")} >= 0.25),
          |adj AS (SELECT id_a AS id, id_b AS nb FROM epairs
          |        UNION ALL SELECT id_b, id_a FROM epairs),

@@ -103,25 +103,28 @@ object ScaleProbe {
       val factor = args.collectFirst {
         case a if a.startsWith("--factor=") => a.stripPrefix("--factor=").toInt
       }.getOrElse(100)
-      val dir = s"target/scratch/sf${factor}x_emb"
-      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
-        // ORTHOGONALLY-salted replicas (per-replica dimension rotation +
-        // hash-keyed sign flips), not exact copies: 100 exact copies of
-        // every vector put every copy pair at cosine 1 and the TRUE
-        // pair output grows ~2000× (the documented replication
-        // artifact, measured 94.5× wall here) — that probes output
-        // growth, not the candidate-volume law. An orthogonal
-        // transform preserves each replica's internal cosine structure
-        // BIT-FOR-BIT (rotation and ±1 flips are exact in float) while
-        // cross-replica cosines collapse to ~0 on these near-random
-        // unit vectors — the honest "Nx fresh corpus" model (the
-        // token-salted ingest replicas' vector twin). Additive offsets
-        // cannot do this: large ones dominate the unit-norm base
-        // (within-replica graph goes complete), small ones leave
-        // cross-replica copies at cosine ≈ 1.
+      // ORTHOGONALLY-salted replicas (per-replica dimension rotation +
+      // hash-keyed sign flips), not exact copies: 100 exact copies of
+      // every vector put every copy pair at cosine 1 and the TRUE
+      // pair output grows ~2000× (the documented replication
+      // artifact, measured 94.5× wall here) — that probes output
+      // growth, not the candidate-volume law. An orthogonal
+      // transform preserves each replica's internal cosine structure
+      // BIT-FOR-BIT (rotation and ±1 flips are exact in float) while
+      // cross-replica cosines collapse to ~0 on these near-random
+      // unit vectors — the honest "Nx fresh corpus" model (the
+      // token-salted ingest replicas' vector twin). Additive offsets
+      // cannot do this: large ones dominate the unit-norm base
+      // (within-replica graph goes complete), small ones leave
+      // cross-replica copies at cosine ≈ 1. BOTH probe points build
+      // this way (the shifted-key sf1x replicas are exact copies — a
+      // different workload mix that confounds the ratio).
+      def mkEmb(f: Int): String = {
+        val dir = s"target/scratch/sf${f}x_emb"
+        if (new java.io.File(s"$dir/embeddings.parquet").exists()) return dir
         val base = graft.Tables(spark, src, "embeddings")
         val dims = 64
-        (0 until factor).map { i =>
+        (0 until f).map { i =>
           val h = graft.functions.TextExpressions.fmix64(i + 1L)
           val signs = array(Array.tabulate(dims) { d =>
             lit(if (((h >> (d % 63)) & 1L) == 1L) -1.0f else 1.0f)
@@ -137,7 +140,10 @@ object ScaleProbe {
         }.reduce(_ unionByName _)
           .repartition(32)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        dir
       }
+      val dir = mkEmb(factor)
+      val dir10 = mkEmb(10)
       def t(name: String, d: String): Double = {
         val fn = graft.SparkEntry.queries(name)
         fn(spark, d).write.format("noop").mode("overwrite").save()
@@ -150,11 +156,45 @@ object ScaleProbe {
         }.min
       }
       println(s"query,t10x_sec,t${factor}x_sec,ratio")
-      for (q <- Seq("ann_lsh_topk", "embedding_neardup_pairs")) {
-        val t10 = t(q, big)
+      for (q <- Seq("ann_lsh_topk")) {
+        val t10 = t(q, dir10)
         val tN = t(q, dir)
         println(f"EMBSCALE $q,$t10%.2f,$tN%.2f,${tN / t10}%.1f")
       }
+      // The near-dup probe runs at a NOISE-FLOOR-ADJUSTED threshold,
+      // same at both scales. The registered query's τ = 0.4 is below
+      // the d=64 testdata's noise floor at 200k vectors: random-pair
+      // cosine is N(0, 1/64) (σ = 0.125 — DuckDB-sampled, orthogonal
+      // salting leaves cross-replica pairs exactly there), so
+      // P(noise ≥ 0.4) ≈ 5·10⁻⁴ and the TRUE output grows ~n²·5·10⁻⁴
+      // ≈ 10⁷ pairs at 100× — a measured 94.8× wall that is OUTPUT
+      // densification (any exact algorithm pays it), not candidate
+      // volume. τ = 0.75 (6σ) puts the output back above the noise at
+      // every probe scale, isolating the candidate-volume law the
+      // probe exists to check. At production dims the issue vanishes:
+      // σ = 1/√d, so d ≥ 512 keeps τ = 0.4 at > 9σ.
+      def tNd(d: String): (Double, Long) = {
+        def vecs = graft.Tables(spark, d, "embeddings")
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select(col("vec_id").as("id"), col("v"))
+        def run(): Long = {
+          val n = graft.ops.Similarity.neardupPairsOn(vecs, threshold = 0.75)
+            .count()
+          spark.catalog.clearCache()
+          n
+        }
+        run()
+        var out = 0L
+        val tMin = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          out = run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (tMin, out)
+      }
+      val (t10, n10) = tNd(dir10)
+      val (tN, nN) = tNd(dir)
+      println(f"EMBSCALE neardup_pairs_t075,$t10%.2f,$tN%.2f,${tN / t10}%.1f,pairs=$n10/$nN")
       spark.stop()
       return
     }
@@ -402,7 +442,12 @@ object ScaleProbe {
       "layout_skip_simulation",  // 4 layout passes over one cached grid
       "ann_ivf_append",          // frozen-geometry assign + pruned scan
       "bloom_skip_simulation",   // scan-stage slices + 32-bin bit distinct
-      "sample_neyman_alloc")     // one moment agg + strata-frame window
+      "sample_neyman_alloc",     // one moment agg + strata-frame window
+      "supplier_pagerank_bucketed", // bucketed write + 1-exchange rounds
+      "user_enrich_adaptive",    // key profile pass + plain-or-salted join
+      "ann_ivf_append_streaming",// micro-batch deltas, frozen geometry
+      "approx_user_cardinality", // grouped KMV typed Aggregator
+      "approx_value_percentiles")// bottom-k hash sample + interpolation
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

@@ -428,6 +428,54 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hamming pre-verify: no pair lost on the gate corpora, either threshold") {
+    import org.apache.spark.sql.functions.{col, posexplode, round => rnd}
+    // Reference = the SAME candidate generation with NO pre-filter
+    // (the pre-round-9 operator): any divergence is a pair the bitmap
+    // cutoff dropped. 2.5σ predicts ≤ ~0.6% loss AT the threshold
+    // boundary; on the real corpora the loss must be exactly zero for
+    // the row to have stayed hash-green — pin that directly.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         thr <- Seq(0.25, 0.4)) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select(col("vec_id").as("id"), col("v"))
+      val got = Similarity.neardupPairsOn(e, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = e.count()
+      val bits = Similarity.autoBits(n)
+      val tables = Similarity.autoTables(bits)
+      val sigs = Similarity.lshBuckets(e, "id", tables, bits, 64)
+        .select(col("id"), col("tbl"), col("bucket"))
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val va = e.select(col("id").as("id_a"), col("v").as("va"))
+      val vb = e.select(col("id").as("id_b"), col("v").as("vb"))
+      val ref = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .withColumn("sim", graft.functions.vectorFunctions.cosine_sim(col("va"), col("vb")))
+        .filter(col("sim") >= thr)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref,
+        s"$dir thr=$thr: pre-verify changed the pair set — " +
+          s"dropped ${(ref -- got).take(5)}, added ${(got -- ref).take(5)}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("hamCutFor: monotone in threshold, vacuous only at tiny signature widths") {
+    // lower threshold → larger angle → larger expected hamming → larger cut
+    assert(Similarity.hamCutFor(0.25, 12, 12) > Similarity.hamCutFor(0.4, 12, 12))
+    // at the post-knee width (144 bits) the cut must BITE: strictly
+    // below the noise mean B/2 for τ=0.4 — that gap is the pre-verify's
+    // entire value (noise candidates centered at B/2 get cut)
+    assert(Similarity.hamCutFor(0.4, 12, 12) < 72,
+      s"cut ${Similarity.hamCutFor(0.4, 12, 12)} does not separate noise at B=144")
+  }
+
   test("streaming IVF append equals the batch append; late content searchable") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
