@@ -266,8 +266,10 @@ object Similarity {
       threshold, nTables, nBits)
 
   def neardupPairsOn(vecs: DataFrame, threshold: Double,
-                     nTables: Int = -1, nBits: Int = -1, dims: Int = -1): DataFrame = {
-    val bits = resolveBits(nBits, vecs)
+                     nTables: Int = -1, nBits: Int = -1, dims: Int = -1,
+                     preVerifyFrom: Long = 1L << 14): DataFrame = {
+    val n = vecs.count()
+    val bits = if (nBits > 0) nBits else autoBits(n)
     val tables = resolveTables(nTables, bits)
     val d = if (dims > 0) dims else dimsOf(vecs)
     // persist the PACKED per-id signature (one kernel pass, nTables
@@ -305,9 +307,17 @@ object Similarity {
     // function of (threshold, bits) computed ONCE in Scala and inlined
     // into the DuckDB oracle as a CASE over bits, so both engines drop
     // exactly the same pairs and the hash gate stays exact.
+    //
+    // GATED AT THE SAME 2^14 KNEE as [[autoBits]] (the round-8 lesson:
+    // never tax small corpora for the asymptote) — below it candidate
+    // volume is ≤ a few hundred thousand rows and the two extra bitmap
+    // joins cost more than the payload join they would save; the
+    // oracle mirrors the gate on the same count(*). `preVerifyFrom`
+    // exists so the spec can force the active branch on a small corpus
+    // and pin no-loss against the unfiltered reference.
     val cut = hamCutFor(threshold, bits, tables)
     val pre =
-      if (cut >= tables * bits) cand // vacuous cut: skip the bitmap join
+      if (n < preVerifyFrom || cut >= tables * bits) cand
       else cand
         .join(packed.select(col("id").as("id_a"), col("sg").as("sga")), Seq("id_a"))
         .join(packed.select(col("id").as("id_b"), col("sg").as("sgb")), Seq("id_b"))
@@ -1432,7 +1442,7 @@ object Similarity {
     * Scala function the engine used, so no transcendental evaluates
     * in SQL and the two engines drop identical pairs. Expects a
     * `cand` CTE of (id_a, id_b). */
-  private def hamPreCtes(threshold: Double): String = {
+  private def hamPreCtes(threshold: Double, vecSrc: String = "e"): String = {
     val cases = (2 to 16)
       .map(b => s"WHEN $b THEN ${hamCutFor(threshold, b, autoTables(b))}")
       .mkString(" ")
@@ -1441,7 +1451,8 @@ object Similarity {
        |pre AS (SELECT c.id_a, c.id_b FROM cand c
        |        JOIN sigp sa ON sa.id = c.id_a
        |        JOIN sigp sb ON sb.id = c.id_b
-       |        WHERE (SELECT cut >= totbits FROM hcut)
+       |        WHERE (SELECT count(*) FROM $vecSrc) < 16384
+       |           OR (SELECT cut >= totbits FROM hcut)
        |           OR list_sum(list_transform(list_zip(sa.sg, sb.sg),
        |                x -> bit_count(xor(x[1], x[2])))) <= (SELECT cut FROM hcut))""".stripMargin
   }

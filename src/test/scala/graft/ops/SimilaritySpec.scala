@@ -440,7 +440,10 @@ class SimilaritySpec extends AnyFunSuite {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("v", col("embedding").cast("array<double>"))
         .select(col("vec_id").as("id"), col("v"))
-      val got = Similarity.neardupPairsOn(e, thr)
+      // preVerifyFrom = 0 forces the ACTIVE pre-filter branch (the
+      // default gates it off below the 2^14 knee, where these corpora
+      // live — the default path equals the reference trivially)
+      val got = Similarity.neardupPairsOn(e, thr, preVerifyFrom = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val n = e.count()
       val bits = Similarity.autoBits(n)
