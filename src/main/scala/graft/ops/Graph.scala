@@ -32,15 +32,26 @@ object Graph {
   /** Damped PageRank over a directed edge list (`src`, `dst`), every
     * node assumed to have outdegree ≥ 1 (callers building undirected
     * graphs emit both directions, which guarantees it — no dangling
-    * mass). Returns (node, rank DECIMAL(20,9)). */
+    * mass). Returns (node, rank DECIMAL(20,9)).
+    *
+    * Both static operands are pre-partitioned on their join keys and
+    * cached that way (serial-driver cache contract documented at
+    * Dedup.boundedSharedCounts; Verify/Bench clearCache between
+    * queries, library callers own cleanup). Edges are hashed by src
+    * once for all rounds; n_total is folded into the cached deg frame
+    * once, not re-broadcast per round. The iteration itself is the
+    * SAME eager-persist [[prLoop]] the bucketed sibling uses: each
+    * round is a persisted DataFrame whose InMemoryTableScan preserves
+    * the previous round's hash(node) layout, so round k+1's
+    * contribution join re-uses it without a new exchange. (The rounds
+    * 6-9 variant truncated lineage with an RDD round-trip plus a
+    * per-round `rdd.count()`; its five driver-synchronized RDD
+    * materializations proved hypersensitive to box contention — the
+    * round-9 gate read it at 32 s min-of-2 while the persist-based
+    * bucketed loop read 7 s in the SAME run — and `createDataFrame`
+    * erased the output partitioning besides.) */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85): DataFrame = {
-    // Both static operands are pre-partitioned on their join keys and
-    // cached that way (serial-driver cache contract documented at
-    // Dedup.boundedSharedCounts; Verify/Bench clearCache between
-    // queries, library callers own cleanup). Edges are hashed by src
-    // once for all rounds; n_total is folded into the cached deg frame
-    // once, not re-broadcast per round.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     val degBase = e.groupBy(col("src").as("node"))
@@ -48,51 +59,38 @@ object Graph {
     val nTotal = degBase.agg(count(lit(1)).as("n_total"))
     val deg = degBase.crossJoin(broadcast(nTotal))
       .repartition(col("node")).persist()
-    var p = deg
-      .select(col("node"), col("outdeg"), col("n_total"),
-        round(lit(1.0) / col("n_total").cast("double"), 9)
-          .cast("decimal(20,9)").as("rank"))
-    // Each round is materialized and lineage-truncated (the
-    // shortestHops pattern below): a purely declarative 5-round
-    // join+agg+join chain builds one deep plan whose long scheduling
-    // chain proved hypersensitive to box contention (r6: 5-13 s clean,
-    // 33 s contended). The LogicalRDD round-trip keeps every round's
-    // plan two joins deep and lets each round's stages schedule
-    // independently; exactly one node-sized rank frame stays cached at
-    // a time. The re-shuffle of the (small, node-cardinality) rank
-    // frame per round is the price — the fact-sized edge frame keeps
-    // its cached src-hash layout either way.
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-    for (_ <- 1 to iterations) {
-      val contrib = p
-        .join(e, col("src") === col("node"))
-        .select(col("dst"),
-          round(col("rank").cast("double") / col("outdeg").cast("double"), 9)
-            .cast("decimal(20,9)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      val stepped = deg
-        .join(contrib, col("dst") === col("node"), "left")
-          .select(col("node"), col("outdeg"), col("n_total"),
-          round(lit(1.0 - damping) / col("n_total").cast("double") +
-            lit(damping) * coalesce(col("sc"), lit(0).cast("decimal(20,9)")).cast("double"), 9)
-            .cast("decimal(20,9)").as("rank"))
-      val rdd = stepped.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(rdd)
-      p = edges.sparkSession.createDataFrame(rdd, stepped.schema)
-    }
-    // Hand the caller a DATAFRAME cache, not the loop's raw RDD cache:
-    // spark.catalog.clearCache() — the repo's between-queries cleanup
-    // contract — unpersists DataFrame caches but never raw RDD blocks,
-    // so leaving the final round's RDD persisted would leak one
-    // block-manager entry per invocation until ContextCleaner runs.
-    val result = p.select(col("node"), col("rank")).persist()
-    result.count()
-    prevRdd.foreach(_.unpersist(blocking = false))
+    val result = prLoop(e, deg, iterations, damping)
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
+    result
+  }
+
+  /** The shared eager-persist power-iteration loop over prepared
+    * (edge, degree) operands — plain and bucketed PageRank differ ONLY
+    * in how those operands are laid out. Each round persists and
+    * counts the new rank frame, then drops the superseded one, so
+    * exactly one node-sized frame stays cached at a time and every
+    * round's plan is two joins deep over InMemoryTableScans (which,
+    * unlike an RDD round-trip, preserve the output partitioning the
+    * next round's join needs). Returns the persisted, materialized
+    * (node, rank) result — a DataFrame cache, so the repo's
+    * between-queries `clearCache()` contract covers it. */
+  private def prLoop(e: DataFrame, deg: DataFrame,
+                     iterations: Int, damping: Double): DataFrame = {
+    var p = deg.select(col("node"), col("outdeg"), col("n_total"),
+      round(lit(1.0) / col("n_total").cast("double"), 9)
+        .cast("decimal(20,9)").as("rank"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val stepped = prRound(p, e, deg, damping).persist()
+      stepped.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(stepped)
+      p = stepped
+    }
+    val result = p.select(col("node"), col("rank")).persist()
+    result.count()
+    prev.foreach(_.unpersist(blocking = false))
     result
   }
 
@@ -135,46 +133,47 @@ object Graph {
     * the aggregation exchange lands co-partitioned with the bucketed
     * side at any CPU count (a mismatch costs one extra node-sized
     * exchange per round, nothing more). At 100 TB the bucketed write
-    * happens once per ingest; this row pays it inline (the
-    * [[Bucketing.bucketedOrderRevenueQuery]] hermeticity pattern —
-    * fixed table name, previous copy dropped). */
+    * happens once per ingest; this method pays it inline per
+    * invocation — which is why the driver row is registered in the
+    * INGEST bench tier (the write is a lifecycle cost, the rounds are
+    * the query) — into a per-invocation-unique scratch table
+    * (appId + sequence) dropped once the result is materialized. */
   def pageRankBucketed(s: SparkSession, edges: DataFrame,
                        iterations: Int = 5, damping: Double = 0.85,
                        buckets: Int = -1): DataFrame = {
-    val (e, deg) = prBucketedOperands(s, edges, buckets)
-    var p = deg.select(col("node"), col("outdeg"), col("n_total"),
-      round(lit(1.0) / col("n_total").cast("double"), 9)
-        .cast("decimal(20,9)").as("rank"))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
-      val stepped = prRound(p, e, deg, damping).persist()
-      stepped.count()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(stepped)
-      p = stepped
-    }
-    val result = p.select(col("node"), col("rank")).persist()
-    result.count()
-    prev.foreach(_.unpersist(blocking = false))
+    val (e, deg, dropLayout) = prBucketedOperands(s, edges, buckets)
+    val result = prLoop(e, deg, iterations, damping)
     deg.unpersist(blocking = false)
+    // The result is materialized (prLoop counts its persist), so the
+    // scratch layout can go: leaving it would let concurrent or later
+    // invocations observe and rewrite a shared mutable table that the
+    // result's recompute lineage still points at — a cache-block loss
+    // would then silently recompute over someone else's edges. Dropping
+    // it turns that corner into a loud re-read failure instead (blocks
+    // persist MEMORY_AND_DISK, so recompute needs an executor death).
+    dropLayout()
     result
   }
+
+  /** Invocation counter suffixing each bucketed-layout scratch table:
+    * the table/location must be unique per invocation (appId + seq) so
+    * concurrent callers sharing a session can never clobber each
+    * other's layout — the appendSeq pattern Similarity's index rows
+    * use. */
+  private val prLayoutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Land `edges` bucketed+sorted by src and derive the cached degree
     * frame WITHOUT leaving the scan's partitioning (groupBy(src) over
     * the bucketed scan — no exchange; n_total folded in once via a
-    * broadcast scalar). Returns (edge scan, persisted deg). */
+    * broadcast scalar). Returns (edge scan, persisted deg, and a
+    * cleanup closure dropping the scratch table + files). */
   private[ops] def prBucketedOperands(s: SparkSession, edges: DataFrame,
-                                      buckets: Int = -1): (DataFrame, DataFrame) = {
+                                      buckets: Int = -1): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.SaveMode
     val nBuckets = if (buckets > 0) buckets
       else s.sessionState.conf.numShufflePartitions
-    val table = "pr_edges_bq"
+    val table = s"pr_edges_bq_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")}_${prLayoutSeq.incrementAndGet()}"
     val loc = s"target/scratch/bucketed_$table"
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val p0 = new org.apache.hadoop.fs.Path(loc)
-    val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p0)) fs.delete(p0, true)
     edges.select(col("src"), col("dst"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "src").sortBy("src")
@@ -184,7 +183,13 @@ object Graph {
       .agg(count(lit(1)).as("outdeg"))
     val nTotal = degBase.agg(count(lit(1)).as("n_total"))
     val deg = degBase.crossJoin(broadcast(nTotal)).persist()
-    (e, deg)
+    val drop = () => {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val p0 = new org.apache.hadoop.fs.Path(loc)
+      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p0)) { fs.delete(p0, true); () }
+    }
+    (e, deg, drop)
   }
 
   /** One PageRank round over the co-partitioned operands — the frame

@@ -257,13 +257,16 @@ class PlanPinsSpec extends AnyFunSuite {
   }
 
   test("pageRank: per-round materialization — final plan is iteration-count-independent") {
-    // The round-7 power-iteration contract (Graph.pageRank): every
-    // round materializes through a persisted RDD and truncates its
-    // lineage, so the RETURNED plan is the same constant-size shape
-    // for ANY iteration count — a LogicalRDD leaf plus the final
-    // projections, never a nested 5-round join chain (the round-6
-    // shape whose deep scheduling chain was hypersensitive to box
-    // contention). Checked in a plain non-adaptive session with
+    // The power-iteration contract (Graph.pageRank, round 10: the
+    // eager-persist prLoop shared with the bucketed sibling): every
+    // round materializes through a persisted DataFrame, so the
+    // RETURNED plan is the same constant-size shape for ANY iteration
+    // count — an InMemoryTableScan leaf plus the final projections,
+    // never a nested 5-round join chain (the round-6 shape whose deep
+    // scheduling chain was hypersensitive to box contention; the
+    // rounds-7-9 RDD round-trip fixed the shape but its per-round
+    // driver-synchronized rdd.count() re-introduced the fragility in
+    // the round-9 gate). Checked in a plain non-adaptive session with
     // auto-broadcast off (the 100 TB posture: nothing auto-broadcasts).
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")

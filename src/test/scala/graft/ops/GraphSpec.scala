@@ -264,7 +264,7 @@ class GraphSpec extends AnyFunSuite {
     // message aggregation (the information-theoretic floor — rank
     // mass crosses partitions along edges no matter the layout).
     // The unbucketed prose baseline is three exchanges per round.
-    val (e, deg) = Graph.prBucketedOperands(spark, starEdges, buckets = 4)
+    val (e, deg, dropLayout) = Graph.prBucketedOperands(spark, starEdges, buckets = 4)
     try {
       val p0 = deg.select(col("node"), col("outdeg"), col("n_total"),
         round(lit(1.0) / col("n_total").cast("double"), 9)
@@ -293,7 +293,7 @@ class GraphSpec extends AnyFunSuite {
       assert(shuffles == 1,
         s"expected exactly 1 shuffle exchange in the round, got $shuffles:\n" +
           stepped.queryExecution.executedPlan)
-    } finally deg.unpersist(blocking = false)
+    } finally { deg.unpersist(blocking = false); dropLayout() }
   }
 
   test("LPA refines components: no community ever crosses a component") {
