@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   *  - Each query is then timed TWICE at the target scale and the min
   *    reported — a single sample is hostage to page-cache state, GC
   *    pauses, and compilation that has nothing to do with the plan
-  *    (r1 driver run showed 20× inflation on trivial scan+aggs).
+  *    (r1 driver run showed 20× inflation on trivial scan+aggs). When
+  *    the two samples disagree by >2×, a THIRD is taken and the min of
+  *    three reported (round-9: a both-samples-contended pair put a 4×
+  *    reading into the gate artifact; the extra cost is bounded to
+  *    disputed rows only).
   *  - `spark.catalog.clearCache()` runs between iterations and between
   *    queries: operators persist() derived signature frames internally,
   *    and Spark's CacheManager matches by logical plan, so without the
@@ -37,11 +41,11 @@ import org.apache.spark.sql.SparkSession
   *    removal; the scratch sweep drops directories whose results are
   *    already fully materialized through the noop sink (every driver
   *    row is hermetic — nothing reads another query's scratch).
-  *  - Warmup skips the 14 streaming-lifecycle rows (name contains
-  *    "stream"): their cost is micro-batch engine lifecycle, not JIT,
-  *    so a warmup pass buys nothing and each one leaves RocksDB
-  *    state/checkpoint churn behind; min-of-2 absorbs their first-run
-  *    codegen like any other query.
+  *  - Warmup skips the streaming-lifecycle rows (the explicit
+  *    [[SparkEntry.streamRows]] allowlist): their cost is micro-batch
+  *    engine lifecycle, not JIT, so a warmup pass buys nothing and
+  *    each one leaves RocksDB state/checkpoint churn behind; min-of-2
+  *    absorbs their first-run codegen like any other query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -83,7 +87,7 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     val warmed = selected.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => name.contains("stream") }
+      .filterNot { case (name, _) => SparkEntry.streamRows(name) }
     warmed.zipWithIndex.foreach { case ((_, fn), i) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -107,11 +111,21 @@ object Bench {
       }
       val (t1, ok1) = once()
       val (t2, ok2) = once()
+      // Adaptive THIRD iteration on disagreement (round-9 gate lesson:
+      // min-of-2 let a both-iterations-contended 32 s pair stand as
+      // supplier_pagerank's official reading — 4× every clean
+      // snapshot). When the two samples disagree by >2×, at least one
+      // is contention noise, so a third sample is bought for exactly
+      // the disputed rows (bounded extra cost) and the min of three
+      // reported — a box stall now needs THREE consecutive hits on the
+      // same row to reach the artifact.
+      val disputed = ok1 && ok2 && math.max(t1, t2) > 2.0 * math.min(t1, t2)
+      val (t3, ok3) = if (disputed) once() else (Double.MaxValue, true)
       reclaim() // outside the timed window
       // a failed query reports the -1 sentinel (and lands in "errors")
       // rather than posing as a timing in the map or the total
-      val ok = ok1 && ok2
-      (name, if (ok) math.min(t1, t2) else -1.0, ok)
+      val ok = ok1 && ok2 && ok3
+      (name, if (ok) math.min(math.min(t1, t2), t3) else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -124,12 +138,11 @@ object Bench {
     // and their wall time swings ±6 s run-to-run on FS page-cache
     // temperature alone (r8b vs r8c, zero code change). Reporting them
     // beside `total_query` lets round-over-round comparison track QUERY
-    // latency instead of scratch-FS state. A row is lifecycle iff its
-    // name marks it as an ingest loop or a streaming-engine run.
-    def isLifecycle(name: String): Boolean =
-      name.contains("ingest") || name.contains("stream")
+    // latency instead of scratch-FS state. Tier membership is the
+    // EXPLICIT allowlist in [[SparkEntry.lifecycleRows]] (substring
+    // matching silently re-tiered any name containing "stream").
     val totalLifecycle =
-      results.collect { case (k, v, true) if isLifecycle(k) => v }.sum
+      results.collect { case (k, v, true) if SparkEntry.lifecycleRows(k) => v }.sum
     val totalQuery = total - totalLifecycle
     val nOk = results.count(_._3)
     // A compact summary line (no per-query map) prints BEFORE AND
@@ -137,14 +150,16 @@ object Bench {
     // the 240+-entry queries map pushes the full line's head out of it
     // ("parsed": null in BENCH_r0*.json) — the trailing compact line is
     // whole inside any tail window, and the leading one serves
-    // head-truncated captures. Parsers that scan for the first or last
-    // {"metric":...} line get consistent totals either way.
+    // head-truncated captures. The compact lines carry a DISTINCT
+    // metric name ("total_summary") so a parser expecting exactly one
+    // {"metric":"total"} line still finds exactly one; their totals are
+    // identical to the full line's by construction.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,""" +
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_query":$totalQuery,""" +
         s""""total_lifecycle":$totalLifecycle,"n_queries":$nOk,"errors":$errs,""" +
-        s""""iterations":2,"sf":"$sfDir"}"""
+        s""""iterations":2,"third_on_dispute":true,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,"total_lifecycle":$totalLifecycle,"queries":$qs,"errors":$errs,"iterations":2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,"total_lifecycle":$totalLifecycle,"queries":$qs,"errors":$errs,"iterations":2,"third_on_dispute":true,"sf":"$sfDir"}""")
     println(summary)
     spark.stop()
   }

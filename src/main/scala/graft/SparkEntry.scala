@@ -50,6 +50,38 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     modules.map(_._2).reduce(_ ++ _)
 
+  /** Bench-tier taxonomy — EXPLICIT name sets, not substring matches
+    * (a future row named e.g. `downstream_latency` must not silently
+    * change tiers; RegistrySpec pins every member to a registered
+    * query).
+    *
+    * `streamRows` run the real micro-batch engine per invocation
+    * (RocksDB state, checkpoint lifecycle) — their cost is engine
+    * lifecycle, not JIT, so Bench also skips their warmup pass.
+    * `ingestRows` build a persisted index/layout inline per invocation
+    * (an amortized-per-ingest cost in production): the dedup ingest
+    * loops and the bucketed-PageRank layout write (the rounds are the
+    * query; the one-time bucketed edge landing dominated its wall time
+    * when it sat in the query tier — round-9 verdict item 2). */
+  val streamRows: Set[String] = Set(
+    "ann_ivf_append_streaming", "daily_user_activity_streaming",
+    "dedup_exact_streaming", "dedup_ingest_streaming",
+    "event_transition_matrix_streaming", "kdc_parse_service_stats_streaming",
+    "kdc_parse_user_stats_streaming", "session_timeout_stats_streaming",
+    "session_window_stats_streaming", "sketch_kmv_users_streaming",
+    "stream_dedup_delivery", "stream_interval_join", "stream_outer_join",
+    "stream_static_enrich", "top_users_streaming",
+    "user_first_last_streaming_stateful")
+
+  val ingestRows: Set[String] = Set(
+    "dedup_ingest_epochs", "dedup_ingest_epochs_auto",
+    "dedup_ingest_epochs_batched", "dedup_ingest_indexed",
+    "dedup_ingest_verdicts", "supplier_pagerank_bucketed")
+
+  /** Rows whose wall time is lifecycle (index build / engine run), not
+    * query latency — reported in Bench's `total_lifecycle` tier. */
+  def lifecycleRows: Set[String] = streamRows ++ ingestRows
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Deliberately avoids the events table: the driver may call this with
     * its own SparkSession, and nanosecond vintages of events.parquet

@@ -28,12 +28,25 @@ object FrameGuard {
 
   def assertCalendarBounded(df: DataFrame, what: String,
                             bound: Long = 100000L): DataFrame = {
+    // persist BEFORE the count (not after): the happy path then pays
+    // one aggregate computation, reused by the window — counting an
+    // unpersisted frame first would recompute the fact scan when the
+    // bound passes, i.e. tax every legitimate call to cheapen the
+    // failure path. The failure path instead RELEASES the cache: a
+    // refused fact-sized frame must not squat in the block manager
+    // until a global clearCache (it is exactly the frame too big to
+    // keep around).
     val g = df.persist()
-    val n = g.count()
-    require(n <= bound,
-      s"$what: unpartitioned-window frame has $n rows (bound $bound) — " +
-        "this window is single-task by design and its input must stay " +
-        "a calendar-bounded aggregate, not a fact-sized frame")
+    val n = try g.count() catch {
+      case t: Throwable => g.unpersist(blocking = false); throw t
+    }
+    if (n > bound) {
+      g.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: $what: unpartitioned-window frame has $n rows (bound $bound) — " +
+          "this window is single-task by design and its input must stay " +
+          "a calendar-bounded aggregate, not a fact-sized frame")
+    }
     g
   }
 }

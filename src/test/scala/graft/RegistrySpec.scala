@@ -34,4 +34,23 @@ class RegistrySpec extends AnyFunSuite {
   test("every oracle belongs to a registered query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("bench tier allowlists: disjoint, and every member is a registered query") {
+    // stale names here would silently re-tier (or un-tier) rows in
+    // BENCH_r*.json; a rename must update the allowlist to pass
+    val unknown = SparkEntry.lifecycleRows.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"allowlisted but not registered: $unknown")
+    val both = SparkEntry.streamRows.intersect(SparkEntry.ingestRows)
+    assert(both.isEmpty, s"rows in both tiers: $both")
+    // every row driving the streaming engine must be warmup-skipped:
+    // a streaming row missing from streamRows would churn RocksDB
+    // checkpoints during warmup. Heuristic guard only (names are the
+    // best signal available to a spec); the allowlist stays the truth.
+    val suspicious = SparkEntry.queries.keySet
+      .filter(n => n.contains("stream") || n.contains("ingest"))
+      .diff(SparkEntry.lifecycleRows)
+    assert(suspicious.isEmpty,
+      s"rows that look lifecycle but are not allowlisted (add to " +
+        s"SparkEntry.streamRows/ingestRows or rename): $suspicious")
+  }
 }

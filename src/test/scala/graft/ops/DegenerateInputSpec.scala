@@ -147,13 +147,18 @@ class DegenerateInputSpec extends AnyFunSuite {
     val ok = FrameGuard.assertCalendarBounded(
       spark.range(10).toDF("x"), "in_bounds", bound = 10)
     assert(ok.count() == 10L)
+    val big = spark.range(11).toDF("x")
     val e = intercept[IllegalArgumentException] {
-      FrameGuard.assertCalendarBounded(
-        spark.range(11).toDF("x"), "daily_guard_probe", bound = 10)
+      FrameGuard.assertCalendarBounded(big, "daily_guard_probe", bound = 10)
     }
     assert(e.getMessage.contains("daily_guard_probe") &&
       e.getMessage.contains("11"),
       s"guard error must name the query and the size: ${e.getMessage}")
+    // the refusal path must RELEASE the cache — a refused fact-sized
+    // frame squatting in the block manager until a global clearCache
+    // is exactly the frame too big to keep around (round-9 advice)
+    assert(big.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"refused frame left persisted at ${big.storageLevel}")
     spark.catalog.clearCache()
   }
 }
