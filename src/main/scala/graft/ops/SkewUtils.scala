@@ -93,6 +93,32 @@ object SkewUtils {
     else (row.getLong(0) * sampleOneIn, row.getLong(1) * sampleOneIn)
   }
 
+  /** Session-scoped profile cache for [[adaptiveSaltedJoin]]: keyed by
+    * (session, SEMANTIC plan hash, key column, sample rate), so the
+    * same (table, key) profiled twice in a session pays one pass — the
+    * round-9 measurement showed the profile costing more than the join
+    * it protects at 1× when re-run per call. Semantic hashing (not
+    * object identity) means `Tables(s, dir, "events")` built twice
+    * still hits. Bounded: one small tuple per distinct profiled
+    * (plan, key); a session working over thousands of distinct tables
+    * can clear it via [[clearProfileCache]]. Correctness note: a cache
+    * hit returns the distribution of the frame AS FIRST PROFILED —
+    * exactly the staleness any production stats catalog accepts, and
+    * only ever a performance (salt count) decision, never a
+    * correctness one. */
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String, Int), (Long, Long)]()
+
+  private[graft] def clearProfileCache(): Unit = profileCache.clear()
+  private[graft] def profileCacheSize: Int = profileCache.size()
+
+  private[graft] def profileKeyCached(df: DataFrame, key: String,
+                                      sampleOneIn: Int): (Long, Long) = {
+    val cacheKey = (System.identityHashCode(df.sparkSession).toString,
+      df.queryExecution.analyzed.semanticHash(), key, sampleOneIn)
+    profileCache.computeIfAbsent(cacheKey, _ => profileKey(df, key, sampleOneIn))
+  }
+
   /** Equi-join that decides salting FROM the measured key profile:
     * one profile pass over the big side (or a 1-in-`sampleOneIn`
     * sample of it), then [[decideSalts]] — uniform keys take the
@@ -100,11 +126,21 @@ object SkewUtils {
     * profile is the only cost), a hot key takes [[saltedJoin]] with
     * the salt count sized to the measured excess. Output is exactly
     * the plain join either way (SkewUtilsSpec pins both branches and
-    * their plans; the driver row's oracle is the plain-join SQL). */
+    * their plans; the driver row's oracle is the plain-join SQL).
+    *
+    * The profile is cached per (session, plan, key, sample rate) by
+    * default — repeated joins against the same big side amortize the
+    * measurement to zero, the production posture for a decision pass
+    * that would otherwise rival the join it sizes. Pass
+    * `reuseProfile = false` to force a fresh measurement (e.g. after
+    * rewriting the underlying table in place). */
   def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
                          skewFactor: Double = 4.0, maxSalts: Int = 16,
-                         sampleOneIn: Int = 1): DataFrame = {
-    val (nRows, maxCnt) = profileKey(big, key, sampleOneIn)
+                         sampleOneIn: Int = 1,
+                         reuseProfile: Boolean = true): DataFrame = {
+    val (nRows, maxCnt) =
+      if (reuseProfile) profileKeyCached(big, key, sampleOneIn)
+      else profileKey(big, key, sampleOneIn)
     val parts = big.sparkSession.sessionState.conf.numShufflePartitions
     val n = decideSalts(nRows, maxCnt, parts, skewFactor, maxSalts)
     if (n <= 1) big.join(small, Seq(key))

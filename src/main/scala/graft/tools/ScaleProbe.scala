@@ -229,7 +229,7 @@ object ScaleProbe {
           (System.nanoTime() - t0) / 1e9
         }.min
       }
-      println("scale,dist,n_rows,salts_decided,t_plain,t_salted8,t_adaptive,t_adaptive_s16")
+      println("scale,dist,n_rows,salts_decided,t_plain,t_salted8,t_adaptive_warm,t_adaptive_cold,t_adaptive_cold_s16")
       for ((scale, n) <- Seq(("1x", 2000000L), ("10x", 20000000L));
            dist <- Seq("skew", "uniform")) {
         val path = s"target/scratch/skewprobe_${dist}_$scale"
@@ -244,14 +244,22 @@ object ScaleProbe {
         val tPlain = timeJoin(fact, dim, (b, s) => b.join(s, Seq("key")))
         val tSalted = timeJoin(fact, dim,
           (b, s) => graft.ops.SkewUtils.saltedJoin(b, s, "key", 8))
+        // warm = the round-10 default: the profile is cached per
+        // (plan, key) within the session, so the steady state pays
+        // the plain join only (timeJoin's warmup call populates it)
+        graft.ops.SkewUtils.clearProfileCache()
         val tAdaptive = timeJoin(fact, dim,
           (b, s) => graft.ops.SkewUtils.adaptiveSaltedJoin(b, s, "key"))
-        // the at-scale posture: profile a 1-in-16 row sample — same
-        // decision, profile cost cut ~16x
+        // cold = first-contact cost: profile re-measured per call
+        val tAdaptiveCold = timeJoin(fact, dim,
+          (b, s) => graft.ops.SkewUtils.adaptiveSaltedJoin(b, s, "key",
+            reuseProfile = false))
+        // the cold at-scale posture: profile a 1-in-16 row sample —
+        // same decision (the sampled-profile spec pins it), cost ~16x lower
         val tAdaptiveS = timeJoin(fact, dim,
           (b, s) => graft.ops.SkewUtils.adaptiveSaltedJoin(b, s, "key",
-            sampleOneIn = 16))
-        println(f"SKEW $scale,$dist,$nRows,$salts,$tPlain%.2f,$tSalted%.2f,$tAdaptive%.2f,$tAdaptiveS%.2f")
+            sampleOneIn = 16, reuseProfile = false))
+        println(f"SKEW $scale,$dist,$nRows,$salts,$tPlain%.2f,$tSalted%.2f,$tAdaptive%.2f,$tAdaptiveCold%.2f,$tAdaptiveS%.2f")
         dim.unpersist(blocking = false)
       }
       spark.stop()

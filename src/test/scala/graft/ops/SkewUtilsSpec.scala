@@ -84,6 +84,35 @@ class SkewUtilsSpec extends AnyFunSuite {
     assert(joined.count() == 4000L)
   }
 
+  test("adaptive join: profile measured once per (plan, key), reused across calls") {
+    import spark.implicits._
+    SkewUtils.clearProfileCache()
+    def mkBig = (Seq.tabulate(8000)(i => ("hot", i.toLong)) ++
+      Seq.tabulate(60)(i => (s"k_$i", i.toLong))).toDF("key", "x")
+    val small = (("hot", 99L) +: Seq.tabulate(60)(i => (s"k_$i", i.toLong)))
+      .toDF("key", "tag")
+    val j1 = SkewUtils.adaptiveSaltedJoin(mkBig, small, "key")
+    assert(SkewUtils.profileCacheSize == 1)
+    // an INDEPENDENTLY CONSTRUCTED but semantically identical frame
+    // must hit (semantic plan hash, not object identity) — the
+    // production shape where every call re-derives the big side from
+    // the same table
+    val j2 = SkewUtils.adaptiveSaltedJoin(mkBig, small, "key")
+    assert(SkewUtils.profileCacheSize == 1,
+      "semantically identical plan missed the profile cache")
+    // a different key column is a different profile
+    SkewUtils.adaptiveSaltedJoin(mkBig.withColumnRenamed("key", "k2"), small
+      .withColumnRenamed("key", "k2"), "k2")
+    assert(SkewUtils.profileCacheSize == 2)
+    // decision parity: a forced fresh measurement takes the same branch
+    val fresh = SkewUtils.adaptiveSaltedJoin(mkBig, small, "key", reuseProfile = false)
+    def salted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString.contains("__salt")
+    assert(salted(j1) && salted(j2) && salted(fresh))
+    SkewUtils.clearProfileCache()
+    assert(SkewUtils.profileCacheSize == 0)
+  }
+
   test("sampled profile preserves a hot key's scaled share") {
     import spark.implicits._
     val big = (Seq.tabulate(8000)(i => ("hot", i.toLong)) ++
