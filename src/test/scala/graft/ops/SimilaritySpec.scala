@@ -469,6 +469,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("noiseFloorTau: gate anchors, monotone in n, sub-quadratic noise mass by construction") {
+    // the exact grid values the registered row's oracle re-derives
+    assert(Similarity.noiseFloorTau(64, 500) == 0.45)
+    assert(Similarity.noiseFloorTau(64, 2000) == 0.5)
+    // monotone in n, capped at the 0.95 near-dup regime
+    val taus = Seq(1000L, 10000L, 100000L, 1000000L, 1000000000L)
+      .map(Similarity.noiseFloorTau(64, _))
+    assert(taus == taus.sorted, s"floor not monotone: $taus")
+    assert(Similarity.noiseFloorTau(4, Long.MaxValue / 2) == 0.95)
+    // THE scale-honesty property (round-9 verdict item 4): with
+    // cos(noise) ~ N(0, 1/d), expected noise pairs
+    // n²/2 · P(cos ≥ τ) ≤ n²/2 · e^(−(τ√d)²/2) ≤ n wherever the floor
+    // is not capped — the registered row's output cannot go quadratic
+    // on unrelated vectors (quantizing τ UP only tightens the bound).
+    // The 0.95 cap marks where cosine stops separating near-dups from
+    // noise AT ALL in that dimensionality (needs d ≳ 2.2·ln(n/2)):
+    // low-d/huge-n combinations cap, and no threshold < 1 could help.
+    for (d <- Seq(64, 256, 1024); n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val tau = Similarity.noiseFloorTau(d, n)
+      assert(tau < 0.95, s"d=$d n=$n unexpectedly capped")
+      val expectedNoise = n.toDouble * n / 2.0 * math.exp(-tau * tau * d / 2.0)
+      assert(expectedNoise <= n.toDouble * 1.0001,
+        s"d=$d n=$n tau=$tau: expected noise mass $expectedNoise exceeds n")
+    }
+  }
+
   test("hamCutFor: monotone in threshold, vacuous only at tiny signature widths") {
     // lower threshold → larger angle → larger expected hamming → larger cut
     assert(Similarity.hamCutFor(0.25, 12, 12) > Similarity.hamCutFor(0.4, 12, 12))
