@@ -67,7 +67,8 @@ object SparkEntry {
     "ann_ivf_append_streaming", "daily_user_activity_streaming",
     "dedup_exact_streaming", "dedup_ingest_streaming",
     "event_transition_matrix_streaming", "kdc_parse_service_stats_streaming",
-    "kdc_parse_user_stats_streaming", "session_timeout_stats_streaming",
+    "kdc_parse_user_stats_streaming", "kdc_parse_user_stats_v2_streaming",
+    "session_timeout_stats_streaming",
     "session_window_stats_streaming", "sketch_kmv_users_streaming",
     "stream_dedup_delivery", "stream_interval_join", "stream_outer_join",
     "stream_static_enrich", "top_users_streaming",

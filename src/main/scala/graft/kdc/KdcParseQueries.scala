@@ -197,6 +197,46 @@ object KdcParseQueries {
       graft.streaming.StreamingPipeline.streamingServiceUseStats(spark, fixtureDir()),
       "kdc_stream_service_use", "complete", Seq("service"))
 
+  /** README #1+#2 through the DataSourceV2 table (SURVEY §4/§7.3's
+    * 100 TB parse posture): same aggregation, but the scan IS the
+    * split-aligned session parse and the AUTH/validity predicates
+    * push into it (KdcV2Spec pins the pushed filters and the pruned
+    * read schema on the executed plan). Shares
+    * `kdc_parse_user_stats`' oracle verbatim. */
+  def userStatsV2(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.userAuthStats(
+      spark.read.format("kdclog").load(fixtureDir())
+        .as(org.apache.spark.sql.Encoders.product[KdcLogRecord]))
+
+  /** F6 realm scoping through the V2 source: the `crealm` equality
+    * pushes INTO the parse stage, so foreign-realm sessions are never
+    * materialized as rows — the pushdown the reference's hardcoded
+    * Perl realm match (`perl/kdcmapper.pl:38,42`) approximated by
+    * construction. Shares the scoped oracle. */
+  def userStatsV2Scoped(spark: SparkSession, sfDir: String): DataFrame =
+    KdcQueries.userAuthStats(
+      spark.read.format("kdclog").load(fixtureDir())
+        .as(org.apache.spark.sql.Encoders.product[KdcLogRecord]),
+      realm = Some(Realm))
+
+  /** The reference's actual production shape — tailing a growing KDC
+    * log directory — through the REAL micro-batch engine: `readStream`
+    * over the V2 table with `maxFilesPerTrigger = 1`, so the fixture's
+    * two host logs arrive as TWO file-arrival micro-batches (admission
+    * bounded under Trigger.AvailableNow via
+    * SupportsTriggerAvailableNow) and the complete-mode aggregation
+    * must converge to the batch answer. Shares
+    * `kdc_parse_user_stats`' oracle verbatim. */
+  def userStatsV2Streaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = spark.readStream.format("kdclog")
+      .option("maxFilesPerTrigger", "1")
+      .load(fixtureDir())
+      .as(org.apache.spark.sql.Encoders.product[KdcLogRecord])
+    graft.streaming.StreamingPipeline.runOneShot(
+      KdcQueries.userAuthStats(ds),
+      "kdc_v2_user_auth", "complete", Seq("client"))
+  }
+
   /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the
     * exact lines `KdcMain --report=user` writes, produced by the SAME
     * [[KdcQueries.tsvLines]] expression the sink uses. */
@@ -241,6 +281,24 @@ object KdcParseQueries {
   def topHosts(spark: SparkSession, sfDir: String): DataFrame =
     KdcQueries.topN(KdcSource.records(spark, fixtureDir()), "client_ip", 5)
 
+  /** Hand-derived per-user stats for the fixture — shared VERBATIM by
+    * the RDD-path, V2-path, and V2-streaming rows (one truth, three
+    * parse postures). */
+  private val userStatsOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
+      |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
+      |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT)),
+      |  ('visitor', '2015-11-23T09:00:00', '2015-11-23T09:00:00', CAST(1 AS BIGINT))
+      |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin
+
+  private val userStatsScopedOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
+      |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
+      |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT))
+      |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     // hand-derived from the fixtures: 10.1.2.3 = alice AS x3 (incl.
     // the BAD_PASSWORD session - valid, just unsuccessful) + imap TGS;
@@ -256,20 +314,18 @@ object KdcParseQueries {
         |  ('IPv4:10.11.11.11',  CAST(1 AS BIGINT)),
         |  ('IPv4:10.2.2.2',     CAST(1 AS BIGINT))
         |) AS t(client_ip, n_req) ORDER BY n_req DESC, client_ip""".stripMargin)),
-    "kdc_parse_user_stats" -> QueryDef(userStats, Some(
-      """SELECT * FROM (VALUES
-        |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
-        |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
-        |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT)),
-        |  ('visitor', '2015-11-23T09:00:00', '2015-11-23T09:00:00', CAST(1 AS BIGINT))
-        |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin)),
+    "kdc_parse_user_stats" -> QueryDef(userStats, Some(userStatsOracle)),
     // identical pipeline scoped to the home realm: 'visitor' must drop
-    "kdc_parse_user_stats_scoped" -> QueryDef(userStatsScoped, Some(
-      """SELECT * FROM (VALUES
-        |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
-        |  ('cg2v',  '2015-11-22T15:25:20', '2015-11-22T16:10:00', CAST(2 AS BIGINT)),
-        |  ('plain', '2015-11-23T08:00:00', '2015-11-23T08:00:00', CAST(1 AS BIGINT))
-        |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin)),
+    "kdc_parse_user_stats_scoped" -> QueryDef(userStatsScoped, Some(userStatsScopedOracle)),
+    // the same two aggregations through the DataSourceV2 parse-as-scan
+    // table (pushed predicates + pruned columns, plan-pinned in
+    // KdcV2Spec) — bit-identical oracles by construction
+    "kdc_parse_user_stats_v2" -> QueryDef(userStatsV2, Some(userStatsOracle)),
+    "kdc_parse_user_stats_v2_scoped" -> QueryDef(userStatsV2Scoped, Some(userStatsScopedOracle)),
+    // 16th streaming row: the log-tailing shape (two file-arrival
+    // micro-batches through the V2 source under AvailableNow) must
+    // converge to the batch user stats
+    "kdc_parse_user_stats_v2_streaming" -> QueryDef(userStatsV2Streaming, Some(userStatsOracle)),
     "kdc_parse_service_stats" -> QueryDef(serviceStats, Some(
       """SELECT * FROM (VALUES
         |  ('cifs/share.example.org', '2015-11-22T19:40:00', '2015-11-22T19:40:00', CAST(1 AS BIGINT)),
