@@ -277,7 +277,7 @@ object Similarity {
     * k/20.0 is the identical double in both engines — the same
     * integer-inlining discipline as [[hamCutFor]]. Testdata anchors:
     * (d=64, n=500) → 0.45, (d=64, n=2000) → 0.5. */
-  private[ops] def noiseFloorTau(d: Int, n: Long): Double =
+  def noiseFloorTau(d: Int, n: Long): Double =
     noiseFloorTauK(d, n) / 20.0
 
   /** The grid index k of [[noiseFloorTau]] (τ = k/20): 8 ≤ k ≤ 19. */

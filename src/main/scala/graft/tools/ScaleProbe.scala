@@ -195,6 +195,92 @@ object ScaleProbe {
       val (t10, n10) = tNd(dir10)
       val (tN, nN) = tNd(dir)
       println(f"EMBSCALE neardup_pairs_t075,$t10%.2f,$tN%.2f,${tN / t10}%.1f,pairs=$n10/$nN")
+      // The registered row's round-10 posture: threshold ≤ 0 derives
+      // the noise-floor τ(d, n), so the OUTPUT stays (sub)linear by
+      // construction as n grows — print the picked τ and the output
+      // count at both scales (the r9 run measured τ=0.4's output
+      // densifying ~n²·5e-4 here; the floor is exactly what kills it).
+      def tauAuto(d: String): (Double, Long, Double) = {
+        def vecs = graft.Tables(spark, d, "embeddings")
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select(col("vec_id").as("id"), col("v"))
+        val n = vecs.count()
+        val tau = graft.ops.Similarity.noiseFloorTau(64, n)
+        def run(): Long = {
+          val c = graft.ops.Similarity.neardupPairsOn(vecs, threshold = -1).count()
+          spark.catalog.clearCache(); c
+        }
+        run()
+        var out = 0L
+        val tMin = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); out = run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (tMin, out, tau)
+      }
+      val (ta10, na10, tau10) = tauAuto(dir10)
+      val (taN, naN, tauN) = tauAuto(dir)
+      println(f"EMBSCALE neardup_pairs_auto_tau,$ta10%.2f,$taN%.2f,${taN / ta10}%.1f," +
+        f"tau=$tau10/$tauN,pairs=$na10/$naN")
+      spark.stop()
+      return
+    }
+
+    // --kdc-scale: parse-path throughput on ONE large synthetic log
+    // file — the few-huge-files layout the split-aligned paths exist
+    // for. Compares (a) shuffle-by-file records() [whole file = one
+    // fold task — the documented limit], (b) recordsAligned()
+    // [byte-aligned splits, zero shuffle], (c) the V2 table full-scan,
+    // (d) the V2 table with realm+reqtype pushdown and (client, ts)
+    // pruning [predicates evaluate on the typed session record BEFORE
+    // row materialization], and (e) the same query with post-parse
+    // Spark filters over (b) — the baseline (d)'s pushdown must beat.
+    if (args.contains("--kdc-scale")) {
+      val nSessions = args.collectFirst {
+        case a if a.startsWith("--sessions=") => a.stripPrefix("--sessions=").toInt
+      }.getOrElse(1000000)
+      val dir = s"target/scratch/kdc_scale_$nSessions"
+      val f = new java.io.File(s"$dir/big.log")
+      if (!f.exists()) {
+        f.getParentFile.mkdirs()
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+        val realms = Array("SQUILL.DEMENTIA.ORG", "FEDERATED.ORG")
+        var i = 0
+        while (i < nSessions) {
+          val realm = realms(i % 2)
+          val user = s"user_${i % 10000}"
+          val ts = f"2015-11-${22 + i % 7}%02dT${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d"
+          val ip = s"10.${(i >> 16) & 255}.${(i >> 8) & 255}.${i & 255}"
+          w.write(s"$ts AS-REQ $user@$realm from IPv4:$ip for krbtgt/$realm@$realm\n")
+          w.write(s"$ts ENC-TS Pre-authentication succeeded -- $user@$realm using aes256-cts-hmac-sha1-96\n")
+          w.write(s"$ts sending 752 bytes to IPv4:$ip\n")
+          i += 1
+        }
+        w.close()
+        println(s"[kdc-scale] wrote ${f.length() / (1 << 20)} MiB, $nSessions sessions")
+      }
+      def time(label: String)(mk: => DataFrame): Unit = {
+        mk.write.format("noop").mode("overwrite").save()
+        val tMin = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"KDCSCALE $label,$tMin%.2f")
+      }
+      import graft.kdc.KdcSource
+      val realm = "SQUILL.DEMENTIA.ORG"
+      time("records_shuffle_by_file")(KdcSource.records(spark, dir).toDF())
+      time("records_aligned")(KdcSource.recordsAligned(spark, dir).toDF())
+      time("v2_full_scan")(spark.read.format("kdclog").load(dir))
+      time("v2_pushdown_scoped")(
+        spark.read.format("kdclog").load(dir)
+          .filter(col("crealm") === realm && col("req_type") === "AUTH")
+          .select(col("client"), col("ts")))
+      time("aligned_postparse_scoped")(
+        KdcSource.recordsAligned(spark, dir).toDF()
+          .filter(col("crealm") === realm && col("req_type") === "AUTH")
+          .select(col("client"), col("ts")))
       spark.stop()
       return
     }
