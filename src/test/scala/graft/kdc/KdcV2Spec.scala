@@ -85,6 +85,101 @@ class KdcV2Spec extends AnyFunSuite {
     assert(torn == whole, "split alignment changed the parsed sessions")
   }
 
+  test("gzip through V2: non-splittable codec parses whole-file, identically") {
+    val dir = "target/scratch/kdc_v2_gz"
+    new java.io.File(dir).mkdirs()
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/host1.log.gz"))
+    out.write(KdcParseQueries.host1Log.getBytes("UTF-8")); out.close()
+    val viaGz = spark.read.format("kdclog").load(dir)
+      .select(col("client"), col("ts"), col("req_type"), col("success"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .sorted.toSeq
+    val plain = Sessionizer.sessionize(KdcParseQueries.host1Log.linesIterator)
+      .map(r => (r.client, r.ts, r.req_type, r.success)).toSeq.sorted
+    assert(viaGz == plain, "gzip V2 parse diverged from the in-memory fold")
+  }
+
+  test("multi-block bzip2 through V2: splittable codec fans one file across partitions") {
+    // the KdcBzip2Spec fixture recipe: sessions of varying line counts
+    // so session boundaries drift against compressed-block boundaries
+    val lines: Seq[String] = (0 until 40000).flatMap { i =>
+      val ts = f"2015-11-22T${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d"
+      val user = s"user${i % 97}"
+      val extras = (0 until i % 4).map(k =>
+        s"$ts Client sent patypes: ENC-TS, REQ-ENC-PA-REP ($k)")
+      (s"$ts AS-REQ $user@X.ORG from IPv4:10.0.0.${i % 250} for krbtgt/X.ORG@X.ORG" +:
+        extras) ++ Seq(
+        s"$ts ENC-TS Pre-authentication succeeded -- $user@X.ORG",
+        s"$ts sending ${100 + i % 900} bytes to IPv4:10.0.0.${i % 250}")
+    }
+    val dir = "target/scratch/kdc_v2_bz2"
+    new java.io.File(dir).mkdirs()
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val out = codec.createOutputStream(
+      new java.io.FileOutputStream(s"$dir/big.log.bz2"))
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    assert(new java.io.File(s"$dir/big.log.bz2").length() > 256 * 1024)
+    val q = spark.read.format("kdclog")
+      .option("maxSplitBytes", (128 * 1024).toString).load(dir)
+    // the one .bz2 file must actually fan out across input partitions
+    assert(q.rdd.getNumPartitions >= 2,
+      s"bz2 not split: ${q.rdd.getNumPartitions} partition(s)")
+    val got = q.select(col("client"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want = Sessionizer.sessionize(lines.iterator).toSeq
+      .map(r => (r.client, r.ts))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want, "split-compressed V2 parse diverged from the in-memory fold")
+  }
+
+  test("streaming restart: offsets restore from the checkpoint, files admitted exactly once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "target/scratch/kdc_v2_restart"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val fixtureDir = fixture
+    def addFile(name: String): Unit =
+      Files.copy(Paths.get(fixtureDir, name), Paths.get(dir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    val cp = s"$dir/_checkpoint"
+    def runOnce(qname: String): (Map[String, Long], Long) = {
+      val agg = spark.readStream.format("kdclog").load(dir)
+        .filter(col("valid")).groupBy(col("client"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(qname).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inRows = q.recentProgress.map(_.numInputRows).sum
+      spark.catalog.dropTempView(qname)
+      (rows, inRows)
+    }
+    addFile("host1.log")
+    val (r1, in1) = runOnce("kdc_v2_restart_a")
+    assert(in1 > 0 && r1.nonEmpty)
+    // new file arrives; the restarted query must resume from the
+    // checkpointed file-set offset (deserializeOffset) and admit ONLY
+    // the new file, while complete mode emits the restored full state
+    addFile("host2.log")
+    val (r2, in2) = runOnce("kdc_v2_restart_b")
+    val batchBoth = spark.read.format("kdclog").load(dir)
+      .filter(col("valid")).groupBy(col("client"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == batchBoth,
+      s"restarted stream diverged from batch: $r2 vs $batchBoth")
+    val host2Only = spark.read.format("kdclog").load(s"$dir/host2.log").count()
+    assert(in2 == host2Only,
+      s"restart re-admitted data: read $in2 rows, host2 alone has $host2Only")
+  }
+
   test("streaming: file-arrival micro-batches converge to the batch answer") {
     import spark.implicits._
     val ds = spark.readStream.format("kdclog")
