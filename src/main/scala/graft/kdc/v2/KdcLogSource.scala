@@ -91,7 +91,11 @@ object KdcLogTable {
     ForwardedKeys.flatMap(k => options.get(k).map(k -> _)) ++
       // reader option alias: maxSplitBytes -> the Hadoop split bound
       options.get("maxSplitBytes")
-        .map("mapreduce.input.fileinputformat.split.maxsize" -> _)
+        .map("mapreduce.input.fileinputformat.split.maxsize" -> _) ++
+      // recursive=true descends nested log layouts (host=…/day=… trees)
+      // in the batch path; the streaming lister honors it natively
+      options.get("recursive")
+        .map("mapreduce.input.fileinputformat.input.dir.recursive" -> _)
 
   private[v2] def hadoopConf(pairs: Seq[(String, String)]): Configuration = {
     val c = new Configuration()
@@ -386,19 +390,28 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     * query start; AvailableNow batches never admit past it. */
   @volatile private var prepared: Option[Map[String, Long]] = None
 
+  /** Snapshot the visible log files: the path may be a file, a
+    * directory, or a GLOB; `recursive=true` additionally descends
+    * nested layouts (host=…/day=… trees). Hidden ('_'/'.'-prefixed)
+    * names are skipped at every level, matching Hadoop input formats. */
   private def listFiles(): Map[String, Long] = {
     val p = new Path(path)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Map.empty
-    else
-      fs.listStatus(p).toSeq
-        .filter(st => st.isFile && {
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-        .map(st => st.getPath.toString -> st.getLen)
-        .toMap
+    val recursive = options.get("recursive").exists(_.toBoolean)
+    def visible(q: Path): Boolean = {
+      val n = q.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val out = scala.collection.mutable.Map[String, Long]()
+    def walk(st: org.apache.hadoop.fs.FileStatus, depth: Int): Unit =
+      if (st.isFile) {
+        if (visible(st.getPath)) out(st.getPath.toString) = st.getLen
+      } else if (depth == 0 || recursive) {
+        fs.listStatus(st.getPath).foreach(c => if (visible(c.getPath)) walk(c, depth + 1))
+      }
+    Option(fs.globStatus(p)).getOrElse(Array.empty).foreach(walk(_, 0))
+    out.toMap
   }
 
   override def prepareForTriggerAvailableNow(): Unit =

@@ -135,6 +135,52 @@ class KdcV2Spec extends AnyFunSuite {
     assert(got == want, "split-compressed V2 parse diverged from the in-memory fold")
   }
 
+  test("glob and recursive layouts: batch and streaming agree over a nested log fleet") {
+    import java.nio.file.{Files, Paths}
+    val root = "target/scratch/kdc_v2_fleet"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    // host=X/day=Y nesting — the log-fleet layout; one decoy non-.log
+    // file and one hidden file that every path must skip
+    Files.createDirectories(Paths.get(s"$root/host=a/day=1"))
+    Files.createDirectories(Paths.get(s"$root/host=b/day=1"))
+    Files.write(Paths.get(s"$root/host=a/day=1/kdc.log"),
+      KdcParseQueries.host1Log.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/host=b/day=1/kdc.log"),
+      KdcParseQueries.host2Log.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/host=b/day=1/_SUCCESS"), Array.emptyByteArray)
+    val want = (Sessionizer.sessionize(KdcParseQueries.host1Log.linesIterator) ++
+      Sessionizer.sessionize(KdcParseQueries.host2Log.linesIterator))
+      .map(r => (r.client, r.ts, r.req_type)).toSeq.sorted
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("client"), col("ts"), col("req_type")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    // batch: recursive option descends the tree
+    val viaRecursive = rows(spark.read.format("kdclog")
+      .option("recursive", "true").load(root))
+    assert(viaRecursive == want, "recursive batch read diverged")
+    // batch: explicit glob reaches the leaves without the option
+    val viaGlob = rows(spark.read.format("kdclog")
+      .load(s"$root/host=*/day=*/kdc.log"))
+    assert(viaGlob == want, "glob batch read diverged")
+    // streaming: the recursive lister admits the same file set
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("kdclog")
+      .option("recursive", "true").load(root)
+      .filter(col("valid")).groupBy(col("client"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("kdc_v2_fleet")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("kdc_v2_fleet").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("kdc_v2_fleet")
+    val batchAgg = spark.read.format("kdclog").option("recursive", "true")
+      .load(root).filter(col("valid")).groupBy(col("client"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batchAgg, "recursive streaming diverged from batch")
+  }
+
   test("streaming restart: offsets restore from the checkpoint, files admitted exactly once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = "target/scratch/kdc_v2_restart"

@@ -296,6 +296,50 @@ class GraphSpec extends AnyFunSuite {
     } finally { deg.unpersist(blocking = false); dropLayout() }
   }
 
+  test("plain persist-loop round: ONE exchange too — co-partitioning survives the cache") {
+    // Round-10 consequence of porting the plain loop onto prLoop: the
+    // InMemoryTableScans preserve hash(src)/hash(node) partitioning, so
+    // WITHIN a session the plain round co-partitions both joins exactly
+    // like the bucketed one — the lone exchange is the groupBy(dst)
+    // message aggregation (the floor). The bucketed layout's remaining
+    // distinct value is CROSS-JOB persistence: a new session reuses the
+    // disk layout where the plain operands must re-shuffle once.
+    val e = starEdges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val degBase = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nTotal = degBase.agg(count(lit(1)).as("n_total"))
+    val deg = degBase.crossJoin(broadcast(nTotal))
+      .repartition(col("node")).persist()
+    try {
+      val p0 = deg.select(col("node"), col("outdeg"), col("n_total"),
+        round(lit(1.0) / col("n_total").cast("double"), 9)
+          .cast("decimal(20,9)").as("rank"))
+      val stepped = Graph.prRound(p0, e, deg)
+      stepped.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def countShuffles(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+        val kids: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _: InMemoryTableScanExec => Nil
+          case other => other.children
+        }
+        self + kids.map(countShuffles).sum
+      }
+      val shuffles = countShuffles(stepped.queryExecution.executedPlan)
+      assert(shuffles == 1,
+        s"expected exactly 1 shuffle in the plain persist-loop round, got $shuffles:\n" +
+          stepped.queryExecution.executedPlan)
+    } finally {
+      e.unpersist(blocking = false); deg.unpersist(blocking = false)
+    }
+  }
+
   test("LPA refines components: no community ever crosses a component") {
     val dir = "/root/testdata/sf0.001"
     val comp = Graph.supplierComponents(spark, dir)
