@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * histogram).
   *
   * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm]
-  *                [--aligned] [--report=R]
+  *                [--aligned | --v2] [--report=R]
   *
   * `--report=R` with R ∈ user (default) | service | errors |
   * user-enctypes | service-enctypes.
@@ -21,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   * ([[KdcSource.recordsAligned]]) — best for few huge uncompressed
   * files; default is shuffle-by-file ([[KdcSource.records]]) —
   * simplest for fleets, and the path that handles splittable bzip2.
+  * `--v2` reads through the DataSourceV2 table
+  * ([[graft.kdc.v2.KdcLogTableProvider]]): same split alignment as
+  * `--aligned` (incl. splittable bzip2), plus the realm argument's
+  * filter PUSHES into the parse scan (foreign-realm sessions are never
+  * materialized) — the 100 TB posture for scoped reports.
   */
 object KdcMain {
   def main(args: Array[String]): Unit = {
@@ -30,7 +35,7 @@ object KdcMain {
       case f if f.startsWith("--report=") => f.stripPrefix("--report=")
     }.getOrElse("user")
     require(positional.length >= 2,
-      "usage: KdcMain <input> <outdir> [realm] [--aligned] [--report=user|service|errors|user-enctypes|service-enctypes]")
+      "usage: KdcMain <input> <outdir> [realm] [--aligned | --v2] [--report=user|service|errors|user-enctypes|service-enctypes]")
     val Array(in, out) = positional.take(2)
     val realm = positional.lift(2)
     // only stop the session on exit if this invocation created it —
@@ -46,8 +51,12 @@ object KdcMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val source = if (aligned) KdcSource.recordsAligned(spark, in)
-                 else KdcSource.records(spark, in)
+    val source =
+      if (flags.contains("--v2"))
+        spark.read.format("kdclog").load(in)
+          .as(org.apache.spark.sql.Encoders.product[KdcLogRecord])
+      else if (aligned) KdcSource.recordsAligned(spark, in)
+      else KdcSource.records(spark, in)
     val recs = KdcQueries.withCounters(source)
     val result = report match {
       case "user" =>

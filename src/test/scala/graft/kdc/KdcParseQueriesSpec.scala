@@ -90,6 +90,18 @@ class KdcParseQueriesSpec extends AnyFunSuite {
       "BAD_AUTHENTICATION", "BAD_NAME", "BAD_PARAMETERS", "BAD_PASSWORD",
       "MISSING_PREAUTH", "UNKNOWN", "UNUSABLE_NAME"))
     assert(run("user-enctypes").exists(_.startsWith("plain\tUNK\t1")))
+    // --v2 routes the same report through the DataSourceV2 table with a
+    // scoped realm pushed into the parse: the foreign-realm visitor
+    // must drop, everything else bit-identical to the scoped oracle
+    val outV2 = "target/scratch/kdcmain_user_v2"
+    KdcMain.main(Array(dir, outV2, "SQUILL.DEMENTIA.ORG", "--v2"))
+    val v2Lines = new java.io.File(outV2).listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq.sorted
+    assert(v2Lines == Seq(
+      "alice\t2015-11-22T17:00:00\t2015-11-23T07:00:00\t2",
+      "cg2v\t2015-11-22T15:25:20\t2015-11-22T16:10:00\t2",
+      "plain\t2015-11-23T08:00:00\t2015-11-23T08:00:00\t1"))
   }
 
   test("aligned and shuffle-by-file paths agree on the fixture") {
