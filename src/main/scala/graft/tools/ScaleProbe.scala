@@ -161,18 +161,15 @@ object ScaleProbe {
         val tN = t(q, dir)
         println(f"EMBSCALE $q,$t10%.2f,$tN%.2f,${tN / t10}%.1f")
       }
-      // The near-dup probe runs at a NOISE-FLOOR-ADJUSTED threshold,
-      // same at both scales. The registered query's τ = 0.4 is below
-      // the d=64 testdata's noise floor at 200k vectors: random-pair
-      // cosine is N(0, 1/64) (σ = 0.125 — DuckDB-sampled, orthogonal
-      // salting leaves cross-replica pairs exactly there), so
-      // P(noise ≥ 0.4) ≈ 5·10⁻⁴ and the TRUE output grows ~n²·5·10⁻⁴
-      // ≈ 10⁷ pairs at 100× — a measured 94.8× wall that is OUTPUT
-      // densification (any exact algorithm pays it), not candidate
-      // volume. τ = 0.75 (6σ) puts the output back above the noise at
-      // every probe scale, isolating the candidate-volume law the
-      // probe exists to check. At production dims the issue vanishes:
-      // σ = 1/√d, so d ≥ 512 keeps τ = 0.4 at > 9σ.
+      // The fixed-τ leg runs at τ = 0.75 (6σ above the d=64 noise
+      // floor — random-pair cosine is N(0, 1/64), σ = 0.125), the
+      // same at both scales, isolating the CANDIDATE-volume law from
+      // output densification: at any τ below the floor the TRUE
+      // output grows ~n²·P(noise ≥ τ) and any exact algorithm pays it
+      // (the r9 run measured 94.8× wall at the then-registered fixed
+      // τ = 0.4 for exactly this reason — which is why, since round
+      // 10, the REGISTERED row derives noiseFloorTau(d, n) instead;
+      // the auto leg below probes that posture directly).
       def tNd(d: String): (Double, Long) = {
         def vecs = graft.Tables(spark, d, "embeddings")
           .withColumn("v", col("embedding").cast("array<double>"))
