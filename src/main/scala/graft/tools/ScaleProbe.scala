@@ -278,6 +278,37 @@ object ScaleProbe {
         KdcSource.recordsAligned(spark, dir).toDF()
           .filter(col("crealm") === realm && col("req_type") === "AUTH")
           .select(col("client"), col("ts")))
+      // the splittable-compressed posture: ONE multi-block .bz2 of the
+      // same log, decoded block-parallel by the probe-aligned reader —
+      // the reference's own splittable case at probe scale
+      val bz2Dir = s"$dir-bz2"
+      val bz2 = new java.io.File(s"$bz2Dir/big.log.bz2")
+      if (!bz2.exists()) {
+        bz2.getParentFile.mkdirs()
+        val codec = new org.apache.hadoop.io.compress.BZip2Codec
+        codec.setConf(spark.sparkContext.hadoopConfiguration)
+        val out = codec.createOutputStream(new java.io.FileOutputStream(bz2))
+        val in = new java.io.FileInputStream(f)
+        org.apache.commons.io.IOUtils.copyLarge(in, out)
+        in.close(); out.close()
+        println(s"[kdc-scale] wrote bz2 ${bz2.length() / (1 << 20)} MiB")
+      }
+      // a 10 MiB .bz2 sits under the default 128 MiB split bound = ONE
+      // task decoding 282 MiB (~27 s measured); block-parallel decode
+      // needs explicit sub-file splits (at 100 TB the files are far
+      // past the bound and split naturally). 1 MiB splits ≈ 10 decode
+      // tasks; the compressed-domain probe window shrinks to match
+      // (it must cover ~1 compressed block ≈ 30 KiB here, not the
+      // 4 MiB default sized for production block/line ratios).
+      def bz2Read = spark.read.format("kdclog")
+        .option("maxSplitBytes", (1L << 20).toString)
+        .option("graft.kdc.bz2.lookback.bytes", (256L << 10).toString)
+        .load(bz2Dir)
+      time("v2_bz2_single_split")(spark.read.format("kdclog").load(bz2Dir))
+      time("v2_bz2_block_parallel")(bz2Read)
+      time("v2_bz2_block_parallel_scoped")(
+        bz2Read.filter(col("crealm") === realm && col("req_type") === "AUTH")
+          .select(col("client"), col("ts")))
       spark.stop()
       return
     }
