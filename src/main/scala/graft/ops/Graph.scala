@@ -88,10 +88,14 @@ object Graph {
       prev = Some(stepped)
       p = stepped
     }
-    val result = p.select(col("node"), col("rank")).persist()
-    result.count()
-    prev.foreach(_.unpersist(blocking = false))
-    result
+    // The returned frame is a PROJECTION over the final round's
+    // already-materialized cache — re-persisting it would copy the
+    // same node-sized data into a second cache entry and pay a sixth
+    // materialization job for nothing. The final round's persist IS a
+    // DataFrame cache, so the repo's between-queries clearCache()
+    // contract covers it (the round-8 leak concern applied to the
+    // retired loop's RAW RDD blocks, which clearCache never touched).
+    p.select(col("node"), col("rank"))
   }
 
   /** PageRank over a BUCKETED edge layout — the co-partitioned
