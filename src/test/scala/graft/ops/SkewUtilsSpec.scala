@@ -113,6 +113,33 @@ class SkewUtilsSpec extends AnyFunSuite {
     assert(SkewUtils.profileCacheSize == 0)
   }
 
+  test("profile cache: rewriting a file-backed input invalidates the cached profile") {
+    import spark.implicits._
+    SkewUtils.clearProfileCache()
+    val loc = s"target/scratch/skew_fp_${spark.sparkContext.applicationId}"
+    try {
+      // v1: uniform keys — profile says don't salt
+      (0 until 400).map(i => (s"k_${i % 100}", i.toLong)).toDF("key", "x")
+        .write.mode("overwrite").parquet(loc)
+      val (n1, mx1) = SkewUtils.profileKeyCached(spark.read.parquet(loc), "key", 1)
+      assert(n1 == 400L && mx1 == 4L)
+      // overwrite IN PLACE with a skewed distribution: the path-based
+      // plan's semanticHash is unchanged, but the part-file fingerprint
+      // moved, so the stale uniform profile must NOT be reused
+      (Seq.tabulate(4000)(i => ("hot", i.toLong)) ++
+        Seq.tabulate(60)(i => (s"k_$i", i.toLong))).toDF("key", "x")
+        .write.mode("overwrite").parquet(loc)
+      val (n2, mx2) = SkewUtils.profileKeyCached(spark.read.parquet(loc), "key", 1)
+      assert(n2 == 4060L && mx2 == 4000L,
+        s"stale profile survived an input rewrite: ($n2, $mx2)")
+      assert(SkewUtils.profileCacheSize == 2,
+        "the rewritten input should occupy a distinct cache entry")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+      SkewUtils.clearProfileCache()
+    }
+  }
+
   test("sampled profile preserves a hot key's scaled share") {
     import spark.implicits._
     val big = (Seq.tabulate(8000)(i => ("hot", i.toLong)) ++
