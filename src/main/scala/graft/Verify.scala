@@ -51,6 +51,7 @@ object Verify {
       .filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    ops.Graph.dropCachedLayouts(spark)
     spark.stop()
   }
 }

@@ -137,26 +137,108 @@ object Graph {
     * the aggregation exchange lands co-partitioned with the bucketed
     * side at any CPU count (a mismatch costs one extra node-sized
     * exchange per round, nothing more). At 100 TB the bucketed write
-    * happens once per ingest; this method pays it inline per
-    * invocation — which is why the driver row is registered in the
-    * INGEST bench tier (the write is a lifecycle cost, the rounds are
-    * the query) — into a per-invocation-unique scratch table
-    * (appId + sequence) dropped once the result is materialized. */
+    * happens ONCE per ingest and every subsequent job runs rounds over
+    * the existing layout — and this method now matches that amortized
+    * shape: the layout is landed once per (session, edges plan, input
+    * files, buckets) into the session-scoped [[layoutCache]] and every
+    * later invocation reuses it (the round-10 verdict's task 2: the
+    * registered row previously wrote AND dropped the layout inside
+    * every timed invocation, so the amortized path — the one a
+    * deployment actually runs — was never measured). The one-time
+    * write cost is surfaced separately by the
+    * `supplier_pagerank_layout` ingest-tier row
+    * ([[supplierPageRankLayout]]). Cached layouts are written once and
+    * never rewritten (immutable-once-landed, so the shared-mutable-
+    * table hazard the per-invocation drop used to guard against cannot
+    * arise); [[dropCachedLayouts]] releases a session's layouts. */
   def pageRankBucketed(s: SparkSession, edges: DataFrame,
                        iterations: Int = 5, damping: Double = 0.85,
                        buckets: Int = -1): DataFrame = {
-    val (e, deg, dropLayout) = prBucketedOperands(s, edges, buckets)
+    // persist the bucketed scan for the duration of the rounds: the
+    // loop reads the edge relation once per round, and InMemoryTableScan
+    // preserves the scan's hash(src, buckets) partitioning (the same
+    // mechanism prLoop's per-round caches rely on), so the rounds read
+    // memory instead of re-scanning parquet 5× while the plan keeps its
+    // one-exchange floor (GraphSpec pins both)
+    val e = cachedLayout(s, edges, buckets).persist()
+    val deg = prDegrees(e)
     val result = prLoop(e, deg, iterations, damping)
     deg.unpersist(blocking = false)
-    // The result is materialized (prLoop counts its persist), so the
-    // scratch layout can go: leaving it would let concurrent or later
-    // invocations observe and rewrite a shared mutable table that the
-    // result's recompute lineage still points at — a cache-block loss
-    // would then silently recompute over someone else's edges. Dropping
-    // it turns that corner into a loud re-read failure instead (blocks
-    // persist MEMORY_AND_DISK, so recompute needs an executor death).
-    dropLayout()
+    e.unpersist(blocking = false)
     result
+  }
+
+  /** Session-scoped bucketed-layout cache (the SkewUtils profile-cache
+    * pattern): weak session keys, inner key = (edges plan semanticHash,
+    * leaf input-file fingerprint, bucket count) → landed scratch table.
+    * The file fingerprint invalidates on an underlying rewrite the way
+    * the profile cache's does; in-memory edge frames fingerprint empty
+    * and fall back to the plan hash (LocalRelation hashes its data). */
+  private val layoutCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), (String, String)]]())
+
+  /** Directory names of live cached layouts — Bench's scratch sweep
+    * skips these (they embed the appId like all scratch, but unlike
+    * per-invocation scratch they are ALIVE between queries by design). */
+  private val liveLayoutDirsRef =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+  def liveLayoutDirNames: Set[String] = liveLayoutDirsRef.get()
+
+  private[ops] def layoutCacheSize(s: SparkSession): Int =
+    Option(layoutCache.get(s)).map(_.size()).getOrElse(0)
+
+  /** Land (or reuse) the bucketed edge layout for `edges` and return
+    * its scan. computeIfAbsent makes the write once-only under
+    * concurrency. */
+  private def cachedLayout(s: SparkSession, edges: DataFrame,
+                           buckets: Int): DataFrame = {
+    val nBuckets = if (buckets > 0) buckets
+      else s.sessionState.conf.numShufflePartitions
+    val perSession = layoutCache.synchronized {
+      var m = layoutCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), (String, String)]()
+        layoutCache.put(s, m)
+      }
+      m
+    }
+    val key = (edges.queryExecution.analyzed.semanticHash(),
+      edges.inputFiles.sorted.foldLeft(17)((h, f) => h * 31 + f.hashCode),
+      nBuckets)
+    val (table, _) = perSession.computeIfAbsent(key, _ => {
+      val (t, loc) = writeLayout(s, edges, nBuckets)
+      liveLayoutDirsRef.updateAndGet(_ + new java.io.File(loc).getName)
+      (t, loc)
+    })
+    s.table(table)
+  }
+
+  /** Drop every cached layout this session landed (table + files) —
+    * the library caller's cleanup hook; Bench/Verify call it once at
+    * the end of a run. */
+  def dropCachedLayouts(s: SparkSession): Unit = {
+    val m = layoutCache.synchronized(layoutCache.remove(s))
+    if (m != null) m.values().asScalaValues.foreach { case (table, loc) =>
+      dropLayoutTable(s, table, loc)
+      liveLayoutDirsRef.updateAndGet(_ - new java.io.File(loc).getName)
+    }
+  }
+
+  private implicit class JavaValues[A](
+      private val vs: java.util.Collection[A]) {
+    def asScalaValues: Seq[A] = {
+      val it = vs.iterator(); val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
+  private def dropLayoutTable(s: SparkSession, table: String, loc: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p0 = new org.apache.hadoop.fs.Path(loc)
+    val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p0)) { fs.delete(p0, true); () }
   }
 
   /** Invocation counter suffixing each bucketed-layout scratch table:
@@ -166,34 +248,44 @@ object Graph {
     * use. */
   private val prLayoutSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Land `edges` bucketed+sorted by src and derive the cached degree
-    * frame WITHOUT leaving the scan's partitioning (groupBy(src) over
-    * the bucketed scan — no exchange; n_total folded in once via a
-    * broadcast scalar). Returns (edge scan, persisted deg, and a
-    * cleanup closure dropping the scratch table + files). */
-  private[ops] def prBucketedOperands(s: SparkSession, edges: DataFrame,
-                                      buckets: Int = -1): (DataFrame, DataFrame, () => Unit) = {
+  /** Write `edges` bucketed+sorted by src into a unique scratch table
+    * (appId + sequence — concurrent callers can never clobber each
+    * other). Returns (table name, location). */
+  private def writeLayout(s: SparkSession, edges: DataFrame,
+                          nBuckets: Int): (String, String) = {
     import org.apache.spark.sql.SaveMode
-    val nBuckets = if (buckets > 0) buckets
-      else s.sessionState.conf.numShufflePartitions
     val table = s"pr_edges_bq_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")}_${prLayoutSeq.incrementAndGet()}"
     val loc = s"target/scratch/bucketed_$table"
     edges.select(col("src"), col("dst"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "src").sortBy("src")
       .option("path", loc).format("parquet").saveAsTable(table)
-    val e = s.table(table)
+    (table, loc)
+  }
+
+  /** Derive the persisted degree frame from the bucketed edge scan
+    * WITHOUT leaving the scan's partitioning (groupBy(src) over the
+    * bucketed scan — no exchange; n_total folded in once via a
+    * broadcast scalar). */
+  private def prDegrees(e: DataFrame): DataFrame = {
     val degBase = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nTotal = degBase.agg(count(lit(1)).as("n_total"))
-    val deg = degBase.crossJoin(broadcast(nTotal)).persist()
-    val drop = () => {
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val p0 = new org.apache.hadoop.fs.Path(loc)
-      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p0)) { fs.delete(p0, true); () }
-    }
-    (e, deg, drop)
+    degBase.crossJoin(broadcast(nTotal)).persist()
+  }
+
+  /** Land `edges` bucketed+sorted by src into a FRESH (uncached)
+    * layout and derive the degree frame. Returns (edge scan, persisted
+    * deg, and a cleanup closure dropping the scratch table + files) —
+    * the plan-pin specs and the layout-write lifecycle row use this;
+    * [[pageRankBucketed]] goes through the cache instead. */
+  private[ops] def prBucketedOperands(s: SparkSession, edges: DataFrame,
+                                      buckets: Int = -1): (DataFrame, DataFrame, () => Unit) = {
+    val nBuckets = if (buckets > 0) buckets
+      else s.sessionState.conf.numShufflePartitions
+    val (table, loc) = writeLayout(s, edges, nBuckets)
+    val e = s.table(table)
+    (e, prDegrees(e), () => dropLayoutTable(s, table, loc))
   }
 
   /** One PageRank round over the co-partitioned operands — the frame
@@ -418,9 +510,32 @@ object Graph {
     * same decimal staging, so it SHARES supplier_pagerank's oracle
     * verbatim; bucketing must be output-invisible (only the physical
     * plan changes — one ShuffleExchange per round instead of three,
-    * pinned in GraphSpec). */
+    * pinned in GraphSpec). Times the AMORTIZED path: the first
+    * invocation in a session lands the layout (the cost
+    * `supplier_pagerank_layout` surfaces), every later one reuses it —
+    * Bench's min-of-2 therefore reads the rounds-over-existing-layout
+    * latency, the shape a deployment actually runs per query. */
   def supplierPageRankBucketed(s: SparkSession, dir: String): DataFrame =
     supplierRanks(s, dir, pageRankBucketed(s, tradeEdges(s, dir), iterations = 5))
+
+  /** Ingest-tier row: the ONE-TIME bucketed layout write
+    * [[pageRankBucketed]] amortizes, timed in isolation — a fresh
+    * unique scratch table per invocation, landed, summarized, and
+    * dropped (full lifecycle, like the dedup ingest rows). The result
+    * is collected before the drop so the returned frame carries no
+    * lineage into the dropped table. */
+  def supplierPageRankLayout(s: SparkSession, dir: String): DataFrame = {
+    val (e, deg, dropLayout) = prBucketedOperands(s, tradeEdges(s, dir))
+    val Array(row) = deg
+      .agg(sum(col("outdeg")).as("n_edges"),
+        count(lit(1)).as("n_nodes"))
+      .select(col("n_edges").cast("long"), col("n_nodes").cast("long"))
+      .collect()
+    deg.unpersist(blocking = false)
+    dropLayout()
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1))).toDF("n_edges", "n_nodes")
+  }
 
   private def supplierRanks(s: SparkSession, dir: String,
                             ranks: DataFrame): DataFrame =
@@ -786,6 +901,16 @@ object Graph {
     // same fixpoint over the bucketed layout — shares the oracle
     "supplier_pagerank_bucketed" -> QueryDef(supplierPageRankBucketed,
       Some(pageRankOracle(5))),
+    // the one-time layout write the bucketed row amortizes — its edge/
+    // node totals are a full hash check against the trade-graph CTEs
+    "supplier_pagerank_layout" -> QueryDef(supplierPageRankLayout, Some(
+      """WITH eo AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, su AS dst FROM eo
+        |          UNION ALL SELECT su AS src, c AS dst FROM eo)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS n_nodes FROM edges""".stripMargin)),
     "supplier_reach_hops" -> QueryDef(supplierReachHops, Some(
       """WITH RECURSIVE eo AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS su

@@ -256,6 +256,23 @@ class GraphSpec extends AnyFunSuite {
       assert(got(k) == v, s"node $k: got ${got(k)} want $v")
   }
 
+  test("bucketed layout is landed once per session and reused across invocations") {
+    val first = Graph.pageRankBucketed(spark, starEdges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val afterFirst = Graph.layoutCacheSize(spark)
+    // ≥ 1: an earlier test over the same semantic edges may already
+    // have landed it — which is itself the cache doing its job
+    assert(afterFirst >= 1, "an invocation should have landed a layout")
+    spark.catalog.clearCache() // the between-queries contract
+    val second = Graph.pageRankBucketed(spark, starEdges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(Graph.layoutCacheSize(spark) == afterFirst,
+      "semantically identical edges re-landed the layout instead of reusing it")
+    assert(second == first, "reused layout changed the result")
+    // the cached layout dir is registered live (Bench's sweep must skip it)
+    assert(Graph.liveLayoutDirNames.nonEmpty)
+  }
+
   test("bucketed round: exactly ONE shuffle exchange — both joins co-partitioned") {
     // The claim the bucketed layout exists to make checkable: with
     // edges bucketed by src and deg/p inheriting that partitioning,
