@@ -97,10 +97,22 @@ object KdcLogTable {
       options.get("recursive")
         .map("mapreduce.input.fileinputformat.input.dir.recursive" -> _)
 
-  private[v2] def hadoopConf(pairs: Seq[(String, String)]): Configuration = {
-    val c = new Configuration()
-    pairs.foreach { case (k, v) => c.set(k, v) }
-    c
+  /** The executor-side reader Configuration: the FULL session Hadoop
+    * configuration (fs credentials / custom schemes / session-level
+    * `graft.kdc.*` lookback dials all apply on executors exactly as
+    * they did during driver-side split planning), with the per-read
+    * reader options overlaid on top (options win). Broadcast once per
+    * scan, the same pattern Spark's own file sources use — building a
+    * bare `new Configuration()` from only forwarded option keys would
+    * silently drop session settings on the executor side (reads fail
+    * on non-default filesystems; a session-conf-enlarged lookback
+    * window tears sessions at split boundaries). */
+  private[v2] def readerConf(options: Map[String, String])
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = {
+    val sc = SparkSession.active.sparkContext
+    val conf = new Configuration(sc.hadoopConfiguration)
+    confPairs(options).foreach { case (k, v) => conf.set(k, v) }
+    sc.broadcast(new org.apache.spark.util.SerializableConfiguration(conf))
   }
 }
 
@@ -178,7 +190,7 @@ class KdcBatch(path: String, options: Map[String, String],
   override def planInputPartitions(): Array[InputPartition] =
     KdcBatch.planSplits(Seq(new Path(path)), options)
   override def createReaderFactory(): PartitionReaderFactory =
-    KdcReaderFactory(KdcLogTable.confPairs(options),
+    KdcReaderFactory(KdcLogTable.readerConf(options),
       requiredSchema.fieldNames, filters)
 }
 
@@ -189,25 +201,27 @@ case class KdcInputPartition(path: String, start: Long, length: Long,
   override def preferredLocations(): Array[String] = locations
 }
 
-case class KdcReaderFactory(confPairs: Seq[(String, String)],
-                            fieldNames: Array[String],
-                            filters: Array[Filter]) extends PartitionReaderFactory {
+case class KdcReaderFactory(
+    confBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    fieldNames: Array[String],
+    filters: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KdcPartitionReader(partition.asInstanceOf[KdcInputPartition],
-      confPairs, fieldNames, filters)
+      confBc.value.value, fieldNames, filters)
 }
 
 /** Executor-side reader: drives the split-aligned session record
   * reader over its byte range, folds each session blob with the shared
   * [[Sessionizer]], applies the pushed predicates on the TYPED record,
-  * and materializes only the pruned columns. */
+  * and materializes only the pruned columns. The Configuration is the
+  * broadcast session conf + reader options ([[KdcLogTable.readerConf]])
+  * — shared read-only across this executor's tasks. */
 class KdcPartitionReader(part: KdcInputPartition,
-                         confPairs: Seq[(String, String)],
+                         conf: Configuration,
                          fieldNames: Array[String],
                          filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val conf = KdcLogTable.hadoopConf(confPairs)
   private val split = new FileSplit(new Path(part.path), part.start, part.length, null)
   private val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
     conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
@@ -449,7 +463,7 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KdcReaderFactory(KdcLogTable.confPairs(options),
+    KdcReaderFactory(KdcLogTable.readerConf(options),
       requiredSchema.fieldNames, filters)
 
   override def deserializeOffset(json: String): Offset = KdcFileOffset.fromJson(json)

@@ -79,6 +79,28 @@ class KdcV2Spec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_ >= "2015-11-23T00:00:00"))
   }
 
+  test("reader factory ships the SESSION hadoop conf, with reader options overlaid") {
+    // session-level settings (fs credentials, graft.kdc.* lookback
+    // dials) must reach the EXECUTOR-side reader, not only driver-side
+    // split planning; per-read options win over session values
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.test.session.key", "from-session")
+    hc.set("graft.kdc.lookback.bytes", "2097152")
+    try {
+      val q = v2("graft.kdc.lookback.bytes" -> "4194304")
+      val factory = kdcScan(q).toBatch.createReaderFactory()
+        .asInstanceOf[graft.kdc.v2.KdcReaderFactory]
+      val conf = factory.confBc.value.value
+      assert(conf.get("graft.test.session.key") == "from-session",
+        "session hadoopConfiguration did not reach the reader conf")
+      assert(conf.get("graft.kdc.lookback.bytes") == "4194304",
+        "reader option did not overlay the session value")
+    } finally {
+      hc.unset("graft.test.session.key")
+      hc.unset("graft.kdc.lookback.bytes")
+    }
+  }
+
   test("adversarial 256-byte splits: aligned reader repairs torn sessions") {
     val whole = v2().collect().map(_.toString).sorted.toSeq
     val torn = v2("maxSplitBytes" -> "256").collect().map(_.toString).sorted.toSeq
