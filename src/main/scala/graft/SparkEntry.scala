@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_exact_streaming", "dedup_ingest_streaming",
     "event_transition_matrix_streaming", "kdc_parse_service_stats_streaming",
     "kdc_parse_user_stats_streaming", "kdc_parse_user_stats_v2_streaming",
+    "kdc_parse_user_stats_v2_watermarked",
     "session_timeout_stats_streaming",
     "session_window_stats_streaming", "sketch_kmv_users_streaming",
     "stream_dedup_delivery", "stream_interval_join", "stream_outer_join",

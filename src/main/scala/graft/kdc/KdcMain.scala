@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * histogram).
   *
   * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm]
-  *                [--aligned | --v2] [--report=R]
+  *                [--aligned | --v2] [--recursive] [--report=R]
+  *
+  * `--recursive` (with `--v2`) descends nested fleet layouts
+  * (host=…/day=… trees); without it a nested dir fails loudly, like
+  * Hadoop input formats.
   *
   * `--report=R` with R ∈ user (default) | service | errors |
   * user-enctypes | service-enctypes.
@@ -25,9 +29,61 @@ import org.apache.spark.sql.SparkSession
   * ([[graft.kdc.v2.KdcLogTableProvider]]): same split alignment as
   * `--aligned` (incl. splittable bzip2), plus the realm argument's
   * filter PUSHES into the parse scan (foreign-realm sessions are never
-  * materialized) — the 100 TB posture for scoped reports.
+  * materialized) — the 100 TB posture for scoped reports. To make
+  * that pushdown real the realm filter is applied BEFORE the counters
+  * observe node (Catalyst does not push predicates through
+  * CollectMetrics), so under `--v2` with a realm the counters count
+  * IN-SCOPE sessions only; the RDD paths keep the reference's
+  * all-records counter semantics.
   */
 object KdcMain {
+
+  /** The report frame [[main]] writes, factored out so specs can pin
+    * the executed plan (pushed filters on the `--v2` path). The realm
+    * scopes the dimension the report aggregates — client realm for
+    * user reports, service realm for service reports, nothing for the
+    * error histogram — matching [[KdcQueries.successfulAuths]]/
+    * [[KdcQueries.serviceUses]]; the report functions re-apply the
+    * same predicate (idempotent) for the non-v2 sources. */
+  def buildReport(spark: SparkSession, in: String, realm: Option[String],
+                  report: String, useV2: Boolean, aligned: Boolean,
+                  recursive: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val realmPred = realm.flatMap(r => report match {
+      case "user" | "user-enctypes" => Some(col("crealm") === r)
+      case "service" | "service-enctypes" => Some(col("srealm") === r)
+      case _ => None // errors report is unscoped, like the reference's
+    })
+    val source =
+      if (useV2) {
+        val df = spark.read.format("kdclog")
+          .option("recursive", recursive.toString).load(in)
+        realmPred.fold(df)(df.filter)
+          .as(org.apache.spark.sql.Encoders.product[KdcLogRecord])
+      } else if (aligned) KdcSource.recordsAligned(spark, in)
+      else KdcSource.records(spark, in)
+    val recs = KdcQueries.withCounters(source)
+    report match {
+      case "user" =>
+        KdcQueries.userAuthStats(recs, realm)
+          .select("client", "first_ts", "last_ts", "n_auth")
+      case "service" =>
+        KdcQueries.serviceUseStats(recs, realm)
+          .select("service", "first_ts", "last_ts", "n_req")
+      case "errors" =>
+        KdcQueries.commonErrors(recs)
+      case "user-enctypes" =>
+        KdcQueries.userEnctypeStats(recs, realm)
+          .select("client", "enctype", "n_auth", "first_ts", "last_ts")
+      case "service-enctypes" =>
+        KdcQueries.serviceEnctypeStats(recs, realm)
+          .select("service", "enctype_key", "n_req", "first_ts", "last_ts")
+      case other =>
+        throw new IllegalArgumentException(s"unknown --report=$other")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val aligned = flags.contains("--aligned")
@@ -51,31 +107,9 @@ object KdcMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val source =
-      if (flags.contains("--v2"))
-        spark.read.format("kdclog").load(in)
-          .as(org.apache.spark.sql.Encoders.product[KdcLogRecord])
-      else if (aligned) KdcSource.recordsAligned(spark, in)
-      else KdcSource.records(spark, in)
-    val recs = KdcQueries.withCounters(source)
-    val result = report match {
-      case "user" =>
-        KdcQueries.userAuthStats(recs, realm)
-          .select("client", "first_ts", "last_ts", "n_auth")
-      case "service" =>
-        KdcQueries.serviceUseStats(recs, realm)
-          .select("service", "first_ts", "last_ts", "n_req")
-      case "errors" =>
-        KdcQueries.commonErrors(recs)
-      case "user-enctypes" =>
-        KdcQueries.userEnctypeStats(recs, realm)
-          .select("client", "enctype", "n_auth", "first_ts", "last_ts")
-      case "service-enctypes" =>
-        KdcQueries.serviceEnctypeStats(recs, realm)
-          .select("service", "enctype_key", "n_req", "first_ts", "last_ts")
-      case other =>
-        throw new IllegalArgumentException(s"unknown --report=$other")
-    }
+    val result = buildReport(spark, in, realm, report,
+      useV2 = flags.contains("--v2"), aligned = aligned,
+      recursive = flags.contains("--recursive"))
     // TSV via the shared formatting expression (oracle-checked through
     // kdc_parse_user_report_tsv) rather than the CSV writer — the
     // reference's reducers emit plain join("\t") lines with no quoting

@@ -150,6 +150,30 @@ object KdcParseQueries {
     dir.toString
   }
 
+  /** The same two fixture logs laid out as a partitioned log FLEET —
+    * `host=…/day=…/kdc.log`, the rotation layout the V2 source's
+    * partition-path pruning targets. The `day` label is the file's
+    * rotation date (host1's log opens on 2015-11-22 and runs past
+    * midnight — partition values scope FILES, not rows, exactly like
+    * a production log drop). Idempotent, atomic writes like
+    * [[fixtureDir]]. */
+  private[kdc] def fleetFixtureDir(): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_kdc_fleet_fixture")
+    def put(rel: String, content: String): Unit = {
+      val target = root.resolve(rel)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(target.getParent, "_kdc", ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    put("host=hostA/day=2015-11-22/kdc.log", host1Log)
+    put("host=hostB/day=2015-11-23/kdc.log", host2Log)
+    root.toString
+  }
+
   /** README #1+#2 over the shuffle-by-file parse path. `sfDir` is
     * unused: the input is the embedded raw-log fixture. */
   def userStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -219,6 +243,25 @@ object KdcParseQueries {
         .as(org.apache.spark.sql.Encoders.product[KdcLogRecord]),
       realm = Some(Realm))
 
+  /** Partition-path FILE pruning through the gate: the fleet layout's
+    * `day` segment surfaces as a partition column, the day-equality
+    * predicate is evaluated driver-side during split planning, and the
+    * other day's file is never OPENED (KdcV2Spec pins the planned
+    * files). host1's log holds every AS session in the fixture — the
+    * TGS-only host2 log contributes nothing to user auth stats — so
+    * this row shares `kdc_parse_user_stats`' oracle verbatim: pruning
+    * must be invisible to the answer while removing a file from the
+    * plan. */
+  def userStatsV2Pruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    KdcQueries.userAuthStats(
+      spark.read.format("kdclog").option("recursive", "true")
+        .load(fleetFixtureDir())
+        .filter(col("day") === "2015-11-22")
+        .drop("host", "day")
+        .as(org.apache.spark.sql.Encoders.product[KdcLogRecord]))
+  }
+
   /** The reference's actual production shape — tailing a growing KDC
     * log directory — through the REAL micro-batch engine: `readStream`
     * over the V2 table with `maxFilesPerTrigger = 1`, so the fixture's
@@ -235,6 +278,61 @@ object KdcParseQueries {
     graft.streaming.StreamingPipeline.runOneShot(
       KdcQueries.userAuthStats(ds),
       "kdc_v2_user_auth", "complete", Seq("client"))
+  }
+
+  /** 17th streaming row — APPEND-mode watermarked aggregation over the
+    * V2 log tail. The 16 other streaming rows finalize via
+    * complete-mode one-shot drains; a production tail emits FINALIZED
+    * windows incrementally, which is what this row exercises:
+    * event-time daily windows over successful AS auths with a 1-hour
+    * watermark, where a window only reaches the sink once the
+    * watermark proves it can no longer change. A one-shot drain
+    * therefore needs the watermark to CLEAR the real data, so the
+    * scratch tail dir carries TWO staggered far-future sentinel
+    * sessions in lexically-last files (the kdclog source admits files
+    * in lexical order, so `maxFilesPerTrigger=1` makes each sentinel
+    * its own final micro-batch — no mtime games needed, unlike the
+    * parquet file source): eviction in batch N uses the watermark set
+    * at the END of batch N−1, so sentinel 1's batch still flushes with
+    * the pre-sentinel watermark and sentinel 2's batch is the one that
+    * runs with it in force (the stream_outer_join lesson,
+    * StreamingPipeline.writeOuterSource). Sentinel rows are dropped
+    * AFTER the drain — a pre-watermark filter would be pushed below
+    * the EventTimeWatermark operator and silently stall the flush.
+    * Shares `kdc_parse_user_stats_streaming`'s hand-derived windowed
+    * oracle verbatim. */
+  def userStatsV2Watermarked(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sentinelUser = "zz-sentinel"
+    def sentinelLog(day: String): String = Seq(
+      asHeader(s"${day}T00:00:00", sentinelUser, "10.0.0.99"),
+      preauthOk(s"${day}T00:00:00", sentinelUser),
+      sending(s"${day}T00:00:00", "10.0.0.99")).mkString("\n") + "\n"
+    val path = new java.io.File(
+      s"target/scratch/kdc_wm_${spark.sparkContext.applicationId}_" +
+        java.util.UUID.randomUUID().toString.take(8)).getAbsolutePath
+    new java.io.File(path).mkdirs()
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, name), content.getBytes("UTF-8"))
+    put("host1.log", host1Log)
+    put("host2.log", host2Log)
+    put("zz_sentinel1.log", sentinelLog("2030-01-01"))
+    put("zz_sentinel2.log", sentinelLog("2030-01-02"))
+    val agg = spark.readStream.format("kdclog")
+      .option("maxFilesPerTrigger", "1").load(path)
+      .filter(col("valid") && col("success") &&
+        col("req_type") === "AUTH" && !col("referral"))
+      .withColumn("ts_time", to_timestamp(col("ts")))
+      .withWatermark("ts_time", "1 hour")
+      .groupBy(window(col("ts_time"), "1 day"), col("client"))
+      .agg(count(lit(1)).as("n_auth"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("client"), col("n_auth"))
+    graft.streaming.StreamingPipeline.runOneShot(
+      agg, "kdc_v2_wm_user_auth", "append", Seq("day", "client"))
+      .filter(col("client") =!= sentinelUser)
+      .orderBy("day", "client")
   }
 
   /** The CLI's TSV formatting (SURVEY C4/S7) through the gate: the
@@ -292,6 +390,18 @@ object KdcParseQueries {
       |  ('visitor', '2015-11-23T09:00:00', '2015-11-23T09:00:00', CAST(1 AS BIGINT))
       |) AS t(client, first_ts, last_ts, n_auth) ORDER BY client""".stripMargin
 
+  /** Hand-derived per-day/user windowed auth counts — shared VERBATIM
+    * by the complete-mode text-source row and the append-mode
+    * watermarked V2 row. */
+  private val userDayOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('2015-11-22', 'alice', CAST(1 AS BIGINT)),
+      |  ('2015-11-22', 'cg2v',  CAST(2 AS BIGINT)),
+      |  ('2015-11-23', 'alice', CAST(1 AS BIGINT)),
+      |  ('2015-11-23', 'plain', CAST(1 AS BIGINT)),
+      |  ('2015-11-23', 'visitor', CAST(1 AS BIGINT))
+      |) AS t(day, client, n_auth) ORDER BY day, client""".stripMargin
+
   private val userStatsScopedOracle: String =
     """SELECT * FROM (VALUES
       |  ('alice', '2015-11-22T17:00:00', '2015-11-23T07:00:00', CAST(2 AS BIGINT)),
@@ -322,6 +432,10 @@ object KdcParseQueries {
     // KdcV2Spec) — bit-identical oracles by construction
     "kdc_parse_user_stats_v2" -> QueryDef(userStatsV2, Some(userStatsOracle)),
     "kdc_parse_user_stats_v2_scoped" -> QueryDef(userStatsV2Scoped, Some(userStatsScopedOracle)),
+    // partition-path file pruning over the host=…/day=… fleet layout:
+    // the day predicate drops host2's file AT PLANNING (never opened),
+    // and host1 alone carries all AS sessions — same oracle
+    "kdc_parse_user_stats_v2_pruned" -> QueryDef(userStatsV2Pruned, Some(userStatsOracle)),
     // 16th streaming row: the log-tailing shape (two file-arrival
     // micro-batches through the V2 source under AvailableNow) must
     // converge to the batch user stats
@@ -332,14 +446,11 @@ object KdcParseQueries {
         |  ('host/www.example.org',   '2015-11-22T19:00:00', '2015-11-22T19:05:00', CAST(2 AS BIGINT)),
         |  ('imap/mail.example.org',  '2015-11-22T19:10:00', '2015-11-22T19:10:00', CAST(1 AS BIGINT))
         |) AS t(service, first_ts, last_ts, n_req) ORDER BY service""".stripMargin)),
-    "kdc_parse_user_stats_streaming" -> QueryDef(userStatsStreaming, Some(
-      """SELECT * FROM (VALUES
-        |  ('2015-11-22', 'alice', CAST(1 AS BIGINT)),
-        |  ('2015-11-22', 'cg2v',  CAST(2 AS BIGINT)),
-        |  ('2015-11-23', 'alice', CAST(1 AS BIGINT)),
-        |  ('2015-11-23', 'plain', CAST(1 AS BIGINT)),
-        |  ('2015-11-23', 'visitor', CAST(1 AS BIGINT))
-        |) AS t(day, client, n_auth) ORDER BY day, client""".stripMargin)),
+    "kdc_parse_user_stats_streaming" -> QueryDef(userStatsStreaming, Some(userDayOracle)),
+    // 17th streaming row: append mode — the engine only emits a daily
+    // window once the watermark FINALIZES it; converges to the same
+    // hand-derived windowed rows (one truth, complete AND append)
+    "kdc_parse_user_stats_v2_watermarked" -> QueryDef(userStatsV2Watermarked, Some(userDayOracle)),
     // same golden rows as kdc_parse_service_stats: the streaming plan
     // must converge to the batch answer on a bounded input
     "kdc_parse_service_stats_streaming" -> QueryDef(serviceStatsStreaming, Some(

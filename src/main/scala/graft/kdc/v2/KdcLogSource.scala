@@ -45,15 +45,44 @@ import graft.kdc.{KdcLogRecord, Sessionizer}
   * The session fold itself ([[Sessionizer]]) still parses every owned
   * session — the log bytes must be read to find session boundaries at
   * all — so pushdown buys row-materialization and downstream-operator
-  * volume, not I/O; at 100 TB the I/O win comes from the split
-  * alignment (no shuffle-by-file) and from pruning entire files by
-  * directory layout, which composes with this source unchanged.
+  * volume, not I/O. The 100 TB I/O win comes from two planner-side
+  * mechanisms:
+  *
+  *  - **partition-path file pruning**: `k=v` directory segments under
+  *    the load path (`host=kdc1/day=2015-11-22/…`, the standard log-
+  *    fleet rotation layout) are discovered at schema inference as
+  *    trailing STRING partition columns; pushed predicates that
+  *    reference only those columns are evaluated driver-side during
+  *    split planning and non-matching FILES are never opened at all —
+  *    a day-scoped query over a year of logs reads 1/365th of the
+  *    bytes. Layout contract: all files share one key sequence
+  *    (else no partition columns are inferred); a file missing a value
+  *    evaluates as NULL and is pruned by any non-null predicate; keys
+  *    shadowing record fields are ignored; values are plain strings
+  *    (no URL-unescaping, no type inference — lexical comparison,
+  *    like `ts`). Predicate-driven pruning applies to BATCH scans:
+  *    Spark builds streaming scans without running filter pushdown
+  *    (as of 4.1), so scope a tailing query's I/O with a path glob
+  *    (`host=STAR/day=2015-11-22/STAR`) — the lister resolves globs,
+  *    and partition columns still materialize.
+  *  - **derived split bounds for splittable-compressed inputs**: a
+  *    multi-GB .bz2 log sits UNDER the default 128 MiB split bound in
+  *    its compressed size while expanding ~10-30× on decode, so the
+  *    default plan would decode it in one task. When the input set
+  *    contains splittable-compressed files and the caller set no
+  *    explicit bound, the planner derives one for that group —
+  *    `max(256 KiB, min(128 MiB / 16, largest/defaultParallelism))`,
+  *    16 being a conservative text-log expansion factor (the probe
+  *    measured ~28×) — so block-parallel decode (measured 7.3×)
+  *    happens by default; uncompressed files keep their own sizing.
   *
   * Streaming: the same table supports `readStream` as file-arrival
   * micro-batches ([[KdcMicroBatchStream]]) — the reference's actual
-  * production shape, tailing a growing KDC log directory. Offsets are
-  * the set of files already admitted (length-stamped, append-only
-  * directory contract — the FileStreamSource assumption);
+  * production shape, tailing a growing KDC log directory
+  * (append-only-directory contract — a file is admitted whole, exactly
+  * once; the FileStreamSource assumption). Offsets are O(1) batch ids
+  * backed by a checkpointed per-batch file manifest, so offset size is
+  * independent of how many files the fleet has ever produced;
   * `maxFilesPerTrigger` bounds admission per batch, honored under
   * `Trigger.AvailableNow` via [[SupportsTriggerAvailableNow]] (the
   * engine's generic wrapper would jump straight to the prepared end,
@@ -62,23 +91,43 @@ import graft.kdc.{KdcLogRecord, Sessionizer}
 class KdcLogTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kdclog"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KdcLogTable.schema
+  /** Base record schema + any `k=v` partition columns discovered from
+    * the directory layout under the load path. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = options.asScala.toMap
+    opts.get("path").map(KdcLogTable.schemaFor(_, opts))
+      .getOrElse(KdcLogTable.schema)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("kdclog source requires a 'path' option"))
-    new KdcLogTable(path, properties.asScala.toMap)
+    new KdcLogTable(path, properties.asScala.toMap, schema)
   }
 }
 
 object KdcLogTable {
-  /** The full session-record schema (field-for-field
+  /** The base session-record schema (field-for-field
     * [[graft.kdc.KdcLogRecord]] — see its scaladoc for the reference
-    * citations). */
+    * citations), before any layout-discovered partition columns. */
   val schema: StructType =
     org.apache.spark.sql.Encoders.product[KdcLogRecord].schema
+
+  private[v2] val baseFieldNames: Set[String] = schema.fieldNames.toSet
+
+  /** Table schema for a load path: the base record schema plus one
+    * trailing nullable STRING column per `k=v` partition key the
+    * directory layout exposes consistently across all listed files. */
+  private[v2] def schemaFor(path: String, options: Map[String, String]): StructType = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val files = KdcFileLayout.listFiles(path,
+      options.get("recursive").exists(_.toBoolean), conf, strict = false)
+    val keys = KdcFileLayout.partitionKeys(path, files.map(_._1), conf)
+    keys.foldLeft(schema)((s, k) =>
+      s.add(org.apache.spark.sql.types.StructField(
+        k, org.apache.spark.sql.types.StringType, nullable = true)))
+  }
 
   /** Hadoop conf keys forwarded from reader options into the
     * executor-side Configuration (the lookback windows the aligned
@@ -116,27 +165,123 @@ object KdcLogTable {
   }
 }
 
-class KdcLogTable(path: String, options: Map[String, String])
-    extends Table with SupportsRead {
+/** File listing + `k=v` partition-layout discovery, shared by schema
+  * inference, the batch split planner, and the streaming lister (one
+  * visibility rule everywhere: '_'/'.'-prefixed names are hidden at
+  * every level, matching Hadoop input formats). */
+private[v2] object KdcFileLayout {
+
+  /** Snapshot the files under `path` (a file, a directory, or a glob);
+    * `recursive` additionally descends nested layouts. Driver-side.
+    * `strict` throws when the path/glob matches nothing at all (the
+    * batch-read contract); the streaming lister passes false — a
+    * tailed directory may not exist yet. */
+  def listFiles(path: String, recursive: Boolean, conf: Configuration,
+                strict: Boolean): Seq[(Path, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def visible(q: Path): Boolean = {
+      val n = q.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
+    def walk(st: org.apache.hadoop.fs.FileStatus, depth: Int): Unit =
+      if (st.isFile) {
+        if (visible(st.getPath)) out += st.getPath -> st.getLen
+      } else if (depth == 0 || recursive) {
+        fs.listStatus(st.getPath).foreach(c => if (visible(c.getPath)) walk(c, depth + 1))
+      } else if (strict) {
+        // a nested dir under a non-recursive batch read would be
+        // SILENTLY skipped — fail like FileInputFormat does instead
+        throw new java.io.IOException(
+          s"kdclog: not a file: ${st.getPath} (nested layout — set recursive=true or use a glob)")
+      }
+    val roots = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    if (roots.isEmpty && strict)
+      throw new java.io.FileNotFoundException(s"kdclog: no input found at $path")
+    roots.foreach(walk(_, 0))
+    out.toSeq
+  }
+
+  private val GlobChars: Set[Char] = Set('*', '?', '[', ']', '{', '}', '\\')
+
+  /** The longest non-glob prefix of the load path — partition segments
+    * are the `k=v` directories strictly between this base and each
+    * file. (Globbed segments still yield partition values: for a glob
+    * like `fleet/host=STAR/day=STAR/kdc.log` the base is `fleet`.) */
+  private def rawBase(path: String): String = {
+    val segs = path.split('/')
+    val i = segs.indexWhere(_.exists(GlobChars))
+    if (i < 0) path else segs.take(i).mkString("/")
+  }
+
+  /** URI path of the qualified base, for prefix comparison against
+    * listed (always fully-qualified) file paths. */
+  private def qualifiedBase(path: String, conf: Configuration): String = {
+    val b = new Path(rawBase(path))
+    b.getFileSystem(conf).makeQualified(b).toUri.getPath
+  }
+
+  /** `k=v` segments of `file`'s directories below the base, in path
+    * order. Keys shadowing base record fields are ignored (a dir named
+    * `client=x` cannot silently override the parsed field). */
+  private def segsBelow(base: String, file: Path): Seq[(String, String)] = {
+    val f = file.toUri.getPath
+    if (!f.startsWith(base)) return Seq.empty
+    f.drop(base.length).split('/').filter(_.nonEmpty).dropRight(1).toSeq.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val k = seg.substring(0, eq)
+        if (KdcLogTable.baseFieldNames(k)) None else Some(k -> seg.substring(eq + 1))
+      }
+    }
+  }
+
+  /** Partition keys exposed CONSISTENTLY by every listed file (same
+    * key sequence), else none — a mixed layout never produces
+    * half-defined partition columns. */
+  def partitionKeys(path: String, files: Seq[Path], conf: Configuration): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val base = qualifiedBase(path, conf)
+    val keySeqs = files.map(f => segsBelow(base, f).map(_._1))
+    if (keySeqs.head.nonEmpty && keySeqs.forall(_ == keySeqs.head)) keySeqs.head
+    else Seq.empty
+  }
+
+  /** This file's values for the table's partition keys; a key the path
+    * does not carry maps to null (pruned by any non-null predicate). */
+  def partValues(path: String, file: Path, partKeys: Seq[String],
+                 conf: Configuration): Map[String, String] = {
+    if (partKeys.isEmpty) return Map.empty
+    val found = segsBelow(qualifiedBase(path, conf), file).toMap
+    partKeys.flatMap(k => found.get(k).map(k -> _)).toMap
+  }
+}
+
+class KdcLogTable(path: String, options: Map[String, String],
+                  tableSchema: StructType) extends Table with SupportsRead {
   override def name(): String = s"kdclog(`$path`)"
-  override def schema(): StructType = KdcLogTable.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    new KdcScanBuilder(path, options ++ caseInsensitive.asScala)
+    new KdcScanBuilder(path, options ++ caseInsensitive.asScala, tableSchema)
 }
 
-class KdcScanBuilder(path: String, options: Map[String, String])
+class KdcScanBuilder(path: String, options: Map[String, String],
+                     tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = KdcLogTable.schema
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private val fields = tableSchema.fieldNames.toSet
 
   /** Keep every filter [[KdcFilterEval]] can evaluate exactly on the
-    * typed session record; only the residue goes back to Spark for
-    * post-scan evaluation. */
+    * typed session record (or on this table's partition columns); only
+    * the residue goes back to Spark for post-scan evaluation. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, unsupported) = filters.partition(KdcFilterEval.supports)
+    val (supported, unsupported) = filters.partition(KdcFilterEval.supports(fields, _))
     pushed = supported
     unsupported
   }
@@ -145,12 +290,19 @@ class KdcScanBuilder(path: String, options: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KdcScan(path, options, required, pushed)
+  override def build(): Scan =
+    new KdcScan(path, options, tableSchema, required, pushed)
 }
 
 class KdcScan(val path: String, options: Map[String, String],
+              tableSchema: StructType,
               val requiredSchema: StructType, val pushedFilters: Array[Filter])
     extends Scan {
+
+  /** Layout-discovered partition columns = table schema minus the base
+    * record fields (order preserved). */
+  private[v2] val partKeys: Seq[String] =
+    tableSchema.fieldNames.toSeq.filterNot(KdcLogTable.baseFieldNames)
 
   override def readSchema(): StructType = requiredSchema
 
@@ -158,46 +310,119 @@ class KdcScan(val path: String, options: Map[String, String],
     s"KdcScan path=$path, ReadSchema: ${requiredSchema.fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters: ${pushedFilters.mkString("[", ", ", "]")}"
 
-  override def toBatch: Batch = new KdcBatch(path, options, requiredSchema, pushedFilters)
+  override def toBatch: Batch =
+    new KdcBatch(path, options, partKeys, requiredSchema, pushedFilters)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KdcMicroBatchStream(path, options, requiredSchema, pushedFilters)
+    new KdcMicroBatchStream(path, options, partKeys, requiredSchema, pushedFilters,
+      checkpointLocation)
 }
 
 object KdcBatch {
-  /** Split the given input paths with [[graft.kdc.KdcSessionInputFormat]]
-    * (byte-aligned, splittability-aware) and wrap as connector
-    * partitions. Driver-side. */
-  private[v2] def planSplits(paths: Seq[Path],
-                             options: Map[String, String]): Array[InputPartition] = {
-    val base = SparkSession.active.sparkContext.hadoopConfiguration
-    val conf = new Configuration(base)
+  /** Conservative decode-expansion factor for splittable-compressed
+    * text logs (the scale probe measured ~28× on a synthetic KDC log;
+    * 16 keeps derived splits within ~2× of the uncompressed target
+    * even on less-compressible corpora). */
+  private[v2] val CompressedExpansionFactor = 16L
+  /** Uncompressed per-task volume target — Spark's default
+    * `spark.sql.files.maxPartitionBytes` spirit. */
+  private[v2] val TargetUncompressedSplitBytes = 128L << 20
+  /** Floor: roughly one compressed bzip2 block plus probe slack; finer
+    * splits only add per-task probe overhead. */
+  private[v2] val MinCompressedSplitBytes = 256L << 10
+
+  /** Derived split bound for a group of splittable-compressed files
+    * when the caller set none: small enough that decode parallelism
+    * survives the expansion factor, large enough to use the cluster on
+    * the largest single file, never below one block. */
+  private[kdc] def defaultCompressedSplitBytes(largest: Long, parallelism: Int): Long =
+    math.max(MinCompressedSplitBytes,
+      math.min(TargetUncompressedSplitBytes / CompressedExpansionFactor,
+        math.max(1L, largest / math.max(1, parallelism))))
+
+  /** Plan the connector partitions for `inputPaths` (driver-side):
+    * list, prune whole files via partition-path predicates, then split
+    * with [[graft.kdc.KdcSessionInputFormat]] — splittable-compressed
+    * files under a derived bound (see [[defaultCompressedSplitBytes]])
+    * unless the caller set an explicit one, everything else under the
+    * caller/default sizing. `tablePath` anchors partition-segment
+    * extraction (it may differ from `inputPaths` in the streaming
+    * case, where fresh files are planned individually). */
+  private[v2] def planSplits(inputPaths: Seq[Path], options: Map[String, String],
+                             tablePath: String, partKeys: Seq[String],
+                             filters: Array[Filter]): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
-    val job = Job.getInstance(conf)
-    FileInputFormat.setInputPaths(job, paths: _*)
-    new graft.kdc.KdcSessionInputFormat().getSplits(job).asScala.map {
-      case fs: FileSplit =>
-        KdcInputPartition(fs.getPath.toString, fs.getStart, fs.getLength,
-          Option(fs.getLocations).getOrElse(Array.empty))
-      case other =>
-        throw new IllegalStateException(s"unexpected split type: $other")
+    val recursive = options.get("recursive").exists(_.toBoolean)
+
+    val files: Seq[(Path, Long)] = inputPaths.flatMap(p =>
+      KdcFileLayout.listFiles(p.toString, recursive, conf, strict = true))
+
+    // whole-file pruning: a predicate over partition columns only holds
+    // the same verdict for every row of a file, so UNKNOWN/FALSE files
+    // are skipped without being opened
+    val partOnly = filters.filter(f =>
+      f.references.nonEmpty && f.references.forall(partKeys.contains))
+    val values: Map[Path, Map[String, String]] = files.map { case (f, _) =>
+      f -> KdcFileLayout.partValues(tablePath, f, partKeys, conf)
+    }.toMap
+    val kept = files.filter { case (f, _) =>
+      KdcFilterEval.matchesPartition(partOnly, values(f))
+    }
+
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val (splittableCompressed, plain) = kept.partition { case (f, _) =>
+      val c = codecs.getCodec(f)
+      c != null && c.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]
+    }
+    val compConf =
+      if (splittableCompressed.isEmpty ||
+          conf.get("mapreduce.input.fileinputformat.split.maxsize") != null) conf
+      else {
+        val c2 = new Configuration(conf)
+        c2.setLong("mapreduce.input.fileinputformat.split.maxsize",
+          defaultCompressedSplitBytes(splittableCompressed.map(_._2).max,
+            spark.sparkContext.defaultParallelism))
+        c2
+      }
+
+    def splitsFor(group: Seq[(Path, Long)], c: Configuration): Seq[FileSplit] =
+      if (group.isEmpty) Nil
+      else {
+        val job = Job.getInstance(c)
+        FileInputFormat.setInputPaths(job, group.map(_._1): _*)
+        new graft.kdc.KdcSessionInputFormat().getSplits(job).asScala.map {
+          case fs: FileSplit => fs
+          case other => throw new IllegalStateException(s"unexpected split type: $other")
+        }.toSeq
+      }
+
+    (splitsFor(plain, conf) ++ splitsFor(splittableCompressed, compConf)).map { fs =>
+      KdcInputPartition(fs.getPath.toString, fs.getStart, fs.getLength,
+        Option(fs.getLocations).getOrElse(Array.empty),
+        values.getOrElse(fs.getPath, Map.empty))
     }.toArray
   }
 }
 
-class KdcBatch(path: String, options: Map[String, String],
+class KdcBatch(path: String, options: Map[String, String], partKeys: Seq[String],
                requiredSchema: StructType, filters: Array[Filter]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    KdcBatch.planSplits(Seq(new Path(path)), options)
+    KdcBatch.planSplits(Seq(new Path(path)), options, path, partKeys, filters)
   override def createReaderFactory(): PartitionReaderFactory =
-    KdcReaderFactory(KdcLogTable.readerConf(options),
-      requiredSchema.fieldNames, filters)
+    KdcReaderFactory(KdcLogTable.readerConf(options), requiredSchema.fieldNames,
+      // partition-only predicates are fully applied at planning (file
+      // granularity is exact for them); readers evaluate the rest
+      filters.filterNot(f =>
+        f.references.nonEmpty && f.references.forall(partKeys.contains)))
 }
 
 /** One byte range of one log file (serializable — shipped to
-  * executors). */
+  * executors), carrying the file's partition-column values. */
 case class KdcInputPartition(path: String, start: Long, length: Long,
-                             locations: Array[String]) extends InputPartition {
+                             locations: Array[String],
+                             partValues: Map[String, String]) extends InputPartition {
   override def preferredLocations(): Array[String] = locations
 }
 
@@ -231,7 +456,10 @@ class KdcPartitionReader(part: KdcInputPartition,
     r
   }
   private val extractors: Array[KdcLogRecord => Any] =
-    fieldNames.map(KdcFilterEval.extractor)
+    fieldNames.map { f =>
+      if (KdcLogTable.baseFieldNames(f)) KdcFilterEval.extractor(f)
+      else { val v = part.partValues.getOrElse(f, null); (_: KdcLogRecord) => v }
+    }
   private var sessions: Iterator[KdcLogRecord] = Iterator.empty
   private var current: InternalRow = _
 
@@ -239,7 +467,7 @@ class KdcPartitionReader(part: KdcInputPartition,
     while (true) {
       if (sessions.hasNext) {
         val rec = sessions.next()
-        if (KdcFilterEval.matches(filters, rec)) {
+        if (KdcFilterEval.matches(filters, rec, part.partValues)) {
           val vals = new Array[Any](extractors.length)
           var i = 0
           while (i < extractors.length) {
@@ -265,12 +493,14 @@ class KdcPartitionReader(part: KdcInputPartition,
 }
 
 /** Exact evaluation of pushed `sources.Filter`s against a typed
-  * [[KdcLogRecord]], with SQL ternary null semantics (a comparison on
-  * a null field is UNKNOWN — the row is filtered, and `Not(UNKNOWN)`
-  * stays UNKNOWN). Only filters [[supports]] accepts are pushed, so
-  * evaluation here is total. String comparisons are lexical — which
-  * for the fixed-width ISO `ts` field IS chronological order
-  * (`KDCLogRecord.java:249`), making ts range predicates pushable. */
+  * [[KdcLogRecord]] (plus the file's partition-column values), with
+  * SQL ternary null semantics (a comparison on a null field is
+  * UNKNOWN — the row is filtered, and `Not(UNKNOWN)` stays UNKNOWN).
+  * Only filters [[supports]] accepts are pushed, so evaluation here is
+  * total. String comparisons are lexical — which for the fixed-width
+  * ISO `ts` field IS chronological order (`KDCLogRecord.java:249`),
+  * making ts range predicates pushable; partition values are plain
+  * strings, so the same holds for `day=YYYY-MM-DD` layouts. */
 private[v2] object KdcFilterEval {
 
   private[v2] def extractor(field: String): KdcLogRecord => Any = field match {
@@ -292,9 +522,7 @@ private[v2] object KdcFilterEval {
     case other => throw new IllegalArgumentException(s"unknown field $other")
   }
 
-  private val fields = KdcLogTable.schema.fieldNames.toSet
-
-  def supports(f: Filter): Boolean = f match {
+  def supports(fields: Set[String], f: Filter): Boolean = f match {
     case sources.EqualTo(a, v) => fields(a) && v != null
     case sources.In(a, vs) => fields(a) && vs != null && !vs.contains(null)
     case sources.GreaterThan(a, v: String) => fields(a)
@@ -305,51 +533,68 @@ private[v2] object KdcFilterEval {
     case sources.IsNotNull(a) => fields(a)
     case sources.StringStartsWith(a, _) => fields(a)
     case sources.StringContains(a, _) => fields(a)
-    case sources.Not(child) => supports(child)
-    case sources.And(l, r) => supports(l) && supports(r)
-    case sources.Or(l, r) => supports(l) && supports(r)
+    case sources.Not(child) => supports(fields, child)
+    case sources.And(l, r) => supports(fields, l) && supports(fields, r)
+    case sources.Or(l, r) => supports(fields, l) && supports(fields, r)
     case _ => false
   }
 
-  def matches(filters: Array[Filter], rec: KdcLogRecord): Boolean =
-    filters.forall(f => eval(f, rec) eq java.lang.Boolean.TRUE)
+  /** Row-level: base fields resolve from the typed record, partition
+    * fields from the file's path values. */
+  def matches(filters: Array[Filter], rec: KdcLogRecord,
+              part: Map[String, String]): Boolean = {
+    val lookup: String => Any = a =>
+      if (KdcLogTable.baseFieldNames(a)) extractor(a)(rec)
+      else part.getOrElse(a, null)
+    filters.forall(f => eval(f, lookup) eq java.lang.Boolean.TRUE)
+  }
+
+  /** File-level: every row of the file shares these partition values,
+    * so a partition-only predicate that is FALSE or UNKNOWN rejects
+    * the whole file — exact, not advisory. Callers pass only filters
+    * whose references are all partition keys. */
+  def matchesPartition(partOnlyFilters: Seq[Filter],
+                       part: Map[String, String]): Boolean = {
+    val lookup: String => Any = a => part.getOrElse(a, null)
+    partOnlyFilters.forall(f => eval(f, lookup) eq java.lang.Boolean.TRUE)
+  }
 
   /** Three-valued evaluation: TRUE / FALSE / null (UNKNOWN). */
-  private def eval(f: Filter, rec: KdcLogRecord): java.lang.Boolean = f match {
+  private def eval(f: Filter, value: String => Any): java.lang.Boolean = f match {
     case sources.EqualTo(a, v) =>
-      val x = extractor(a)(rec)
+      val x = value(a)
       if (x == null) null else java.lang.Boolean.valueOf(x == v)
     case sources.In(a, vs) =>
-      val x = extractor(a)(rec)
+      val x = value(a)
       if (x == null) null else java.lang.Boolean.valueOf(vs.contains(x))
-    case sources.GreaterThan(a, v: String) => cmp(a, rec, _ > 0, v)
-    case sources.GreaterThanOrEqual(a, v: String) => cmp(a, rec, _ >= 0, v)
-    case sources.LessThan(a, v: String) => cmp(a, rec, _ < 0, v)
-    case sources.LessThanOrEqual(a, v: String) => cmp(a, rec, _ <= 0, v)
+    case sources.GreaterThan(a, v: String) => cmp(a, value, _ > 0, v)
+    case sources.GreaterThanOrEqual(a, v: String) => cmp(a, value, _ >= 0, v)
+    case sources.LessThan(a, v: String) => cmp(a, value, _ < 0, v)
+    case sources.LessThanOrEqual(a, v: String) => cmp(a, value, _ <= 0, v)
     case sources.IsNull(a) =>
-      java.lang.Boolean.valueOf(extractor(a)(rec) == null)
+      java.lang.Boolean.valueOf(value(a) == null)
     case sources.IsNotNull(a) =>
-      java.lang.Boolean.valueOf(extractor(a)(rec) != null)
+      java.lang.Boolean.valueOf(value(a) != null)
     case sources.StringStartsWith(a, prefix) =>
-      val x = extractor(a)(rec)
+      val x = value(a)
       if (x == null) null
       else java.lang.Boolean.valueOf(x.asInstanceOf[String].startsWith(prefix))
     case sources.StringContains(a, needle) =>
-      val x = extractor(a)(rec)
+      val x = value(a)
       if (x == null) null
       else java.lang.Boolean.valueOf(x.asInstanceOf[String].contains(needle))
     case sources.Not(child) =>
-      val b = eval(child, rec)
+      val b = eval(child, value)
       if (b == null) null else java.lang.Boolean.valueOf(!b.booleanValue())
     case sources.And(l, r) =>
-      (eval(l, rec), eval(r, rec)) match {
+      (eval(l, value), eval(r, value)) match {
         case (java.lang.Boolean.FALSE, _) | (_, java.lang.Boolean.FALSE) =>
           java.lang.Boolean.FALSE
         case (null, _) | (_, null) => null
         case _ => java.lang.Boolean.TRUE
       }
     case sources.Or(l, r) =>
-      (eval(l, rec), eval(r, rec)) match {
+      (eval(l, value), eval(r, value)) match {
         case (java.lang.Boolean.TRUE, _) | (_, java.lang.Boolean.TRUE) =>
           java.lang.Boolean.TRUE
         case (null, _) | (_, null) => null
@@ -359,79 +604,141 @@ private[v2] object KdcFilterEval {
       throw new IllegalStateException(s"unsupported pushed filter $other")
   }
 
-  private def cmp(a: String, rec: KdcLogRecord, ok: Int => Boolean,
+  private def cmp(a: String, value: String => Any, ok: Int => Boolean,
                   v: String): java.lang.Boolean = {
-    val x = extractor(a)(rec)
+    val x = value(a)
     if (x == null) null
     else java.lang.Boolean.valueOf(ok(x.asInstanceOf[String].compareTo(v)))
   }
 }
 
-/** File-set offset for the streaming source: every admitted file with
-  * its length at admission time (append-only-directory contract — a
-  * file is admitted whole, exactly once). JSON map `path -> length`. */
-case class KdcFileOffset(files: Map[String, Long]) extends Offset {
-  override def json(): String = {
+/** Streaming offset: just the high-water micro-batch id. The files a
+  * batch admitted live in the checkpoint's batchId-keyed manifest log
+  * ([[KdcFileManifest]]), so the offset JSON the engine re-serializes
+  * into every trigger's offset log is O(1) — a fleet that has tailed
+  * millions of files carries an integer, not the file list (the
+  * unbounded-offset growth FileStreamSource-style map offsets have). */
+case class KdcBatchOffset(batchId: Long) extends Offset {
+  override def json(): String = s"""{"batchId":$batchId}"""
+}
+
+object KdcBatchOffset {
+  def fromJson(json: String): KdcBatchOffset = {
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    org.json4s.jackson.Serialization.write(files)
+    val m = org.json4s.jackson.Serialization.read[Map[String, Long]](json)
+    KdcBatchOffset(m("batchId"))
   }
 }
 
-object KdcFileOffset {
-  def fromJson(json: String): KdcFileOffset = {
-    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    KdcFileOffset(org.json4s.jackson.Serialization.read[Map[String, Long]](json))
+/** BatchId-keyed manifest of admitted files under the source's own
+  * checkpoint location: file `<dir>/<batchId>` holds the JSON map
+  * `path -> length` of exactly the files that batch admitted (a
+  * delta, not a cumulative snapshot — replay of batch N reads one
+  * file). Writes are atomic (temp + rename) and idempotent per id:
+  * after a crash between manifest write and the engine's offset-log
+  * write, the orphan id is overwritten by the next admission. Grows
+  * one small file per non-empty batch; a retention sweep of ids older
+  * than the engine's own purged offsets is safe because replay never
+  * reaches below the committed watermark. */
+private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
+  private implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+  private val fs = dir.getFileSystem(conf)
+
+  /** All manifest entries on disk, batchId-ascending. */
+  def load(): scala.collection.immutable.SortedMap[Long, Map[String, Long]] = {
+    if (!fs.exists(dir))
+      return scala.collection.immutable.SortedMap.empty
+    val out = scala.collection.immutable.SortedMap.newBuilder[Long, Map[String, Long]]
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.forall(_.isDigit)) {
+        val in = fs.open(st.getPath)
+        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+        out += name.toLong ->
+          org.json4s.jackson.Serialization.read[Map[String, Long]](
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    out.result()
+  }
+
+  /** Atomically (over)write the manifest for `batchId`. */
+  def write(batchId: Long, files: Map[String, Long]): Unit = {
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".${batchId}.tmp")
+    val outStream = fs.create(tmp, true)
+    try outStream.write(org.json4s.jackson.Serialization.write(files)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outStream.close()
+    val target = new Path(dir, batchId.toString)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"kdclog: failed to commit manifest $target")
   }
 }
 
 /** Micro-batch stream over a growing KDC log directory: each batch
-  * admits the (lexically ordered) files not yet in the start offset,
-  * bounded by `maxFilesPerTrigger` when set, and plans them through
-  * the SAME split-aligned partitions, pushed predicates, and pruned
-  * schema as the batch scan. Implements [[SupportsTriggerAvailableNow]]
-  * so `Trigger.AvailableNow` replays a backlog in multiple bounded
-  * batches (the engine's generic wrapper would jump to the prepared
-  * end in one batch, defeating the admission bound). */
+  * admits the (lexically ordered) files not yet recorded in the
+  * manifest log at or below the start offset, bounded by
+  * `maxFilesPerTrigger` when set, and plans them through the SAME
+  * split-aligned partitions, pushed predicates, and pruned schema as
+  * the batch scan. Offsets are O(1) batch ids ([[KdcBatchOffset]]);
+  * the admitted-file deltas live in the source's checkpoint-scoped
+  * [[KdcFileManifest]], so neither the offset log nor the per-trigger
+  * offset JSON grows with the file count. Implements
+  * [[SupportsTriggerAvailableNow]] so `Trigger.AvailableNow` replays a
+  * backlog in multiple bounded batches (the engine's generic wrapper
+  * would jump to the prepared end in one batch, defeating the
+  * admission bound).
+  *
+  * Fleet-scale bound: [[KdcFileLayout.listFiles]] is one serial
+  * driver-side directory walk per trigger (two on the first trigger of
+  * a run when `prepared` is unset) — O(files) namenode RPC, the same
+  * posture as Spark's FileStreamSource. The in-memory seen-file set is
+  * O(files ever admitted) on the driver, rebuilt from the manifest on
+  * restart. */
 class KdcMicroBatchStream(path: String, options: Map[String, String],
-                          requiredSchema: StructType, filters: Array[Filter])
+                          partKeys: Seq[String],
+                          requiredSchema: StructType, filters: Array[Filter],
+                          checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
 
+  private val manifest = new KdcFileManifest(
+    new Path(checkpointLocation, "kdc-file-manifest"),
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Manifest entries (batchId -> admitted files), lazily restored
+    * from the checkpoint once per stream instance. */
+  private var entries: scala.collection.immutable.SortedMap[Long, Map[String, Long]] = _
+  private def loaded(): scala.collection.immutable.SortedMap[Long, Map[String, Long]] =
+    synchronized {
+      if (entries == null) entries = manifest.load()
+      entries
+    }
+
   /** Bound captured by prepareForTriggerAvailableNow: files visible at
     * query start; AvailableNow batches never admit past it. */
   @volatile private var prepared: Option[Map[String, Long]] = None
 
-  /** Snapshot the visible log files: the path may be a file, a
-    * directory, or a GLOB; `recursive=true` additionally descends
-    * nested layouts (host=…/day=… trees). Hidden ('_'/'.'-prefixed)
-    * names are skipped at every level, matching Hadoop input formats. */
+  /** Snapshot the visible log files ([[KdcFileLayout.listFiles]]:
+    * file/dir/glob + recursive, hidden names skipped at every level).
+    * Lenient — a tailed directory may not exist yet. */
   private def listFiles(): Map[String, Long] = {
-    val p = new Path(path)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    val recursive = options.get("recursive").exists(_.toBoolean)
-    def visible(q: Path): Boolean = {
-      val n = q.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    val out = scala.collection.mutable.Map[String, Long]()
-    def walk(st: org.apache.hadoop.fs.FileStatus, depth: Int): Unit =
-      if (st.isFile) {
-        if (visible(st.getPath)) out(st.getPath.toString) = st.getLen
-      } else if (depth == 0 || recursive) {
-        fs.listStatus(st.getPath).foreach(c => if (visible(c.getPath)) walk(c, depth + 1))
-      }
-    Option(fs.globStatus(p)).getOrElse(Array.empty).foreach(walk(_, 0))
-    out.toMap
+    KdcFileLayout.listFiles(path, options.get("recursive").exists(_.toBoolean),
+        conf, strict = false)
+      .map { case (p, len) => p.toString -> len }.toMap
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
     prepared = Some(listFiles())
 
-  override def initialOffset(): Offset = KdcFileOffset(Map.empty)
+  override def initialOffset(): Offset = KdcBatchOffset(-1L)
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -440,33 +747,53 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val known = start.asInstanceOf[KdcFileOffset].files
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val startId = start.asInstanceOf[KdcBatchOffset].batchId
+    // manifest ids above the start offset are orphans of a run that
+    // crashed between manifest write and the engine's offset-log
+    // write — drop them; the next admission overwrites their files
+    val live = loaded().rangeTo(startId)
+    val seen = live.valuesIterator.flatMap(_.keysIterator).toSet
     val visible = prepared.getOrElse(listFiles())
-    val fresh = visible.view.filterKeys(!known.contains(_)).toSeq.sortBy(_._1)
+    val fresh = visible.view.filterKeys(!seen.contains(_)).toSeq.sortBy(_._1)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    KdcFileOffset(known ++ admitted)
+    if (admitted.isEmpty) { entries = live; KdcBatchOffset(startId) }
+    else {
+      val id = startId + 1
+      manifest.write(id, admitted.toMap)
+      entries = live + (id -> admitted.toMap)
+      KdcBatchOffset(id)
+    }
   }
 
   override def reportLatestOffset(): Offset =
-    KdcFileOffset(prepared.getOrElse(listFiles()))
+    KdcBatchOffset(loaded().lastOption.map(_._1).getOrElse(-1L))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[KdcFileOffset].files
-    val e = end.asInstanceOf[KdcFileOffset].files
-    val fresh = e.keySet.diff(s.keySet).toSeq.sorted
+    val s = start.asInstanceOf[KdcBatchOffset].batchId
+    val e = end.asInstanceOf[KdcBatchOffset].batchId
+    if (e <= s) return Array.empty
+    val have = loaded()
+    val missing = (s + 1).to(e).filterNot(have.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"kdclog: manifest entries ${missing.mkString(",")} absent under " +
+          s"$checkpointLocation — checkpoint is damaged or predates the batch-id offset format")
+    val fresh = have.range(s + 1, e + 1).valuesIterator
+      .flatMap(_.keysIterator).toSeq.sorted
     if (fresh.isEmpty) Array.empty
-    else KdcBatch.planSplits(fresh.map(new Path(_)), options)
+    else KdcBatch.planSplits(fresh.map(new Path(_)), options, path, partKeys, filters)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KdcReaderFactory(KdcLogTable.readerConf(options),
-      requiredSchema.fieldNames, filters)
+    KdcReaderFactory(KdcLogTable.readerConf(options), requiredSchema.fieldNames,
+      filters.filterNot(f =>
+        f.references.nonEmpty && f.references.forall(partKeys.contains)))
 
-  override def deserializeOffset(json: String): Offset = KdcFileOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = KdcBatchOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

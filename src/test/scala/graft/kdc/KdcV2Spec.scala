@@ -29,7 +29,13 @@ class KdcV2Spec extends AnyFunSuite {
   }
 
   private def kdcScan(df: DataFrame): KdcScan = {
-    val scans = df.queryExecution.executedPlan.collect {
+    val top = df.queryExecution.executedPlan
+    // descend into the AQE wrapper when present (agg plans)
+    val plan = top.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(top)
+    val scans = plan.collect {
       case b: BatchScanExec => b.scan
     }
     assert(scans.nonEmpty, s"no BatchScanExec in:\n${df.queryExecution.executedPlan}")
@@ -122,39 +128,118 @@ class KdcV2Spec extends AnyFunSuite {
     assert(viaGz == plain, "gzip V2 parse diverged from the in-memory fold")
   }
 
-  test("multi-block bzip2 through V2: splittable codec fans one file across partitions") {
-    // the KdcBzip2Spec fixture recipe: sessions of varying line counts
-    // so session boundaries drift against compressed-block boundaries
-    val lines: Seq[String] = (0 until 40000).flatMap { i =>
-      val ts = f"2015-11-22T${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d"
-      val user = s"user${i % 97}"
-      val extras = (0 until i % 4).map(k =>
-        s"$ts Client sent patypes: ENC-TS, REQ-ENC-PA-REP ($k)")
-      (s"$ts AS-REQ $user@X.ORG from IPv4:10.0.0.${i % 250} for krbtgt/X.ORG@X.ORG" +:
-        extras) ++ Seq(
-        s"$ts ENC-TS Pre-authentication succeeded -- $user@X.ORG",
-        s"$ts sending ${100 + i % 900} bytes to IPv4:10.0.0.${i % 250}")
-    }
+  // the KdcBzip2Spec fixture recipe: sessions of varying line counts
+  // so session boundaries drift against compressed-block boundaries
+  private lazy val bz2Lines: Seq[String] = (0 until 40000).flatMap { i =>
+    val ts = f"2015-11-22T${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d"
+    val user = s"user${i % 97}"
+    val extras = (0 until i % 4).map(k =>
+      s"$ts Client sent patypes: ENC-TS, REQ-ENC-PA-REP ($k)")
+    (s"$ts AS-REQ $user@X.ORG from IPv4:10.0.0.${i % 250} for krbtgt/X.ORG@X.ORG" +:
+      extras) ++ Seq(
+      s"$ts ENC-TS Pre-authentication succeeded -- $user@X.ORG",
+      s"$ts sending ${100 + i % 900} bytes to IPv4:10.0.0.${i % 250}")
+  }
+
+  private lazy val bz2FixtureDir: String = {
     val dir = "target/scratch/kdc_v2_bz2"
     new java.io.File(dir).mkdirs()
     val codec = new org.apache.hadoop.io.compress.BZip2Codec
     codec.setConf(spark.sparkContext.hadoopConfiguration)
     val out = codec.createOutputStream(
       new java.io.FileOutputStream(s"$dir/big.log.bz2"))
-    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    out.write(bz2Lines.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
     assert(new java.io.File(s"$dir/big.log.bz2").length() > 256 * 1024)
+    dir
+  }
+
+  test("multi-block bzip2 through V2: splittable codec fans one file across partitions") {
     val q = spark.read.format("kdclog")
-      .option("maxSplitBytes", (128 * 1024).toString).load(dir)
+      .option("maxSplitBytes", (128 * 1024).toString).load(bz2FixtureDir)
     // the one .bz2 file must actually fan out across input partitions
     assert(q.rdd.getNumPartitions >= 2,
       s"bz2 not split: ${q.rdd.getNumPartitions} partition(s)")
     val got = q.select(col("client"), col("ts")).collect()
       .map(r => (r.getString(0), r.getString(1)))
       .groupBy(identity).view.mapValues(_.size).toMap
-    val want = Sessionizer.sessionize(lines.iterator).toSeq
+    val want = Sessionizer.sessionize(bz2Lines.iterator).toSeq
       .map(r => (r.client, r.ts))
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(got == want, "split-compressed V2 parse diverged from the in-memory fold")
+  }
+
+  test("KdcMain --v2 plan: the realm filter pushes into the scan despite the counters observe") {
+    // the realm must be applied BEFORE withCounters — Catalyst does
+    // not push predicates through CollectMetrics, so filtering after
+    // the observe would evaluate realm post-scan and the advertised
+    // never-materialize-foreign-realm posture would be silently lost
+    val q = KdcMain.buildReport(spark, fixture, Some("SQUILL.DEMENTIA.ORG"),
+      "user", useV2 = true, aligned = false)
+    val scan = kdcScan(q)
+    assert(scan.pushedFilters.mkString.contains("EqualTo(crealm,SQUILL.DEMENTIA.ORG)"),
+      s"realm not pushed on the CLI --v2 plan: ${scan.pushedFilters.mkString(", ")}")
+    // and the report equals the RDD path's scoped report
+    val viaV2 = q.collect().map(_.toString).toSeq
+    val viaRdd = KdcMain.buildReport(spark, fixture, Some("SQUILL.DEMENTIA.ORG"),
+      "user", useV2 = false, aligned = false).collect().map(_.toString).toSeq
+    assert(viaV2 == viaRdd)
+    // service reports scope the SERVICE realm
+    val svc = KdcMain.buildReport(spark, fixture, Some("SQUILL.DEMENTIA.ORG"),
+      "service", useV2 = true, aligned = false)
+    assert(kdcScan(svc).pushedFilters.mkString.contains("EqualTo(srealm,SQUILL.DEMENTIA.ORG)"))
+  }
+
+  test("partition-path pruning: day-scoped query never opens the other day's file") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    val df = spark.read.format("kdclog").option("recursive", "true").load(root)
+    // layout discovery: k=v segments surface as trailing string columns
+    assert(df.schema.fieldNames.takeRight(2).toSeq == Seq("host", "day"),
+      s"partition columns not inferred: ${df.schema.fieldNames.mkString(",")}")
+    val q = df.filter(col("day") === "2015-11-22")
+      .select(col("client"), col("ts"), col("day"))
+    val scan = kdcScan(q)
+    assert(scan.pushedFilters.mkString.contains("EqualTo(day,2015-11-22)"),
+      s"day predicate not pushed: ${scan.pushedFilters.mkString(", ")}")
+    // the whole point: split planning PRUNES the other day's FILE
+    val planned = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.kdc.v2.KdcInputPartition].path).distinct
+    assert(planned.length == 1 && planned.head.contains("day=2015-11-22"),
+      s"pruning failed, planned files: ${planned.mkString(", ")}")
+    // correctness: rows equal host1's sessions, with the partition
+    // value materialized as a column
+    val rows = q.collect()
+    val want = Sessionizer.sessionize(KdcParseQueries.host1Log.linesIterator).toSeq
+    assert(rows.length == want.size, s"expected ${want.size} rows, got ${rows.length}")
+    assert(rows.forall(_.getString(2) == "2015-11-22"))
+    // streaming: the engine builds streaming scans WITHOUT running
+    // filter pushdown (Spark 4.1 — no pushFilters call reaches the
+    // scan builder), so a predicate cannot prune the tailed files; the
+    // I/O-scoping path for tailing is a path GLOB, which the shared
+    // lister resolves — pin that the glob admits only the scoped
+    // day's rows
+    import org.apache.spark.sql.streaming.Trigger
+    val sq = spark.readStream.format("kdclog")
+      .load(s"$root/host=*/day=2015-11-22/*")
+      .groupBy(col("client")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("kdc_v2_pruned_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val streamedRows = sq.recentProgress.map(_.numInputRows).sum
+    spark.catalog.dropTempView("kdc_v2_pruned_stream")
+    assert(streamedRows == want.size,
+      s"glob-scoped stream read $streamedRows rows, host1 alone has ${want.size}")
+  }
+
+  test("splittable-compressed inputs derive a split bound: bz2 fans out with NO explicit option") {
+    val q = spark.read.format("kdclog").load(bz2FixtureDir) // NO maxSplitBytes
+    assert(q.rdd.getNumPartitions >= 2,
+      s"derived compressed split bound did not fan out: ${q.rdd.getNumPartitions} partition(s)")
+    // derivation formula sanity at fleet scale: a 10 GiB file on 1000
+    // cores splits at the 8 MiB expansion-bounded cap, never below one
+    // compressed block
+    import graft.kdc.v2.KdcBatch.defaultCompressedSplitBytes
+    assert(defaultCompressedSplitBytes(10L << 30, 1000) == (8L << 20))
+    assert(defaultCompressedSplitBytes(100L << 10, 32) == (256L << 10))
   }
 
   test("glob and recursive layouts: batch and streaming agree over a nested log fleet") {
@@ -246,6 +331,133 @@ class KdcV2Spec extends AnyFunSuite {
     val host2Only = spark.read.format("kdclog").load(s"$dir/host2.log").count()
     assert(in2 == host2Only,
       s"restart re-admitted data: read $in2 rows, host2 alone has $host2Only")
+  }
+
+  test("streaming offsets are O(1) batch ids; admitted files live in the checkpoint manifest") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "target/scratch/kdc_v2_offsets"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val fixtureDir = fixture
+    Seq("host1.log", "host2.log").foreach(n =>
+      Files.copy(Paths.get(fixtureDir, n), Paths.get(dir, n),
+        StandardCopyOption.REPLACE_EXISTING))
+    val cp = s"$dir/_checkpoint"
+    val q = spark.readStream.format("kdclog")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .filter(col("valid")).groupBy(col("client")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("kdc_v2_offsets")
+      .outputMode("complete").option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.catalog.dropTempView("kdc_v2_offsets")
+    // the engine's offset log for the LAST batch carries only a batch
+    // id — never the admitted file list (that is the unbounded-offset
+    // growth this format exists to avoid)
+    val offsetFiles = new java.io.File(s"$cp/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(offsetFiles.length >= 2, s"expected >=2 offset entries, got ${offsetFiles.length}")
+    val lastOffset = Files.readString(offsetFiles.last.toPath)
+    assert(lastOffset.contains("batchId"), s"offset not batch-id shaped:\n$lastOffset")
+    assert(!lastOffset.contains("host1.log") && !lastOffset.contains("host2.log"),
+      s"offset still serializes the admitted file set:\n$lastOffset")
+    // the per-batch admitted-file DELTAS live in the source manifest
+    val manifestDir = new java.io.File(s"$cp/sources/0/kdc-file-manifest")
+    val ids = manifestDir.listFiles().map(_.getName).filter(_.forall(_.isDigit)).sorted
+    assert(ids.toSeq == Seq("0", "1"), s"manifest entries: ${ids.mkString(",")}")
+    val m0 = Files.readString(new java.io.File(manifestDir, "0").toPath)
+    assert(m0.contains("host1.log") && !m0.contains("host2.log"),
+      s"manifest 0 should hold exactly the first admitted file:\n$m0")
+  }
+
+  test("orphan manifest entries from a crashed run are overwritten, never replayed") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "target/scratch/kdc_v2_orphan"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    Files.copy(Paths.get(fixture, "host1.log"), Paths.get(dir, "host1.log"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val cp = s"$dir/_checkpoint"
+    // a run that crashed AFTER writing its manifest but BEFORE the
+    // engine persisted the offset leaves an orphan entry; replaying it
+    // would plan a file that no longer exists — the restart must
+    // overwrite it instead (latestOffset only trusts ids <= start)
+    new java.io.File(s"$cp/sources/0/kdc-file-manifest").mkdirs()
+    Files.writeString(Paths.get(s"$cp/sources/0/kdc-file-manifest/0"),
+      s"""{"$dir/ghost.log":123}""")
+    val q = spark.readStream.format("kdclog").load(dir)
+      .filter(col("valid")).groupBy(col("client")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("kdc_v2_orphan")
+      .outputMode("complete").option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("kdc_v2_orphan").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("kdc_v2_orphan")
+    val want = spark.read.format("kdclog").load(s"$dir/host1.log")
+      .filter(col("valid")).groupBy(col("client")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"orphan recovery diverged: $got vs $want")
+    val m0 = Files.readString(Paths.get(s"$cp/sources/0/kdc-file-manifest/0"))
+    assert(!m0.contains("ghost.log") && m0.contains("host1.log"),
+      s"orphan manifest was not overwritten:\n$m0")
+  }
+
+  test("append-mode watermarked windows: finalized exactly once, restart admits and emits nothing") {
+    import java.nio.file.{Files, Paths}
+    val dir = "target/scratch/kdc_v2_wm_restart"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(dir, name), content.getBytes("UTF-8"))
+    put("host1.log", KdcParseQueries.host1Log)
+    put("host2.log", KdcParseQueries.host2Log)
+    val sentinel = Seq(
+      "2030-01-01T00:00:00 AS-REQ zz@SQUILL.DEMENTIA.ORG from IPv4:10.0.0.99 for krbtgt/SQUILL.DEMENTIA.ORG@SQUILL.DEMENTIA.ORG",
+      "2030-01-01T00:00:00 ENC-TS Pre-authentication succeeded -- zz@SQUILL.DEMENTIA.ORG",
+      "2030-01-01T00:00:00 sending 752 bytes to IPv4:10.0.0.99").mkString("\n") + "\n"
+    put("zz_sentinel1.log", sentinel)
+    put("zz_sentinel2.log", sentinel.replace("2030-01-01", "2030-01-02"))
+    val cp = s"$dir/_checkpoint"
+    def run(qname: String): (Seq[(String, String, Long)], Long) = {
+      val agg = spark.readStream.format("kdclog")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .filter(col("valid") && col("success") &&
+          col("req_type") === "AUTH" && !col("referral"))
+        .withColumn("ts_time", to_timestamp(col("ts")))
+        .withWatermark("ts_time", "1 hour")
+        .groupBy(window(col("ts_time"), "1 day"), col("client"))
+        .agg(count(lit(1)).as("n_auth"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("client"), col("n_auth"))
+      // foreachBatch, not the memory sink: append-mode memory sinks
+      // refuse checkpoint recovery, and the restart leg is the point
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      val q = agg.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          }; ()
+        }
+        .outputMode("append").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val inRows = q.recentProgress.map(_.numInputRows).sum
+      (buf.synchronized(buf.toSeq), inRows)
+    }
+    val (rows1, in1) = run("kdc_v2_wm_a")
+    assert(in1 > 0)
+    val real = rows1.filter(_._2 != "zz").sorted
+    // every real daily window finalized EXACTLY once (append semantics)
+    val want = Seq(
+      ("2015-11-22", "alice", 1L), ("2015-11-22", "cg2v", 2L),
+      ("2015-11-23", "alice", 1L), ("2015-11-23", "plain", 1L),
+      ("2015-11-23", "visitor", 1L))
+    assert(real == want, s"append drain diverged: $real")
+    // restart on the same checkpoint: nothing admitted, nothing re-emitted
+    val (rows2, in2) = run("kdc_v2_wm_b")
+    assert(in2 == 0, s"restart re-admitted $in2 rows")
+    assert(!rows2.exists(_._2 != "zz"), s"restart re-emitted finalized windows: $rows2")
   }
 
   test("streaming: file-arrival micro-batches converge to the batch answer") {
