@@ -293,21 +293,63 @@ object ScaleProbe {
         in.close(); out.close()
         println(s"[kdc-scale] wrote bz2 ${bz2.length() / (1 << 20)} MiB")
       }
-      // a 10 MiB .bz2 sits under the default 128 MiB split bound = ONE
-      // task decoding 282 MiB (~27 s measured); block-parallel decode
-      // needs explicit sub-file splits (at 100 TB the files are far
-      // past the bound and split naturally). 1 MiB splits ≈ 10 decode
-      // tasks; the compressed-domain probe window shrinks to match
-      // (it must cover ~1 compressed block ≈ 30 KiB here, not the
-      // 4 MiB default sized for production block/line ratios).
+      // a 10 MiB .bz2 sits under the 128 MiB Hadoop split bound, so a
+      // caller-set-nothing read USED to decode 282 MiB in one task
+      // (~27 s measured in r10) — the planner now derives a
+      // compressed-size split bound by default, so the bare-load leg
+      // measures the block-parallel DEFAULT; the single-task posture
+      // is kept as an explicit-oversize baseline. The hand-tuned 1 MiB
+      // leg (with the probe window shrunk to ~1 compressed block)
+      // remains for comparison against the derived default.
       def bz2Read = spark.read.format("kdclog")
         .option("maxSplitBytes", (1L << 20).toString)
         .option("graft.kdc.bz2.lookback.bytes", (256L << 10).toString)
         .load(bz2Dir)
-      time("v2_bz2_single_split")(spark.read.format("kdclog").load(bz2Dir))
-      time("v2_bz2_block_parallel")(bz2Read)
+      time("v2_bz2_default_derived_splits")(spark.read.format("kdclog").load(bz2Dir))
+      time("v2_bz2_single_split_forced")(
+        spark.read.format("kdclog")
+          .option("maxSplitBytes", Long.MaxValue.toString).load(bz2Dir))
+      time("v2_bz2_block_parallel_tuned")(bz2Read)
       time("v2_bz2_block_parallel_scoped")(
         bz2Read.filter(col("crealm") === realm && col("req_type") === "AUTH")
+          .select(col("client"), col("ts")))
+
+      // partition-path FILE pruning: the same sessions laid out as a
+      // day=…-partitioned fleet (7 rotation days). A day-scoped query
+      // must cost ~1/7 of the full scan because six of seven files are
+      // never OPENED; the post-parse baseline pushes the same ts range
+      // into the record parse but still reads every file — pruning is
+      // an I/O win, pushdown only a row-materialization win.
+      val fleetDir = s"$dir-fleet"
+      if (!new java.io.File(fleetDir).exists()) {
+        val writers = (0 until 7).map { d =>
+          val day = f"2015-11-${22 + d}%02d"
+          val df = new java.io.File(s"$fleetDir/day=$day/kdc.log")
+          df.getParentFile.mkdirs()
+          new java.io.BufferedWriter(new java.io.FileWriter(df), 1 << 20)
+        }
+        val realms2 = Array("SQUILL.DEMENTIA.ORG", "FEDERATED.ORG")
+        var i = 0
+        while (i < nSessions) {
+          val w = writers(i % 7)
+          val realm2 = realms2(i % 2)
+          val user = s"user_${i % 10000}"
+          val ts = f"2015-11-${22 + i % 7}%02dT${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d"
+          val ip = s"10.${(i >> 16) & 255}.${(i >> 8) & 255}.${i & 255}"
+          w.write(s"$ts AS-REQ $user@$realm2 from IPv4:$ip for krbtgt/$realm2@$realm2\n")
+          w.write(s"$ts ENC-TS Pre-authentication succeeded -- $user@$realm2 using aes256-cts-hmac-sha1-96\n")
+          w.write(s"$ts sending 752 bytes to IPv4:$ip\n")
+          i += 1
+        }
+        writers.foreach(_.close())
+        println(s"[kdc-scale] wrote day-partitioned fleet under $fleetDir")
+      }
+      def fleet = spark.read.format("kdclog").option("recursive", "true").load(fleetDir)
+      time("v2_fleet_full_scan")(fleet.select(col("client"), col("ts")))
+      time("v2_fleet_day_pruned")(
+        fleet.filter(col("day") === "2015-11-22").select(col("client"), col("ts")))
+      time("v2_fleet_day_postparse")(
+        fleet.filter(col("ts") >= "2015-11-22T00:00:00" && col("ts") < "2015-11-23T00:00:00")
           .select(col("client"), col("ts")))
       spark.stop()
       return
