@@ -6,8 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.hadoop.mapreduce.Job
-import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
+import org.apache.hadoop.mapreduce.lib.input.FileSplit
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -123,7 +122,7 @@ object KdcLogTable {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val files = KdcFileLayout.listFiles(path,
       options.get("recursive").exists(_.toBoolean), conf, strict = false)
-    val keys = KdcFileLayout.partitionKeys(path, files.map(_._1), conf)
+    val keys = KdcFileLayout.partitionKeys(path, files.map(_.path), conf)
     keys.foldLeft(schema)((s, k) =>
       s.add(org.apache.spark.sql.types.StructField(
         k, org.apache.spark.sql.types.StringType, nullable = true)))
@@ -171,35 +170,114 @@ object KdcLogTable {
   * every level, matching Hadoop input formats). */
 private[v2] object KdcFileLayout {
 
+  /** Directories per level above which the walk lists concurrently —
+    * each `listStatus` is one namenode RPC, so a 10k-dir fleet level
+    * pays 10k round trips serially but ~10k/16 wall-clock in parallel.
+    * Small layouts stay on the serial path (no pool setup cost). */
+  private val ParallelListThreshold = 4
+  /** Overridable for probes/diagnostics; <=1 forces the serial walk. */
+  private def listPoolSize: Int =
+    sys.props.get("graft.kdc.list.threads").map(_.toInt).getOrElse(16)
+
+  /** Lightweight file metadata the planner needs — built from ONLY the
+    * eager FileStatus getters. (Copying a RawLocalFileSystem status
+    * into e.g. LocatedFileStatus forces its LAZY permission fields,
+    * which fork an `ls -ld` process PER FILE — measured ~7 ms/file,
+    * 70 s over a 10k-file tree.) */
+  final case class KdcFileMeta(path: Path, len: Long, blockSize: Long,
+                               blocks: Array[org.apache.hadoop.fs.BlockLocation])
+
   /** Snapshot the files under `path` (a file, a directory, or a glob);
-    * `recursive` additionally descends nested layouts. Driver-side.
-    * `strict` throws when the path/glob matches nothing at all (the
-    * batch-read contract); the streaming lister passes false — a
-    * tailed directory may not exist yet. */
+    * `recursive` additionally descends nested layouts. Driver-side,
+    * breadth-first; levels with many directories list in parallel on a
+    * bounded pool (the FileSystem client is thread-safe; this is the
+    * driver-local analog of Spark's parallel partition discovery).
+    * On distributed filesystems the listing uses `listLocatedStatus`,
+    * so each status already carries its BLOCK LOCATIONS and split
+    * planning never goes back to the namenode per file (the per-file
+    * re-listing FileInputFormat would do is the other O(files) serial
+    * RPC stage at fleet scale); on the local filesystem — whose
+    * location machinery is per-file-exec slow and whose synthesized
+    * localhost locations carry no information — the walk lists plainly
+    * and reports no preferred locations. `strict` throws when the
+    * path/glob matches nothing at all (the batch-read contract); the
+    * streaming lister passes false — a tailed directory may not exist
+    * yet. */
   def listFiles(path: String, recursive: Boolean, conf: Configuration,
-                strict: Boolean): Seq[(Path, Long)] = {
+                strict: Boolean): Seq[KdcFileMeta] = {
+    import org.apache.hadoop.fs.{FileStatus, LocatedFileStatus}
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    val localFs = fs.getScheme == "file"
     def visible(q: Path): Boolean = {
       val n = q.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    val out = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
-    def walk(st: org.apache.hadoop.fs.FileStatus, depth: Int): Unit =
-      if (st.isFile) {
-        if (visible(st.getPath)) out += st.getPath -> st.getLen
-      } else if (depth == 0 || recursive) {
-        fs.listStatus(st.getPath).foreach(c => if (visible(c.getPath)) walk(c, depth + 1))
-      } else if (strict) {
-        // a nested dir under a non-recursive batch read would be
-        // SILENTLY skipped — fail like FileInputFormat does instead
-        throw new java.io.IOException(
-          s"kdclog: not a file: ${st.getPath} (nested layout — set recursive=true or use a glob)")
-      }
     val roots = Option(fs.globStatus(p)).getOrElse(Array.empty)
     if (roots.isEmpty && strict)
       throw new java.io.FileNotFoundException(s"kdclog: no input found at $path")
-    roots.foreach(walk(_, 0))
+
+    def meta(st: FileStatus): KdcFileMeta = {
+      val blocks = st match {
+        case l: LocatedFileStatus => l.getBlockLocations
+        case other if !localFs && other.isFile =>
+          fs.getFileBlockLocations(other, 0, other.getLen)
+        case _ => Array.empty[org.apache.hadoop.fs.BlockLocation]
+      }
+      KdcFileMeta(st.getPath, st.getLen, st.getBlockSize, blocks)
+    }
+    def listDir(d: Path): Seq[FileStatus] =
+      if (localFs) fs.listStatus(d).toSeq
+      else {
+        val it = fs.listLocatedStatus(d)
+        val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      }
+
+    val out = scala.collection.mutable.ArrayBuffer[KdcFileMeta]()
+    var frontier = scala.collection.mutable.ArrayBuffer[Path]()
+    roots.foreach { st =>
+      if (st.isFile) { if (visible(st.getPath)) out += meta(st) }
+      else frontier += st.getPath
+    }
+    var depth = 0
+    while (frontier.nonEmpty) {
+      if (depth > 0 && !recursive) {
+        if (strict)
+          // a nested dir under a non-recursive batch read would be
+          // SILENTLY skipped — fail like FileInputFormat does instead
+          throw new java.io.IOException(
+            s"kdclog: not a file: ${frontier.head} (nested layout — set recursive=true or use a glob)")
+        frontier.clear()
+      } else {
+        val level: Seq[Seq[FileStatus]] =
+          if (frontier.length < ParallelListThreshold || listPoolSize <= 1)
+            frontier.toSeq.map(listDir)
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(listPoolSize, frontier.length))
+            try {
+              import scala.jdk.CollectionConverters._
+              val tasks = frontier.toSeq.map { d =>
+                new java.util.concurrent.Callable[Seq[FileStatus]] {
+                  override def call() = listDir(d)
+                }
+              }
+              pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+            } finally pool.shutdown()
+          }
+        val next = scala.collection.mutable.ArrayBuffer[Path]()
+        level.iterator.flatten.foreach { c =>
+          if (visible(c.getPath)) {
+            if (c.isFile) out += meta(c)
+            else next += c.getPath
+          }
+        }
+        frontier = next
+      }
+      depth += 1
+    }
     out.toSeq
   }
 
@@ -340,14 +418,21 @@ object KdcBatch {
       math.min(TargetUncompressedSplitBytes / CompressedExpansionFactor,
         math.max(1L, largest / math.max(1, parallelism))))
 
+  /** FileInputFormat's split-slop: the final chunk may run up to 10%
+    * over the split size rather than spawn a sliver task. */
+  private val SplitSlop = 1.1
+
   /** Plan the connector partitions for `inputPaths` (driver-side):
-    * list, prune whole files via partition-path predicates, then split
-    * with [[graft.kdc.KdcSessionInputFormat]] — splittable-compressed
-    * files under a derived bound (see [[defaultCompressedSplitBytes]])
-    * unless the caller set an explicit one, everything else under the
-    * caller/default sizing. `tablePath` anchors partition-segment
-    * extraction (it may differ from `inputPaths` in the streaming
-    * case, where fresh files are planned individually). */
+    * list (block locations ride along — no per-file namenode
+    * round-trips), prune whole files via partition-path predicates,
+    * then chunk byte ranges exactly as FileInputFormat would —
+    * splittable files (uncompressed or splittable-codec) at
+    * `max(minSize, min(maxSize, blockSize))` with the 1.1 slop,
+    * non-splittable codecs whole-file; splittable-COMPRESSED files get
+    * a derived maxSize (see [[defaultCompressedSplitBytes]]) unless
+    * the caller set an explicit bound. `tablePath` anchors
+    * partition-segment extraction (it may differ from `inputPaths` in
+    * the streaming case, where fresh files are planned individually). */
   private[v2] def planSplits(inputPaths: Seq[Path], options: Map[String, String],
                              tablePath: String, partKeys: Seq[String],
                              filters: Array[Filter]): Array[InputPartition] = {
@@ -356,7 +441,7 @@ object KdcBatch {
     KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
     val recursive = options.get("recursive").exists(_.toBoolean)
 
-    val files: Seq[(Path, Long)] = inputPaths.flatMap(p =>
+    val files = inputPaths.flatMap(p =>
       KdcFileLayout.listFiles(p.toString, recursive, conf, strict = true))
 
     // whole-file pruning: a predicate over partition columns only holds
@@ -364,44 +449,60 @@ object KdcBatch {
     // are skipped without being opened
     val partOnly = filters.filter(f =>
       f.references.nonEmpty && f.references.forall(partKeys.contains))
-    val values: Map[Path, Map[String, String]] = files.map { case (f, _) =>
-      f -> KdcFileLayout.partValues(tablePath, f, partKeys, conf)
+    val values: Map[Path, Map[String, String]] = files.map { st =>
+      st.path -> KdcFileLayout.partValues(tablePath, st.path, partKeys, conf)
     }.toMap
-    val kept = files.filter { case (f, _) =>
-      KdcFilterEval.matchesPartition(partOnly, values(f))
-    }
+    val kept = files.filter(st =>
+      KdcFilterEval.matchesPartition(partOnly, values(st.path)))
 
     val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
-    val (splittableCompressed, plain) = kept.partition { case (f, _) =>
-      val c = codecs.getCodec(f)
-      c != null && c.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]
-    }
-    val compConf =
-      if (splittableCompressed.isEmpty ||
-          conf.get("mapreduce.input.fileinputformat.split.maxsize") != null) conf
-      else {
-        val c2 = new Configuration(conf)
-        c2.setLong("mapreduce.input.fileinputformat.split.maxsize",
-          defaultCompressedSplitBytes(splittableCompressed.map(_._2).max,
-            spark.sparkContext.defaultParallelism))
-        c2
-      }
+    def codecOf(p: Path) = Option(codecs.getCodec(p))
+    def isSplittableCompressed(p: Path): Boolean = codecOf(p)
+      .exists(_.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec])
 
-    def splitsFor(group: Seq[(Path, Long)], c: Configuration): Seq[FileSplit] =
-      if (group.isEmpty) Nil
-      else {
-        val job = Job.getInstance(c)
-        FileInputFormat.setInputPaths(job, group.map(_._1): _*)
-        new graft.kdc.KdcSessionInputFormat().getSplits(job).asScala.map {
-          case fs: FileSplit => fs
-          case other => throw new IllegalStateException(s"unexpected split type: $other")
-        }.toSeq
-      }
+    val minSize = conf.getLong("mapreduce.input.fileinputformat.split.minsize", 1L)
+    val explicitMax = Option(conf.get("mapreduce.input.fileinputformat.split.maxsize"))
+      .map(_.toLong)
+    val compressedSplittable = kept.filter(st => isSplittableCompressed(st.path))
+    val derivedCompressedMax =
+      if (compressedSplittable.isEmpty) None
+      else Some(defaultCompressedSplitBytes(compressedSplittable.map(_.len).max,
+        spark.sparkContext.defaultParallelism))
 
-    (splitsFor(plain, conf) ++ splitsFor(splittableCompressed, compConf)).map { fs =>
-      KdcInputPartition(fs.getPath.toString, fs.getStart, fs.getLength,
-        Option(fs.getLocations).getOrElse(Array.empty),
-        values.getOrElse(fs.getPath, Map.empty))
+    kept.flatMap { st =>
+      val path = st.path
+      val len = st.len
+      def hosts(offset: Long): Array[String] = {
+        val blocks = st.blocks
+        if (blocks == null || blocks.isEmpty) Array.empty[String]
+        else {
+          val i = blocks.indexWhere(b =>
+            offset >= b.getOffset && offset < b.getOffset + b.getLength)
+          Option(blocks(math.max(i, 0)).getHosts).getOrElse(Array.empty[String])
+        }
+      }
+      val splittable = codecOf(path).forall(
+        _.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec])
+      if (len == 0 || !splittable)
+        Seq(KdcInputPartition(path.toString, 0, len, hosts(0), values(path)))
+      else {
+        val maxSize = explicitMax.orElse(
+          if (isSplittableCompressed(path)) derivedCompressedMax else None)
+          .getOrElse(Long.MaxValue)
+        val splitSize = math.max(minSize, math.min(maxSize, st.blockSize))
+        val out = scala.collection.mutable.ArrayBuffer[KdcInputPartition]()
+        var remaining = len
+        while (remaining.toDouble / splitSize > SplitSlop) {
+          val start = len - remaining
+          out += KdcInputPartition(path.toString, start, splitSize, hosts(start), values(path))
+          remaining -= splitSize
+        }
+        if (remaining != 0) {
+          val start = len - remaining
+          out += KdcInputPartition(path.toString, start, remaining, hosts(start), values(path))
+        }
+        out.toSeq
+      }
     }.toArray
   }
 }
@@ -634,47 +735,81 @@ object KdcBatchOffset {
   * checkpoint location: file `<dir>/<batchId>` holds the JSON map
   * `path -> length` of exactly the files that batch admitted (a
   * delta, not a cumulative snapshot — replay of batch N reads one
-  * file). Writes are atomic (temp + rename) and idempotent per id:
+  * file). Every `compactInterval` batches the stream also writes
+  * `<batchId>.compact` — the FULL seen-file set at that id — and
+  * retires deltas already covered by the PREVIOUS snapshot (kept, so
+  * the replayable delta window always spans at least one full
+  * interval; the engine only ever replays its most recent uncommitted
+  * batch). Restart load cost is therefore one snapshot plus the
+  * recent deltas, and the manifest file count stays bounded at
+  * ~2×interval + 2 instead of growing with every batch the tail has
+  * ever run. Writes are atomic (temp + rename) and idempotent per id:
   * after a crash between manifest write and the engine's offset-log
-  * write, the orphan id is overwritten by the next admission. Grows
-  * one small file per non-empty batch; a retention sweep of ids older
-  * than the engine's own purged offsets is safe because replay never
-  * reaches below the committed watermark. */
+  * write, the orphan id is overwritten by the next admission. */
 private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
   private implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
   private val fs = dir.getFileSystem(conf)
 
-  /** All manifest entries on disk, batchId-ascending. */
-  def load(): scala.collection.immutable.SortedMap[Long, Map[String, Long]] = {
-    if (!fs.exists(dir))
-      return scala.collection.immutable.SortedMap.empty
-    val out = scala.collection.immutable.SortedMap.newBuilder[Long, Map[String, Long]]
-    fs.listStatus(dir).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isFile && name.forall(_.isDigit)) {
-        val in = fs.open(st.getPath)
-        val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-        finally in.close()
-        out += name.toLong ->
-          org.json4s.jackson.Serialization.read[Map[String, Long]](
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-      }
-    }
-    out.result()
+  private def readMap(p: Path): Map[String, Long] = {
+    val in = fs.open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+    org.json4s.jackson.Serialization.read[Map[String, Long]](
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Atomically (over)write the manifest for `batchId`. */
-  def write(batchId: Long, files: Map[String, Long]): Unit = {
+  /** All manifest state on disk: (delta entries, compact snapshots),
+    * both batchId-ascending. */
+  def load(): (scala.collection.immutable.SortedMap[Long, Map[String, Long]],
+               scala.collection.immutable.SortedMap[Long, Map[String, Long]]) = {
+    val empty = scala.collection.immutable.SortedMap.empty[Long, Map[String, Long]]
+    if (!fs.exists(dir)) return (empty, empty)
+    val deltas = scala.collection.immutable.SortedMap.newBuilder[Long, Map[String, Long]]
+    val snaps = scala.collection.immutable.SortedMap.newBuilder[Long, Map[String, Long]]
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.forall(_.isDigit))
+        deltas += name.toLong -> readMap(st.getPath)
+      else if (st.isFile && name.endsWith(".compact") &&
+               name.stripSuffix(".compact").forall(_.isDigit))
+        snaps += name.stripSuffix(".compact").toLong -> readMap(st.getPath)
+    }
+    (deltas.result(), snaps.result())
+  }
+
+  private def writeAtomic(target: Path, files: Map[String, Long]): Unit = {
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".${batchId}.tmp")
+    val tmp = new Path(dir, s".${target.getName}.tmp")
     val outStream = fs.create(tmp, true)
     try outStream.write(org.json4s.jackson.Serialization.write(files)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally outStream.close()
-    val target = new Path(dir, batchId.toString)
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"kdclog: failed to commit manifest $target")
+  }
+
+  /** Atomically (over)write the delta manifest for `batchId`. */
+  def write(batchId: Long, files: Map[String, Long]): Unit =
+    writeAtomic(new Path(dir, batchId.toString), files)
+
+  /** Atomically (over)write the full-seen-set snapshot for `batchId`. */
+  def writeSnapshot(batchId: Long, files: Map[String, Long]): Unit =
+    writeAtomic(new Path(dir, s"$batchId.compact"), files)
+
+  /** Retire deltas at or below `coveredId` (they are covered by the
+    * snapshot at that id) and snapshots strictly below it. */
+  def clean(coveredId: Long): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val stale =
+        (name.forall(_.isDigit) && name.toLong <= coveredId) ||
+          (name.endsWith(".compact") &&
+            name.stripSuffix(".compact").forall(_.isDigit) &&
+            name.stripSuffix(".compact").toLong < coveredId)
+      if (st.isFile && stale) fs.delete(st.getPath, false)
+    }
   }
 }
 
@@ -708,18 +843,34 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
 
+  /** Write a full-seen-set snapshot (and retire covered deltas) every
+    * this many batches; <= 0 disables compaction. */
+  private val compactInterval: Int =
+    options.get("manifestCompactInterval").map(_.toInt).getOrElse(10)
+
   private val manifest = new KdcFileManifest(
     new Path(checkpointLocation, "kdc-file-manifest"),
     SparkSession.active.sparkContext.hadoopConfiguration)
 
-  /** Manifest entries (batchId -> admitted files), lazily restored
-    * from the checkpoint once per stream instance. */
-  private var entries: scala.collection.immutable.SortedMap[Long, Map[String, Long]] = _
-  private def loaded(): scala.collection.immutable.SortedMap[Long, Map[String, Long]] =
-    synchronized {
-      if (entries == null) entries = manifest.load()
-      entries
+  /** Manifest state (delta entries + compact snapshots), lazily
+    * restored from the checkpoint once per stream instance. */
+  private var deltas: scala.collection.immutable.SortedMap[Long, Map[String, Long]] = _
+  private var snaps: scala.collection.immutable.SortedMap[Long, Map[String, Long]] = _
+  private def ensureLoaded(): Unit = synchronized {
+    if (deltas == null) {
+      val (d, s) = manifest.load()
+      deltas = d; snaps = s
     }
+  }
+
+  /** Every file admitted at or below batch `b`: the newest snapshot at
+    * or below `b`, plus the deltas after it. */
+  private def seenUpTo(b: Long): Map[String, Long] = {
+    val snap = snaps.rangeTo(b).lastOption
+    val base = snap.map(_._2).getOrElse(Map.empty[String, Long])
+    deltas.range(snap.map(_._1).getOrElse(-1L) + 1, b + 1)
+      .valuesIterator.foldLeft(base)(_ ++ _)
+  }
 
   /** Bound captured by prepareForTriggerAvailableNow: files visible at
     * query start; AvailableNow batches never admit past it. */
@@ -732,7 +883,7 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     KdcFileLayout.listFiles(path, options.get("recursive").exists(_.toBoolean),
         conf, strict = false)
-      .map { case (p, len) => p.toString -> len }.toMap
+      .map(st => st.path.toString -> st.len).toMap
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -749,39 +900,61 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     val startId = start.asInstanceOf[KdcBatchOffset].batchId
+    ensureLoaded()
     // manifest ids above the start offset are orphans of a run that
     // crashed between manifest write and the engine's offset-log
     // write — drop them; the next admission overwrites their files
-    val live = loaded().rangeTo(startId)
-    val seen = live.valuesIterator.flatMap(_.keysIterator).toSet
+    deltas = deltas.rangeTo(startId)
+    snaps = snaps.rangeTo(startId)
+    val seen = seenUpTo(startId)
     val visible = prepared.getOrElse(listFiles())
     val fresh = visible.view.filterKeys(!seen.contains(_)).toSeq.sortBy(_._1)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    if (admitted.isEmpty) { entries = live; KdcBatchOffset(startId) }
+    if (admitted.isEmpty) KdcBatchOffset(startId)
     else {
       val id = startId + 1
       manifest.write(id, admitted.toMap)
-      entries = live + (id -> admitted.toMap)
+      deltas = deltas + (id -> admitted.toMap)
+      if (compactInterval > 0 && id > 0 && id % compactInterval == 0) {
+        val snapshot = seen ++ admitted
+        manifest.writeSnapshot(id, snapshot)
+        val prev = snaps.rangeTo(id - 1).lastOption.map(_._1)
+        snaps = snaps + (id -> snapshot)
+        // retire what the PREVIOUS snapshot already covers, keeping
+        // that snapshot itself so the replayable delta window always
+        // spans at least one full interval
+        prev.foreach { p =>
+          manifest.clean(p)
+          deltas = deltas.rangeFrom(p + 1)
+          snaps = snaps.rangeFrom(p)
+        }
+      }
       KdcBatchOffset(id)
     }
   }
 
-  override def reportLatestOffset(): Offset =
-    KdcBatchOffset(loaded().lastOption.map(_._1).getOrElse(-1L))
+  override def reportLatestOffset(): Offset = {
+    ensureLoaded()
+    KdcBatchOffset(
+      (deltas.lastOption.map(_._1) ++ snaps.lastOption.map(_._1))
+        .foldLeft(-1L)(math.max))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KdcBatchOffset].batchId
     val e = end.asInstanceOf[KdcBatchOffset].batchId
     if (e <= s) return Array.empty
-    val have = loaded()
+    ensureLoaded()
+    val have = synchronized(deltas)
     val missing = (s + 1).to(e).filterNot(have.contains)
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"kdclog: manifest entries ${missing.mkString(",")} absent under " +
-          s"$checkpointLocation — checkpoint is damaged or predates the batch-id offset format")
+          s"$checkpointLocation — checkpoint is damaged, predates the batch-id " +
+          "offset format, or the replay reaches behind the compaction window")
     val fresh = have.range(s + 1, e + 1).valuesIterator
       .flatMap(_.keysIterator).toSeq.sorted
     if (fresh.isEmpty) Array.empty

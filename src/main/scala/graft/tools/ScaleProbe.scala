@@ -223,6 +223,45 @@ object ScaleProbe {
       return
     }
 
+    // --kdc-fleet-list: the verdict's 10k-file fleet probe — driver-side
+    // listing + split-planning cost over 100 host= dirs × 100 day= dirs
+    // × 1 tiny log each (10,201 listStatus targets). Compares the serial
+    // walk (graft.kdc.list.threads=1) against the bounded-pool parallel
+    // walk (default 16). Planning includes TWO listings per read
+    // (schema inference + planSplits) plus FileInputFormat's per-file
+    // status/location lookups — the full driver-side trigger cost.
+    if (args.contains("--kdc-fleet-list")) {
+      val root = "target/scratch/kdc_fleet_list"
+      if (!new java.io.File(root).exists()) {
+        val session =
+          "2015-11-22T10:00:00 AS-REQ u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+            "2015-11-22T10:00:00 ENC-TS Pre-authentication succeeded -- u@X.ORG\n" +
+            "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n"
+        for (h <- 0 until 100; d <- 0 until 100) {
+          val f = new java.io.File(f"$root/host=h$h%03d/day=d$d%03d/kdc.log")
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, session.getBytes("UTF-8"))
+        }
+        println(s"[kdc-fleet-list] wrote 10000 logs under $root")
+      }
+      def timePlan(threads: Int): Double = {
+        sys.props("graft.kdc.list.threads") = threads.toString
+        try {
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val n = spark.read.format("kdclog").option("recursive", "true")
+              .load(root).rdd.getNumPartitions
+            require(n > 0)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } finally sys.props.remove("graft.kdc.list.threads")
+      }
+      println(f"KDCFLEET plan_serial_walk,${timePlan(1)}%.2f")
+      println(f"KDCFLEET plan_parallel_walk,${timePlan(16)}%.2f")
+      spark.stop()
+      return
+    }
+
     // --kdc-scale: parse-path throughput on ONE large synthetic log
     // file — the few-huge-files layout the split-aligned paths exist
     // for. Compares (a) shuffle-by-file records() [whole file = one

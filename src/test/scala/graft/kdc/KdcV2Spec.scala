@@ -230,6 +230,45 @@ class KdcV2Spec extends AnyFunSuite {
       s"glob-scoped stream read $streamedRows rows, host1 alone has ${want.size}")
   }
 
+  test("partition pruning edge semantics: mixed predicates keep all files; missing keys are NULL") {
+    import java.nio.file.{Files, Paths}
+    val root = KdcParseQueries.fleetFixtureDir()
+    val df = spark.read.format("kdclog").option("recursive", "true").load(root)
+    def plannedFiles(q: DataFrame): Seq[String] =
+      kdcScan(q).toBatch.planInputPartitions()
+        .map(_.asInstanceOf[graft.kdc.v2.KdcInputPartition].path).distinct.toSeq
+    // a predicate mixing partition and record columns cannot prune
+    // files (its references are not partition-only) but must still
+    // evaluate correctly per row with the path values in scope
+    val mixed = df.filter(col("day") === "2015-11-22" || col("client") === "frank")
+      .select(col("client"), col("day"))
+    assert(plannedFiles(mixed).length == 2, "mixed Or-predicate must not prune files")
+    val mixedRows = mixed.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(mixedRows.exists(r => r._1 == "frank" && r._2 == "2015-11-23"),
+      "record-side disjunct lost")
+    assert(mixedRows.filter(_._2 == "2015-11-23").forall(_._1 == "frank"),
+      "partition-side disjunct leaked foreign rows")
+    // IsNotNull on a partition column keeps k=v files; a file MISSING
+    // the key evaluates as NULL and is pruned exactly
+    val extra = Paths.get(root, "loose")
+    Files.createDirectories(extra)
+    Files.write(extra.resolve("kdc.log"), KdcParseQueries.host1Log.getBytes("UTF-8"))
+    try {
+      // the loose file breaks key-sequence consistency, so a FRESH read
+      // infers no partition columns at all — the safe fallback
+      val mixedLayout = spark.read.format("kdclog").option("recursive", "true").load(root)
+      assert(!mixedLayout.schema.fieldNames.contains("day"),
+        "inconsistent layout must not infer partition columns")
+      // while a day-keyed GLOB still sees the consistent subtree
+      val scoped = spark.read.format("kdclog")
+        .load(s"$root/host=*/day=*/kdc.log")
+      assert(scoped.schema.fieldNames.contains("day"))
+    } finally {
+      Files.deleteIfExists(extra.resolve("kdc.log"))
+      Files.deleteIfExists(extra)
+    }
+  }
+
   test("splittable-compressed inputs derive a split bound: bz2 fans out with NO explicit option") {
     val q = spark.read.format("kdclog").load(bz2FixtureDir) // NO maxSplitBytes
     assert(q.rdd.getNumPartitions >= 2,
@@ -368,6 +407,52 @@ class KdcV2Spec extends AnyFunSuite {
     val m0 = Files.readString(new java.io.File(manifestDir, "0").toPath)
     assert(m0.contains("host1.log") && !m0.contains("host2.log"),
       s"manifest 0 should hold exactly the first admitted file:\n$m0")
+  }
+
+  test("manifest compaction: long tails keep a bounded file count, restart stays exactly-once") {
+    import java.nio.file.{Files, Paths}
+    val dir = "target/scratch/kdc_v2_compact"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def logFor(i: Int): String = Seq(
+      f"2015-11-22T10:00:$i%02d AS-REQ u$i%02d@X.ORG from IPv4:10.0.0.$i for krbtgt/X.ORG@X.ORG",
+      f"2015-11-22T10:00:$i%02d ENC-TS Pre-authentication succeeded -- u$i%02d@X.ORG",
+      f"2015-11-22T10:00:$i%02d sending 752 bytes to IPv4:10.0.0.$i").mkString("\n") + "\n"
+    (0 until 25).foreach(i =>
+      Files.write(Paths.get(dir, f"f$i%02d.log"), logFor(i).getBytes("UTF-8")))
+    val cp = s"$dir/_checkpoint"
+    def run(qname: String): Long = {
+      val q = spark.readStream.format("kdclog")
+        .option("maxFilesPerTrigger", "1")
+        .option("manifestCompactInterval", "5")
+        .load(dir)
+        .filter(col("valid")).groupBy(col("client")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = spark.table(qname).count()
+      spark.catalog.dropTempView(qname)
+      n
+    }
+    assert(run("kdc_v2_compact_a") == 25)
+    // 25 single-file batches at interval 5: snapshots land at 5/10/15/20
+    // and each retires the window its PREDECESSOR covered — the dir
+    // holds the last two snapshots plus the post-snapshot deltas, not
+    // one file per batch ever run
+    val names = new java.io.File(s"$cp/sources/0/kdc-file-manifest").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names.count(_.endsWith(".compact")) == 2,
+      s"expected exactly the last two snapshots, got: $names")
+    assert(names.contains("15.compact") && names.contains("20.compact"), names.toString)
+    val deltaIds = names.filter(_.forall(_.isDigit)).map(_.toLong)
+    assert(deltaIds.nonEmpty && deltaIds.forall(_ > 15),
+      s"deltas covered by the previous snapshot must be retired: $names")
+    assert(names.length <= 12, s"manifest not bounded: ${names.length} files")
+    // restart after one more file arrives: the seen-set restores from
+    // snapshot + recent deltas, so exactly ONE new file is admitted
+    Files.write(Paths.get(dir, "f25.log"), logFor(25).getBytes("UTF-8"))
+    assert(run("kdc_v2_compact_b") == 26, "restart lost or re-admitted files")
   }
 
   test("orphan manifest entries from a crashed run are overwritten, never replayed") {
