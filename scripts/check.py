@@ -128,6 +128,10 @@ if __name__ == "__main__":
     out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check.py <verify_out_dir> <sf_dir> [--json OUT] (--json needs OUT)")
         out = args[i + 1]
         del args[i:i + 2]
+    if len(args) < 2:
+        sys.exit("usage: check.py <verify_out_dir> <sf_dir> [--json OUT]")
     sys.exit(main(args[0], args[1], out))

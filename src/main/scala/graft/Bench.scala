@@ -51,6 +51,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // a crashed run must not leave the PREVIOUS run's summary for the
+    // stdout-fallback parser to misattribute — absent reads loud,
+    // stale reads silent
+    new java.io.File("target/bench_summary.json").delete()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

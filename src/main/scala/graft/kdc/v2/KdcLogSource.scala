@@ -327,13 +327,20 @@ private[v2] object KdcFileLayout {
     else Seq.empty
   }
 
-  /** This file's values for the table's partition keys; a key the path
-    * does not carry maps to null (pruned by any non-null predicate). */
-  def partValues(path: String, file: Path, partKeys: Seq[String],
-                 conf: Configuration): Map[String, String] = {
-    if (partKeys.isEmpty) return Map.empty
-    val found = segsBelow(qualifiedBase(path, conf), file).toMap
-    partKeys.flatMap(k => found.get(k).map(k -> _)).toMap
+  /** Each file's values for the table's partition keys; a key a path
+    * does not carry is absent from its map (resolving to null — pruned
+    * by any non-null predicate). The qualified base is computed ONCE
+    * for the whole batch, not per file (it depends only on the table
+    * path and conf; per-file recomputation was O(files) redundant
+    * FileSystem lookups on the planning hot path). */
+  def partValuesAll(path: String, files: Seq[Path], partKeys: Seq[String],
+                    conf: Configuration): Map[Path, Map[String, String]] = {
+    if (partKeys.isEmpty) return files.iterator.map(_ -> Map.empty[String, String]).toMap
+    val base = qualifiedBase(path, conf)
+    files.iterator.map { f =>
+      val found = segsBelow(base, f).toMap
+      f -> partKeys.flatMap(k => found.get(k).map(k -> _)).toMap
+    }.toMap
   }
 }
 
@@ -449,9 +456,8 @@ object KdcBatch {
     // are skipped without being opened
     val partOnly = filters.filter(f =>
       f.references.nonEmpty && f.references.forall(partKeys.contains))
-    val values: Map[Path, Map[String, String]] = files.map { st =>
-      st.path -> KdcFileLayout.partValues(tablePath, st.path, partKeys, conf)
-    }.toMap
+    val values: Map[Path, Map[String, String]] =
+      KdcFileLayout.partValuesAll(tablePath, files.map(_.path), partKeys, conf)
     val kept = files.filter(st =>
       KdcFilterEval.matchesPartition(partOnly, values(st.path)))
 
@@ -727,7 +733,11 @@ object KdcBatchOffset {
   def fromJson(json: String): KdcBatchOffset = {
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val m = org.json4s.jackson.Serialization.read[Map[String, Long]](json)
-    KdcBatchOffset(m("batchId"))
+    m.get("batchId").map(KdcBatchOffset(_)).getOrElse(
+      throw new IllegalStateException(
+        "kdclog: offset JSON carries no batchId — this checkpoint predates the " +
+          s"batch-id offset format (legacy file-map offsets are not readable); start " +
+          s"a fresh checkpoint. Offset was: ${json.take(200)}"))
   }
 }
 
@@ -936,11 +946,22 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     }
   }
 
-  override def reportLatestOffset(): Offset = {
+  /** Latest AVAILABLE offset, for source-lag metrics: the id the
+    * stream would reach if it admitted the whole visible backlog now
+    * (admission-bounded by maxFilesPerTrigger) — reporting only the
+    * last ADMITTED id would read as zero backlog no matter how far
+    * behind the tail is. */
+  override def reportLatestOffset(): Offset = synchronized {
     ensureLoaded()
-    KdcBatchOffset(
-      (deltas.lastOption.map(_._1) ++ snaps.lastOption.map(_._1))
-        .foldLeft(-1L)(math.max))
+    val high = (deltas.lastOption.map(_._1) ++ snaps.lastOption.map(_._1))
+      .foldLeft(-1L)(math.max)
+    val seen = seenUpTo(high)
+    val freshCount = prepared.getOrElse(listFiles())
+      .count { case (p, _) => !seen.contains(p) }.toLong
+    val pendingBatches =
+      if (freshCount == 0L) 0L
+      else maxFilesPerTrigger.map(m => (freshCount + m - 1L) / m).getOrElse(1L)
+    KdcBatchOffset(high + pendingBatches)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -170,13 +170,20 @@ object Graph {
 
   /** Session-scoped bucketed-layout cache (the SkewUtils profile-cache
     * pattern): weak session keys, inner key = (edges plan semanticHash,
-    * leaf input-file fingerprint, bucket count) → landed scratch table.
-    * The file fingerprint invalidates on an underlying rewrite the way
-    * the profile cache's does; in-memory edge frames fingerprint empty
-    * and fall back to the plan hash (LocalRelation hashes its data). */
+    * leaf input-file fingerprint, bucket count) → landed scratch
+    * tables. The file fingerprint invalidates on an underlying rewrite
+    * the way the profile cache's does; in-memory edge frames
+    * fingerprint empty and fall back to the plan hash (LocalRelation
+    * hashes its data). Unlike the profile cache — where a collision
+    * only mis-sizes salts — a layout hit feeds the RESULT, so each
+    * entry keeps its analyzed plan and a hit must ALSO pass
+    * `sameResult`; 32-bit hash collisions land a sibling layout in the
+    * same bucket's list instead of silently reusing the wrong edges. */
   private val layoutCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), (String, String)]]())
+      java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
+        java.util.List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          String, String)]]]())
 
   /** Directory names of live cached layouts — Bench's scratch sweep
     * skips these (they embed the appId like all scratch, but unlike
@@ -185,12 +192,20 @@ object Graph {
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
   def liveLayoutDirNames: Set[String] = liveLayoutDirsRef.get()
 
-  private[ops] def layoutCacheSize(s: SparkSession): Int =
-    Option(layoutCache.get(s)).map(_.size()).getOrElse(0)
+  private[ops] def layoutCacheSize(s: SparkSession): Int = {
+    val m = Option(layoutCache.get(s))
+    m.map { chm =>
+      val it = chm.values.iterator()
+      var n = 0
+      while (it.hasNext) n += it.next().size()
+      n
+    }.getOrElse(0)
+  }
 
   /** Land (or reuse) the bucketed edge layout for `edges` and return
-    * its scan. computeIfAbsent makes the write once-only under
-    * concurrency. */
+    * its scan. The hit path requires plan `sameResult`, not only the
+    * hash key (see [[layoutCache]]); the per-key list is the collision
+    * overflow and is synchronized so the write stays once-only. */
   private def cachedLayout(s: SparkSession, edges: DataFrame,
                            buckets: Int): DataFrame = {
     val nBuckets = if (buckets > 0) buckets
@@ -198,19 +213,27 @@ object Graph {
     val perSession = layoutCache.synchronized {
       var m = layoutCache.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), (String, String)]()
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
+          java.util.List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            String, String)]]()
         layoutCache.put(s, m)
       }
       m
     }
-    val key = (edges.queryExecution.analyzed.semanticHash(),
-      edges.inputFiles.sorted.foldLeft(17)((h, f) => h * 31 + f.hashCode),
-      nBuckets)
-    val (table, _) = perSession.computeIfAbsent(key, _ => {
-      val (t, loc) = writeLayout(s, edges, nBuckets)
-      liveLayoutDirsRef.updateAndGet(_ + new java.io.File(loc).getName)
-      (t, loc)
-    })
+    val newPlan = edges.queryExecution.analyzed
+    val key = (newPlan.semanticHash(), SkewUtils.inputFingerprint(edges), nBuckets)
+    val bucket = perSession.computeIfAbsent(key, _ =>
+      new java.util.ArrayList[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        String, String)]())
+    val table = bucket.synchronized {
+      import scala.jdk.CollectionConverters._
+      bucket.asScala.find(_._1.sameResult(newPlan)).map(_._2).getOrElse {
+        val (t, loc) = writeLayout(s, edges, nBuckets)
+        liveLayoutDirsRef.updateAndGet(_ + new java.io.File(loc).getName)
+        bucket.add((newPlan, t, loc))
+        t
+      }
+    }
     s.table(table)
   }
 
@@ -219,9 +242,11 @@ object Graph {
     * the end of a run. */
   def dropCachedLayouts(s: SparkSession): Unit = {
     val m = layoutCache.synchronized(layoutCache.remove(s))
-    if (m != null) m.values().asScalaValues.foreach { case (table, loc) =>
-      dropLayoutTable(s, table, loc)
-      liveLayoutDirsRef.updateAndGet(_ - new java.io.File(loc).getName)
+    if (m != null) m.values().asScalaValues.foreach { lst =>
+      lst.synchronized(lst.asScalaValues).foreach { case (_, table, loc) =>
+        dropLayoutTable(s, table, loc)
+        liveLayoutDirsRef.updateAndGet(_ - new java.io.File(loc).getName)
+      }
     }
   }
 

@@ -631,7 +631,88 @@ object Pipelines {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
        |           FROM surv3)""".stripMargin
 
+  /** BOUNDARY-PRESERVING sequence packing — the other standard
+    * packing discipline beside [[packSequences]]' concat-then-chunk
+    * tape: no document ever straddles a training sequence (chunking
+    * splits attention context mid-document; next-fit trades PADDING
+    * for intact documents, and the fill percentage this row surfaces
+    * is exactly the GPU time that tradeoff costs). NEXT-FIT bin
+    * packing per hash shard: documents are sharded by
+    * `doc_id mod shards`, ordered by doc_id within the shard, and
+    * appended to the current bin until the next document would
+    * overflow `capacity`, which closes it (a document larger than the
+    * capacity occupies a bin alone — truncation/splitting is a
+    * separate concern). Scale posture: next-fit is inherently a
+    * sequential fold, so it runs as ONE `mapPartitions` pass with
+    * O(1) state over shard-repartitioned, shard-sorted rows — the
+    * shard count (not the corpus) bounds the sequential span, exactly
+    * how a production pipeline packs per output shard; this is the
+    * justified-mapPartitions case (the bin boundary depends on every
+    * prior decision, so no window expresses it). Output: one row per
+    * (shard, bin) with doc/token counts and fill percentage —
+    * deterministic, partition-count invariant (the repartition pins
+    * the layout), oracle-mirrored by a per-shard recursive-CTE fold. */
+  def packBinsNextFit(s: SparkSession, dir: String,
+                      capacity: Long = 256L, shards: Int = 32): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
+    val arranged = docs.repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .as[(Int, Long, Long)]
+    val packed = arranged.mapPartitions { it =>
+      // several shard values can hash to one partition; the fold
+      // resets at each shard boundary (rows arrive shard-sorted)
+      var curShard = Int.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { case (shard, docId, nTok) =>
+        if (shard != curShard) { curShard = shard; bin = -1L; fill = 0L }
+        if (bin < 0L || fill + nTok > capacity) { bin += 1L; fill = nTok }
+        else fill += nTok
+        (shard, bin, docId, nTok)
+      }
+    }.toDF("shard", "bin", "doc_id", "n_tokens")
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("fill_pct",
+        round(col("bin_tokens") * 100.0 / capacity, 2))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** Oracle for [[packBinsNextFit]]: the identical next-fit fold as a
+    * per-shard recursive CTE stepping one document (row_number within
+    * shard) per iteration — `shards` rows per step, `max docs/shard`
+    * steps. */
+  private def packBinsNextFitSql(capacity: Long, shards: Int): String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % $shards AS INT) AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $shards ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |rec AS (
+       |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
+       |         n_tokens AS fill
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+       |         CASE WHEN r.fill + d.n_tokens > $capacity THEN r.bin + 1 ELSE r.bin END,
+       |         CASE WHEN r.fill + d.n_tokens > $capacity THEN d.n_tokens
+       |              ELSE r.fill + d.n_tokens END
+       |  FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1)
+       |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |       ROUND(sum(n_tokens) * 100.0 / $capacity, 2) AS fill_pct
+       |FROM rec GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "pipeline_pack_nextfit" -> QueryDef((s, d) => packBinsNextFit(s, d, 256L, 32),
+      Some(packBinsNextFitSql(256L, 32))),
     "corpus_shuffle_order" -> QueryDef((s, d) => shuffleOrder(s, d), Some(
       s"""WITH d AS (SELECT doc_id FROM documents),
          |${OracleSql.m61FmixScalarCtes("d", "CAST(doc_id AS VARCHAR)")},

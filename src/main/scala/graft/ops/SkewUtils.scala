@@ -122,7 +122,8 @@ object SkewUtils {
       java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int), (Long, Long)]]())
 
   private[graft] def clearProfileCache(): Unit = profileCache.clear()
-  private[graft] def profileCacheSize: Int = {
+  private[graft] def profileCacheSize: Int = profileCache.synchronized {
+    // synchronizedMap views still require the map's lock for iteration
     val it = profileCache.values.iterator()
     var n = 0
     while (it.hasNext) n += it.next().size()

@@ -232,7 +232,18 @@ class KdcV2Spec extends AnyFunSuite {
 
   test("partition pruning edge semantics: mixed predicates keep all files; missing keys are NULL") {
     import java.nio.file.{Files, Paths}
-    val root = KdcParseQueries.fleetFixtureDir()
+    // a PRIVATE copy of the fleet layout: the inconsistent-layout leg
+    // below adds a loose file, and doing that to the shared tmpdir
+    // fixture would break the registered pruned row for any
+    // concurrent/subsequent Verify run if this test dies mid-flight
+    val root = "target/scratch/kdc_v2_edge_fleet"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    Files.createDirectories(Paths.get(s"$root/host=hostA/day=2015-11-22"))
+    Files.createDirectories(Paths.get(s"$root/host=hostB/day=2015-11-23"))
+    Files.write(Paths.get(s"$root/host=hostA/day=2015-11-22/kdc.log"),
+      KdcParseQueries.host1Log.getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/host=hostB/day=2015-11-23/kdc.log"),
+      KdcParseQueries.host2Log.getBytes("UTF-8"))
     val df = spark.read.format("kdclog").option("recursive", "true").load(root)
     def plannedFiles(q: DataFrame): Seq[String] =
       kdcScan(q).toBatch.planInputPartitions()
@@ -253,20 +264,15 @@ class KdcV2Spec extends AnyFunSuite {
     val extra = Paths.get(root, "loose")
     Files.createDirectories(extra)
     Files.write(extra.resolve("kdc.log"), KdcParseQueries.host1Log.getBytes("UTF-8"))
-    try {
-      // the loose file breaks key-sequence consistency, so a FRESH read
-      // infers no partition columns at all — the safe fallback
-      val mixedLayout = spark.read.format("kdclog").option("recursive", "true").load(root)
-      assert(!mixedLayout.schema.fieldNames.contains("day"),
-        "inconsistent layout must not infer partition columns")
-      // while a day-keyed GLOB still sees the consistent subtree
-      val scoped = spark.read.format("kdclog")
-        .load(s"$root/host=*/day=*/kdc.log")
-      assert(scoped.schema.fieldNames.contains("day"))
-    } finally {
-      Files.deleteIfExists(extra.resolve("kdc.log"))
-      Files.deleteIfExists(extra)
-    }
+    // the loose file breaks key-sequence consistency, so a FRESH read
+    // infers no partition columns at all — the safe fallback
+    val mixedLayout = spark.read.format("kdclog").option("recursive", "true").load(root)
+    assert(!mixedLayout.schema.fieldNames.contains("day"),
+      "inconsistent layout must not infer partition columns")
+    // while a day-keyed GLOB still sees the consistent subtree
+    val scoped = spark.read.format("kdclog")
+      .load(s"$root/host=*/day=*/kdc.log")
+    assert(scoped.schema.fieldNames.contains("day"))
   }
 
   test("splittable-compressed inputs derive a split bound: bz2 fans out with NO explicit option") {
