@@ -13,11 +13,21 @@ import org.apache.spark.sql.SparkSession
   * histogram).
   *
   * Usage: KdcMain <input logs (file/dir/glob)> <output dir> [realm]
-  *                [--aligned | --v2] [--recursive] [--report=R]
+  *                [--aligned | --v2] [--recursive] [--scope=k=v[,k=v…]]
+  *                [--report=R]
   *
   * `--recursive` (with `--v2`) descends nested fleet layouts
   * (host=…/day=… trees); without it a nested dir fails loudly, like
   * Hadoop input formats.
+  *
+  * `--scope=k=v[,k=v…]` (requires `--v2`) scopes the report to the
+  * named partition-path values of a `k=v` fleet layout (e.g.
+  * `--scope=day=2015-11-22`): each pair becomes an equality filter on
+  * the layout-discovered partition column, which the V2 planner
+  * evaluates DRIVER-SIDE during split planning — out-of-scope FILES
+  * are never opened (a day-scoped report over a year of logs reads
+  * 1/365th of the bytes). A key the layout does not expose fails
+  * loudly at analysis.
   *
   * `--report=R` with R ∈ user (default) | service | errors |
   * user-enctypes | service-enctypes.
@@ -47,9 +57,12 @@ object KdcMain {
     * same predicate (idempotent) for the non-v2 sources. */
   def buildReport(spark: SparkSession, in: String, realm: Option[String],
                   report: String, useV2: Boolean, aligned: Boolean,
-                  recursive: Boolean = false)
+                  recursive: Boolean = false,
+                  scope: Map[String, String] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(scope.isEmpty || useV2,
+      "--scope filters partition-path columns, which only the --v2 fleet layout exposes")
     val realmPred = realm.flatMap(r => report match {
       case "user" | "user-enctypes" => Some(col("crealm") === r)
       case "service" | "service-enctypes" => Some(col("srealm") === r)
@@ -59,7 +72,13 @@ object KdcMain {
       if (useV2) {
         val df = spark.read.format("kdclog")
           .option("recursive", recursive.toString).load(in)
-        realmPred.fold(df)(df.filter)
+        // scope filters reference layout-discovered partition columns
+        // only, so the V2 planner resolves them to whole-FILE pruning
+        // at split planning (an unknown key fails analysis loudly)
+        val scoped = scope.foldLeft(df) { case (acc, (k, v)) =>
+          acc.filter(col(k) === v)
+        }
+        realmPred.fold(scoped)(scoped.filter)
           .as(org.apache.spark.sql.Encoders.product[KdcLogRecord])
       } else if (aligned) KdcSource.recordsAligned(spark, in)
       else KdcSource.records(spark, in)
@@ -90,8 +109,20 @@ object KdcMain {
     val report = flags.collectFirst {
       case f if f.startsWith("--report=") => f.stripPrefix("--report=")
     }.getOrElse("user")
+    val scope: Map[String, String] = flags.collectFirst {
+      case f if f.startsWith("--scope=") => f.stripPrefix("--scope=")
+    }.map(_.split(',').toSeq.map { pair =>
+      val eq = pair.indexOf('=')
+      require(eq > 0 && eq < pair.length - 1,
+        s"--scope expects k=v[,k=v…], got segment '$pair'")
+      pair.substring(0, eq) -> pair.substring(eq + 1)
+    }.toMap).getOrElse(Map.empty)
     require(positional.length >= 2,
-      "usage: KdcMain <input> <outdir> [realm] [--aligned | --v2] [--report=user|service|errors|user-enctypes|service-enctypes]")
+      "usage: KdcMain <input> <outdir> [realm] [--aligned | --v2] [--recursive] " +
+        "[--scope=k=v[,k=v…]] [--report=user|service|errors|user-enctypes|service-enctypes]\n" +
+        "note: under --v2 with a realm the counters count IN-SCOPE sessions only " +
+        "(the realm filter pushes into the parse scan); the RDD paths keep the " +
+        "reference's all-records counter semantics")
     val Array(in, out) = positional.take(2)
     val realm = positional.lift(2)
     // only stop the session on exit if this invocation created it —
@@ -109,7 +140,7 @@ object KdcMain {
     spark.sparkContext.setLogLevel("WARN")
     val result = buildReport(spark, in, realm, report,
       useV2 = flags.contains("--v2"), aligned = aligned,
-      recursive = flags.contains("--recursive"))
+      recursive = flags.contains("--recursive"), scope = scope)
     // TSV via the shared formatting expression (oracle-checked through
     // kdc_parse_user_report_tsv) rather than the CSV writer — the
     // reference's reducers emit plain join("\t") lines with no quoting

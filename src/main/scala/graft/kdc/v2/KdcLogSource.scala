@@ -484,7 +484,10 @@ object KdcBatch {
         else {
           val i = blocks.indexWhere(b =>
             offset >= b.getOffset && offset < b.getOffset + b.getLength)
-          Option(blocks(math.max(i, 0)).getHosts).getOrElse(Array.empty[String])
+          // an offset no block covers gets NO locality hint — block 0's
+          // hosts would be a wrong hint, strictly worse than none
+          if (i < 0) Array.empty[String]
+          else Option(blocks(i).getHosts).getOrElse(Array.empty[String])
         }
       }
       val splittable = codecOf(path).forall(

@@ -175,15 +175,38 @@ object Graph {
     * the way the profile cache's does; in-memory edge frames
     * fingerprint empty and fall back to the plan hash (LocalRelation
     * hashes its data). Unlike the profile cache — where a collision
-    * only mis-sizes salts — a layout hit feeds the RESULT, so each
-    * entry keeps its analyzed plan and a hit must ALSO pass
-    * `sameResult`; 32-bit hash collisions land a sibling layout in the
-    * same bucket's list instead of silently reusing the wrong edges. */
+    * only mis-sizes salts — a layout hit feeds the RESULT, so a hit
+    * must pass more than the 32-bit hash key: each entry keeps its
+    * analyzed plan for an exact `sameResult` check. The plan is held
+    * via a [[java.lang.ref.WeakReference]] — an analyzed plan over
+    * parquet holds `HadoopFsRelation`, which strongly references its
+    * SparkSession, so holding it strongly would point the WeakHashMap
+    * value back at its own key and defeat GC eviction entirely (a
+    * session that ended without [[dropCachedLayouts]] would leak its
+    * entry forever). When GC has cleared the plan ref, the hit check
+    * falls back to the entry's session-free CANONICAL PLAN STRING
+    * (captured at land time): equality of canonicalized tree strings
+    * on top of the (semanticHash, fingerprint) key — not a re-land,
+    * so the amortized path survives GC. The residual collision bound
+    * (two semantically different edge frames agreeing on the 32-bit
+    * hash, the file fingerprint, AND the canonical tree string) is
+    * accepted and documented; mismatches land a sibling layout in the
+    * same bucket's list instead of silently reusing the wrong edges.
+    * GC eviction of a dead session's entries is therefore real again;
+    * [[dropCachedLayouts]] remains the deterministic cleanup (and the
+    * only path that also drops the scratch FILES). */
   private val layoutCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
-        java.util.List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-          String, String)]]]())
+        java.util.List[LayoutEntry]]]())
+
+  /** One landed layout: weak ref to the verification plan, its
+    * session-free canonical tree string (the GC-survivable check),
+    * the scratch table name, and its directory. */
+  private final case class LayoutEntry(
+      planRef: java.lang.ref.WeakReference[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      canonicalStr: String, table: String, loc: String)
 
   /** Directory names of live cached layouts — Bench's scratch sweep
     * skips these (they embed the appId like all scratch, but unlike
@@ -203,9 +226,12 @@ object Graph {
   }
 
   /** Land (or reuse) the bucketed edge layout for `edges` and return
-    * its scan. The hit path requires plan `sameResult`, not only the
-    * hash key (see [[layoutCache]]); the per-key list is the collision
-    * overflow and is synchronized so the write stays once-only. */
+    * its scan. The hit path requires plan `sameResult` while the
+    * weakly-held plan is alive, and canonical-string equality after GC
+    * has cleared it (see [[layoutCache]]) — never only the hash key;
+    * the per-key list is the collision overflow and is synchronized so
+    * the write stays once-only. A hit refreshes the entry's plan ref
+    * (the newly analyzed plan is as good a witness as the original). */
   private def cachedLayout(s: SparkSession, edges: DataFrame,
                            buckets: Int): DataFrame = {
     val nBuckets = if (buckets > 0) buckets
@@ -214,8 +240,7 @@ object Graph {
       var m = layoutCache.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int),
-          java.util.List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-            String, String)]]()
+          java.util.List[LayoutEntry]]()
         layoutCache.put(s, m)
       }
       m
@@ -223,18 +248,41 @@ object Graph {
     val newPlan = edges.queryExecution.analyzed
     val key = (newPlan.semanticHash(), SkewUtils.inputFingerprint(edges), nBuckets)
     val bucket = perSession.computeIfAbsent(key, _ =>
-      new java.util.ArrayList[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        String, String)]())
+      new java.util.ArrayList[LayoutEntry]())
     val table = bucket.synchronized {
       import scala.jdk.CollectionConverters._
-      bucket.asScala.find(_._1.sameResult(newPlan)).map(_._2).getOrElse {
-        val (t, loc) = writeLayout(s, edges, nBuckets)
-        liveLayoutDirsRef.updateAndGet(_ + new java.io.File(loc).getName)
-        bucket.add((newPlan, t, loc))
-        t
+      lazy val newCanonical = newPlan.canonicalized.toString
+      val hit = bucket.asScala.zipWithIndex.find { case (e, _) =>
+        Option(e.planRef.get) match {
+          case Some(p) => p.sameResult(newPlan)
+          case None => e.canonicalStr == newCanonical
+        }
+      }
+      hit match {
+        case Some((e, i)) =>
+          if (e.planRef.get == null)
+            bucket.set(i, e.copy(planRef =
+              new java.lang.ref.WeakReference(newPlan)))
+          e.table
+        case None =>
+          val (t, loc) = writeLayout(s, edges, nBuckets)
+          liveLayoutDirsRef.updateAndGet(_ + new java.io.File(loc).getName)
+          bucket.add(LayoutEntry(new java.lang.ref.WeakReference(newPlan),
+            newCanonical, t, loc))
+          t
       }
     }
     s.table(table)
+  }
+
+  /** Test hook: clear every cached layout's weakly-held verification
+    * plan for `s`, simulating GC collection — the canonical-string
+    * fallback must then carry the hit (no re-land). */
+  private[ops] def clearLayoutPlanRefs(s: SparkSession): Unit = {
+    val m = layoutCache.get(s)
+    if (m != null) m.values().asScalaValues.foreach { lst =>
+      lst.synchronized(lst.asScalaValues).foreach(_.planRef.clear())
+    }
   }
 
   /** Drop every cached layout this session landed (table + files) —
@@ -243,9 +291,9 @@ object Graph {
   def dropCachedLayouts(s: SparkSession): Unit = {
     val m = layoutCache.synchronized(layoutCache.remove(s))
     if (m != null) m.values().asScalaValues.foreach { lst =>
-      lst.synchronized(lst.asScalaValues).foreach { case (_, table, loc) =>
-        dropLayoutTable(s, table, loc)
-        liveLayoutDirsRef.updateAndGet(_ - new java.io.File(loc).getName)
+      lst.synchronized(lst.asScalaValues).foreach { e =>
+        dropLayoutTable(s, e.table, e.loc)
+        liveLayoutDirsRef.updateAndGet(_ - new java.io.File(e.loc).getName)
       }
     }
   }

@@ -273,6 +273,26 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.liveLayoutDirNames.nonEmpty)
   }
 
+  test("layout cache: hit survives GC of the weakly-held verification plan") {
+    // The cache holds its sameResult-verification plan only weakly (a
+    // strongly-held analyzed plan references the SparkSession through
+    // HadoopFsRelation, which would defeat the WeakHashMap's session
+    // eviction). A cleared ref must fall back to the canonical-string
+    // check and still HIT — not silently re-land the layout, which
+    // would regress the amortized path every time GC runs.
+    val first = Graph.pageRankBucketed(spark, starEdges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val size = Graph.layoutCacheSize(spark)
+    assert(size >= 1)
+    Graph.clearLayoutPlanRefs(spark) // simulate GC collecting every plan ref
+    spark.catalog.clearCache()
+    val second = Graph.pageRankBucketed(spark, starEdges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(Graph.layoutCacheSize(spark) == size,
+      "cleared plan refs re-landed the layout instead of hitting via the canonical string")
+    assert(second == first, "canonical-string fallback hit changed the result")
+  }
+
   test("bucketed round: exactly ONE shuffle exchange — both joins co-partitioned") {
     // The claim the bucketed layout exists to make checkable: with
     // edges bucketed by src and deg/p inheriting that partitioning,
