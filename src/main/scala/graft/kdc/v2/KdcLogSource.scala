@@ -90,19 +90,47 @@ import graft.kdc.{KdcLogRecord, Sessionizer}
 class KdcLogTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kdclog"
 
+  /** The listing schema inference walked, kept for [[getTable]] so a
+    * batch read plans its splits from the SAME snapshot instead of
+    * walking the fleet a second time (the r11 verdict's two-walks-per-
+    * query cost — at a ~1 ms/RPC namenode the duplicate walk dominates
+    * planning). Spark calls inferSchema and getTable back-to-back on
+    * one provider instance per `load()`, so the snapshot's lifetime is
+    * exactly one table construction; the semantic matches Spark's own
+    * file sources (file list frozen at load — files arriving between
+    * `load()` and an action are not seen by that DataFrame). */
+  @volatile private var inferredListing
+      : Option[(String, Boolean, Seq[KdcFileLayout.KdcFileMeta])] = None
+
   /** Base record schema + any `k=v` partition columns discovered from
     * the directory layout under the load path. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = options.asScala.toMap
-    opts.get("path").map(KdcLogTable.schemaFor(_, opts))
-      .getOrElse(KdcLogTable.schema)
+    opts.get("path").map { p =>
+      val recursive = opts.get("recursive").exists(_.toBoolean)
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val listing = KdcFileLayout.listFilesDetailed(p, recursive, conf, strict = false)
+      // snapshot only listings split planning could reuse VERBATIM: a
+      // lenient walk that skipped nested dirs (or matched nothing)
+      // must fall through to the strict planning walk so the batch
+      // read still fails loudly
+      inferredListing =
+        if (listing.files.nonEmpty && !listing.nestedSkipped)
+          Some((p, recursive, listing.files))
+        else None
+      KdcLogTable.schemaForFiles(p, listing.files.map(_.path), conf)
+    }.getOrElse(KdcLogTable.schema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("kdclog source requires a 'path' option"))
-    new KdcLogTable(path, properties.asScala.toMap, schema)
+    val recursive = Option(properties.get("recursive")).exists(_.toBoolean)
+    val snapshot = inferredListing.collect {
+      case (p, r, files) if p == path && r == recursive => files
+    }
+    new KdcLogTable(path, properties.asScala.toMap, schema, snapshot)
   }
 }
 
@@ -115,14 +143,14 @@ object KdcLogTable {
 
   private[v2] val baseFieldNames: Set[String] = schema.fieldNames.toSet
 
-  /** Table schema for a load path: the base record schema plus one
-    * trailing nullable STRING column per `k=v` partition key the
-    * directory layout exposes consistently across all listed files. */
-  private[v2] def schemaFor(path: String, options: Map[String, String]): StructType = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val files = KdcFileLayout.listFiles(path,
-      options.get("recursive").exists(_.toBoolean), conf, strict = false)
-    val keys = KdcFileLayout.partitionKeys(path, files.map(_.path), conf)
+  /** Table schema for an already-listed load path: the base record
+    * schema plus one trailing nullable STRING column per `k=v`
+    * partition key the directory layout exposes consistently across
+    * all listed files. (The caller owns the listing — schema inference
+    * shares one walk with split planning.) */
+  private[v2] def schemaForFiles(path: String, files: Seq[Path],
+                                 conf: Configuration): StructType = {
+    val keys = KdcFileLayout.partitionKeys(path, files, conf)
     keys.foldLeft(schema)((s, k) =>
       s.add(org.apache.spark.sql.types.StructField(
         k, org.apache.spark.sql.types.StringType, nullable = true)))
@@ -168,7 +196,7 @@ object KdcLogTable {
   * inference, the batch split planner, and the streaming lister (one
   * visibility rule everywhere: '_'/'.'-prefixed names are hidden at
   * every level, matching Hadoop input formats). */
-private[v2] object KdcFileLayout {
+private[graft] object KdcFileLayout {
 
   /** Directories per level above which the walk lists concurrently —
     * each `listStatus` is one namenode RPC, so a 10k-dir fleet level
@@ -185,7 +213,20 @@ private[v2] object KdcFileLayout {
     * which fork an `ls -ld` process PER FILE — measured ~7 ms/file,
     * 70 s over a 10k-file tree.) */
   final case class KdcFileMeta(path: Path, len: Long, blockSize: Long,
+                               modTime: Long,
                                blocks: Array[org.apache.hadoop.fs.BlockLocation])
+
+  /** A walk's result: the visible files, plus whether any nested
+    * directory was silently skipped (lenient non-recursive mode only —
+    * such a listing must NOT be reused where the strict planning walk
+    * would have failed loudly). */
+  final case class Listing(files: Seq[KdcFileMeta], nestedSkipped: Boolean)
+
+  /** Diagnostic: top-level listing walks performed by this JVM — the
+    * probe/spec hook that pins "one walk per planning cycle" (each
+    * walk is O(dirs) namenode RPCs; the count, not the local wall, is
+    * what transfers to a real namenode). */
+  val listingWalks = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Snapshot the files under `path` (a file, a directory, or a glob);
     * `recursive` additionally descends nested layouts. Driver-side,
@@ -204,8 +245,14 @@ private[v2] object KdcFileLayout {
     * streaming lister passes false — a tailed directory may not exist
     * yet. */
   def listFiles(path: String, recursive: Boolean, conf: Configuration,
-                strict: Boolean): Seq[KdcFileMeta] = {
+                strict: Boolean): Seq[KdcFileMeta] =
+    listFilesDetailed(path, recursive, conf, strict).files
+
+  def listFilesDetailed(path: String, recursive: Boolean, conf: Configuration,
+                        strict: Boolean): Listing = {
     import org.apache.hadoop.fs.{FileStatus, LocatedFileStatus}
+    listingWalks.incrementAndGet()
+    var nestedSkipped = false
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val localFs = fs.getScheme == "file"
@@ -224,7 +271,8 @@ private[v2] object KdcFileLayout {
           fs.getFileBlockLocations(other, 0, other.getLen)
         case _ => Array.empty[org.apache.hadoop.fs.BlockLocation]
       }
-      KdcFileMeta(st.getPath, st.getLen, st.getBlockSize, blocks)
+      KdcFileMeta(st.getPath, st.getLen, st.getBlockSize,
+        st.getModificationTime, blocks)
     }
     def listDir(d: Path): Seq[FileStatus] =
       if (localFs) fs.listStatus(d).toSeq
@@ -249,6 +297,7 @@ private[v2] object KdcFileLayout {
           // SILENTLY skipped — fail like FileInputFormat does instead
           throw new java.io.IOException(
             s"kdclog: not a file: ${frontier.head} (nested layout — set recursive=true or use a glob)")
+        nestedSkipped = true
         frontier.clear()
       } else {
         val level: Seq[Seq[FileStatus]] =
@@ -278,7 +327,7 @@ private[v2] object KdcFileLayout {
       }
       depth += 1
     }
-    out.toSeq
+    Listing(out.toSeq, nestedSkipped)
   }
 
   private val GlobChars: Set[Char] = Set('*', '?', '[', ']', '{', '}', '\\')
@@ -345,17 +394,21 @@ private[v2] object KdcFileLayout {
 }
 
 class KdcLogTable(path: String, options: Map[String, String],
-                  tableSchema: StructType) extends Table with SupportsRead {
+                  tableSchema: StructType,
+                  listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"kdclog(`$path`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    new KdcScanBuilder(path, options ++ caseInsensitive.asScala, tableSchema)
+    new KdcScanBuilder(path, options ++ caseInsensitive.asScala, tableSchema,
+      listingSnapshot)
 }
 
 class KdcScanBuilder(path: String, options: Map[String, String],
-                     tableSchema: StructType)
+                     tableSchema: StructType,
+                     listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -376,12 +429,13 @@ class KdcScanBuilder(path: String, options: Map[String, String],
     required = requiredSchema
 
   override def build(): Scan =
-    new KdcScan(path, options, tableSchema, required, pushed)
+    new KdcScan(path, options, tableSchema, required, pushed, listingSnapshot)
 }
 
 class KdcScan(val path: String, options: Map[String, String],
               tableSchema: StructType,
-              val requiredSchema: StructType, val pushedFilters: Array[Filter])
+              val requiredSchema: StructType, val pushedFilters: Array[Filter],
+              listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
     extends Scan {
 
   /** Layout-discovered partition columns = table schema minus the base
@@ -396,7 +450,8 @@ class KdcScan(val path: String, options: Map[String, String],
       s"PushedFilters: ${pushedFilters.mkString("[", ", ", "]")}"
 
   override def toBatch: Batch =
-    new KdcBatch(path, options, partKeys, requiredSchema, pushedFilters)
+    new KdcBatch(path, options, partKeys, requiredSchema, pushedFilters,
+      listingSnapshot)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KdcMicroBatchStream(path, options, partKeys, requiredSchema, pushedFilters,
@@ -443,13 +498,24 @@ object KdcBatch {
   private[v2] def planSplits(inputPaths: Seq[Path], options: Map[String, String],
                              tablePath: String, partKeys: Seq[String],
                              filters: Array[Filter]): Array[InputPartition] = {
+    val conf = new Configuration(SparkSession.active.sparkContext.hadoopConfiguration)
+    KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
+    val recursive = options.get("recursive").exists(_.toBoolean)
+    val files = inputPaths.flatMap(p =>
+      KdcFileLayout.listFiles(p.toString, recursive, conf, strict = true))
+    splitsForListed(files, options, tablePath, partKeys, filters)
+  }
+
+  /** [[planSplits]] minus the walk — for callers that already hold the
+    * listing (schema inference's snapshot in the batch path; the
+    * trigger's listing in the streaming path). */
+  private[v2] def splitsForListed(files: Seq[KdcFileLayout.KdcFileMeta],
+                                  options: Map[String, String],
+                                  tablePath: String, partKeys: Seq[String],
+                                  filters: Array[Filter]): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
-    val recursive = options.get("recursive").exists(_.toBoolean)
-
-    val files = inputPaths.flatMap(p =>
-      KdcFileLayout.listFiles(p.toString, recursive, conf, strict = true))
 
     // whole-file pruning: a predicate over partition columns only holds
     // the same verdict for every row of a file, so UNKNOWN/FALSE files
@@ -517,9 +583,18 @@ object KdcBatch {
 }
 
 class KdcBatch(path: String, options: Map[String, String], partKeys: Seq[String],
-               requiredSchema: StructType, filters: Array[Filter]) extends Batch {
+               requiredSchema: StructType, filters: Array[Filter],
+               listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
+    extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    KdcBatch.planSplits(Seq(new Path(path)), options, path, partKeys, filters)
+    listingSnapshot match {
+      // schema inference already walked the fleet — plan from its
+      // snapshot (one walk per query; snapshot-at-load semantics)
+      case Some(files) =>
+        KdcBatch.splitsForListed(files, options, path, partKeys, filters)
+      case None =>
+        KdcBatch.planSplits(Seq(new Path(path)), options, path, partKeys, filters)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     KdcReaderFactory(KdcLogTable.readerConf(options), requiredSchema.fieldNames,
       // partition-only predicates are fully applied at planning (file
@@ -746,9 +821,14 @@ object KdcBatchOffset {
 
 /** BatchId-keyed manifest of admitted files under the source's own
   * checkpoint location: file `<dir>/<batchId>` holds the JSON map
-  * `path -> length` of exactly the files that batch admitted (a
-  * delta, not a cumulative snapshot — replay of batch N reads one
-  * file). Every `compactInterval` batches the stream also writes
+  * `path -> modification time` of exactly the files that batch
+  * admitted — a delta, not a cumulative snapshot, so replay of batch
+  * N reads one file. (Mod times are what the `maxFileAge` retention
+  * window ages on; a checkpoint written before this format carried
+  * file LENGTHS as the values — membership semantics are identical,
+  * so such a checkpoint resumes correctly as long as `maxFileAge` is
+  * not set; with it set, start fresh.)
+  * Every `compactInterval` batches the stream also writes
   * `<batchId>.compact` — the FULL seen-file set at that id — and
   * retires deltas already covered by the PREVIOUS snapshot (kept, so
   * the replayable delta window always spans at least one full
@@ -840,12 +920,31 @@ private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
   * would jump to the prepared end in one batch, defeating the
   * admission bound).
   *
-  * Fleet-scale bound: [[KdcFileLayout.listFiles]] is one serial
-  * driver-side directory walk per trigger (two on the first trigger of
-  * a run when `prepared` is unset) — O(files) namenode RPC, the same
-  * posture as Spark's FileStreamSource. The in-memory seen-file set is
-  * O(files ever admitted) on the driver, rebuilt from the manifest on
-  * restart. */
+  * Fleet-scale bounds: [[KdcFileLayout.listFiles]] is ONE driver-side
+  * directory walk per trigger — `latestOffset` refreshes the listing,
+  * `reportLatestOffset` and `planInputPartitions` reuse that trigger's
+  * snapshot (fresh files carry their listed metadata straight into
+  * split planning, so no per-file re-listing either) — O(dirs)
+  * namenode RPC per trigger, the FileStreamSource posture. The
+  * in-memory seen-file set and the `.compact` snapshots are bounded by
+  * the `maxFileAge` RETENTION WINDOW when set (e.g. `"7d"` — Spark
+  * duration syntax): entries whose file modification time falls behind
+  * (latest mod time seen − maxFileAge) are dropped at compaction, and
+  * a visible-but-unseen file older than that horizon is NOT admitted —
+  * on a real log fleet (rotation = new files forever) state is
+  * O(files per retention window), not O(files ever). The contract
+  * edges, both inherent to mod-time retention (FileStreamSource has
+  * the same): a file delivered LATE with an ancient mod time is
+  * silently skipped once the horizon has passed it, and a purged file
+  * re-delivered with a FRESH mod time is admitted again (at-least-once
+  * across the horizon). Retention also assumes lexical admission order
+  * roughly tracks modification order — true for rotation-named logs
+  * (`day=`/timestamp-named files), but a backlog whose lexical order
+  * diverges from mod-time order can have old files skipped once a much
+  * newer one is admitted (set no `maxFileAge` for such layouts).
+  * Without `maxFileAge` the seen set is O(files
+  * ever admitted) — exactly-once with unbounded state, the right
+  * default for bounded fixtures. */
 class KdcMicroBatchStream(path: String, options: Map[String, String],
                           partKeys: Seq[String],
                           requiredSchema: StructType, filters: Array[Filter],
@@ -860,6 +959,24 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     * this many batches; <= 0 disables compaction. */
   private val compactInterval: Int =
     options.get("manifestCompactInterval").map(_.toInt).getOrElse(10)
+
+  /** Retention window (Spark duration syntax, e.g. "7d") bounding the
+    * seen-file set: see the class scaladoc for the exact semantics.
+    * Unset = keep everything (exact once, unbounded state). */
+  private val maxFileAgeMs: Option[Long] =
+    options.get("maxFileAge").map(
+      org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+
+  /** Age horizon given the current seen set: mod times at or above it
+    * are inside the retention window. Computed from the SEEN set's max
+    * mod time (not the wall clock — retention must be deterministic
+    * under replay and immune to clock skew between driver and
+    * filesystem). */
+  private def horizon(seen: Map[String, Long]): Option[Long] =
+    maxFileAgeMs.flatMap { age =>
+      if (seen.isEmpty) None
+      else Some(seen.valuesIterator.max - age)
+    }
 
   private val manifest = new KdcFileManifest(
     new Path(checkpointLocation, "kdc-file-manifest"),
@@ -887,20 +1004,28 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
 
   /** Bound captured by prepareForTriggerAvailableNow: files visible at
     * query start; AvailableNow batches never admit past it. */
-  @volatile private var prepared: Option[Map[String, Long]] = None
+  @volatile private var prepared: Option[Map[String, KdcFileLayout.KdcFileMeta]] = None
 
-  /** Snapshot the visible log files ([[KdcFileLayout.listFiles]]:
-    * file/dir/glob + recursive, hidden names skipped at every level).
+  /** The most recent trigger's listing — `latestOffset` refreshes it,
+    * `reportLatestOffset`/`planInputPartitions` reuse it (one walk per
+    * trigger; see the class scaladoc). */
+  @volatile private var lastListing: Option[Map[String, KdcFileLayout.KdcFileMeta]] = None
+
+  /** Walk the visible log files ([[KdcFileLayout.listFiles]]:
+    * file/dir/glob + recursive, hidden names skipped at every level)
+    * and record the snapshot for this trigger's other callers.
     * Lenient — a tailed directory may not exist yet. */
-  private def listFiles(): Map[String, Long] = {
+  private def refreshListing(): Map[String, KdcFileLayout.KdcFileMeta] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    KdcFileLayout.listFiles(path, options.get("recursive").exists(_.toBoolean),
+    val m = KdcFileLayout.listFiles(path, options.get("recursive").exists(_.toBoolean),
         conf, strict = false)
-      .map(st => st.path.toString -> st.len).toMap
+      .map(st => st.path.toString -> st).toMap
+    lastListing = Some(m)
+    m
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    prepared = Some(listFiles())
+    prepared = Some(refreshListing())
 
   override def initialOffset(): Offset = KdcBatchOffset(-1L)
 
@@ -920,8 +1045,14 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     deltas = deltas.rangeTo(startId)
     snaps = snaps.rangeTo(startId)
     val seen = seenUpTo(startId)
-    val visible = prepared.getOrElse(listFiles())
-    val fresh = visible.view.filterKeys(!seen.contains(_)).toSeq.sortBy(_._1)
+    val visible = prepared.getOrElse(refreshListing())
+    val tooOld = horizon(seen)
+    val fresh = visible.iterator
+      .filter { case (p, st) =>
+        !seen.contains(p) && tooOld.forall(st.modTime >= _)
+      }
+      .map { case (p, st) => p -> st.modTime }
+      .toSeq.sortBy(_._1)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
@@ -932,7 +1063,14 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
       manifest.write(id, admitted.toMap)
       deltas = deltas + (id -> admitted.toMap)
       if (compactInterval > 0 && id > 0 && id % compactInterval == 0) {
-        val snapshot = seen ++ admitted
+        val full = seen ++ admitted
+        // retention: drop seen entries behind the horizon — they can
+        // never be admitted again (the admission gate above holds the
+        // same line), so carrying them only grows the snapshot
+        val snapshot = horizon(full) match {
+          case Some(h) => full.filter(_._2 >= h)
+          case None => full
+        }
         manifest.writeSnapshot(id, snapshot)
         val prev = snaps.rangeTo(id - 1).lastOption.map(_._1)
         snaps = snaps + (id -> snapshot)
@@ -959,8 +1097,14 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     val high = (deltas.lastOption.map(_._1) ++ snaps.lastOption.map(_._1))
       .foldLeft(-1L)(math.max)
     val seen = seenUpTo(high)
-    val freshCount = prepared.getOrElse(listFiles())
-      .count { case (p, _) => !seen.contains(p) }.toLong
+    val tooOld = horizon(seen)
+    // reuse this trigger's listing (latestOffset just refreshed it);
+    // only a metrics call arriving before any trigger walks itself
+    val visible = prepared.orElse(lastListing).getOrElse(refreshListing())
+    val freshCount = visible
+      .count { case (p, st) =>
+        !seen.contains(p) && tooOld.forall(st.modTime >= _)
+      }.toLong
     val pendingBatches =
       if (freshCount == 0L) 0L
       else maxFilesPerTrigger.map(m => (freshCount + m - 1L) / m).getOrElse(1L)
@@ -982,7 +1126,26 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     val fresh = have.range(s + 1, e + 1).valuesIterator
       .flatMap(_.keysIterator).toSeq.sorted
     if (fresh.isEmpty) Array.empty
-    else KdcBatch.planSplits(fresh.map(new Path(_)), options, path, partKeys, filters)
+    else {
+      // fresh files usually carry their metadata in this trigger's
+      // listing — plan from it directly (no per-file re-listing, and
+      // consistent with the admitted state even if a file changed
+      // since). Restart replay plans from a fresh stream instance
+      // whose listing is empty — those fall back to per-file listing.
+      val known = prepared.orElse(lastListing).getOrElse(Map.empty)
+      val conf = new Configuration(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
+      val metas = fresh.map { p =>
+        known.getOrElse(p,
+          KdcFileLayout.listFiles(p, recursive = false, conf, strict = true) match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"kdclog: admitted file $p resolved to ${other.size} files on replay")
+          })
+      }
+      KdcBatch.splitsForListed(metas, options, path, partKeys, filters)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -227,9 +227,9 @@ object ScaleProbe {
     // listing + split-planning cost over 100 host= dirs × 100 day= dirs
     // × 1 tiny log each (10,201 listStatus targets). Compares the serial
     // walk (graft.kdc.list.threads=1) against the bounded-pool parallel
-    // walk (default 16). Planning includes TWO listings per read
-    // (schema inference + planSplits) plus FileInputFormat's per-file
-    // status/location lookups — the full driver-side trigger cost.
+    // walk (default 16), and prints the WALK COUNT per planned query —
+    // since r12, schema inference's snapshot feeds split planning, so
+    // a batch query is ONE walk (it was two, plus per-file lookups).
     if (args.contains("--kdc-fleet-list")) {
       val root = "target/scratch/kdc_fleet_list"
       if (!new java.io.File(root).exists()) {
@@ -244,20 +244,24 @@ object ScaleProbe {
         }
         println(s"[kdc-fleet-list] wrote 10000 logs under $root")
       }
-      def timePlan(threads: Int): Double = {
+      def timePlan(threads: Int): (Double, Long) = {
         sys.props("graft.kdc.list.threads") = threads.toString
         try {
           (1 to 2).map { _ =>
+            val w0 = graft.kdc.v2.KdcFileLayout.listingWalks.get()
             val t0 = System.nanoTime()
             val n = spark.read.format("kdclog").option("recursive", "true")
               .load(root).rdd.getNumPartitions
             require(n > 0)
-            (System.nanoTime() - t0) / 1e9
-          }.min
+            ((System.nanoTime() - t0) / 1e9,
+              graft.kdc.v2.KdcFileLayout.listingWalks.get() - w0)
+          }.minBy(_._1)
         } finally sys.props.remove("graft.kdc.list.threads")
       }
-      println(f"KDCFLEET plan_serial_walk,${timePlan(1)}%.2f")
-      println(f"KDCFLEET plan_parallel_walk,${timePlan(16)}%.2f")
+      val (serialWall, serialWalks) = timePlan(1)
+      val (parWall, parWalks) = timePlan(16)
+      println(f"KDCFLEET plan_serial_walk,$serialWall%.2f,walks=$serialWalks")
+      println(f"KDCFLEET plan_parallel_walk,$parWall%.2f,walks=$parWalks")
       spark.stop()
       return
     }

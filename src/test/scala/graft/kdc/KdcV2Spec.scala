@@ -551,6 +551,113 @@ class KdcV2Spec extends AnyFunSuite {
     assert(!rows2.exists(_._2 != "zz"), s"restart re-emitted finalized windows: $rows2")
   }
 
+  test("one listing walk per batch query: split planning reuses inference's snapshot") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    val walks = graft.kdc.v2.KdcFileLayout.listingWalks
+    val before = walks.get()
+    val df = spark.read.format("kdclog").option("recursive", "true").load(root)
+    assert(walks.get() - before == 1, "schema inference should walk exactly once")
+    assert(df.count() > 0)
+    assert(walks.get() - before == 1,
+      s"split planning walked the fleet again (total ${walks.get() - before} walks for one query)")
+    // a second ACTION on the same frame still plans from the load-time
+    // snapshot (Spark's own file sources freeze the listing at load)
+    df.select(col("client")).count()
+    assert(walks.get() - before == 1)
+    // a NEW load() is a new snapshot — exactly one more walk
+    spark.read.format("kdclog").option("recursive", "true").load(root).count()
+    assert(walks.get() - before == 2)
+  }
+
+  test("one listing walk per AvailableNow streaming run; triggers share the snapshot") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "target/scratch/kdc_v2_onewalk"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    Seq("host1.log", "host2.log").foreach(n =>
+      Files.copy(Paths.get(fixture, n), Paths.get(dir, n),
+        StandardCopyOption.REPLACE_EXISTING))
+    val walks = graft.kdc.v2.KdcFileLayout.listingWalks
+    val before = walks.get()
+    val q = spark.readStream.format("kdclog")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .groupBy(col("client")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("kdc_v2_onewalk")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    spark.catalog.dropTempView("kdc_v2_onewalk")
+    assert(batches >= 2, s"expected >=2 admitting batches, got $batches")
+    // schema inference (1) + prepareForTriggerAvailableNow (1); every
+    // trigger's latestOffset/reportLatestOffset and the per-batch
+    // split planning reuse the prepared snapshot — the old shape was
+    // O(batches) walks plus one glob per admitted file
+    assert(walks.get() - before == 2,
+      s"AvailableNow run performed ${walks.get() - before} walks, want 2")
+  }
+
+  test("maxFileAge retention: snapshots bounded, purged-but-present files never re-admitted") {
+    import java.nio.file.Files
+    val dir = "target/scratch/kdc_v2_retention"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def session(u: String): String =
+      s"2015-11-22T10:00:00 AS-REQ $u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+        s"2015-11-22T10:00:00 ENC-TS Pre-authentication succeeded -- $u@X.ORG\n" +
+        "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n"
+    val base = System.currentTimeMillis() - 60L * 60 * 1000
+    def writeLog(name: String, user: String, modOffsetMin: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      Files.write(f.toPath, session(user).getBytes("UTF-8"))
+      assert(f.setLastModified(base + modOffsetMin * 60000L))
+    }
+    (0 until 12).foreach(i => writeLog(f"log-$i%03d.log", f"u$i%03d", i))
+    val cp = s"$dir/_checkpoint"
+    def runOnce(qname: String): Long = {
+      val q = spark.readStream.format("kdclog")
+        .option("maxFilesPerTrigger", "1")
+        .option("manifestCompactInterval", "5")
+        .option("maxFileAge", "3m")
+        .load(dir)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = spark.table(qname).collect().head.getLong(0)
+      spark.catalog.dropTempView(qname)
+      n
+    }
+    // ids 0..11 admit log-000..011 (1 file per batch, lexical order =
+    // mod-time order); compaction at ids 5 and 10 purges entries
+    // behind (latest mod - 3m). Every file still admitted EXACTLY
+    // once: purged files are held out by the admission age gate, not
+    // by membership
+    assert(runOnce("kdc_v2_ret_a") == 12L,
+      "every file should be admitted exactly once on the first run")
+    // the id-10 snapshot saw files 0..10 (latest = base+10min, horizon
+    // = base+7min) -> exactly {7,8,9,10} survive: bounded by the
+    // retention window, not by files-ever-seen
+    val manifestDir = new java.io.File(s"$cp/sources/0/kdc-file-manifest")
+    val compacts = manifestDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".compact")).sortBy(_.stripSuffix(".compact").toInt)
+    assert(compacts.nonEmpty, "no compact snapshot written")
+    val snap = Files.readString(
+      new java.io.File(manifestDir, compacts.last).toPath)
+    val snapKeys = "log-\\d+".r.findAllIn(snap).toSet
+    assert(snapKeys == Set("log-007", "log-008", "log-009", "log-010"),
+      s"snapshot not bounded by the retention window: $snapKeys")
+    // restart: one fresh-mod file (admitted) and one ancient-mod file
+    // (behind the horizon — silently skipped, the documented edge);
+    // the purged-but-still-present log-000..006 must NOT re-admit
+    writeLog("log-012.log", "u012", 12L)
+    writeLog("ancient.log", "uOLD", 0L)
+    assert(runOnce("kdc_v2_ret_b") == 13L,
+      "restart should admit exactly the one in-window new file")
+  }
+
   test("streaming: file-arrival micro-batches converge to the batch answer") {
     import spark.implicits._
     val ds = spark.readStream.format("kdclog")
