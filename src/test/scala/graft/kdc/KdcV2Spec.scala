@@ -189,6 +189,38 @@ class KdcV2Spec extends AnyFunSuite {
     assert(kdcScan(svc).pushedFilters.mkString.contains("EqualTo(srealm,SQUILL.DEMENTIA.ORG)"))
   }
 
+  test("KdcMain --scope: the scoped CLI plans 1/N files and matches the unscoped-filtered TSV") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    val scoped = KdcMain.buildReport(spark, root, None, "user",
+      useV2 = true, aligned = false, recursive = true,
+      scope = Map("day" -> "2015-11-22"))
+    // the executed plan prunes to the scoped day's ONE file of two
+    val scan = kdcScan(scoped)
+    assert(scan.pushedFilters.mkString.contains("EqualTo(day,2015-11-22)"),
+      s"scope predicate not pushed: ${scan.pushedFilters.mkString(", ")}")
+    val planned = scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.kdc.v2.KdcInputPartition].path).distinct
+    assert(planned.length == 1 && planned.head.contains("day=2015-11-22"),
+      s"scoped CLI planned files: ${planned.mkString(", ")}")
+    // TSV equals the report run over the scoped day's file alone —
+    // the fixture deliberately stores sessions whose ts-day differs
+    // from the directory day, so file-level scoping (not a ts filter)
+    // is exactly what --scope must reproduce
+    val scopedTsv = KdcQueries.tsvLines(scoped).collect().map(_.getString(0)).sorted
+    val wantTsv = KdcQueries.tsvLines(
+        KdcMain.buildReport(spark, s"$root/host=hostA/day=2015-11-22/kdc.log",
+          None, "user", useV2 = true, aligned = false))
+      .collect().map(_.getString(0)).sorted
+    assert(scopedTsv.nonEmpty && scopedTsv.toSeq == wantTsv.toSeq,
+      s"scoped TSV diverged:\n${scopedTsv.mkString("\n")}\nvs\n${wantTsv.mkString("\n")}")
+    // scope without --v2 fails loudly — the RDD paths have no
+    // partition columns to filter
+    intercept[IllegalArgumentException] {
+      KdcMain.buildReport(spark, root, None, "user",
+        useV2 = false, aligned = false, scope = Map("day" -> "x"))
+    }
+  }
+
   test("partition-path pruning: day-scoped query never opens the other day's file") {
     val root = KdcParseQueries.fleetFixtureDir()
     val df = spark.read.format("kdclog").option("recursive", "true").load(root)
