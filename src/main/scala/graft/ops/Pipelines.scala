@@ -653,11 +653,39 @@ object Pipelines {
     * deterministic, partition-count invariant (the repartition pins
     * the layout), oracle-mirrored by a per-shard recursive-CTE fold. */
   def packBinsNextFit(s: SparkSession, dir: String,
-                      capacity: Long = 256L, shards: Int = 32): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir, "documents")
+                      capacity: Long = 256L, shards: Int = 32): DataFrame =
+    packFold(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      capacity, shards)
+
+  /** [[packBinsNextFit]] with bins filled by LEARNED-TOKENIZER lengths
+    * instead of whitespace counts — the discipline a real pipeline
+    * runs, since GPU sequence budgets are BPE tokens, not words: the
+    * same 6-step BPE vocabulary `bpe_tokenize_stats` learns scores
+    * each document ([[TextAnalysis.bpeDocTokenCounts]] — one
+    * word-count shuffle, counts broadcast back to the corpus), and
+    * those counts feed the identical next-fit fold. Capacity defaults
+    * 4× the whitespace row's: at ~6 merge steps a word is still ~4
+    * BPE tokens, so 1024 keeps the same few-docs-per-bin shape.
+    * Oracle: the BPE-apply CTE chain feeds the recursive pack CTE —
+    * the two independent formulations compose exactly like the code. */
+  def packBinsNextFitBpe(s: SparkSession, dir: String,
+                         capacity: Long = 1024L, shards: Int = 32,
+                         steps: Int = 6): DataFrame =
+    packFold(
+      TextAnalysis.bpeDocTokenCounts(Tables(s, dir, "documents"), steps),
+      capacity, shards)
+
+  /** The shared next-fit fold over any (doc_id, n_tokens) frame — see
+    * [[packBinsNextFit]] for the packing semantics and scale posture. */
+  private def packFold(counts: DataFrame, capacity: Long,
+                       shards: Int): DataFrame = {
+    import counts.sparkSession.implicits._
+    val docs = counts
       .select(col("doc_id").cast("long").as("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)).cast("int"))
     val arranged = docs.repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
@@ -684,17 +712,17 @@ object Pipelines {
       .orderBy(col("shard"), col("bin"))
   }
 
-  /** Oracle for [[packBinsNextFit]]: the identical next-fit fold as a
-    * per-shard recursive CTE stepping one document (row_number within
-    * shard) per iteration — `shards` rows per step, `max docs/shard`
-    * steps. */
-  private def packBinsNextFitSql(capacity: Long, shards: Int): String =
-    s"""WITH RECURSIVE docs AS (
+  /** The next-fit fold as a per-shard recursive CTE stepping one
+    * document (row_number within shard) per iteration — `shards` rows
+    * per step, `max docs/shard` steps. `srcCte` must expose
+    * (doc_id, n_tokens). */
+  private def packFoldSql(srcCte: String, capacity: Long, shards: Int): String =
+    s"""docs AS (
        |  SELECT doc_id,
        |         CAST(doc_id % $shards AS INT) AS shard,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         n_tokens,
        |         row_number() OVER (PARTITION BY doc_id % $shards ORDER BY doc_id) AS rn
-       |  FROM documents),
+       |  FROM $srcCte),
        |rec AS (
        |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
        |         n_tokens AS fill
@@ -710,9 +738,27 @@ object Pipelines {
        |       ROUND(sum(n_tokens) * 100.0 / $capacity, 2) AS fill_pct
        |FROM rec GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
+  /** Oracle for [[packBinsNextFit]]: whitespace counts feed the fold. */
+  private def packBinsNextFitSql(capacity: Long, shards: Int): String =
+    s"""WITH RECURSIVE wcnt AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |${packFoldSql("wcnt", capacity, shards)}""".stripMargin
+
+  /** Oracle for [[packBinsNextFitBpe]]: the BPE training/apply CTE
+    * chain ([[TextAnalysis.bpeDocTokenCountsCtes]]) feeds the same
+    * recursive pack fold. */
+  private def packBinsNextFitBpeSql(capacity: Long, shards: Int,
+                                    steps: Int): String =
+    s"""WITH RECURSIVE ${TextAnalysis.bpeDocTokenCountsCtes(steps)},
+       |${packFoldSql("bpecnt", capacity, shards)}""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "pipeline_pack_nextfit" -> QueryDef((s, d) => packBinsNextFit(s, d, 256L, 32),
       Some(packBinsNextFitSql(256L, 32))),
+    "pipeline_pack_nextfit_bpe" -> QueryDef(
+      (s, d) => packBinsNextFitBpe(s, d, 1024L, 32, 6),
+      Some(packBinsNextFitBpeSql(1024L, 32, 6))),
     "corpus_shuffle_order" -> QueryDef((s, d) => shuffleOrder(s, d), Some(
       s"""WITH d AS (SELECT doc_id FROM documents),
          |${OracleSql.m61FmixScalarCtes("d", "CAST(doc_id AS VARCHAR)")},

@@ -817,6 +817,40 @@ object TextAnalysis {
     out
   }
 
+  /** Per-document BPE token counts through the learned vocabulary —
+    * the composable core of [[bpeTokenizeStatsOn]] (same
+    * types-not-tokens economics: each distinct word tokenized once,
+    * documents join their words' counts back through a broadcast).
+    * Returns (doc_id, n_tokens) for downstream consumers that pack or
+    * budget by TOKENIZER lengths rather than whitespace counts
+    * ([[Pipelines.packBinsNextFitBpe]]). Docs with no countable word
+    * (null/empty text) are absent. */
+  private[ops] def bpeDocTokenCounts(df: DataFrame, steps: Int): DataFrame = {
+    val base = df.filter(col("text").isNotNull)
+    val (finalVocab, _) = bpeTrainOn(base, steps)
+    val vocab = finalVocab
+      .select(col("w"), size(col("sy")).cast("long").as("n_word_tokens"))
+    base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_word_tokens")).as("n_tokens"))
+  }
+
+  /** Oracle CTE bodies (no WITH) ending in `bpecnt(doc_id, n_tokens)`:
+    * the per-doc BPE token counts through [[bpeRoundsCtes]]' final
+    * vocabulary — the SQL mirror of [[bpeDocTokenCounts]], exposed so
+    * composed rows (the BPE packing oracle) chain it. */
+  private[ops] def bpeDocTokenCountsCtes(steps: Int): String =
+    s"""${bpeRoundsCtes(steps)},
+       |bpetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |bpetw AS (SELECT doc_id, w FROM bpetok WHERE len(w) >= 1),
+       |bpevc AS (SELECT w, CAST(len(sy) AS BIGINT) AS n_word_tokens FROM s$steps),
+       |bpecnt AS (SELECT doc_id, CAST(sum(n_word_tokens) AS BIGINT) AS n_tokens
+       |           FROM bpetw JOIN bpevc USING (w) GROUP BY doc_id)""".stripMargin
+
   /** Tokenizer FERTILITY by language — the multilingual-fairness
     * metric (tokens emitted per word): a tokenizer trained on a
     * mixed corpus systematically over-segments the languages it saw
