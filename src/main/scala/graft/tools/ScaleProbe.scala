@@ -266,6 +266,194 @@ object ScaleProbe {
       return
     }
 
+    // --kdc-tail: the watermarked tail at fleet cadence (r11 verdict
+    // task 6) — nFiles (default 400) small logs arriving across ~20
+    // AvailableNow micro-batches, event-time advancing one day per
+    // batch so the 1 h watermark finalizes a day's windows per
+    // trigger. Reports PER-TRIGGER listing/planning/state wall from
+    // the engine's own progress events, plus the total listing-walk
+    // count (must be 2 for the whole run: inference + prepare).
+    if (args.contains("--kdc-tail")) {
+      val nFiles = args.collectFirst {
+        case a if a.startsWith("--files=") => a.stripPrefix("--files=").toInt
+      }.getOrElse(400)
+      val perBatch = math.max(1, nFiles / 20)
+      val root = s"target/scratch/kdc_tail_$nFiles"
+      if (!new java.io.File(root).exists()) {
+        new java.io.File(root).mkdirs()
+        for (i <- 0 until nFiles) {
+          val day = java.time.LocalDate.of(2015, 1, 1).plusDays(i / perBatch)
+          val sb = new StringBuilder
+          for (s <- 0 until 20) {
+            val ts = f"${day}T10:${s % 60}%02d:00"
+            val u = s"user_${(i * 20 + s) % 997}"
+            sb.append(s"$ts AS-REQ $u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n")
+            sb.append(s"$ts ENC-TS Pre-authentication succeeded -- $u@X.ORG\n")
+            sb.append(s"$ts sending 752 bytes to IPv4:10.0.0.1\n")
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, f"tail-$i%05d.log"),
+            sb.toString.getBytes("UTF-8"))
+        }
+        println(s"[kdc-tail] wrote $nFiles tail logs under $root")
+      }
+      val cp = s"$root/_cp"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+      val w0 = graft.kdc.v2.KdcFileLayout.listingWalks.get()
+      val q = spark.readStream.format("kdclog")
+        .option("maxFilesPerTrigger", perBatch.toString).load(root)
+        .withColumn("ets", to_timestamp(col("ts")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 day"), col("client"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("day"), col("client"), col("n"))
+        .writeStream.format("memory").queryName("kdc_tail_probe")
+        .outputMode("append").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val walks = graft.kdc.v2.KdcFileLayout.listingWalks.get() - w0
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        val st = p.stateOperators.headOption
+        println(f"KDCTAIL batch=${p.batchId},rows=${p.numInputRows}," +
+          f"trigger_ms=${d.getOrDefault("triggerExecution", -1L)}," +
+          f"latestOffset_ms=${d.getOrDefault("latestOffset", -1L)}," +
+          f"planning_ms=${d.getOrDefault("queryPlanning", -1L)}," +
+          f"addBatch_ms=${d.getOrDefault("addBatch", -1L)}," +
+          f"state_rows=${st.map(_.numRowsTotal).getOrElse(-1L)}," +
+          f"state_mem=${st.map(_.memoryUsedBytes).getOrElse(-1L)}")
+      }
+      val finalized = spark.table("kdc_tail_probe").count()
+      println(s"KDCTAIL total_walks=$walks,finalized_rows=$finalized," +
+        s"batches=${q.recentProgress.length}")
+      spark.stop()
+      return
+    }
+
+    // --kdc-tail-retention: the 100k-file driver-state probe (r11
+    // verdict task 1's done-bar) — drives the SOURCE's admission loop
+    // directly (no executor reads: the cost under test is listing,
+    // admission, manifest writes, and snapshot size). Compares an
+    // unbounded run against a maxFileAge-retained run over the same
+    // tail: per-trigger latestOffset wall and the final .compact
+    // snapshot's entries/bytes, which is also the restart-load and
+    // rebuilt-seen-set bound.
+    if (args.contains("--kdc-tail-retention")) {
+      val nFiles = args.collectFirst {
+        case a if a.startsWith("--files=") => a.stripPrefix("--files=").toInt
+      }.getOrElse(100000)
+      val root = s"target/scratch/kdc_tail_ret_$nFiles"
+      val base = 1700000000000L // fixed epoch base: mod times 1 s apart
+      if (!new java.io.File(root).exists()) {
+        new java.io.File(root).mkdirs()
+        val body = ("2015-11-22T10:00:00 AS-REQ u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+          "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n").getBytes("UTF-8")
+        for (i <- 0 until nFiles) {
+          val f = new java.io.File(root, f"log-$i%06d.log")
+          java.nio.file.Files.write(f.toPath, body)
+          f.setLastModified(base + i * 1000L)
+        }
+        println(s"[kdc-tail-retention] wrote $nFiles logs under $root")
+      }
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      def drive(label: String, opts: Map[String, String]): Unit = {
+        val cp = s"$root/_cp_$label"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+        val stream = new graft.kdc.v2.KdcMicroBatchStream(root,
+          opts + ("maxFilesPerTrigger" -> "10000"), Nil,
+          graft.kdc.v2.KdcLogTable.schema, Array.empty, cp)
+        var off = stream.initialOffset()
+        var advancing = true
+        var batches = 0
+        while (advancing) {
+          val t0 = System.nanoTime()
+          val next = stream.latestOffset(off, ReadLimit.maxFiles(10000))
+          val wall = (System.nanoTime() - t0) / 1e9
+          if (next.json() == off.json()) advancing = false
+          else {
+            batches += 1
+            println(f"KDCRET $label batch=$batches,latestOffset_s=$wall%.2f")
+            off = next
+          }
+        }
+        val mDir = new java.io.File(s"$cp/kdc-file-manifest")
+        val compacts = mDir.listFiles().filter(_.getName.endsWith(".compact"))
+        if (compacts.isEmpty) println(s"KDCRET $label no compact snapshot")
+        else {
+          val last = compacts.maxBy(_.getName.stripSuffix(".compact").toInt)
+          val entries = "log-\\d+".r
+            .findAllIn(java.nio.file.Files.readString(last.toPath)).size
+          println(s"KDCRET $label batches=$batches," +
+            s"snapshot=${last.getName},entries=$entries,bytes=${last.length()}")
+        }
+      }
+      drive("unbounded", Map("manifestCompactInterval" -> "2"))
+      // 1 s per file -> "2h" retains the trailing 7200 files
+      drive("retained", Map("manifestCompactInterval" -> "2", "maxFileAge" -> "2h"))
+      spark.stop()
+      return
+    }
+
+    // --kdc-parse-cost: the columnar-scan exploration's MEASUREMENT
+    // (r11 verdict task 7 — decide before building): single-thread
+    // per-core parse cost split into (a) sessionize-only [record
+    // reader + session fold, no rows], (b) the full V2 reader loop
+    // with all 15 columns [adds filter eval, per-field extraction,
+    // UTF8String conversion, one GenericInternalRow per session], and
+    // (c) the full loop pruned to (client, ts). (b)−(a) bounds what
+    // ANY row-reuse/columnar rework could recover; (b)−(c) is what
+    // column pruning already recovers today.
+    if (args.contains("--kdc-parse-cost")) {
+      val nSessions = args.collectFirst {
+        case a if a.startsWith("--sessions=") => a.stripPrefix("--sessions=").toInt
+      }.getOrElse(2000000)
+      val dir = s"target/scratch/kdc_scale_$nSessions"
+      val f = new java.io.File(s"$dir/big.log")
+      if (!f.exists()) writeKdcLog(f, nSessions)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      def timeIt(label: String)(body: => Long): Unit = {
+        val (wall, n) = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = body
+          ((System.nanoTime() - t0) / 1e9, n)
+        }.minBy(_._1)
+        println(f"KDCPARSE $label,$wall%.2f,sessions=$n,rate=${n / wall / 1e6}%.2f M/s")
+      }
+      def mkReader() = {
+        val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+          new org.apache.hadoop.fs.Path(f.getPath), 0, f.length(), null)
+        val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+        val r = new graft.kdc.KdcSessionInputFormat().createRecordReader(split, ctx)
+        r.initialize(split, ctx)
+        r
+      }
+      timeIt("sessionize_only") {
+        val r = mkReader()
+        var n = 0L
+        while (r.nextKeyValue()) {
+          val it = graft.kdc.Sessionizer.sessionize(
+            r.getCurrentValue.toString.linesIterator)
+          while (it.hasNext) { it.next(); n += 1 }
+        }
+        r.close(); n
+      }
+      def readerLoop(fields: Array[String]): Long = {
+        val part = graft.kdc.v2.KdcInputPartition(
+          f.getPath, 0, f.length(), Array.empty, Map.empty)
+        val rd = new graft.kdc.v2.KdcPartitionReader(part, conf, fields, Array.empty)
+        var n = 0L
+        while (rd.next()) { rd.get(); n += 1 }
+        rd.close(); n
+      }
+      timeIt("reader_all_columns") {
+        readerLoop(graft.kdc.v2.KdcLogTable.schema.fieldNames)
+      }
+      timeIt("reader_pruned_client_ts")(readerLoop(Array("client", "ts")))
+      spark.stop()
+      return
+    }
+
     // --kdc-scale: parse-path throughput on ONE large synthetic log
     // file — the few-huge-files layout the split-aligned paths exist
     // for. Compares (a) shuffle-by-file records() [whole file = one
@@ -281,24 +469,7 @@ object ScaleProbe {
       }.getOrElse(1000000)
       val dir = s"target/scratch/kdc_scale_$nSessions"
       val f = new java.io.File(s"$dir/big.log")
-      if (!f.exists()) {
-        f.getParentFile.mkdirs()
-        val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
-        val realms = Array("SQUILL.DEMENTIA.ORG", "FEDERATED.ORG")
-        var i = 0
-        while (i < nSessions) {
-          val realm = realms(i % 2)
-          val user = s"user_${i % 10000}"
-          val ts = f"2015-11-${22 + i % 7}%02dT${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d"
-          val ip = s"10.${(i >> 16) & 255}.${(i >> 8) & 255}.${i & 255}"
-          w.write(s"$ts AS-REQ $user@$realm from IPv4:$ip for krbtgt/$realm@$realm\n")
-          w.write(s"$ts ENC-TS Pre-authentication succeeded -- $user@$realm using aes256-cts-hmac-sha1-96\n")
-          w.write(s"$ts sending 752 bytes to IPv4:$ip\n")
-          i += 1
-        }
-        w.close()
-        println(s"[kdc-scale] wrote ${f.length() / (1 << 20)} MiB, $nSessions sessions")
-      }
+      if (!f.exists()) writeKdcLog(f, nSessions)
       def time(label: String)(mk: => DataFrame): Unit = {
         mk.write.format("noop").mode("overwrite").save()
         val tMin = (1 to 2).map { _ =>
@@ -675,6 +846,29 @@ object ScaleProbe {
     * last 10%, then the deferred compaction. The split ids come from
     * exact single-pass quantiles, so the existing/batch proportions
     * are identical at both scales. */
+  /** The shared synthetic KDC log generator: `nSessions` three-line
+    * AS-REQ sessions, two alternating realms, 10k users, 7 rotation
+    * days (the --kdc-scale fixture shape — --kdc-parse-cost reuses the
+    * same file so the probes measure the same bytes). */
+  private def writeKdcLog(f: java.io.File, nSessions: Int): Unit = {
+    f.getParentFile.mkdirs()
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val realms = Array("SQUILL.DEMENTIA.ORG", "FEDERATED.ORG")
+    var i = 0
+    while (i < nSessions) {
+      val realm = realms(i % 2)
+      val user = s"user_${i % 10000}"
+      val ts = f"2015-11-${22 + i % 7}%02dT${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d"
+      val ip = s"10.${(i >> 16) & 255}.${(i >> 8) & 255}.${i & 255}"
+      w.write(s"$ts AS-REQ $user@$realm from IPv4:$ip for krbtgt/$realm@$realm\n")
+      w.write(s"$ts ENC-TS Pre-authentication succeeded -- $user@$realm using aes256-cts-hmac-sha1-96\n")
+      w.write(s"$ts sending 752 bytes to IPv4:$ip\n")
+      i += 1
+    }
+    w.close()
+    println(s"[kdc-scale] wrote ${f.length() / (1 << 20)} MiB, $nSessions sessions")
+  }
+
   private def runIngestStages(spark: SparkSession, src: String, big: String,
                               bigTag: String = "10x"): Unit = {
     def stagesAt(dir: String, tag: String): Map[String, Double] = {
