@@ -825,7 +825,9 @@ object ScaleProbe {
       "user_enrich_adaptive",    // key profile pass + plain-or-salted join
       "ann_ivf_append_streaming",// micro-batch deltas, frozen geometry
       "approx_user_cardinality", // grouped KMV typed Aggregator
-      "approx_value_percentiles")// bottom-k hash sample + interpolation
+      "approx_value_percentiles",// bottom-k hash sample + interpolation
+      "pipeline_pack_nextfit",   // one mapPartitions fold over shard sort
+      "pipeline_pack_nextfit_bpe")// BPE trainer + counts join + pack fold
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
