@@ -678,6 +678,103 @@ object Pipelines {
       TextAnalysis.bpeDocTokenCounts(Tables(s, dir, "documents"), steps),
       capacity, shards)
 
+  /** IN-CONTEXT-PRETRAINING-style SEMANTIC packing (the Shi et al.
+    * 2024 discipline: a training sequence should hold RELATED
+    * documents, not an arbitrary id-order slice — retrieval-shaped
+    * context teaches long-range use of it). Deterministic shape:
+    * documents cluster by their embeddings through the hash-seeded
+    * nearest-centroid assignment (`embedding_cluster_assign`'s
+    * [[Similarity.clusterAssignOn]] — no RNG, oracle-checkable), and
+    * each cluster packs next-fit in (similarity-to-centroid DESC,
+    * doc_id) order, so every bin is a semantically coherent run from
+    * one cluster; `mean_sim` per bin surfaces the coherence the
+    * discipline exists to buy (id-order packing mixes clusters
+    * arbitrarily). The CLUSTER is the shard: the fold repartitions on
+    * `centroid_id`, so packing never crosses clusters.
+    *
+    * Scale posture: one embeddings pass against k broadcast seeds
+    * (the clusterAssign plan), one broadcast-size join of counts to
+    * assignments, then the same ONE-mapPartitions O(1)-state fold as
+    * [[packBinsNextFit]] — the justified-mapPartitions case. The
+    * sequential span per task is the CLUSTER, so k must grow with n
+    * (cells of ~constant size — exactly how semanticDedup/IVF size
+    * their cell counts; the ICLM recipe likewise bounds cluster size
+    * before its within-cluster ordering pass). */
+  def packBinsSemantic(s: SparkSession, dir: String,
+                       capacity: Long = 256L, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val assigned = Similarity.clusterAssignOn(
+        Similarity.emb(s, dir).select(col("vec_id"), col("v")), k)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"), col("sim"))
+    val arranged = counts.join(assigned, Seq("doc_id"))
+      .repartition(k, col("centroid_id"))
+      // ordering uses the ROUNDED sim (what clusterAssignOn emits), so
+      // Spark and the oracle break near-ties identically; doc_id is
+      // the total tiebreak
+      .sortWithinPartitions(col("centroid_id"), desc("sim"), col("doc_id"))
+      .select(col("centroid_id"), col("sim"), col("doc_id"), col("n_tokens"))
+      .as[(Long, Double, Long, Long)]
+    val packed = arranged.mapPartitions { it =>
+      // several clusters can hash to one partition; the fold resets at
+      // each cluster boundary (rows arrive cluster-sorted). Centroid
+      // ids are vec_ids >= 0, so MinValue is a safe sentinel.
+      var cur = Long.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { case (cl, sim, docId, nTok) =>
+        if (cl != cur) { cur = cl; bin = -1L; fill = 0L }
+        if (bin < 0L || fill + nTok > capacity) { bin += 1L; fill = nTok }
+        else fill += nTok
+        (cl, bin, docId, nTok, sim)
+      }
+    }.toDF("cluster", "bin", "doc_id", "n_tokens", "sim")
+    packed.groupBy(col("cluster"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        // decimal staging: the 6dp-rounded sims are cross-engine equal,
+        // so an exact decimal sum is order-insensitive where a double
+        // sum would depend on partition order
+        sum(col("sim").cast("decimal(10,6)")).as("simsum"))
+      .withColumn("fill_pct", round(col("bin_tokens") * 100.0 / capacity, 2))
+      .withColumn("mean_sim",
+        round(col("simsum").cast("double") / col("n_docs"), 6))
+      .select(col("cluster"), col("bin"), col("n_docs"), col("bin_tokens"),
+        col("fill_pct"), col("mean_sim"))
+      .orderBy(col("cluster"), col("bin"))
+  }
+
+  /** Oracle for [[packBinsSemantic]]: the cluster-assignment CTEs feed
+    * a per-cluster recursive next-fit CTE ordered by (sim DESC,
+    * doc_id). */
+  private def packBinsSemanticSql(capacity: Long, k: Int): String =
+    s"""WITH RECURSIVE ${Similarity.clusterAssignSimCtes(k)},
+       |wcnt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |sdocs AS (
+       |  SELECT w.doc_id, a.centroid_id AS cluster, a.sim, w.n_tokens,
+       |         row_number() OVER (PARTITION BY a.centroid_id
+       |                            ORDER BY a.sim DESC, w.doc_id) AS rn
+       |  FROM wcnt w JOIN casg a ON w.doc_id = a.vec_id),
+       |srec AS (
+       |  SELECT cluster, doc_id, n_tokens, sim, rn, CAST(0 AS BIGINT) AS bin,
+       |         n_tokens AS fill
+       |  FROM sdocs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.cluster, d.doc_id, d.n_tokens, d.sim, d.rn,
+       |         CASE WHEN r.fill + d.n_tokens > $capacity THEN r.bin + 1 ELSE r.bin END,
+       |         CASE WHEN r.fill + d.n_tokens > $capacity THEN d.n_tokens
+       |              ELSE r.fill + d.n_tokens END
+       |  FROM srec r JOIN sdocs d ON d.cluster = r.cluster AND d.rn = r.rn + 1)
+       |SELECT cluster, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |       ROUND(sum(n_tokens) * 100.0 / $capacity, 2) AS fill_pct,
+       |       ${graft.OracleSql.round(
+               "CAST(sum(CAST(sim AS DECIMAL(10,6))) AS DOUBLE) / count(*)", 6)} AS mean_sim
+       |FROM srec GROUP BY cluster, bin ORDER BY cluster, bin""".stripMargin
+
   /** The shared next-fit fold over any (doc_id, n_tokens) frame — see
     * [[packBinsNextFit]] for the packing semantics and scale posture. */
   private def packFold(counts: DataFrame, capacity: Long,
@@ -759,6 +856,9 @@ object Pipelines {
     "pipeline_pack_nextfit_bpe" -> QueryDef(
       (s, d) => packBinsNextFitBpe(s, d, 1024L, 32, 6),
       Some(packBinsNextFitBpeSql(1024L, 32, 6))),
+    "pipeline_pack_semantic" -> QueryDef(
+      (s, d) => packBinsSemantic(s, d, 256L, 8),
+      Some(packBinsSemanticSql(256L, 8))),
     "corpus_shuffle_order" -> QueryDef((s, d) => shuffleOrder(s, d), Some(
       s"""WITH d AS (SELECT doc_id FROM documents),
          |${OracleSql.m61FmixScalarCtes("d", "CAST(doc_id AS VARCHAR)")},

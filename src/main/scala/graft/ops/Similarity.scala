@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[ops] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
 
@@ -1790,26 +1790,34 @@ object Similarity {
     "ann_ivf_append_streaming" -> QueryDef(
       (s, d) => seededIvfAppendStreaming(s, d), Some(ivfAppendOracleSql)),
     "embedding_cluster_assign" -> QueryDef((s, d) => clusterAssign(s, d), Some(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},
-         |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM sh
-         |          ORDER BY h & 9223372036854775807, vec_id LIMIT 8),
-         |scored AS (
-         |  SELECT e.vec_id, s.centroid_id,
-         |    list_sum(list_transform(list_zip(e.v, s.cv), x -> x[1] * x[2])) /
-         |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.cv, x -> x * x)))) AS sim
-         |  FROM e CROSS JOIN seeds s),
-         |ranked AS (
-         |  SELECT vec_id, centroid_id, sim,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
-         |  FROM scored)
-         |SELECT vec_id, centroid_id, ${R("sim", 6)} AS sim FROM ranked
-         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin)),
+      s"""WITH ${clusterAssignSimCtes(8)}
+         |SELECT vec_id, centroid_id, sim FROM casg ORDER BY vec_id""".stripMargin)),
     "embedding_semantic_dedup" -> QueryDef((s, d) => semanticDedup(s, d), Some(
       s"""WITH $semanticAvCtes,
          |pruned AS (SELECT DISTINCT doc_b AS vec_id FROM ($semanticPairSelect))
          |SELECT vec_id, centroid_id FROM av ANTI JOIN pruned p ON av.vec_id = p.vec_id
          |ORDER BY vec_id""".stripMargin)))
+
+  /** Nearest-centroid assignment WITH the rounded similarity (no
+    * WITH; final CTE `casg` = (vec_id, centroid_id, sim)) — the SQL
+    * mirror of [[clusterAssignOn]], shared by the
+    * `embedding_cluster_assign` oracle and the semantic-packing
+    * oracle in [[graft.ops.Pipelines]]. */
+  private[ops] def clusterAssignSimCtes(k: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${graft.OracleSql.m61FmixScalarCtes("e", "CAST(vec_id AS VARCHAR)", p = "sh")},
+       |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM sh
+       |          ORDER BY h & 9223372036854775807, vec_id LIMIT $k),
+       |casc AS (
+       |  SELECT e.vec_id, s.centroid_id,
+       |    list_sum(list_transform(list_zip(e.v, s.cv), x -> x[1] * x[2])) /
+       |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.cv, x -> x * x)))) AS sim
+       |  FROM e CROSS JOIN seeds s),
+       |casr AS (
+       |  SELECT vec_id, centroid_id, sim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
+       |  FROM casc),
+       |casg AS (SELECT vec_id, centroid_id, ${R("sim", 6)} AS sim FROM casr WHERE rnk = 1)""".stripMargin
 
   /** Semantic-clustering CTE chain (no WITH; final CTE `av` =
     * (vec_id, v, centroid_id)) and the within-cell above-threshold

@@ -827,7 +827,8 @@ object ScaleProbe {
       "approx_user_cardinality", // grouped KMV typed Aggregator
       "approx_value_percentiles",// bottom-k hash sample + interpolation
       "pipeline_pack_nextfit",   // one mapPartitions fold over shard sort
-      "pipeline_pack_nextfit_bpe")// BPE trainer + counts join + pack fold
+      "pipeline_pack_nextfit_bpe",// BPE trainer + counts join + pack fold
+      "pipeline_pack_semantic")  // seed-broadcast assign + cluster-sharded fold
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)

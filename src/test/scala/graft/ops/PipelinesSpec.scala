@@ -243,4 +243,31 @@ class PipelinesSpec extends AnyFunSuite {
     // SPARK_GRAFT_CPUS=2 oracle run (the explicit repartition(shards)
     // pins the layout independent of session parallelism)
   }
+
+  test("semantic packing: bins are cluster-pure with monotone coherence, docs conserved") {
+    import org.apache.spark.sql.functions.col
+    val capacity = 256L
+    val bins = Pipelines.packBinsSemantic(spark, dir, capacity, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5)))
+    assert(bins.nonEmpty)
+    // capacity respected unless a bin holds one oversized doc
+    assert(bins.forall { case (_, _, nDocs, toks, _) => toks <= capacity || nDocs == 1 })
+    // conservation: every document packs exactly once (ids align 1:1
+    // with embeddings in the fixture tables)
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(bins.map(_._3).sum == nDocs, "doc count not conserved")
+    // within a cluster, docs pack in non-increasing similarity order,
+    // so an earlier bin's MEAN sim can never fall below a later bin's
+    // (min of an earlier contiguous run >= max of a later one) — the
+    // property that distinguishes semantic order from id order
+    bins.groupBy(_._1).foreach { case (cl, rows) =>
+      val ms = rows.sortBy(_._2).map(_._5)
+      assert(ms.zip(ms.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"cluster $cl bin coherence not monotone: ${ms.mkString(",")}")
+    }
+    // the clusters are the shards: every centroid_id in the output is
+    // one of the 8 hash-picked seed ids
+    assert(bins.map(_._1).distinct.length <= 8)
+  }
 }
