@@ -27,7 +27,12 @@ import org.apache.spark.sql.SparkSession
   * evaluates DRIVER-SIDE during split planning — out-of-scope FILES
   * are never opened (a day-scoped report over a year of logs reads
   * 1/365th of the bytes). A key the layout does not expose fails
-  * loudly at analysis.
+  * loudly at analysis. Scope values are RAW path-segment strings:
+  * they compare byte-for-byte against the directory segment (no
+  * URL-decoding or unescaping on either side — a percent-encoded
+  * layout is scoped with the encoded form), and a value containing a
+  * comma, the pair separator, cannot be expressed — use a path glob
+  * for such layouts ([[graft.kdc.v2.KdcFileLayout.parseScope]]).
   *
   * `--report=R` with R ∈ user (default) | service | errors |
   * user-enctypes | service-enctypes.
@@ -111,12 +116,7 @@ object KdcMain {
     }.getOrElse("user")
     val scope: Map[String, String] = flags.collectFirst {
       case f if f.startsWith("--scope=") => f.stripPrefix("--scope=")
-    }.map(_.split(',').toSeq.map { pair =>
-      val eq = pair.indexOf('=')
-      require(eq > 0 && eq < pair.length - 1,
-        s"--scope expects k=v[,k=v…], got segment '$pair'")
-      pair.substring(0, eq) -> pair.substring(eq + 1)
-    }.toMap).getOrElse(Map.empty)
+    }.map(graft.kdc.v2.KdcFileLayout.parseScope).getOrElse(Map.empty)
     require(positional.length >= 2,
       "usage: KdcMain <input> <outdir> [realm] [--aligned | --v2] [--recursive] " +
         "[--scope=k=v[,k=v…]] [--report=user|service|errors|user-enctypes|service-enctypes]\n" +

@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
@@ -61,9 +61,15 @@ import graft.kdc.{KdcLogRecord, Sessionizer}
   *    (no URL-unescaping, no type inference — lexical comparison,
   *    like `ts`). Predicate-driven pruning applies to BATCH scans:
   *    Spark builds streaming scans without running filter pushdown
-  *    (as of 4.1), so scope a tailing query's I/O with a path glob
-  *    (`host=STAR/day=2015-11-22/STAR`) — the lister resolves globs,
-  *    and partition columns still materialize.
+  *    (as of 4.1), so scope a tailing query's I/O with the
+  *    `scope=k=v[,k=v…]` reader option — scoped-out directories are
+  *    never even listed per trigger — or with a path glob
+  *    (`host=STAR/day=2015-11-22/STAR`); with `maxFileAge` set,
+  *    `maxFileAgeDirKey=day` additionally skips directories wholly
+  *    behind the retention horizon BEFORE listing them, keeping the
+  *    per-trigger walk proportional to the live window (see
+  *    [[KdcMicroBatchStream]]). Partition columns still materialize
+  *    on every path.
   *  - **derived split bounds for splittable-compressed inputs**: a
   *    multi-GB .bz2 log sits UNDER the default 128 MiB split bound in
   *    its compressed size while expanding ~10-30× on decode, so the
@@ -95,12 +101,19 @@ class KdcLogTableProvider extends TableProvider with DataSourceRegister {
     * walking the fleet a second time (the r11 verdict's two-walks-per-
     * query cost — at a ~1 ms/RPC namenode the duplicate walk dominates
     * planning). Spark calls inferSchema and getTable back-to-back on
-    * one provider instance per `load()`, so the snapshot's lifetime is
-    * exactly one table construction; the semantic matches Spark's own
+    * one provider instance per `load()`; [[getTable]] CONSUMES the
+    * slot (get-and-clear), so the snapshot's lifetime is exactly one
+    * inferSchema→getTable handshake — the DSv2 contract does not
+    * forbid reusing a provider instance, and a second `load()` through
+    * a reused one must re-list rather than silently plan from the
+    * first load's stale file set. A single slot also means two
+    * CONCURRENT `load()`s may drop each other's snapshot — at worst a
+    * second walk, never a wrong listing (the path/recursive guard in
+    * [[getTable]] holds either way). The semantic matches Spark's own
     * file sources (file list frozen at load — files arriving between
     * `load()` and an action are not seen by that DataFrame). */
-  @volatile private var inferredListing
-      : Option[(String, Boolean, Seq[KdcFileLayout.KdcFileMeta])] = None
+  private val inferredListing = new java.util.concurrent.atomic.AtomicReference[
+    Option[(String, Boolean, Seq[KdcFileLayout.KdcFileMeta])]](None)
 
   /** Base record schema + any `k=v` partition columns discovered from
     * the directory layout under the load path. */
@@ -114,10 +127,10 @@ class KdcLogTableProvider extends TableProvider with DataSourceRegister {
       // lenient walk that skipped nested dirs (or matched nothing)
       // must fall through to the strict planning walk so the batch
       // read still fails loudly
-      inferredListing =
+      inferredListing.set(
         if (listing.files.nonEmpty && !listing.nestedSkipped)
           Some((p, recursive, listing.files))
-        else None
+        else None)
       KdcLogTable.schemaForFiles(p, listing.files.map(_.path), conf)
     }.getOrElse(KdcLogTable.schema)
   }
@@ -127,7 +140,7 @@ class KdcLogTableProvider extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("kdclog source requires a 'path' option"))
     val recursive = Option(properties.get("recursive")).exists(_.toBoolean)
-    val snapshot = inferredListing.collect {
+    val snapshot = inferredListing.getAndSet(None).collect {
       case (p, r, files) if p == path && r == recursive => files
     }
     new KdcLogTable(path, properties.asScala.toMap, schema, snapshot)
@@ -228,6 +241,31 @@ private[graft] object KdcFileLayout {
     * what transfers to a real namenode). */
   val listingWalks = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Diagnostic: directories actually listed (one namenode listStatus
+    * RPC each) across all walks — the number `dirFilter`-pruned tails
+    * keep proportional to the live window rather than the fleet's full
+    * history (the spec/probe hook for scope/horizon directory
+    * pruning). */
+  val dirsListed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Parse a `k=v[,k=v…]` scope string (the CLI's `--scope` and the
+    * reader/stream `scope` option) into partition-path equality pairs.
+    * Values are RAW path-segment strings, compared byte-for-byte
+    * against the `k=v` directory segments the layout walker discovers
+    * — NO URL-decoding or unescaping happens on either side (the
+    * walker takes segments verbatim, so a layout writer that
+    * percent-encodes values must scope with the encoded form).
+    * Consequently a partition value containing a comma — the pair
+    * separator — cannot be expressed here at all; scope such layouts
+    * with a path glob instead. */
+  private[graft] def parseScope(s: String): Map[String, String] =
+    s.split(',').toSeq.map { pair =>
+      val eq = pair.indexOf('=')
+      require(eq > 0 && eq < pair.length - 1,
+        s"scope expects k=v[,k=v…], got segment '$pair'")
+      pair.substring(0, eq) -> pair.substring(eq + 1)
+    }.toMap
+
   /** Snapshot the files under `path` (a file, a directory, or a glob);
     * `recursive` additionally descends nested layouts. Driver-side,
     * breadth-first; levels with many directories list in parallel on a
@@ -243,13 +281,19 @@ private[graft] object KdcFileLayout {
     * and reports no preferred locations. `strict` throws when the
     * path/glob matches nothing at all (the batch-read contract); the
     * streaming lister passes false — a tailed directory may not exist
-    * yet. */
+    * yet. `dirFilter` is consulted BEFORE a directory is listed (glob
+    * roots included): a false verdict prunes the whole subtree without
+    * a single RPC into it — the scope/retention-horizon hook the
+    * streaming tail uses to keep the per-trigger walk proportional to
+    * the live window. */
   def listFiles(path: String, recursive: Boolean, conf: Configuration,
-                strict: Boolean): Seq[KdcFileMeta] =
-    listFilesDetailed(path, recursive, conf, strict).files
+                strict: Boolean,
+                dirFilter: Path => Boolean = _ => true): Seq[KdcFileMeta] =
+    listFilesDetailed(path, recursive, conf, strict, dirFilter).files
 
   def listFilesDetailed(path: String, recursive: Boolean, conf: Configuration,
-                        strict: Boolean): Listing = {
+                        strict: Boolean,
+                        dirFilter: Path => Boolean = _ => true): Listing = {
     import org.apache.hadoop.fs.{FileStatus, LocatedFileStatus}
     listingWalks.incrementAndGet()
     var nestedSkipped = false
@@ -274,7 +318,8 @@ private[graft] object KdcFileLayout {
       KdcFileMeta(st.getPath, st.getLen, st.getBlockSize,
         st.getModificationTime, blocks)
     }
-    def listDir(d: Path): Seq[FileStatus] =
+    def listDir(d: Path): Seq[FileStatus] = {
+      dirsListed.incrementAndGet()
       if (localFs) fs.listStatus(d).toSeq
       else {
         val it = fs.listLocatedStatus(d)
@@ -282,12 +327,13 @@ private[graft] object KdcFileLayout {
         while (it.hasNext) buf += it.next()
         buf.toSeq
       }
+    }
 
     val out = scala.collection.mutable.ArrayBuffer[KdcFileMeta]()
     var frontier = scala.collection.mutable.ArrayBuffer[Path]()
     roots.foreach { st =>
       if (st.isFile) { if (visible(st.getPath)) out += meta(st) }
-      else frontier += st.getPath
+      else if (dirFilter(st.getPath)) frontier += st.getPath
     }
     var depth = 0
     while (frontier.nonEmpty) {
@@ -320,7 +366,7 @@ private[graft] object KdcFileLayout {
         level.iterator.flatten.foreach { c =>
           if (visible(c.getPath)) {
             if (c.isFile) out += meta(c)
-            else next += c.getPath
+            else if (dirFilter(c.getPath)) next += c.getPath
           }
         }
         frontier = next
@@ -432,29 +478,125 @@ class KdcScanBuilder(path: String, options: Map[String, String],
     new KdcScan(path, options, tableSchema, required, pushed, listingSnapshot)
 }
 
+object KdcScan {
+  /** Raw-log bytes per parsed session, from the parse-cost probe
+    * (PLAN_NOTES round 12: 2M sessions in 565 MiB of synthetic KDC log
+    * ≈ 296 bytes/session) — the row-count constant behind
+    * [[KdcScan.estimateStatistics]]. An estimate, not a promise:
+    * Catalyst only needs the right order of magnitude to pick a
+    * broadcast over a sort-merge join pre-AQE. */
+  private[v2] val EstBytesPerSession = 296L
+}
+
 class KdcScan(val path: String, options: Map[String, String],
               tableSchema: StructType,
               val requiredSchema: StructType, val pushedFilters: Array[Filter],
               listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
-    extends Scan {
+    extends Scan with SupportsReportStatistics {
 
   /** Layout-discovered partition columns = table schema minus the base
     * record fields (order preserved). */
   private[v2] val partKeys: Seq[String] =
     tableSchema.fieldNames.toSeq.filterNot(KdcLogTable.baseFieldNames)
 
+  private val recursive = options.get("recursive").exists(_.toBoolean)
+
+  /** The `scope` reader option (`k=v[,k=v…]`) as partition-only
+    * equality filters — the option-typed twin of a pushed partition
+    * predicate, and the ONLY whole-file pruning channel for STREAMING
+    * reads (Spark builds streaming scans without running filter
+    * pushdown). Unknown keys fail HERE, at planning, not silently at
+    * admission; `maxFileAgeDirKey` (consumed by the stream) is
+    * validated alongside for the same loud-at-planning posture. */
+  private[v2] val scopeFilters: Array[Filter] = {
+    def known(k: String, what: String): Unit =
+      require(partKeys.contains(k),
+        s"kdclog: $what key '$k' is not a layout partition column " +
+          s"(this layout exposes: ${if (partKeys.isEmpty) "none" else partKeys.mkString(", ")})")
+    options.get("maxFileAgeDirKey").foreach { k =>
+      require(options.contains("maxFileAge"),
+        "kdclog: maxFileAgeDirKey requires maxFileAge (it prunes directories behind the retention horizon)")
+      known(k, "maxFileAgeDirKey")
+    }
+    val m = options.get("scope").map(KdcFileLayout.parseScope).getOrElse(Map.empty)
+    m.keys.foreach(known(_, "scope"))
+    m.map { case (k, v) => sources.EqualTo(k, v): Filter }.toArray
+  }
+
+  private def effectiveFilters: Array[Filter] = pushedFilters ++ scopeFilters
+
+  /** Listing backing [[estimateStatistics]]: schema inference's
+    * snapshot when the provider handed one over, else ONE lenient walk
+    * — shared with [[toBatch]], so consulting statistics never adds a
+    * walk to the planning cycle (and a stats-first optimizer pass
+    * leaves split planning with the same one-walk bound). A listing
+    * the strict batch planner could not reuse verbatim (empty match,
+    * nested dirs under a non-recursive read) stays None: stats fall
+    * back to unknown and planning re-walks strictly so it still fails
+    * loudly. */
+  private lazy val plannerListing: Option[Seq[KdcFileLayout.KdcFileMeta]] =
+    listingSnapshot.orElse {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val l = KdcFileLayout.listFilesDetailed(path, recursive, conf, strict = false)
+      if (l.files.nonEmpty && !l.nestedSkipped) Some(l.files) else None
+    }
+
+  /** Post-pruning scan statistics (`SupportsReportStatistics`):
+    * without this, Catalyst sizes a parsed-log join side at
+    * `defaultSizeInBytes` pre-AQE, so a day-scoped parse that prunes
+    * to one file could not be broadcast against a dimension table
+    * until AQE replans post-shuffle. The estimate prices exactly what
+    * the planner will read: files surviving partition-path pruning
+    * (pushed predicates + the `scope` option), their bytes expanded by
+    * the compressed-log factor where a codec applies, rows from the
+    * parse-cost probe's bytes-per-session constant, and bytes scaled
+    * to the PRUNED column set (a 2-of-15-column projection is priced
+    * at its materialized width, not the log's). Data-field predicates
+    * are NOT priced in (no selectivity model — same convention as
+    * Spark's file sources), so the estimate errs conservative. */
+  override def estimateStatistics(): Statistics = plannerListing match {
+    case None =>
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    case Some(files) =>
+      val conf = new Configuration(SparkSession.active.sparkContext.hadoopConfiguration)
+      KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
+      val partOnly = effectiveFilters.filter(f =>
+        f.references.nonEmpty && f.references.forall(partKeys.contains))
+      val values = KdcFileLayout.partValuesAll(path, files.map(_.path), partKeys, conf)
+      val kept = files.filter(st =>
+        KdcFilterEval.matchesPartition(partOnly.toSeq, values(st.path)))
+      val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      val rawBytes = kept.iterator.map { st =>
+        if (codecs.getCodec(st.path) != null)
+          st.len * KdcBatch.CompressedExpansionFactor
+        else st.len
+      }.sum
+      val rows =
+        if (rawBytes == 0L) 0L
+        else math.max(1L, rawBytes / KdcScan.EstBytesPerSession)
+      val width = math.max(1, requiredSchema.defaultSize)
+      val bytes = if (rows == 0L) 0L else math.max(1L, rows * width)
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      }
+  }
+
   override def readSchema(): StructType = requiredSchema
 
   override def description(): String =
     s"KdcScan path=$path, ReadSchema: ${requiredSchema.fieldNames.mkString("[", ",", "]")}, " +
-      s"PushedFilters: ${pushedFilters.mkString("[", ", ", "]")}"
+      s"PushedFilters: ${effectiveFilters.mkString("[", ", ", "]")}"
 
   override def toBatch: Batch =
-    new KdcBatch(path, options, partKeys, requiredSchema, pushedFilters,
-      listingSnapshot)
+    new KdcBatch(path, options, partKeys, requiredSchema, effectiveFilters,
+      plannerListing)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KdcMicroBatchStream(path, options, partKeys, requiredSchema, pushedFilters,
+    new KdcMicroBatchStream(path, options, partKeys, requiredSchema, effectiveFilters,
       checkpointLocation)
 }
 
@@ -823,11 +965,21 @@ object KdcBatchOffset {
   * checkpoint location: file `<dir>/<batchId>` holds the JSON map
   * `path -> modification time` of exactly the files that batch
   * admitted — a delta, not a cumulative snapshot, so replay of batch
-  * N reads one file. (Mod times are what the `maxFileAge` retention
-  * window ages on; a checkpoint written before this format carried
-  * file LENGTHS as the values — membership semantics are identical,
-  * so such a checkpoint resumes correctly as long as `maxFileAge` is
-  * not set; with it set, start fresh.)
+  * N reads one file. The directory carries a `_format` marker file
+  * (`{"version":2}`, [[KdcFileManifest.FormatVersion]]) declaring the
+  * value semantics: version 2 = modification times (what `maxFileAge`
+  * retention ages on). A checkpoint written before the marker existed
+  * carried file LENGTHS as the values — membership semantics are
+  * identical, so such a legacy checkpoint resumes correctly as long
+  * as `maxFileAge` is not set; WITH it set the horizon would misread
+  * lengths as mod times (bogus horizon, mass purge at the first
+  * compaction, after which purged files could re-admit), so that
+  * combination FAILS LOUDLY at manifest load instead of relying on a
+  * doc sentence. The marker is written only when the stream starts on
+  * an empty manifest — a resumed legacy checkpoint is never
+  * retroactively stamped (its old entries would still be lengths, and
+  * stamping would forge exactly the misread the marker exists to
+  * block).
   * Every `compactInterval` batches the stream also writes
   * `<batchId>.compact` — the FULL seen-file set at that id — and
   * retires deltas already covered by the PREVIOUS snapshot (kept, so
@@ -839,26 +991,44 @@ object KdcBatchOffset {
   * ever run. Writes are atomic (temp + rename) and idempotent per id:
   * after a crash between manifest write and the engine's offset-log
   * write, the orphan id is overwritten by the next admission. */
+private[v2] object KdcFileManifest {
+  /** Declared manifest format: 2 = delta/snapshot values are file
+    * MODIFICATION TIMES. 1 (implicit — no `_format` marker on disk)
+    * was file lengths. See the class scaladoc for the resume rules. */
+  private[v2] val FormatVersion = 2
+
+  /** Loaded manifest state: delta entries and compact snapshots
+    * (batchId-ascending) plus the declared format version (None = no
+    * marker on disk — an empty dir or a pre-marker legacy
+    * checkpoint). */
+  final case class State(
+      deltas: scala.collection.immutable.SortedMap[Long, Map[String, Long]],
+      snaps: scala.collection.immutable.SortedMap[Long, Map[String, Long]],
+      version: Option[Int])
+}
+
 private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
   private implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
   private val fs = dir.getFileSystem(conf)
+  private val formatPath = new Path(dir, "_format")
 
-  private def readMap(p: Path): Map[String, Long] = {
+  private def readBytes(p: Path): String = {
     val in = fs.open(p)
     val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
     finally in.close()
-    org.json4s.jackson.Serialization.read[Map[String, Long]](
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** All manifest state on disk: (delta entries, compact snapshots),
-    * both batchId-ascending. */
-  def load(): (scala.collection.immutable.SortedMap[Long, Map[String, Long]],
-               scala.collection.immutable.SortedMap[Long, Map[String, Long]]) = {
+  private def readMap(p: Path): Map[String, Long] =
+    org.json4s.jackson.Serialization.read[Map[String, Long]](readBytes(p))
+
+  /** All manifest state on disk — see [[KdcFileManifest.State]]. */
+  def load(): KdcFileManifest.State = {
     val empty = scala.collection.immutable.SortedMap.empty[Long, Map[String, Long]]
-    if (!fs.exists(dir)) return (empty, empty)
+    if (!fs.exists(dir)) return KdcFileManifest.State(empty, empty, None)
     val deltas = scala.collection.immutable.SortedMap.newBuilder[Long, Map[String, Long]]
     val snaps = scala.collection.immutable.SortedMap.newBuilder[Long, Map[String, Long]]
+    var version: Option[Int] = None
     fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.forall(_.isDigit))
@@ -866,16 +1036,18 @@ private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
       else if (st.isFile && name.endsWith(".compact") &&
                name.stripSuffix(".compact").forall(_.isDigit))
         snaps += name.stripSuffix(".compact").toLong -> readMap(st.getPath)
+      else if (st.isFile && name == "_format")
+        version = org.json4s.jackson.Serialization
+          .read[Map[String, Int]](readBytes(st.getPath)).get("version")
     }
-    (deltas.result(), snaps.result())
+    KdcFileManifest.State(deltas.result(), snaps.result(), version)
   }
 
-  private def writeAtomic(target: Path, files: Map[String, Long]): Unit = {
+  private def writeAtomic(target: Path, json: String): Unit = {
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".${target.getName}.tmp")
     val outStream = fs.create(tmp, true)
-    try outStream.write(org.json4s.jackson.Serialization.write(files)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try outStream.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally outStream.close()
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target))
@@ -884,11 +1056,18 @@ private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
 
   /** Atomically (over)write the delta manifest for `batchId`. */
   def write(batchId: Long, files: Map[String, Long]): Unit =
-    writeAtomic(new Path(dir, batchId.toString), files)
+    writeAtomic(new Path(dir, batchId.toString),
+      org.json4s.jackson.Serialization.write(files))
 
   /** Atomically (over)write the full-seen-set snapshot for `batchId`. */
   def writeSnapshot(batchId: Long, files: Map[String, Long]): Unit =
-    writeAtomic(new Path(dir, s"$batchId.compact"), files)
+    writeAtomic(new Path(dir, s"$batchId.compact"),
+      org.json4s.jackson.Serialization.write(files))
+
+  /** Stamp the `_format` marker (callers guard: only on a manifest
+    * that was EMPTY at load — see the class scaladoc). */
+  def writeFormat(): Unit =
+    writeAtomic(formatPath, s"""{"version":${KdcFileManifest.FormatVersion}}""")
 
   /** Retire deltas at or below `coveredId` (they are covered by the
     * snapshot at that id) and snapshots strictly below it. */
@@ -944,16 +1123,62 @@ private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
   * newer one is admitted (set no `maxFileAge` for such layouts).
   * Without `maxFileAge` the seen set is O(files
   * ever admitted) — exactly-once with unbounded state, the right
-  * default for bounded fixtures. */
+  * default for bounded fixtures.
+  *
+  * Scoped tails: Spark builds streaming scans WITHOUT running filter
+  * pushdown (as of 4.1), so partition-path predicates cannot prune a
+  * tail the way they prune a batch scan. Two reader options carry the
+  * same whole-file pruning to the streaming path:
+  *
+  *  - `scope=k=v[,k=v…]`: partition-path equality scope (the CLI
+  *    `--scope` syntax). Scoped-out DIRECTORIES are skipped before
+  *    being listed (a `host=kdc7` subtree costs zero RPCs to a
+  *    `host=kdc1`-scoped tail) and scoped-out files are never
+  *    admitted; a key the layout does not expose fails loudly at
+  *    planning ([[KdcScan]]). Values compare RAW against path
+  *    segments ([[KdcFileLayout.parseScope]]).
+  *  - `maxFileAgeDirKey=k` (requires `maxFileAge`): declares that
+  *    partition key `k`'s values are ISO-8601 UTC date(-time)
+  *    PREFIXES (`day=2015-11-22`, `hour=2015-11-22T13`). Directories
+  *    whose value is lexically behind the retention horizon —
+  *    truncated to the value's own granularity, so the horizon's
+  *    partial period is always kept — are skipped BEFORE being
+  *    listed: the per-trigger walk is proportional to the LIVE
+  *    WINDOW, not the fleet's full rotation history. The directory's
+  *    declared date is authoritative for this pruning: a file written
+  *    late into an out-of-window directory is never seen (with plain
+  *    `maxFileAge` the admission gate skips it by mod time anyway;
+  *    the option's contract is the same data, minus the listing
+  *    cost).
+  *
+  * Observability: files the age gate skips (visible, unseen, mod time
+  * behind the horizon) are COUNTED per trigger — a WARN fires on
+  * first occurrence per stream instance, and the counts surface in
+  * every progress event's source metrics (`skippedTooOldFiles`,
+  * `skippedTooOldFilesTotal`) — so a misconfigured window or a
+  * backlog whose lexical order diverged from mod-time order reads as
+  * a visible signal, not as an inexplicably quiet source. */
 class KdcMicroBatchStream(path: String, options: Map[String, String],
                           partKeys: Seq[String],
                           requiredSchema: StructType, filters: Array[Filter],
                           checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics
+    with org.apache.spark.internal.Logging {
 
   private val maxFilesPerTrigger: Option[Int] =
     options.get("maxFilesPerTrigger").map(_.toInt)
+
+  private val recursive = options.get("recursive").exists(_.toBoolean)
+
+  /** Partition-path equality scope — see the class scaladoc. Key
+    * validation happened in [[KdcScan]] (planning-time, loud). */
+  private val scope: Map[String, String] =
+    options.get("scope").map(KdcFileLayout.parseScope).getOrElse(Map.empty)
+
+  /** Partition key whose ISO date(-time) values gate directory
+    * listing against the retention horizon — see the class scaladoc. */
+  private val horizonDirKey: Option[String] = options.get("maxFileAgeDirKey")
 
   /** Write a full-seen-set snapshot (and retire covered deltas) every
     * this many batches; <= 0 disables compaction. */
@@ -982,14 +1207,37 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     new Path(checkpointLocation, "kdc-file-manifest"),
     SparkSession.active.sparkContext.hadoopConfiguration)
 
-  /** Manifest state (delta entries + compact snapshots), lazily
-    * restored from the checkpoint once per stream instance. */
+  /** Manifest state (delta entries + compact snapshots + declared
+    * format), lazily restored from the checkpoint once per stream
+    * instance. `legacyManifest` = entries exist but no `_format`
+    * marker: a pre-marker checkpoint whose values are file LENGTHS —
+    * fine to resume (membership semantics identical) but NEVER
+    * stamped with the marker and NEVER combined with `maxFileAge`
+    * (the horizon would misread lengths as mod times). */
   private var deltas: scala.collection.immutable.SortedMap[Long, Map[String, Long]] = _
   private var snaps: scala.collection.immutable.SortedMap[Long, Map[String, Long]] = _
+  private var manifestVersion: Option[Int] = None
+  private var legacyManifest = false
   private def ensureLoaded(): Unit = synchronized {
     if (deltas == null) {
-      val (d, s) = manifest.load()
-      deltas = d; snaps = s
+      val st = manifest.load()
+      deltas = st.deltas; snaps = st.snaps; manifestVersion = st.version
+      legacyManifest =
+        st.version.isEmpty && (st.deltas.nonEmpty || st.snaps.nonEmpty)
+      st.version.filter(_ > KdcFileManifest.FormatVersion).foreach { v =>
+        throw new IllegalStateException(
+          s"kdclog: checkpoint manifest declares format v$v, newer than this " +
+            s"reader's v${KdcFileManifest.FormatVersion} — resume with the " +
+            "writer's version or start a fresh checkpoint")
+      }
+      if (legacyManifest && maxFileAgeMs.isDefined)
+        throw new IllegalStateException(
+          "kdclog: maxFileAge is set over a checkpoint whose file manifest " +
+            "predates the versioned format (no _format marker — its values are " +
+            "file LENGTHS, not modification times). The retention horizon would " +
+            "misread them: a bogus horizon purges every legacy entry at the " +
+            "first compaction, after which already-processed files can re-admit. " +
+            "Resume WITHOUT maxFileAge, or start a fresh checkpoint.")
     }
   }
 
@@ -1011,21 +1259,64 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     * trigger; see the class scaladoc). */
   @volatile private var lastListing: Option[Map[String, KdcFileLayout.KdcFileMeta]] = None
 
+  /** The horizon rendered into the `maxFileAgeDirKey` value domain:
+    * ISO-8601 UTC seconds (`2015-11-22T13:00:00`) — partition values
+    * are compared as lexical PREFIXES of this (a `day=` value
+    * compares against the first 10 chars), so any ISO granularity
+    * from year to second prunes correctly. */
+  private def isoHorizon(h: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(math.max(0L, h)))
+
   /** Walk the visible log files ([[KdcFileLayout.listFiles]]:
     * file/dir/glob + recursive, hidden names skipped at every level)
     * and record the snapshot for this trigger's other callers.
-    * Lenient — a tailed directory may not exist yet. */
-  private def refreshListing(): Map[String, KdcFileLayout.KdcFileMeta] = {
+    * Lenient — a tailed directory may not exist yet. Directories the
+    * `scope` excludes, or whose `maxFileAgeDirKey` date value is
+    * wholly behind `tooOld`, are pruned BEFORE being listed; scoped
+    * files are then filtered exactly (a file can sit outside every
+    * `k=v` directory and must still not admit into a scoped tail). */
+  private def refreshListing(tooOld: Option[Long])
+      : Map[String, KdcFileLayout.KdcFileMeta] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val m = KdcFileLayout.listFiles(path, options.get("recursive").exists(_.toBoolean),
-        conf, strict = false)
-      .map(st => st.path.toString -> st).toMap
+    val horizonIso: Option[String] =
+      if (horizonDirKey.isDefined) tooOld.map(isoHorizon) else None
+    val dirFilter: Path => Boolean =
+      if (scope.isEmpty && horizonIso.isEmpty) _ => true
+      else { d =>
+        val n = d.getName
+        val eq = n.indexOf('=')
+        if (eq <= 0) true
+        else {
+          val k = n.substring(0, eq)
+          val v = n.substring(eq + 1)
+          scope.get(k).forall(_ == v) &&
+            !(horizonDirKey.contains(k) &&
+              horizonIso.exists(h => v < h.take(v.length)))
+        }
+      }
+    val listed = KdcFileLayout.listFiles(path, recursive, conf,
+      strict = false, dirFilter)
+    val files =
+      if (scope.isEmpty) listed
+      else {
+        val values = KdcFileLayout.partValuesAll(
+          path, listed.map(_.path), partKeys, conf)
+        listed.filter(st =>
+          scope.forall { case (k, v) => values(st.path).get(k).contains(v) })
+      }
+    val m = files.map(st => st.path.toString -> st).toMap
     lastListing = Some(m)
     m
   }
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    prepared = Some(refreshListing())
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    ensureLoaded()
+    val high = (deltas.lastOption.map(_._1) ++ snaps.lastOption.map(_._1))
+      .foldLeft(-1L)(math.max)
+    prepared = Some(refreshListing(horizon(seenUpTo(high))))
+  }
 
   override def initialOffset(): Offset = KdcBatchOffset(-1L)
 
@@ -1036,6 +1327,13 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
+  /** Age-gate observability (see the class scaladoc): files skipped
+    * as too-old in the latest trigger / cumulatively, surfaced via
+    * [[metrics]]; the WARN fires once per stream instance. */
+  private val skippedTooOldTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var skippedTooOldLast = 0L
+  @volatile private var warnedTooOld = false
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     val startId = start.asInstanceOf[KdcBatchOffset].batchId
     ensureLoaded()
@@ -1045,14 +1343,28 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     deltas = deltas.rangeTo(startId)
     snaps = snaps.rangeTo(startId)
     val seen = seenUpTo(startId)
-    val visible = prepared.getOrElse(refreshListing())
     val tooOld = horizon(seen)
-    val fresh = visible.iterator
-      .filter { case (p, st) =>
-        !seen.contains(p) && tooOld.forall(st.modTime >= _)
-      }
+    val visible = prepared.getOrElse(refreshListing(tooOld))
+    val unseen = visible.iterator
+      .filter { case (p, _) => !seen.contains(p) }.toSeq
+    val (inWindow, skipped) = tooOld match {
+      case Some(h) => unseen.partition(_._2.modTime >= h)
+      case None => (unseen, Seq.empty)
+    }
+    skippedTooOldLast = skipped.size.toLong
+    if (skipped.nonEmpty) {
+      skippedTooOldTotal.addAndGet(skipped.size.toLong)
+      val msg = s"kdclog: maxFileAge admission gate skipped ${skipped.size} " +
+        s"visible-but-unseen file(s) with modification times behind the " +
+        s"retention horizon (e.g. ${skipped.head._1}) — late-delivered or " +
+        "backlogged data behind the window is NOT read; widen maxFileAge or " +
+        "start a fresh checkpoint if these files must be admitted"
+      if (!warnedTooOld) { warnedTooOld = true; logWarning(msg) }
+      else logInfo(msg)
+    }
+    val fresh = inWindow
       .map { case (p, st) => p -> st.modTime }
-      .toSeq.sortBy(_._1)
+      .sortBy(_._1)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
@@ -1060,6 +1372,13 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     if (admitted.isEmpty) KdcBatchOffset(startId)
     else {
       val id = startId + 1
+      // stamp the format marker exactly once, and only on a manifest
+      // that started EMPTY (a resumed legacy checkpoint keeps its
+      // marker-less state so the maxFileAge guard stays armed forever)
+      if (manifestVersion.isEmpty && !legacyManifest) {
+        manifest.writeFormat()
+        manifestVersion = Some(KdcFileManifest.FormatVersion)
+      }
       manifest.write(id, admitted.toMap)
       deltas = deltas + (id -> admitted.toMap)
       if (compactInterval > 0 && id > 0 && id % compactInterval == 0) {
@@ -1100,7 +1419,7 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     val tooOld = horizon(seen)
     // reuse this trigger's listing (latestOffset just refreshed it);
     // only a metrics call arriving before any trigger walks itself
-    val visible = prepared.orElse(lastListing).getOrElse(refreshListing())
+    val visible = prepared.orElse(lastListing).getOrElse(refreshListing(tooOld))
     val freshCount = visible
       .count { case (p, st) =>
         !seen.contains(p) && tooOld.forall(st.modTime >= _)
@@ -1152,6 +1471,15 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     KdcReaderFactory(KdcLogTable.readerConf(options), requiredSchema.fieldNames,
       filters.filterNot(f =>
         f.references.nonEmpty && f.references.forall(partKeys.contains)))
+
+  /** Progress-event source metrics: the age-gate skip counts (see the
+    * class scaladoc) — zero in both slots on a healthy tail. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : util.Map[String, String] =
+    Map(
+      "skippedTooOldFiles" -> skippedTooOldLast.toString,
+      "skippedTooOldFilesTotal" -> skippedTooOldTotal.get().toString
+    ).asJava
 
   override def deserializeOffset(json: String): Offset = KdcBatchOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()

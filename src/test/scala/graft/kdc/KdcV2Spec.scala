@@ -1,5 +1,7 @@
 package graft.kdc
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
@@ -688,6 +690,282 @@ class KdcV2Spec extends AnyFunSuite {
     writeLog("ancient.log", "uOLD", 0L)
     assert(runOnce("kdc_v2_ret_b") == 13L,
       "restart should admit exactly the one in-window new file")
+  }
+
+  test("scan statistics: post-pruning sizes feed the planner; a scoped parse broadcasts pre-AQE") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    def relStats(q: DataFrame): org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+      val rel = q.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }
+      assert(rel.nonEmpty, s"no V2 scan relation in:\n${q.queryExecution.optimizedPlan}")
+      rel.get.stats
+    }
+    val read = spark.read.format("kdclog").option("recursive", "true").load(root)
+    val narrow = read.select(col("client"), col("day"))
+    val scoped = read.filter(col("day") === "2015-11-22").select(col("client"), col("day"))
+    val sFull = relStats(read)
+    val sNarrow = relStats(narrow)
+    val sScoped = relStats(scoped)
+    // stats are REPORTED (not the defaultSizeInBytes fallback) with rows
+    assert(sNarrow.rowCount.nonEmpty && sScoped.rowCount.nonEmpty,
+      s"scan reported no row count: $sNarrow / $sScoped")
+    // partition-path pruning shrinks the estimate (1 of 2 files kept)
+    assert(sScoped.sizeInBytes < sNarrow.sizeInBytes,
+      s"scope did not shrink stats: scoped=${sScoped.sizeInBytes} vs ${sNarrow.sizeInBytes}")
+    assert(sScoped.rowCount.get < sNarrow.rowCount.get)
+    // column pruning prices the materialized width, not the full record
+    assert(sNarrow.sizeInBytes < sFull.sizeInBytes,
+      s"column pruning did not shrink stats: ${sNarrow.sizeInBytes} vs ${sFull.sizeInBytes}")
+    // the payoff: a day-scoped parse joins a >threshold dimension as a
+    // BROADCAST pre-AQE (without SupportsReportStatistics the parse
+    // side sized at defaultSizeInBytes and planned a sort-merge join
+    // until AQE replanned post-shuffle)
+    val dim = spark.range(0, 2000000)
+      .selectExpr("cast(id as string) as client", "id as w")
+    val j = scoped.join(dim, "client")
+    val pre = j.queryExecution.sparkPlan
+    val bhj = pre.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"scoped parse ⋈ dimension not broadcast pre-AQE:\n$pre")
+    assert(bhj.head.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft,
+      s"broadcast built the WRONG side (want the scoped parse): ${bhj.head.buildSide}")
+  }
+
+  test("scope option: batch file pruning equals the pushed-filter path; unknown keys fail loudly") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    val q = spark.read.format("kdclog")
+      .option("recursive", "true").option("scope", "day=2015-11-22").load(root)
+      .select(col("client"), col("ts"))
+    val planned = kdcScan(q).toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.kdc.v2.KdcInputPartition].path).distinct
+    assert(planned.length == 1 && planned.head.contains("day=2015-11-22"),
+      s"scope option did not prune files: ${planned.mkString(", ")}")
+    val viaOption = q.collect().map(_.toString).sorted.toSeq
+    val viaFilter = spark.read.format("kdclog").option("recursive", "true").load(root)
+      .filter(col("day") === "2015-11-22").select(col("client"), col("ts"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaOption == viaFilter, "scope option diverged from the pushed filter")
+    val bad = intercept[Throwable] {
+      spark.read.format("kdclog")
+        .option("recursive", "true").option("scope", "bogus=1").load(root).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(bad).exists(_.contains("scope key 'bogus'")),
+      s"unknown scope key did not fail loudly: $bad")
+  }
+
+  test("scoped tail: out-of-scope directories are never LISTED, out-of-scope files never admitted") {
+    import java.nio.file.{Files, Paths}
+    val root = "target/scratch/kdc_v2_scoped_tail"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    Seq("2015-11-20", "2015-11-21", "2015-11-22").zipWithIndex.foreach { case (day, i) =>
+      Files.createDirectories(Paths.get(s"$root/day=$day"))
+      Files.write(Paths.get(s"$root/day=$day/kdc.log"),
+        (if (i == 0) KdcParseQueries.host1Log else KdcParseQueries.host2Log).getBytes("UTF-8"))
+    }
+    // inference walks unscoped (layout discovery needs the keys); the
+    // stream's own walk is the one that must prune
+    val rs = spark.readStream.format("kdclog")
+      .option("recursive", "true").option("scope", "day=2015-11-21").load(root)
+      .groupBy(col("client")).agg(count(lit(1)).as("n"))
+    val dirs = graft.kdc.v2.KdcFileLayout.dirsListed
+    val before = dirs.get()
+    val q = rs.writeStream.format("memory").queryName("kdc_v2_scoped_tail")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val listed = dirs.get() - before
+    val got = spark.table("kdc_v2_scoped_tail").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("kdc_v2_scoped_tail")
+    // AvailableNow = ONE prepare walk: the root + exactly the scoped
+    // day directory — day=2015-11-20 and day=2015-11-22 cost zero RPCs
+    assert(listed == 2, s"scoped tail listed $listed dirs, want 2 (root + scoped day)")
+    val want = spark.read.format("kdclog").load(s"$root/day=2015-11-21/kdc.log")
+      .groupBy(col("client")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"scoped tail admitted out-of-scope data: $got vs $want")
+  }
+
+  test("maxFileAgeDirKey: directories wholly behind the horizon are skipped BEFORE listing") {
+    import java.nio.file.{Files, Paths}
+    val root = "target/scratch/kdc_v2_horizon_tail"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    // day=D directories whose file mod times sit at D 12:00 UTC
+    def dayMillis(day: String): Long =
+      java.time.LocalDate.parse(day, fmt).atTime(12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def plant(day: String, name: String, content: String, modDay: String): Unit = {
+      Files.createDirectories(Paths.get(s"$root/day=$day"))
+      val f = new java.io.File(s"$root/day=$day/$name")
+      Files.write(f.toPath, content.getBytes("UTF-8"))
+      assert(f.setLastModified(dayMillis(modDay)))
+    }
+    plant("2015-11-20", "kdc.log", KdcParseQueries.host1Log, "2015-11-20")
+    plant("2015-11-21", "kdc.log", KdcParseQueries.host2Log, "2015-11-21")
+    plant("2015-11-22", "kdc.log", KdcParseQueries.host1Log, "2015-11-22")
+    val cp = s"$root/_checkpoint"
+    def run(qname: String): Long = {
+      val q = spark.readStream.format("kdclog")
+        .option("recursive", "true")
+        .option("maxFileAge", "36h").option("maxFileAgeDirKey", "day")
+        .load(root)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = spark.table(qname).collect().head.getLong(0)
+      spark.catalog.dropTempView(qname)
+      n
+    }
+    // first run: empty seen set -> no horizon -> everything admits
+    val all = run("kdc_v2_horizon_a")
+    assert(all > 0)
+    // new day arrives; a LATE file also lands in the oldest directory
+    plant("2015-11-23", "kdc.log", KdcParseQueries.host2Log, "2015-11-23")
+    plant("2015-11-20", "late.log", KdcParseQueries.host1Log, "2015-11-23")
+    // restart: horizon = (max seen mod = 22nd 12:00) - 36h = 21st
+    // 00:00 -> day=2015-11-20 is wholly behind it and must not even be
+    // LISTED (the directory's declared date is authoritative — the
+    // late file's fresh mod time does not resurrect the subtree)
+    val dirs = graft.kdc.v2.KdcFileLayout.dirsListed
+    val rs = spark.readStream.format("kdclog")
+      .option("recursive", "true")
+      .option("maxFileAge", "36h").option("maxFileAgeDirKey", "day")
+      .load(root)
+      .groupBy().count()
+    val before = dirs.get()
+    val q2 = rs.writeStream.format("memory").queryName("kdc_v2_horizon_b")
+      .outputMode("complete").option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val listed = dirs.get() - before
+    val total = spark.table("kdc_v2_horizon_b").collect().head.getLong(0)
+    spark.catalog.dropTempView("kdc_v2_horizon_b")
+    assert(listed == 4,
+      s"horizon tail listed $listed dirs, want 4 (root + days 21..23; day=20 pruned unlisted)")
+    val newDay = Sessionizer.sessionize(KdcParseQueries.host2Log.linesIterator).size
+    assert(total == all + newDay,
+      s"restart should admit exactly the new day's file: got $total, want ${all + newDay}")
+  }
+
+  test("age-gate skips are observable: WARN counter surfaces in progress source metrics") {
+    import java.nio.file.Files
+    val dir = "target/scratch/kdc_v2_skipmetrics"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def session(u: String): String =
+      s"2015-11-22T10:00:00 AS-REQ $u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+        s"2015-11-22T10:00:00 ENC-TS Pre-authentication succeeded -- $u@X.ORG\n" +
+        "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n"
+    val base = System.currentTimeMillis() - 60L * 60 * 1000
+    def writeLog(name: String, user: String, modOffsetMin: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      Files.write(f.toPath, session(user).getBytes("UTF-8"))
+      assert(f.setLastModified(base + modOffsetMin * 60000L))
+    }
+    (0 until 6).foreach(i => writeLog(f"log-$i%03d.log", f"u$i%03d", i * 2))
+    val cp = s"$dir/_checkpoint"
+    def run(qname: String): Seq[Map[String, String]] = {
+      val q = spark.readStream.format("kdclog")
+        .option("maxFileAge", "3m").load(dir)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.catalog.dropTempView(qname)
+      q.recentProgress.toSeq.flatMap(_.sources.toSeq)
+        .map(_.metrics.asScala.toMap)
+    }
+    // one batch admits 0..5 (empty seen set -> no horizon yet)
+    val m1 = run("kdc_v2_skip_a")
+    assert(m1.forall(_.get("skippedTooOldFiles").forall(_ == "0")),
+      s"first run should skip nothing: $m1")
+    // a fresh file moves the horizon past an ancient latecomer: the
+    // restart must admit the fresh file, skip the ancient one, and SAY
+    // SO in the source metrics instead of reading as an empty source
+    writeLog("log-fresh.log", "uNEW", 12L)
+    writeLog("ancient.log", "uOLD", 0L)
+    val m2 = run("kdc_v2_skip_b")
+    assert(m2.exists(_.get("skippedTooOldFiles").contains("1")),
+      s"age-gate skip not surfaced in source metrics: $m2")
+    assert(m2.exists(m => m.get("skippedTooOldFilesTotal").exists(_.toLong >= 1L)),
+      s"cumulative skip count missing: $m2")
+  }
+
+  test("manifest format marker: fresh checkpoints are stamped; legacy + maxFileAge fails loudly") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.kdc.v2.{KdcBatchOffset, KdcMicroBatchStream}
+    val dir = "target/scratch/kdc_v2_format"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    Files.write(Paths.get(dir, "host1.log"), KdcParseQueries.host1Log.getBytes("UTF-8"))
+    def stream(cp: String, opts: Map[String, String]): KdcMicroBatchStream =
+      new KdcMicroBatchStream(dir, opts, Seq.empty,
+        graft.kdc.v2.KdcLogTable.schema, Array.empty, cp)
+    // fresh checkpoint: the first admission stamps the _format marker
+    val cpFresh = s"$dir/_cp_fresh"
+    stream(cpFresh, Map.empty).latestOffset(KdcBatchOffset(-1L), ReadLimit.allAvailable())
+    val marker = Paths.get(s"$cpFresh/kdc-file-manifest/_format")
+    assert(Files.exists(marker), "fresh manifest not stamped with _format")
+    assert(Files.readString(marker).contains("\"version\":2"))
+    // legacy checkpoint (pre-marker, values were file LENGTHS):
+    // resumes fine without maxFileAge — and is NOT retroactively
+    // stamped (stamping would forge the very misread the marker blocks)
+    val cpLegacy = s"$dir/_cp_legacy"
+    new java.io.File(s"$cpLegacy/kdc-file-manifest").mkdirs()
+    Files.writeString(Paths.get(s"$cpLegacy/kdc-file-manifest/0"),
+      s"""{"$dir/host1.log":752}""")
+    stream(cpLegacy, Map.empty).latestOffset(KdcBatchOffset(0L), ReadLimit.allAvailable())
+    assert(!Files.exists(Paths.get(s"$cpLegacy/kdc-file-manifest/_format")),
+      "legacy manifest must never be retroactively stamped")
+    // legacy + maxFileAge: the horizon would misread lengths as mod
+    // times — fail loudly instead of purging/skipping wrongly
+    val ex = intercept[IllegalStateException] {
+      stream(cpLegacy, Map("maxFileAge" -> "1h"))
+        .latestOffset(KdcBatchOffset(0L), ReadLimit.allAvailable())
+    }
+    assert(ex.getMessage.contains("predates the versioned format"), ex.getMessage)
+    // a manifest from a NEWER writer fails loudly too
+    val cpFuture = s"$dir/_cp_future"
+    new java.io.File(s"$cpFuture/kdc-file-manifest").mkdirs()
+    Files.writeString(Paths.get(s"$cpFuture/kdc-file-manifest/_format"),
+      """{"version":99}""")
+    val ex2 = intercept[IllegalStateException] {
+      stream(cpFuture, Map.empty).latestOffset(KdcBatchOffset(-1L), ReadLimit.allAvailable())
+    }
+    assert(ex2.getMessage.contains("newer than this reader"), ex2.getMessage)
+  }
+
+  test("provider snapshot is consumed once: a reused provider re-lists instead of planning stale") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = KdcParseQueries.fleetFixtureDir()
+    val provider = new graft.kdc.v2.KdcLogTableProvider
+    val optMap = new java.util.HashMap[String, String]()
+    optMap.put("path", root); optMap.put("recursive", "true")
+    val schema = provider.inferSchema(new CaseInsensitiveStringMap(optMap))
+    val walks = graft.kdc.v2.KdcFileLayout.listingWalks
+    def planWalks(): Long = {
+      val t = provider.getTable(schema, Array.empty, optMap)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      val before = walks.get()
+      val scan = t.newScanBuilder(new CaseInsensitiveStringMap(optMap)).build()
+        .asInstanceOf[KdcScan]
+      assert(scan.toBatch.planInputPartitions().nonEmpty)
+      walks.get() - before
+    }
+    // first getTable consumes inference's snapshot: zero extra walks
+    assert(planWalks() == 0L, "first table should plan from the inference snapshot")
+    // a SECOND load through the same provider instance must NOT see the
+    // stale snapshot — it re-lists (one walk), never plans a frozen set
+    assert(planWalks() == 1L, "reused provider must re-list, not reuse the consumed snapshot")
   }
 
   test("streaming: file-arrival micro-batches converge to the batch answer") {
