@@ -184,14 +184,22 @@ object Graph {
     * value back at its own key and defeat GC eviction entirely (a
     * session that ended without [[dropCachedLayouts]] would leak its
     * entry forever). When GC has cleared the plan ref, the hit check
-    * falls back to the entry's session-free CANONICAL PLAN STRING
-    * (captured at land time): equality of canonicalized tree strings
-    * on top of the (semanticHash, fingerprint) key — not a re-land,
-    * so the amortized path survives GC. The residual collision bound
-    * (two semantically different edge frames agreeing on the 32-bit
-    * hash, the file fingerprint, AND the canonical tree string) is
-    * accepted and documented; mismatches land a sibling layout in the
-    * same bucket's list instead of silently reusing the wrong edges.
+    * falls back to the entry's session-free CANONICAL PLAN WITNESS
+    * (captured at land time): a SHA-256 over the canonicalized plan's
+    * verbose tree rendering streamed with UNLIMITED field width —
+    * `toString`/`treeString()` truncate via
+    * `spark.sql.debug.maxToStringFields` and
+    * `spark.sql.maxPlanStringLength`, so for wide plans a stored
+    * string could add little entropy beyond the 32-bit semanticHash
+    * it exists to back up; the streamed digest sees every field of
+    * every node regardless of those confs. Witness equality on top of
+    * the (semanticHash, fingerprint) key is not a re-land, so the
+    * amortized path survives GC. The residual collision bound (two
+    * semantically different edge frames agreeing on the 32-bit hash,
+    * the file fingerprint, AND a SHA-256 of their full canonical
+    * trees) is cryptographically negligible; mismatches land a
+    * sibling layout in the same bucket's list instead of silently
+    * reusing the wrong edges.
     * GC eviction of a dead session's entries is therefore real again;
     * [[dropCachedLayouts]] remains the deterministic cleanup (and the
     * only path that also drops the scratch FILES). */
@@ -201,12 +209,29 @@ object Graph {
         java.util.List[LayoutEntry]]]())
 
   /** One landed layout: weak ref to the verification plan, its
-    * session-free canonical tree string (the GC-survivable check),
-    * the scratch table name, and its directory. */
+    * session-free canonical plan witness (the GC-survivable check —
+    * see [[planWitness]]), the scratch table name, and its
+    * directory. */
   private final case class LayoutEntry(
       planRef: java.lang.ref.WeakReference[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
-      canonicalStr: String, table: String, loc: String)
+      witness: String, table: String, loc: String)
+
+  /** Full-fidelity, session-free witness of an analyzed plan: SHA-256
+    * over the CANONICALIZED plan's verbose tree, streamed node-by-node
+    * into the digest with `maxFields = Int.MaxValue` — immune to the
+    * `maxToStringFields`/`maxPlanStringLength` truncation that caps
+    * `toString`/materialized `treeString` (a truncated witness would
+    * silently collapse wide plans onto each other). */
+  private def planWitness(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    p.canonicalized.treeString(
+      (s: String) => md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+      printOperatorId = false, printOutputColumns = false)
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Directory names of live cached layouts — Bench's scratch sweep
     * skips these (they embed the appId like all scratch, but unlike
@@ -227,11 +252,12 @@ object Graph {
 
   /** Land (or reuse) the bucketed edge layout for `edges` and return
     * its scan. The hit path requires plan `sameResult` while the
-    * weakly-held plan is alive, and canonical-string equality after GC
-    * has cleared it (see [[layoutCache]]) — never only the hash key;
-    * the per-key list is the collision overflow and is synchronized so
-    * the write stays once-only. A hit refreshes the entry's plan ref
-    * (the newly analyzed plan is as good a witness as the original). */
+    * weakly-held plan is alive, and witness equality after GC has
+    * cleared it (see [[layoutCache]]/[[planWitness]]) — never only
+    * the hash key; the per-key list is the collision overflow and is
+    * synchronized so the write stays once-only. A hit refreshes the
+    * entry's plan ref (the newly analyzed plan is as good a witness
+    * as the original). */
   private def cachedLayout(s: SparkSession, edges: DataFrame,
                            buckets: Int): DataFrame = {
     val nBuckets = if (buckets > 0) buckets
@@ -251,11 +277,11 @@ object Graph {
       new java.util.ArrayList[LayoutEntry]())
     val table = bucket.synchronized {
       import scala.jdk.CollectionConverters._
-      lazy val newCanonical = newPlan.canonicalized.toString
+      lazy val newWitness = planWitness(newPlan)
       val hit = bucket.asScala.zipWithIndex.find { case (e, _) =>
         Option(e.planRef.get) match {
           case Some(p) => p.sameResult(newPlan)
-          case None => e.canonicalStr == newCanonical
+          case None => e.witness == newWitness
         }
       }
       hit match {
@@ -268,7 +294,7 @@ object Graph {
           val (t, loc) = writeLayout(s, edges, nBuckets)
           liveLayoutDirsRef.updateAndGet(_ + new java.io.File(loc).getName)
           bucket.add(LayoutEntry(new java.lang.ref.WeakReference(newPlan),
-            newCanonical, t, loc))
+            newWitness, t, loc))
           t
       }
     }
