@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * [[JdkCodec]] handles PNG/JPEG/BMP/GIF via `javax.imageio` and
   * 16-bit PCM WAV/AIFF via `javax.sound.sampled`, and [[resizeImages]]
   * produces actually-resized PNG payloads — all exercised on genuinely
-  * encoded bytes in MultimodalSpec. [[StubCodec]] (deterministic fake
-  * signal) remains for (a) video, where the JDK has no demuxer and an
-  * external codec would be wired into the same trait, and (b) the
-  * driver queries, whose testdata payloads are text stand-ins, not
-  * real media.
+  * encoded bytes in MultimodalSpec. Video container METADATA is real
+  * too: [[Mp4]] walks ISO-BMFF boxes (ftyp/moov/mvhd/trak/stsd) with
+  * no codec dependency, exercised on genuinely built container bytes
+  * by `media_mp4_meta` and the specs. [[StubCodec]] (deterministic
+  * fake signal) remains for (a) video frame DECODE, where the JDK has
+  * no demuxer and an external codec would be wired into the same
+  * trait, and (b) the driver queries, whose testdata payloads are
+  * text stand-ins, not real media.
   *
   * Scale posture (100 TB of media):
   *  - Binary payloads never shuffle: every operator reduces bytes →
@@ -371,6 +374,174 @@ object Multimodal {
       }).toDF("media_id", "frame_idx", "fp")
   }
 
+  // ------------------------------------------------------ MP4 box walk
+
+  /** Parsed ISO-BMFF container metadata: major brand (`ftyp`), movie
+    * timescale + duration in ms (`moov/mvhd`, versions 0 and 1), track
+    * count (`moov/trak`), and each track's first sample-entry codec
+    * fourcc (`trak/mdia/minf/stbl/stsd`). */
+  final case class Mp4Meta(brand: String, timescale: Long, duration_ms: Long,
+                           n_tracks: Int, codecs: Seq[String])
+
+  /** Pure-JVM MP4 / ISO-BMFF (ISO 14496-12) box walk — container
+    * METADATA is public-format byte arithmetic and needs no codec
+    * dependency, so the video kind's metadata leg is REAL parsing even
+    * while frame DECODE stays behind [[StubCodec]] (the JDK has no
+    * demuxer). Handles 32-bit sizes, `size==1` 64-bit largesize,
+    * `size==0` box-extends-to-EOF, and mvhd versions 0 (32-bit
+    * duration) and 1 (64-bit); any truncated, overrunning, undersized,
+    * or structurally missing box FAILS LOUDLY — corrupt media must
+    * read as an error, not as zeros. */
+  object Mp4 {
+    private def u16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"mp4: $msg")
+
+    /** The child boxes of byte range [start, end) as (type,
+      * payloadStart, payloadEnd) — one flat level; callers recurse. */
+    private def children(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = start
+      while (o < end) {
+        if (end - o < 8) fail(s"truncated box header at offset $o")
+        var size = u32(b, o)
+        val typ = fourcc(b, o + 4)
+        var hdr = 8
+        if (size == 1L) {
+          if (end - o < 16) fail(s"truncated largesize header at offset $o")
+          size = u64(b, o + 8); hdr = 16
+        } else if (size == 0L) size = (end - o).toLong
+        if (size < hdr) fail(s"box '$typ' at $o declares size $size < its $hdr-byte header")
+        if (size > end - o) fail(s"box '$typ' at $o overruns its container (size $size, ${end - o} bytes left)")
+        out += ((typ, o + hdr, o + size.toInt))
+        o += size.toInt
+      }
+      out.result()
+    }
+
+    private def find(boxes: Seq[(String, Int, Int)], typ: String,
+                     where: String): (Int, Int) =
+      boxes.collectFirst { case (`typ`, s, e) => (s, e) }
+        .getOrElse(fail(s"$where has no $typ box"))
+
+    def parse(bytes: Array[Byte]): Mp4Meta = {
+      val top = children(bytes, 0, bytes.length)
+      val (fs, fe) = find(top, "ftyp", "file")
+      if (fe - fs < 4) fail("ftyp too short for a major brand")
+      val brand = fourcc(bytes, fs)
+      val (ms, me) = find(top, "moov", "file")
+      val moov = children(bytes, ms, me)
+      val (vs, ve) = find(moov, "mvhd", "moov")
+      val version = bytes(vs) & 0xff
+      val (timescale, duration) = version match {
+        case 0 =>
+          if (ve - vs < 20) fail("mvhd v0 truncated")
+          (u32(bytes, vs + 12), u32(bytes, vs + 16))
+        case 1 =>
+          if (ve - vs < 32) fail("mvhd v1 truncated")
+          (u32(bytes, vs + 20), u64(bytes, vs + 24))
+        case other => fail(s"unsupported mvhd version $other")
+      }
+      if (timescale <= 0) fail("mvhd declares a zero timescale")
+      val traks = moov.collect { case ("trak", s, e) => (s, e) }
+      val codecs = traks.map { case (s, e) =>
+        var range = (s, e)
+        Seq("mdia", "minf", "stbl").foreach { n =>
+          range = find(children(bytes, range._1, range._2), n, "trak path")
+        }
+        val (ss, se) = find(children(bytes, range._1, range._2), "stsd", "stbl")
+        if (se - ss < 16) fail("stsd truncated")
+        if (u32(bytes, ss + 4) < 1) fail("stsd declares no sample entries")
+        fourcc(bytes, ss + 12)
+      }
+      Mp4Meta(brand, timescale, duration * 1000L / timescale,
+        traks.size, codecs)
+    }
+
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
+    private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++
+        typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+    }
+
+    /** Deterministic minimal-but-structurally-real MP4: ftyp + moov
+      * (mvhd v0/v1 with the standard full-box field widths, one trak →
+      * mdia → minf → stbl → stsd chain per codec) + a small mdat. The
+      * fixture generator for [[Multimodal.mp4MetaQuery]] and the
+      * specs — testdata payloads are text stand-ins, so real container
+      * bytes are synthesized, then parsed by the REAL box walk. */
+    def build(brand: String, timescale: Long, duration: Long,
+              mvhdVersion: Int, codecs: Seq[String]): Array[Byte] = {
+      require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd version $mvhdVersion")
+      val mvhd =
+        if (mvhdVersion == 0)
+          box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+            be32(timescale), be32(duration),
+            be32(0x00010000L), be16(0x0100), new Array[Byte](2 + 8),
+            new Array[Byte](36), new Array[Byte](24), be32(0xffffffffL))
+        else
+          box("mvhd", Array[Byte](1, 0, 0, 0), be64(0), be64(0),
+            be32(timescale), be64(duration),
+            be32(0x00010000L), be16(0x0100), new Array[Byte](2 + 8),
+            new Array[Byte](36), new Array[Byte](24), be32(0xffffffffL))
+      val traks = codecs.map { c =>
+        val entry = be32(16) ++
+          c.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+          new Array[Byte](6) ++ be16(1)
+        val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+        box("trak", box("mdia", box("minf", box("stbl", stsd))))
+      }
+      val moov = box("moov", (mvhd +: traks): _*)
+      val mdat = box("mdat", be32(timescale ^ duration))
+      box("ftyp",
+        brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+        be32(0x200), "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+        moov ++ mdat
+    }
+  }
+
+  /** Real container-metadata parse over synthesized-but-real MP4
+    * bytes, one per video-kind document: build parameters are pure
+    * doc_id arithmetic (so the oracle can state the EXPECTED fields
+    * without parsing bytes), the Spark side must recover them by
+    * actually walking the boxes it built — a full build→parse round
+    * trip per row through [[Mp4]]. */
+  def mp4MetaQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"))
+      .where(col("doc_id") % 3 === 2)
+      .as[Long]
+      .map { id =>
+        val brand = if (id % 2 == 0) "isom" else "mp42"
+        val timescale = 600L * (1L + id % 4)
+        val duration = 1000L + (id % 100) * 37L
+        val nTracks = (1L + id % 2).toInt
+        val codecs = (0 until nTracks).map(t =>
+          Seq("avc1", "hev1", "mp4a")(((id + t) % 3).toInt))
+        val meta = Mp4.parse(Mp4.build(brand, timescale, duration,
+          if (id % 5 == 0) 1 else 0, codecs))
+        (id, meta.brand, meta.timescale, meta.duration_ms,
+          meta.n_tracks, meta.codecs.mkString(","))
+      }
+      .toDF("media_id", "brand", "timescale", "duration_ms", "n_tracks", "codecs")
+      .orderBy(col("media_id"))
+  }
+
   // ------------------------------------------------------------ queries
 
   def featureQuery(s: SparkSession, dir: String): DataFrame =
@@ -572,6 +743,20 @@ object Multimodal {
         .select(col("doc_id").as("media_id"), col("cluster_id"))
         .orderBy(col("media_id")),
       Some(mediaClustersOracle)),
+    // REAL ISO-BMFF parsing: the build parameters are doc_id
+    // arithmetic, so the oracle states the expected fields directly;
+    // the engine must RECOVER them by walking the container bytes it
+    // built (build→parse round trip through the Mp4 box walk).
+    "media_mp4_meta" -> QueryDef(mp4MetaQuery, Some(
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+        |  CAST(((1000 + (doc_id % 100) * 37) * 1000) // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        |  array_to_string(list_transform(range(1 + doc_id % 2),
+        |    t -> ['avc1','hev1','mp4a'][CAST((doc_id + t) % 3 AS INTEGER) + 1]), ',') AS codecs
+        |FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+        |ORDER BY media_id""".stripMargin)),
     // Haitsma–Kalker sign codes over the regenerated pseudo-signal.
     // The stub audio signal is a FIXED 160 samples (sample_rate/100),
     // so the oracle's frame grid is the static range(7) — if the stub

@@ -293,4 +293,80 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(orig.values.exists(_ != 0L), "the random signal should set some bits")
   }
+
+  test("mp4 box walk: build→parse round trip recovers every field, v0 and v1") {
+    import Multimodal.Mp4
+    val m0 = Mp4.parse(Mp4.build("isom", 600L, 3000L, 0, Seq("avc1", "mp4a")))
+    assert(m0 == Multimodal.Mp4Meta("isom", 600L, 5000L, 2, Seq("avc1", "mp4a")))
+    // mvhd v1: 64-bit duration wider than u32 must survive
+    val big = 5000000000L // > 2^32
+    val m1 = Mp4.parse(Mp4.build("mp42", 1000L, big, 1, Seq("hev1")))
+    assert(m1 == Multimodal.Mp4Meta("mp42", 1000L, big, 1, Seq("hev1")))
+    // duration_ms is integer milliseconds: duration*1000/timescale
+    val m2 = Mp4.parse(Mp4.build("isom", 90000L, 123456L, 0, Seq("avc1")))
+    assert(m2.duration_ms == 123456L * 1000L / 90000L)
+  }
+
+  test("mp4 box walk: largesize and to-EOF boxes parse; unknown boxes are skipped") {
+    import Multimodal.Mp4
+    val base = Mp4.build("isom", 600L, 600L, 0, Seq("avc1"))
+    // re-wrap the trailing mdat as a largesize box (size==1 + u64)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val mdatAt = {
+      // find 'mdat' fourcc
+      val idx = base.sliding(4).indexWhere(_.sameElements("mdat".getBytes))
+      idx - 4
+    }
+    val before = base.take(mdatAt)
+    val largeMdat = be32(1L) ++ "mdat".getBytes ++ be32(0L) ++ be32(16L + 4L) ++ be32(99L)
+    assert(Mp4.parse(before ++ largeMdat).brand == "isom",
+      "largesize box broke the walk")
+    // size==0: final box extends to EOF
+    val eofMdat = be32(0L) ++ "mdat".getBytes ++ be32(7L)
+    assert(Mp4.parse(before ++ eofMdat).n_tracks == 1, "to-EOF box broke the walk")
+    // an unknown top-level box (e.g. 'free') before moov is skipped
+    val free = be32(12L) ++ "free".getBytes ++ be32(0L)
+    val ftypLen = 8 + 12 // ftyp box total size in build()
+    val withFree = base.take(ftypLen) ++ free ++ base.drop(ftypLen)
+    assert(Mp4.parse(withFree).codecs == Seq("avc1"))
+  }
+
+  test("mp4 box walk: truncated, overrunning, and structurally broken containers fail loudly") {
+    import Multimodal.Mp4
+    val good = Mp4.build("isom", 600L, 600L, 0, Seq("avc1"))
+    def failsWith(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Mp4.parse(bytes))
+      assert(e.getMessage.contains(needle), s"wanted '$needle' in: ${e.getMessage}")
+    }
+    // cut mid-box: the declared size overruns what is left
+    failsWith(good.dropRight(1), "overruns")
+    // cut inside a box header: ftyp (20 bytes) survives, then 5 bytes
+    // of the moov header remain — less than the 8-byte minimum
+    failsWith(good.take(25), "truncated")
+    // a box whose size is smaller than its own header
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    failsWith(be32(4L) ++ "wide".getBytes, "declares size 4 <")
+    // no moov at all
+    failsWith(good.take(8 + 12), "no moov")
+    // stsd that declares zero sample entries
+    val zeroEntries = {
+      val b = good.clone()
+      val stsdAt = b.sliding(4).indexWhere(_.sameElements("stsd".getBytes)) - 4
+      // entry_count is 4 bytes after the stsd version/flags word
+      val at = stsdAt + 8 + 4
+      b(at) = 0; b(at + 1) = 0; b(at + 2) = 0; b(at + 3) = 0
+      b
+    }
+    failsWith(zeroEntries, "no sample entries")
+    // unsupported mvhd version
+    val badVersion = {
+      val b = good.clone()
+      val at = b.sliding(4).indexWhere(_.sameElements("mvhd".getBytes)) + 4
+      b(at) = 7
+      b
+    }
+    failsWith(badVersion, "version 7")
+  }
 }
