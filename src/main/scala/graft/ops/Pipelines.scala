@@ -702,35 +702,7 @@ object Pipelines {
     * before its within-cluster ordering pass). */
   def packBinsSemantic(s: SparkSession, dir: String,
                        capacity: Long = 256L, k: Int = 8): DataFrame = {
-    import s.implicits._
-    val counts = Tables(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val assigned = Similarity.clusterAssignOn(
-        Similarity.emb(s, dir).select(col("vec_id"), col("v")), k)
-      .select(col("vec_id").as("doc_id"), col("centroid_id"), col("sim"))
-    val arranged = counts.join(assigned, Seq("doc_id"))
-      .repartition(k, col("centroid_id"))
-      // ordering uses the ROUNDED sim (what clusterAssignOn emits), so
-      // Spark and the oracle break near-ties identically; doc_id is
-      // the total tiebreak
-      .sortWithinPartitions(col("centroid_id"), desc("sim"), col("doc_id"))
-      .select(col("centroid_id"), col("sim"), col("doc_id"), col("n_tokens"))
-      .as[(Long, Double, Long, Long)]
-    val packed = arranged.mapPartitions { it =>
-      // several clusters can hash to one partition; the fold resets at
-      // each cluster boundary (rows arrive cluster-sorted). Centroid
-      // ids are vec_ids >= 0, so MinValue is a safe sentinel.
-      var cur = Long.MinValue
-      var bin = -1L
-      var fill = 0L
-      it.map { case (cl, sim, docId, nTok) =>
-        if (cl != cur) { cur = cl; bin = -1L; fill = 0L }
-        if (bin < 0L || fill + nTok > capacity) { bin += 1L; fill = nTok }
-        else fill += nTok
-        (cl, bin, docId, nTok, sim)
-      }
-    }.toDF("cluster", "bin", "doc_id", "n_tokens", "sim")
+    val packed = packDocsSemantic(s, dir, capacity, k)
     packed.groupBy(col("cluster"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("bin_tokens"),
@@ -746,14 +718,48 @@ object Pipelines {
       .orderBy(col("cluster"), col("bin"))
   }
 
-  /** Oracle for [[packBinsSemantic]]: the cluster-assignment CTEs feed
-    * a per-cluster recursive next-fit CTE ordered by (sim DESC,
-    * doc_id). */
-  private def packBinsSemanticSql(capacity: Long, k: Int): String =
-    s"""WITH RECURSIVE ${Similarity.clusterAssignSimCtes(k)},
-       |wcnt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |         FROM documents),
-       |sdocs AS (
+  /** [[packBinsSemantic]]'s per-document assignment frame
+    * (cluster, bin, doc_id, n_tokens, sim) — the fold itself, shared
+    * with [[packReport]]'s coherence metric. */
+  private[ops] def packDocsSemantic(s: SparkSession, dir: String,
+                                    capacity: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val assigned = Similarity.clusterAssignOn(
+        Similarity.emb(s, dir).select(col("vec_id"), col("v")), k)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"), col("sim"))
+    val arranged = counts.join(assigned, Seq("doc_id"))
+      .repartition(k, col("centroid_id"))
+      // ordering uses the ROUNDED sim (what clusterAssignOn emits), so
+      // Spark and the oracle break near-ties identically; doc_id is
+      // the total tiebreak
+      .sortWithinPartitions(col("centroid_id"), desc("sim"), col("doc_id"))
+      .select(col("centroid_id"), col("sim"), col("doc_id"), col("n_tokens"))
+      .as[(Long, Double, Long, Long)]
+    arranged.mapPartitions { it =>
+      // several clusters can hash to one partition; the fold resets at
+      // each cluster boundary (rows arrive cluster-sorted). Centroid
+      // ids are vec_ids >= 0, so MinValue is a safe sentinel.
+      var cur = Long.MinValue
+      var bin = -1L
+      var fill = 0L
+      it.map { case (cl, sim, docId, nTok) =>
+        if (cl != cur) { cur = cl; bin = -1L; fill = 0L }
+        if (bin < 0L || fill + nTok > capacity) { bin += 1L; fill = nTok }
+        else fill += nTok
+        (cl, bin, docId, nTok, sim)
+      }
+    }.toDF("cluster", "bin", "doc_id", "n_tokens", "sim")
+  }
+
+  /** The semantic per-doc pack fold as CTEs (sdocs, srec), expecting
+    * `wcnt` (doc_id, n_tokens) and `casg` (the cluster assignment) in
+    * scope — shared by [[packBinsSemanticSql]] and the pack-report
+    * oracle. */
+  private def packSemanticDocCtes(capacity: Long): String =
+    s"""sdocs AS (
        |  SELECT w.doc_id, a.centroid_id AS cluster, a.sim, w.n_tokens,
        |         row_number() OVER (PARTITION BY a.centroid_id
        |                            ORDER BY a.sim DESC, w.doc_id) AS rn
@@ -767,7 +773,16 @@ object Pipelines {
        |         CASE WHEN r.fill + d.n_tokens > $capacity THEN r.bin + 1 ELSE r.bin END,
        |         CASE WHEN r.fill + d.n_tokens > $capacity THEN d.n_tokens
        |              ELSE r.fill + d.n_tokens END
-       |  FROM srec r JOIN sdocs d ON d.cluster = r.cluster AND d.rn = r.rn + 1)
+       |  FROM srec r JOIN sdocs d ON d.cluster = r.cluster AND d.rn = r.rn + 1)""".stripMargin
+
+  /** Oracle for [[packBinsSemantic]]: the cluster-assignment CTEs feed
+    * a per-cluster recursive next-fit CTE ordered by (sim DESC,
+    * doc_id). */
+  private def packBinsSemanticSql(capacity: Long, k: Int): String =
+    s"""WITH RECURSIVE ${Similarity.clusterAssignSimCtes(k)},
+       |wcnt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |${packSemanticDocCtes(capacity)}
        |SELECT cluster, bin, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        |       ROUND(sum(n_tokens) * 100.0 / $capacity, 2) AS fill_pct,
@@ -775,10 +790,13 @@ object Pipelines {
                "CAST(sum(CAST(sim AS DECIMAL(10,6))) AS DOUBLE) / count(*)", 6)} AS mean_sim
        |FROM srec GROUP BY cluster, bin ORDER BY cluster, bin""".stripMargin
 
-  /** The shared next-fit fold over any (doc_id, n_tokens) frame — see
-    * [[packBinsNextFit]] for the packing semantics and scale posture. */
-  private def packFold(counts: DataFrame, capacity: Long,
-                       shards: Int): DataFrame = {
+  /** The shared next-fit fold over any (doc_id, n_tokens) frame as a
+    * PER-DOCUMENT frame (shard, bin, doc_id, n_tokens) — see
+    * [[packBinsNextFit]] for the packing semantics and scale posture;
+    * shared by [[packFold]]'s per-bin roll-up and [[packReport]]'s
+    * coherence metric. */
+  private[ops] def packDocsNextFit(counts: DataFrame, capacity: Long,
+                                   shards: Int): DataFrame = {
     import counts.sparkSession.implicits._
     val docs = counts
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -788,7 +806,7 @@ object Pipelines {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .select(col("shard"), col("doc_id"), col("n_tokens"))
       .as[(Int, Long, Long)]
-    val packed = arranged.mapPartitions { it =>
+    arranged.mapPartitions { it =>
       // several shard values can hash to one partition; the fold
       // resets at each shard boundary (rows arrive shard-sorted)
       var curShard = Int.MinValue
@@ -801,6 +819,11 @@ object Pipelines {
         (shard, bin, docId, nTok)
       }
     }.toDF("shard", "bin", "doc_id", "n_tokens")
+  }
+
+  private def packFold(counts: DataFrame, capacity: Long,
+                       shards: Int): DataFrame = {
+    val packed = packDocsNextFit(counts, capacity, shards)
     packed.groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("bin_tokens"))
@@ -812,28 +835,192 @@ object Pipelines {
   /** The next-fit fold as a per-shard recursive CTE stepping one
     * document (row_number within shard) per iteration — `shards` rows
     * per step, `max docs/shard` steps. `srcCte` must expose
-    * (doc_id, n_tokens). */
-  private def packFoldSql(srcCte: String, capacity: Long, shards: Int): String =
-    s"""docs AS (
+    * (doc_id, n_tokens); `p` prefixes the CTE names so two folds can
+    * coexist in one oracle (the pack report runs the whitespace and
+    * BPE folds side by side). Ends in `${p}rec`, the per-doc
+    * assignment. */
+  private def packFoldCtes(srcCte: String, capacity: Long, shards: Int,
+                           p: String = ""): String =
+    s"""${p}docs AS (
        |  SELECT doc_id,
        |         CAST(doc_id % $shards AS INT) AS shard,
        |         n_tokens,
        |         row_number() OVER (PARTITION BY doc_id % $shards ORDER BY doc_id) AS rn
        |  FROM $srcCte),
-       |rec AS (
+       |${p}rec AS (
        |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
        |         n_tokens AS fill
-       |  FROM docs WHERE rn = 1
+       |  FROM ${p}docs WHERE rn = 1
        |  UNION ALL
        |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
        |         CASE WHEN r.fill + d.n_tokens > $capacity THEN r.bin + 1 ELSE r.bin END,
        |         CASE WHEN r.fill + d.n_tokens > $capacity THEN d.n_tokens
        |              ELSE r.fill + d.n_tokens END
-       |  FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1)
+       |  FROM ${p}rec r JOIN ${p}docs d ON d.shard = r.shard AND d.rn = r.rn + 1)""".stripMargin
+
+  private def packFoldSql(srcCte: String, capacity: Long, shards: Int): String =
+    s"""${packFoldCtes(srcCte, capacity, shards)}
        |SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        |       ROUND(sum(n_tokens) * 100.0 / $capacity, 2) AS fill_pct
        |FROM rec GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  /** The packing BAKE-OFF: every packing discipline this library
+    * ships, run on the SAME corpus and summarized to one row each —
+    * the numbers a pipeline owner reads to pick a discipline, and the
+    * guard that keeps the four folds honest against each other:
+    *
+    *  - `n_bins` / `mean_fill_pct` / `padding_pct`: the GPU-time cost
+    *    of the discipline. Chunking pads only the tape's final slot
+    *    (fill ≈ 100%); next-fit trades padding for intact documents;
+    *    the padding fraction IS that trade priced in tokens.
+    *  - `mean_clusters_per_bin`: semantic coherence — the mean number
+    *    of distinct embedding clusters a training sequence mixes
+    *    (the [[packBinsSemantic]] discipline scores 1 by
+    *    construction; id-order disciplines mix clusters arbitrarily —
+    *    this column is the semantic row's "gain over id-order").
+    *    Documents without an embedding don't count toward it (the
+    *    same inner-join contract as `pipeline_pack_semantic`).
+    *
+    * The BPE row's capacity is in ITS token metric (1024 learned
+    * tokens, `pipeline_pack_nextfit_bpe`'s configuration), so its
+    * fill/padding compare within the row, not against the words rows.
+    * Every per-doc assignment comes from the same folds the four
+    * individual rows verify; the oracle re-aggregates the same CTE
+    * chains (whitespace + BPE folds prefix-isolated so both recursive
+    * folds coexist in one WITH). */
+  def packReport(s: SparkSession, dir: String): DataFrame = {
+    val capW = 256L; val capB = 1024L; val shards = 32; val steps = 6; val k = 8
+    val wcnt = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cl = Similarity.clusterAssignOn(
+        Similarity.emb(s, dir).select(col("vec_id"), col("v")), k)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+
+    // one summary row from a per-doc (bin_key, doc_id, n_tokens) frame;
+    // all ratios are computed sum-then-divide (never a streaming AVG,
+    // whose accumulation order the oracle could not mirror)
+    def summarize(name: String, metric: String, cap: Long,
+                  perDoc: DataFrame): DataFrame = {
+      val bins = perDoc.join(cl, Seq("doc_id"), "left")
+        .groupBy(col("bin_key"))
+        .agg(sum(col("n_tokens")).as("bt"), count(lit(1)).as("nd"),
+          countDistinct(col("centroid_id")).as("ncl"))
+      bins.agg(count(lit(1)).as("n_bins"), sum(col("nd")).as("n_docs"),
+          sum(col("bt")).as("total_tokens"), sum(col("ncl")).as("nclsum"))
+        .select(lit(name).as("discipline"), lit(metric).as("token_metric"),
+          lit(cap).as("capacity"), col("n_bins"), col("n_docs"),
+          col("total_tokens"),
+          round(col("total_tokens") * 100.0 / (col("n_bins") * cap), 2)
+            .as("mean_fill_pct"),
+          round(lit(100.0) - col("total_tokens") * 100.0 / (col("n_bins") * cap), 2)
+            .as("padding_pct"),
+          round(col("nclsum").cast("double") / col("n_bins"), 4)
+            .as("mean_clusters_per_bin"))
+    }
+
+    val nextfit = summarize("nextfit", "words", capW,
+      packDocsNextFit(wcnt, capW, shards)
+        .select(concat_ws(":", col("shard"), col("bin")).as("bin_key"),
+          col("doc_id"), col("n_tokens")))
+    val bpe = summarize("nextfit_bpe", "bpe", capB,
+      packDocsNextFit(
+          TextAnalysis.bpeDocTokenCounts(Tables(s, dir, "documents"), steps),
+          capB, shards)
+        .select(concat_ws(":", col("shard"), col("bin")).as("bin_key"),
+          col("doc_id"), col("n_tokens")))
+    val semantic = summarize("semantic", "words", capW,
+      packDocsSemantic(s, dir, capW, k)
+        .select(concat_ws(":", col("cluster"), col("bin")).as("bin_key"),
+          col("doc_id"), col("n_tokens")))
+    // chunk: bins/fill from the tape TOTALS (every slot but the last is
+    // exactly full, so per-slot grouping would only rediscover the
+    // formula); coherence over each doc's STARTING slot — slots no doc
+    // starts in (the middle of a long straddler) aren't in the mean,
+    // identically on both engines
+    val chunkCoh = packSequences(s, dir, capW)
+      .select(col("seq_id").as("bin_key"), col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .groupBy(col("bin_key"))
+      .agg(countDistinct(col("centroid_id")).as("ncl"))
+      .agg(round(sum(col("ncl")).cast("double") / count(lit(1)), 4)
+        .as("mean_clusters_per_bin"))
+    val chunk = wcnt
+      .agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("nd"))
+      .select(lit("chunk").as("discipline"), lit("words").as("token_metric"),
+        lit(capW).as("capacity"),
+        floor((col("total") + (capW - 1L)) / capW).cast("long").as("n_bins"),
+        col("nd").as("n_docs"), col("total").as("total_tokens"))
+      .withColumn("mean_fill_pct",
+        round(col("total_tokens") * 100.0 / (col("n_bins") * capW), 2))
+      .withColumn("padding_pct",
+        round(lit(100.0) - col("total_tokens") * 100.0 / (col("n_bins") * capW), 2))
+      .crossJoin(chunkCoh)
+    chunk.unionByName(nextfit).unionByName(bpe).unionByName(semantic)
+      .orderBy(col("discipline"))
+  }
+
+  /** Oracle for [[packReport]] — the four disciplines' own CTE chains,
+    * re-aggregated to the same four summary rows. */
+  private def packReportSql(capW: Long, capB: Long, shards: Int,
+                            steps: Int, k: Int): String = {
+    def summary(name: String, metric: String, cap: Long, src: String): String =
+      s"""SELECT '$name' AS discipline, '$metric' AS token_metric,
+         |  CAST($cap AS BIGINT) AS capacity,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(bt) AS BIGINT) AS total_tokens,
+         |  ${graft.OracleSql.round(s"sum(bt) * 100.0 / (count(*) * $cap)", 2)} AS mean_fill_pct,
+         |  ${graft.OracleSql.round(s"100.0 - sum(bt) * 100.0 / (count(*) * $cap)", 2)} AS padding_pct,
+         |  ${graft.OracleSql.round("CAST(sum(ncl) AS DOUBLE) / count(*)", 4)} AS mean_clusters_per_bin
+         |FROM $src""".stripMargin
+    val chunkBins = s"(total + ${capW - 1}) // $capW"
+    s"""WITH RECURSIVE
+       |wcnt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |${Similarity.clusterAssignSimCtes(k)},
+       |cl AS (SELECT vec_id AS doc_id, centroid_id FROM casg),
+       |${packFoldCtes("wcnt", capW, shards, "nf")},
+       |${TextAnalysis.bpeDocTokenCountsCtes(steps)},
+       |${packFoldCtes("bpecnt", capB, shards, "bp")},
+       |${packSemanticDocCtes(capW)},
+       |nfb AS (SELECT r.shard, r.bin, sum(r.n_tokens) AS bt, count(*) AS nd,
+       |               count(DISTINCT c.centroid_id) AS ncl
+       |        FROM nfrec r LEFT JOIN cl c USING (doc_id) GROUP BY r.shard, r.bin),
+       |bpb AS (SELECT r.shard, r.bin, sum(r.n_tokens) AS bt, count(*) AS nd,
+       |               count(DISTINCT c.centroid_id) AS ncl
+       |        FROM bprec r LEFT JOIN cl c USING (doc_id) GROUP BY r.shard, r.bin),
+       |smb AS (SELECT r.cluster, r.bin, sum(r.n_tokens) AS bt, count(*) AS nd,
+       |               count(DISTINCT c.centroid_id) AS ncl
+       |        FROM srec r LEFT JOIN cl c USING (doc_id) GROUP BY r.cluster, r.bin),
+       |tape AS (SELECT doc_id,
+       |           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |         FROM wcnt),
+       |chb AS (SELECT t.start // $capW AS bin_key,
+       |               count(DISTINCT c.centroid_id) AS ncl
+       |        FROM tape t LEFT JOIN cl c USING (doc_id) GROUP BY 1),
+       |chc AS (SELECT ${graft.OracleSql.round("CAST(sum(ncl) AS DOUBLE) / count(*)", 4)} AS m
+       |        FROM chb),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS nd FROM wcnt)
+       |SELECT * FROM (
+       |  SELECT 'chunk' AS discipline, 'words' AS token_metric,
+       |    CAST($capW AS BIGINT) AS capacity,
+       |    CAST($chunkBins AS BIGINT) AS n_bins, nd AS n_docs, total AS total_tokens,
+       |    ${graft.OracleSql.round(s"total * 100.0 / (($chunkBins) * $capW)", 2)} AS mean_fill_pct,
+       |    ${graft.OracleSql.round(s"100.0 - total * 100.0 / (($chunkBins) * $capW)", 2)} AS padding_pct,
+       |    chc.m AS mean_clusters_per_bin
+       |  FROM tot, chc
+       |  UNION ALL
+       |  ${summary("nextfit", "words", capW, "nfb")}
+       |  UNION ALL
+       |  ${summary("nextfit_bpe", "bpe", capB, "bpb")}
+       |  UNION ALL
+       |  ${summary("semantic", "words", capW, "smb")}
+       |) ORDER BY discipline""".stripMargin
+  }
 
   /** Oracle for [[packBinsNextFit]]: whitespace counts feed the fold. */
   private def packBinsNextFitSql(capacity: Long, shards: Int): String =
@@ -859,6 +1046,8 @@ object Pipelines {
     "pipeline_pack_semantic" -> QueryDef(
       (s, d) => packBinsSemantic(s, d, 256L, 8),
       Some(packBinsSemanticSql(256L, 8))),
+    "pipeline_pack_report" -> QueryDef((s, d) => packReport(s, d),
+      Some(packReportSql(256L, 1024L, 32, 6, 8))),
     "corpus_shuffle_order" -> QueryDef((s, d) => shuffleOrder(s, d), Some(
       s"""WITH d AS (SELECT doc_id FROM documents),
          |${OracleSql.m61FmixScalarCtes("d", "CAST(doc_id AS VARCHAR)")},
