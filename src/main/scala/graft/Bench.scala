@@ -44,8 +44,13 @@ import org.apache.spark.sql.SparkSession
   *  - Warmup skips the streaming-lifecycle rows (the explicit
   *    [[SparkEntry.streamRows]] allowlist): their cost is micro-batch
   *    engine lifecycle, not JIT, so a warmup pass buys nothing and
-  *    each one leaves RocksDB state/checkpoint churn behind; min-of-2
-  *    absorbs their first-run codegen like any other query.
+  *    each one leaves RocksDB state/checkpoint churn behind.
+  *  - LIFECYCLE-tier rows are timed THREE times, min reported: having
+  *    skipped warmup, their first sample doubles as the scratch/
+  *    page-cache warmup — the FS-cache-temperature swing (±15% on the
+  *    dedup-ingest family round-over-round with untouched code) was
+  *    the dominant noise in every anchor comparison. Query-tier rows
+  *    keep min-of-2 with the third sample only on >2× dispute.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -131,7 +136,17 @@ object Bench {
       // the disputed rows (bounded extra cost) and the min of three
       // reported — a box stall now needs THREE consecutive hits on the
       // same row to reach the artifact.
-      val disputed = ok1 && ok2 && math.max(t1, t2) > 2.0 * math.min(t1, t2)
+      //
+      // LIFECYCLE rows take the third sample UNCONDITIONALLY (round-12
+      // verdict task 7): they skip warmup by design, so their first
+      // sample doubles as the scratch/page-cache warmup — the
+      // dedup-ingest family swung ±15% round-over-round on FS cache
+      // temperature alone with untouched code, dominating every
+      // anchor diff. Min-of-3 compares code, not page cache; the
+      // extra cost is bounded to the lifecycle tier.
+      val disputed = ok1 && ok2 &&
+        (SparkEntry.lifecycleRows(name) ||
+          math.max(t1, t2) > 2.0 * math.min(t1, t2))
       val (t3, ok3) = if (disputed) once() else (Double.MaxValue, true)
       reclaim() // outside the timed window
       // a failed query reports the -1 sentinel (and lands in "errors")
@@ -174,8 +189,8 @@ object Bench {
     val summary =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","total_query":$totalQuery,""" +
         s""""total_lifecycle":$totalLifecycle,"n_queries":$nOk,"errors":$errs,""" +
-        s""""iterations":2,"third_on_dispute":true,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,"total_lifecycle":$totalLifecycle,"queries":$qs,"errors":$errs,"iterations":2,"third_on_dispute":true,"sf":"$sfDir"}"""
+        s""""iterations":2,"lifecycle_iterations":3,"third_on_dispute":true,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","total_query":$totalQuery,"total_lifecycle":$totalLifecycle,"queries":$qs,"errors":$errs,"iterations":2,"lifecycle_iterations":3,"third_on_dispute":true,"sf":"$sfDir"}"""
     println(summary)
     println(full)
     println(summary)
