@@ -394,6 +394,62 @@ object ScaleProbe {
       return
     }
 
+    // --kdc-tail-pruned: the horizon-scoped DIRECTORY listing probe
+    // (r12 verdict task 1's done-bar) — a rotation fleet grows one
+    // `day=` directory per trigger while a caught-up tail follows.
+    // Without maxFileAgeDirKey every trigger walks every directory the
+    // fleet has EVER rotated (O(history)); with it, directories wholly
+    // behind the retention horizon are skipped before listing, so the
+    // per-trigger walk is the live window (flat as history grows).
+    // Drives the source's admission loop directly, like the retention
+    // probe: the cost under test is listing RPCs, pinned by the
+    // dirsListed counter, not executor reads.
+    if (args.contains("--kdc-tail-pruned")) {
+      val nDays = args.collectFirst {
+        case a if a.startsWith("--days=") => a.stripPrefix("--days=").toInt
+      }.getOrElse(120)
+      val perDay = 20
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val body = ("2015-11-22T10:00:00 AS-REQ u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+        "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n").getBytes("UTF-8")
+      def drive(label: String, opts: Map[String, String]): Unit = {
+        val root = s"target/scratch/kdc_tail_pruned_$label"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        new java.io.File(root).mkdirs()
+        val stream = new graft.kdc.v2.KdcMicroBatchStream(root,
+          opts ++ Map("recursive" -> "true", "manifestCompactInterval" -> "10"),
+          Seq("day"), graft.kdc.v2.KdcLogTable.schema, Array.empty, s"$root/_cp")
+        var off = stream.initialOffset()
+        val dirs = graft.kdc.v2.KdcFileLayout.dirsListed
+        val samples = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        for (t <- 0 until nDays) {
+          val day = java.time.LocalDate.of(2015, 1, 1).plusDays(t)
+          val d = new java.io.File(root, s"day=$day")
+          d.mkdirs()
+          val mod = day.atTime(12, 0).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          for (i <- 0 until perDay) {
+            val f = new java.io.File(d, f"log-$i%03d.log")
+            java.nio.file.Files.write(f.toPath, body)
+            f.setLastModified(mod)
+          }
+          val d0 = dirs.get()
+          val t0 = System.nanoTime()
+          off = stream.latestOffset(off, ReadLimit.allAvailable())
+          samples += ((dirs.get() - d0, (System.nanoTime() - t0) / 1e9))
+        }
+        def mean(xs: collection.Seq[Double]) = xs.sum / xs.length
+        println(s"KDCTAILPRUNED $label days=$nDays " +
+          s"first5_dirs=${samples.take(5).map(_._1).mkString(",")} " +
+          s"last5_dirs=${samples.takeRight(5).map(_._1).mkString(",")} " +
+          f"first5_wall_s=${mean(samples.take(5).map(_._2))}%.4f " +
+          f"last5_wall_s=${mean(samples.takeRight(5).map(_._2))}%.4f")
+      }
+      drive("unpruned", Map("maxFileAge" -> "72h"))
+      drive("pruned", Map("maxFileAge" -> "72h", "maxFileAgeDirKey" -> "day"))
+      spark.stop()
+      return
+    }
+
     // --kdc-parse-cost: the columnar-scan exploration's MEASUREMENT
     // (r11 verdict task 7 — decide before building): single-thread
     // per-core parse cost split into (a) sessionize-only [record
