@@ -721,16 +721,24 @@ class KdcV2Spec extends AnyFunSuite {
     // BROADCAST pre-AQE (without SupportsReportStatistics the parse
     // side sized at defaultSizeInBytes and planned a sort-merge join
     // until AQE replanned post-shuffle)
-    val dim = spark.range(0, 2000000)
-      .selectExpr("cast(id as string) as client", "id as w")
-    val j = scoped.join(dim, "client")
-    val pre = j.queryExecution.sparkPlan
-    val bhj = pre.collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-    }
-    assert(bhj.nonEmpty, s"scoped parse ⋈ dimension not broadcast pre-AQE:\n$pre")
-    assert(bhj.head.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft,
-      s"broadcast built the WRONG side (want the scoped parse): ${bhj.head.buildSide}")
+    // pin the threshold: suites sharing this JVM's session disable
+    // auto-broadcast (BucketingSpec) — the assertion is about STATS
+    // reaching the planner, not about the session's current default
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, (10L << 20).toString)
+    try {
+      val dim = spark.range(0, 2000000)
+        .selectExpr("cast(id as string) as client", "id as w")
+      val j = scoped.join(dim, "client")
+      val pre = j.queryExecution.sparkPlan
+      val bhj = pre.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"scoped parse ⋈ dimension not broadcast pre-AQE:\n$pre")
+      assert(bhj.head.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft,
+        s"broadcast built the WRONG side (want the scoped parse): ${bhj.head.buildSide}")
+    } finally spark.conf.set(key, saved)
   }
 
   test("scope option: batch file pruning equals the pushed-filter path; unknown keys fail loudly") {
