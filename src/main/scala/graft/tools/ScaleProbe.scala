@@ -884,7 +884,9 @@ object ScaleProbe {
       "approx_value_percentiles",// bottom-k hash sample + interpolation
       "pipeline_pack_nextfit",   // one mapPartitions fold over shard sort
       "pipeline_pack_nextfit_bpe",// BPE trainer + counts join + pack fold
-      "pipeline_pack_semantic")  // seed-broadcast assign + cluster-sharded fold
+      "pipeline_pack_semantic",  // seed-broadcast assign + cluster-sharded fold
+      "pipeline_pack_report",    // all four pack folds + one summary agg each
+      "media_mp4_meta")          // per-row build+parse, no shuffle before sort
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
