@@ -976,6 +976,132 @@ class KdcV2Spec extends AnyFunSuite {
     assert(planWalks() == 1L, "reused provider must re-list, not reuse the consumed snapshot")
   }
 
+  test("scan statistics: splittable-compressed inputs price the DECODED volume") {
+    // a multi-block bz2 log is small on disk but expands ~16x (the
+    // derived-split-bound factor) on decode — stats priced at the
+    // compressed byte count would undersell the parse and invite a
+    // wrong broadcast of a big decoded side
+    val q = spark.read.format("kdclog").load(bz2FixtureDir)
+      .select(col("client"), col("ts"))
+    val rel = q.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.getOrElse(fail("no V2 scan relation"))
+    val compressedLen = new java.io.File(s"$bz2FixtureDir/big.log.bz2").length()
+    val rows = rel.stats.rowCount.getOrElse(fail("no row count")).toLong
+    // rows estimate derives from the EXPANDED bytes (len x 16 / 296):
+    // equality pins the formula, not just a direction
+    assert(rows == (compressedLen * 16L) / 296L,
+      s"rows=$rows, want ${(compressedLen * 16L) / 296L} from len=$compressedLen")
+    assert(rel.stats.sizeInBytes > BigInt(compressedLen),
+      s"stats priced at compressed size: ${rel.stats.sizeInBytes} <= $compressedLen")
+  }
+
+  test("scope and maxFileAgeDirKey compose: one dirFilter prunes on both axes") {
+    import java.nio.file.{Files, Paths}
+    val root = "target/scratch/kdc_v2_scope_horizon"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def dayMillis(day: String): Long =
+      java.time.LocalDate.parse(day, fmt).atTime(12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // two hosts x three days; the tail scopes to hostA AND ages on day
+    for (host <- Seq("hostA", "hostB"); day <- Seq("2015-11-20", "2015-11-21", "2015-11-22")) {
+      val d = Paths.get(s"$root/host=$host/day=$day")
+      Files.createDirectories(d)
+      val f = d.resolve("kdc.log").toFile
+      Files.write(f.toPath, KdcParseQueries.host1Log.getBytes("UTF-8"))
+      assert(f.setLastModified(dayMillis(day)))
+    }
+    val cp = s"$root/_checkpoint"
+    // schema inference walks UNPRUNED (layout discovery needs every
+    // key) — build each leg's frame BEFORE the counter snapshot so
+    // only the STREAM's own prepare walk is measured
+    def frame() = spark.readStream.format("kdclog")
+      .option("recursive", "true")
+      .option("scope", "host=hostA")
+      .option("maxFileAge", "36h").option("maxFileAgeDirKey", "day")
+      .load(root)
+      .groupBy().count()
+    def run(df: org.apache.spark.sql.DataFrame, qname: String): Long = {
+      val q = df.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = spark.table(qname).collect().head.getLong(0)
+      spark.catalog.dropTempView(qname)
+      n
+    }
+    val perFile = Sessionizer.sessionize(KdcParseQueries.host1Log.linesIterator).size
+    // first run: hostA's three days only (scope), no horizon yet
+    assert(run(frame(), "kdc_v2_sh_a") == 3L * perFile,
+      "scope must admit exactly hostA's files")
+    // a new day lands on BOTH hosts; restart with the horizon in force
+    for (host <- Seq("hostA", "hostB")) {
+      val d = Paths.get(s"$root/host=$host/day=2015-11-23")
+      Files.createDirectories(d)
+      val f = d.resolve("kdc.log").toFile
+      Files.write(f.toPath, KdcParseQueries.host1Log.getBytes("UTF-8"))
+      assert(f.setLastModified(dayMillis("2015-11-23")))
+    }
+    val df2 = frame() // inference walk happens HERE, outside the count
+    val dirs = graft.kdc.v2.KdcFileLayout.dirsListed
+    val before = dirs.get()
+    assert(run(df2, "kdc_v2_sh_b") == 4L * perFile,
+      "restart must admit exactly hostA's new day")
+    val listed = dirs.get() - before
+    // one prepare walk: root + host=hostA + its days 21..23 (horizon
+    // = 22nd 12:00 - 36h -> 21st 00:00 prunes day=20; scope prunes
+    // the whole hostB subtree before listing)
+    assert(listed == 5,
+      s"composed scope+horizon tail listed $listed dirs, want 5")
+  }
+
+  test("manifest _format marker survives compaction and retention restarts") {
+    import java.nio.file.Files
+    val dir = "target/scratch/kdc_v2_marker_compact"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    def session(u: String): String =
+      s"2015-11-22T10:00:00 AS-REQ $u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+        s"2015-11-22T10:00:00 ENC-TS Pre-authentication succeeded -- $u@X.ORG\n" +
+        "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n"
+    val base = System.currentTimeMillis() - 60L * 60 * 1000
+    (0 until 12).foreach { i =>
+      val f = new java.io.File(dir, f"log-$i%03d.log")
+      Files.write(f.toPath, session(f"u$i%03d").getBytes("UTF-8"))
+      assert(f.setLastModified(base + i * 120000L))
+    }
+    val cp = s"$dir/_checkpoint"
+    def run(qname: String): Unit = {
+      val q = spark.readStream.format("kdclog")
+        .option("maxFilesPerTrigger", "1")
+        .option("manifestCompactInterval", "5")
+        .option("maxFileAge", "6m")
+        .load(dir)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.catalog.dropTempView(qname)
+    }
+    run("kdc_v2_marker_a")
+    val manifestDir = new java.io.File(s"$cp/sources/0/kdc-file-manifest")
+    // compaction cycles ran (snapshots + clean); the marker must not be
+    // swept with the retired deltas/snapshots
+    assert(manifestDir.listFiles().exists(_.getName.endsWith(".compact")))
+    assert(new java.io.File(manifestDir, "_format").exists(),
+      "_format marker lost across compaction clean()")
+    // and a RESTART over the same checkpoint (marker present, maxFileAge
+    // set) loads fine — the fail-loud path is only for marker-LESS
+    // manifests with entries
+    Files.write(new java.io.File(dir, "log-012.log").toPath,
+      session("u012").getBytes("UTF-8"))
+    new java.io.File(dir, "log-012.log").setLastModified(base + 12 * 120000L)
+    run("kdc_v2_marker_b")
+    assert(new java.io.File(manifestDir, "_format").exists())
+  }
+
   test("streaming: file-arrival micro-batches converge to the batch answer") {
     import spark.implicits._
     val ds = spark.readStream.format("kdclog")
