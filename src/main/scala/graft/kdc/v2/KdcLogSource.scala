@@ -533,7 +533,10 @@ class KdcScan(val path: String, options: Map[String, String],
     * the strict batch planner could not reuse verbatim (empty match,
     * nested dirs under a non-recursive read) stays None: stats fall
     * back to unknown and planning re-walks strictly so it still fails
-    * loudly. */
+    * loudly — those disqualified cases pay a second walk, but both
+    * END in the strict walk's exception (empty → FileNotFound, nested
+    * non-recursive → IOException), so the extra walk is confined to
+    * queries that error out anyway. */
   private lazy val plannerListing: Option[Seq[KdcFileLayout.KdcFileMeta]] =
     listingSnapshot.orElse {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -969,15 +972,17 @@ object KdcBatchOffset {
   * (`{"version":2}`, [[KdcFileManifest.FormatVersion]]) declaring the
   * value semantics: version 2 = modification times (what `maxFileAge`
   * retention ages on). A checkpoint written before the marker existed
-  * carried file LENGTHS as the values — membership semantics are
-  * identical, so such a legacy checkpoint resumes correctly as long
-  * as `maxFileAge` is not set; WITH it set the horizon would misread
-  * lengths as mod times (bogus horizon, mass purge at the first
-  * compaction, after which purged files could re-admit), so that
-  * combination FAILS LOUDLY at manifest load instead of relying on a
-  * doc sentence. The marker is written only when the stream starts on
-  * an empty manifest — a resumed legacy checkpoint is never
-  * retroactively stamped (its old entries would still be lengths, and
+  * carried either file LENGTHS (the oldest format) or mod times (the
+  * immediately-pre-marker format) — indistinguishable on disk, and
+  * membership semantics are identical for every vintage, so such a
+  * legacy checkpoint resumes correctly as long as `maxFileAge` is not
+  * set; WITH it set the horizon could misread lengths as mod times
+  * (bogus horizon, mass purge at the first compaction, after which
+  * purged files could re-admit), so the unverifiable combination
+  * FAILS LOUDLY at manifest load instead of relying on a doc
+  * sentence. The marker is written only when the stream starts on an
+  * empty manifest — a resumed legacy checkpoint is never
+  * retroactively stamped (its old entries might be lengths, and
   * stamping would forge exactly the misread the marker exists to
   * block).
   * Every `compactInterval` batches the stream also writes
@@ -1135,8 +1140,13 @@ private[v2] class KdcFileManifest(dir: Path, conf: Configuration) {
   *    being listed (a `host=kdc7` subtree costs zero RPCs to a
   *    `host=kdc1`-scoped tail) and scoped-out files are never
   *    admitted; a key the layout does not expose fails loudly at
-  *    planning ([[KdcScan]]). Values compare RAW against path
-  *    segments ([[KdcFileLayout.parseScope]]).
+  *    planning ([[KdcScan]]) — which means a SCOPED tail requires the
+  *    `k=v` layout to be discoverable when the stream starts (create
+  *    the first scoped directory before starting, or start unscoped):
+  *    the fail-loud key check is deliberate, because deferring it
+  *    would let a typo'd key tail forever admitting nothing. Values
+  *    compare RAW against path segments
+  *    ([[KdcFileLayout.parseScope]]).
   *  - `maxFileAgeDirKey=k` (requires `maxFileAge`): declares that
   *    partition key `k`'s values are ISO-8601 UTC date(-time)
   *    PREFIXES (`day=2015-11-22`, `hour=2015-11-22T13`). Directories
@@ -1233,11 +1243,14 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
       if (legacyManifest && maxFileAgeMs.isDefined)
         throw new IllegalStateException(
           "kdclog: maxFileAge is set over a checkpoint whose file manifest " +
-            "predates the versioned format (no _format marker — its values are " +
-            "file LENGTHS, not modification times). The retention horizon would " +
-            "misread them: a bogus horizon purges every legacy entry at the " +
-            "first compaction, after which already-processed files can re-admit. " +
-            "Resume WITHOUT maxFileAge, or start a fresh checkpoint.")
+            "predates the _format marker, so its value semantics cannot be " +
+            "verified — depending on the writer's vintage they are file " +
+            "LENGTHS (oldest format) or modification times. If they are " +
+            "lengths, the retention horizon would misread them: a bogus " +
+            "horizon purges every entry at the first compaction, after which " +
+            "already-processed files can re-admit. Resume WITHOUT maxFileAge " +
+            "(membership semantics are identical for every vintage), or start " +
+            "a fresh checkpoint.")
     }
   }
 
@@ -1253,6 +1266,19 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
   /** Bound captured by prepareForTriggerAvailableNow: files visible at
     * query start; AvailableNow batches never admit past it. */
   @volatile private var prepared: Option[Map[String, KdcFileLayout.KdcFileMeta]] = None
+
+  /** The horizon the `prepared` walk was DIRECTORY-PRUNED with (None =
+    * no horizon pruning applied). prepareForTriggerAvailableNow runs
+    * before the engine reveals the start offset, so its seen set may
+    * still include orphan deltas of a crashed run — whose fresh mod
+    * times would compute a TOO-NEW horizon, and a listing dir-pruned
+    * with it would hide in-window directories from every subsequent
+    * trigger (silent loss, not the skip counter's visible kind).
+    * [[latestOffset]] therefore re-walks instead of reusing `prepared`
+    * whenever this horizon is NEWER than the trigger's own (computed
+    * AFTER orphan truncation); on the no-crash path the two horizons
+    * are equal and the one-walk bound holds. */
+  @volatile private var preparedHorizon: Option[Long] = None
 
   /** The most recent trigger's listing — `latestOffset` refreshes it,
     * `reportLatestOffset`/`planInputPartitions` reuse it (one walk per
@@ -1315,7 +1341,9 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     ensureLoaded()
     val high = (deltas.lastOption.map(_._1) ++ snaps.lastOption.map(_._1))
       .foldLeft(-1L)(math.max)
-    prepared = Some(refreshListing(horizon(seenUpTo(high))))
+    val tooOld = horizon(seenUpTo(high))
+    preparedHorizon = if (horizonDirKey.isDefined) tooOld else None
+    prepared = Some(refreshListing(tooOld))
   }
 
   override def initialOffset(): Offset = KdcBatchOffset(-1L)
@@ -1328,11 +1356,18 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   /** Age-gate observability (see the class scaladoc): files skipped
-    * as too-old in the latest trigger / cumulatively, surfaced via
-    * [[metrics]]; the WARN fires once per stream instance. */
+    * as too-old in the latest trigger, and the cumulative count of
+    * DISTINCT files skipped over this stream instance's lifetime — a
+    * permanently-behind file that stays visible must not re-count
+    * every trigger (a 1 s tail would read one late file as ~86k
+    * "skipped files" after a day). `skippedPaths` is bounded by the
+    * visible-but-behind-horizon file set: entries leave when the file
+    * does. The WARN fires once per stream instance, on the first
+    * trigger that skips a NEW file. */
   private val skippedTooOldTotal = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile private var skippedTooOldLast = 0L
   @volatile private var warnedTooOld = false
+  private var skippedPaths: Set[String] = Set.empty
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     val startId = start.asInstanceOf[KdcBatchOffset].batchId
@@ -1344,7 +1379,24 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     snaps = snaps.rangeTo(startId)
     val seen = seenUpTo(startId)
     val tooOld = horizon(seen)
-    val visible = prepared.getOrElse(refreshListing(tooOld))
+    // reuse the prepared AvailableNow listing only if it was NOT
+    // dir-pruned with a newer horizon than this trigger's (orphan
+    // deltas at prepare time can inflate it — see preparedHorizon);
+    // a listing pruned with an older-or-equal horizon lists a
+    // superset, which the admission gate below filters exactly. On
+    // the stale path the corrected walk REPLACES the prepared bound
+    // (kept coherent for planInputPartitions/reportLatestOffset);
+    // later triggers' horizons only advance, so the replacement stays
+    // safe and the run is back to one walk per trigger.
+    val preparedSafe = preparedHorizon.forall(ph => tooOld.exists(ph <= _))
+    val visible = prepared.filter(_ => preparedSafe).getOrElse {
+      val m = refreshListing(tooOld)
+      if (prepared.isDefined) {
+        prepared = Some(m)
+        preparedHorizon = if (horizonDirKey.isDefined) tooOld else None
+      }
+      m
+    }
     val unseen = visible.iterator
       .filter { case (p, _) => !seen.contains(p) }.toSeq
     val (inWindow, skipped) = tooOld match {
@@ -1353,15 +1405,21 @@ class KdcMicroBatchStream(path: String, options: Map[String, String],
     }
     skippedTooOldLast = skipped.size.toLong
     if (skipped.nonEmpty) {
-      skippedTooOldTotal.addAndGet(skipped.size.toLong)
-      val msg = s"kdclog: maxFileAge admission gate skipped ${skipped.size} " +
-        s"visible-but-unseen file(s) with modification times behind the " +
-        s"retention horizon (e.g. ${skipped.head._1}) — late-delivered or " +
-        "backlogged data behind the window is NOT read; widen maxFileAge or " +
-        "start a fresh checkpoint if these files must be admitted"
-      if (!warnedTooOld) { warnedTooOld = true; logWarning(msg) }
-      else logInfo(msg)
-    }
+      val newSkips = skipped.filterNot(f => skippedPaths.contains(f._1))
+      if (newSkips.nonEmpty) {
+        skippedTooOldTotal.addAndGet(newSkips.size.toLong)
+        val msg = s"kdclog: maxFileAge admission gate skipped ${newSkips.size} " +
+          s"visible-but-unseen file(s) with modification times behind the " +
+          s"retention horizon (e.g. ${newSkips.head._1}) — late-delivered or " +
+          "backlogged data behind the window is NOT read; widen maxFileAge or " +
+          "start a fresh checkpoint if these files must be admitted"
+        if (!warnedTooOld) { warnedTooOld = true; logWarning(msg) }
+        else logInfo(msg)
+      }
+      // membership tracks the files still visible-and-skipped, so the
+      // set cannot grow past the live listing
+      skippedPaths = skipped.iterator.map(_._1).toSet
+    } else skippedPaths = Set.empty
     val fresh = inWindow
       .map { case (p, st) => p -> st.modTime }
       .sortBy(_._1)

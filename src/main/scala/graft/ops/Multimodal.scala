@@ -440,6 +440,9 @@ object Multimodal {
       val (ms, me) = find(top, "moov", "file")
       val moov = children(bytes, ms, me)
       val (vs, ve) = find(moov, "mvhd", "moov")
+      // the version byte itself needs payload: an 8-byte (empty) mvhd
+      // must fail the loud way, not as an array index error
+      if (ve - vs < 4) fail("mvhd truncated")
       val version = bytes(vs) & 0xff
       val (timescale, duration) = version match {
         case 0 =>

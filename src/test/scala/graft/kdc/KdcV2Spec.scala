@@ -940,7 +940,7 @@ class KdcV2Spec extends AnyFunSuite {
       stream(cpLegacy, Map("maxFileAge" -> "1h"))
         .latestOffset(KdcBatchOffset(0L), ReadLimit.allAvailable())
     }
-    assert(ex.getMessage.contains("predates the versioned format"), ex.getMessage)
+    assert(ex.getMessage.contains("predates the _format marker"), ex.getMessage)
     // a manifest from a NEWER writer fails loudly too
     val cpFuture = s"$dir/_cp_future"
     new java.io.File(s"$cpFuture/kdc-file-manifest").mkdirs()
@@ -1054,6 +1054,53 @@ class KdcV2Spec extends AnyFunSuite {
     // the whole hostB subtree before listing)
     assert(listed == 5,
       s"composed scope+horizon tail listed $listed dirs, want 5")
+  }
+
+  test("orphan deltas cannot inflate the dir-pruning horizon: restart re-walks, loses nothing") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.kdc.v2.{KdcBatchOffset, KdcMicroBatchStream}
+    val root = "target/scratch/kdc_v2_orphan_horizon"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def dayMillis(day: String): Long =
+      java.time.LocalDate.parse(day, fmt).atTime(12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def plant(day: String): String = {
+      val d = Paths.get(s"$root/day=$day")
+      Files.createDirectories(d)
+      val f = d.resolve("kdc.log").toFile
+      Files.write(f.toPath, KdcParseQueries.host1Log.getBytes("UTF-8"))
+      assert(f.setLastModified(dayMillis(day)))
+      f.getAbsolutePath
+    }
+    val f20 = plant("2015-11-20")
+    plant("2015-11-21")
+    plant("2015-11-22")
+    // checkpoint: batch 0 (committed by the engine) admitted day=20;
+    // batch 1 is an ORPHAN of a crashed run carrying a FRESH mod time
+    // (day 23) — its horizon (23rd-36h = 22nd 00:00) would dir-prune
+    // day=21 away, and day=21's file is UNSEEN: reusing that listing
+    // loses it silently
+    val cp = s"$root/_cp"
+    val mdir = s"$cp/kdc-file-manifest"
+    new java.io.File(mdir).mkdirs()
+    Files.writeString(Paths.get(s"$mdir/_format"), """{"version":2}""")
+    Files.writeString(Paths.get(s"$mdir/0"),
+      s"""{"file:$f20":${dayMillis("2015-11-20")}}""")
+    Files.writeString(Paths.get(s"$mdir/1"),
+      s"""{"$root/ghost.log":${dayMillis("2015-11-23")}}""")
+    val stream = new KdcMicroBatchStream(root,
+      Map("recursive" -> "true", "maxFileAge" -> "36h",
+        "maxFileAgeDirKey" -> "day"),
+      Seq("day"), graft.kdc.v2.KdcLogTable.schema, Array.empty, cp)
+    stream.prepareForTriggerAvailableNow() // horizon inflated by the orphan here
+    val next = stream.latestOffset(KdcBatchOffset(0L), ReadLimit.allAvailable())
+    assert(next == KdcBatchOffset(1L), s"no admission: $next")
+    val admitted = Files.readString(Paths.get(s"$mdir/1"))
+    assert(admitted.contains("day=2015-11-21") && admitted.contains("day=2015-11-22"),
+      s"orphan-inflated horizon lost in-window files; batch 1 admitted: $admitted")
+    assert(!admitted.contains("ghost"), "orphan entry must be overwritten, not replayed")
   }
 
   test("manifest _format marker survives compaction and retention restarts") {

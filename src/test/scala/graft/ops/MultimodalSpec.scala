@@ -350,6 +350,10 @@ class MultimodalSpec extends AnyFunSuite {
     failsWith(be32(4L) ++ "wide".getBytes, "declares size 4 <")
     // no moov at all
     failsWith(good.take(8 + 12), "no moov")
+    // an EMPTY (8-byte) mvhd must fail loudly, not as an index error
+    val emptyMvhd = good.take(20) ++
+      be32(16L) ++ "moov".getBytes ++ be32(8L) ++ "mvhd".getBytes
+    failsWith(emptyMvhd, "mvhd truncated")
     // stsd that declares zero sample entries
     val zeroEntries = {
       val b = good.clone()
