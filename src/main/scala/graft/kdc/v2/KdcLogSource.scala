@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -455,10 +456,12 @@ class KdcLogTable(path: String, options: Map[String, String],
 class KdcScanBuilder(path: String, options: Map[String, String],
                      tableSchema: StructType,
                      listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
   private val fields = tableSchema.fieldNames.toSet
 
   /** Keep every filter [[KdcFilterEval]] can evaluate exactly on the
@@ -474,8 +477,19 @@ class KdcScanBuilder(path: String, options: Map[String, String],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown (`SupportsPushDownLimit`), always PARTIAL: each
+    * split's reader stops after emitting `limit` post-filter sessions
+    * instead of parsing its whole byte range, and Spark keeps the
+    * global limit on top. Combined with `CollectLimitExec`'s
+    * incremental partition evaluation, a `LIMIT 10` exploration query
+    * over a 100 TB fleet opens one split and parses ~10 sessions —
+    * without this the first split parsed its full (up to 128 MB
+    * decoded) range before the limit applied. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new KdcScan(path, options, tableSchema, required, pushed, listingSnapshot)
+    new KdcScan(path, options, tableSchema, required, pushed, listingSnapshot, limit)
 }
 
 object KdcScan {
@@ -491,8 +505,10 @@ object KdcScan {
 class KdcScan(val path: String, options: Map[String, String],
               tableSchema: StructType,
               val requiredSchema: StructType, val pushedFilters: Array[Filter],
-              listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
-    extends Scan with SupportsReportStatistics {
+              listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None,
+              val pushedLimit: Option[Int] = None)
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   /** Layout-discovered partition columns = table schema minus the base
     * record fields (order preserved). */
@@ -523,7 +539,74 @@ class KdcScan(val path: String, options: Map[String, String],
     m.map { case (k, v) => sources.EqualTo(k, v): Filter }.toArray
   }
 
-  private def effectiveFilters: Array[Filter] = pushedFilters ++ scopeFilters
+  /** Runtime (DPP) filters, delivered mid-execution via
+    * [[SupportsRuntimeFiltering.filter]] — see [[filterAttributes]]. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  private def effectiveFilters: Array[Filter] =
+    pushedFilters ++ scopeFilters ++ runtimeFilters
+
+  /** Dynamic partition pruning for parsed logs
+    * (`SupportsRuntimeFiltering`): only the layout's partition-path
+    * columns are advertised, so every runtime predicate Spark hands
+    * over prunes at WHOLE-FILE granularity — exact, not advisory
+    * (each file carries a single value per partition key). The payoff
+    * at fleet scale: `parse ⋈ σ(dim)` on a `day=` column opens only
+    * the days the filtered dimension actually contains, decided at
+    * runtime from the dimension's broadcast result — a static plan
+    * cannot know them, and without this the parse side reads the
+    * whole fleet. After [[filter]], Spark re-invokes
+    * `toBatch.planInputPartitions()` (per `BatchScanExec`), which
+    * re-plans splits under `effectiveFilters` and skips pruned files
+    * before any is opened. */
+  override def filterAttributes(): Array[NamedReference] =
+    // only keys surviving column pruning: Spark resolves these against
+    // the scan's OUTPUT, and a runtime filter can only ever arrive on
+    // a join key the query reads anyway
+    partKeys.filter(requiredSchema.fieldNames.contains)
+      .map(k => Expressions.column(k)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // keep only predicates this source can evaluate exactly against
+    // partition-path values; anything else is dropped (the join still
+    // applies full semantics — runtime pruning is a strict subset)
+    runtimeFilters = filters.filter(f =>
+      f.references.nonEmpty && f.references.forall(partKeys.contains) &&
+        KdcFilterEval.supports(partKeys.toSet, f))
+  }
+
+  /** Storage-partitioned-join surface (`SupportsReportPartitioning`),
+    * OPT-IN via the `reportPartitioning` reader option: the scan
+    * reports `KeyGroupedPartitioning` over the layout's partition
+    * columns and every split carries its key ([[HasPartitionKey]]),
+    * so with `spark.sql.sources.v2.bucketing.enabled=true` a join or
+    * aggregation clustered on those columns plans with NO shuffle on
+    * the parse side — two day-partitioned fleets join day-to-day with
+    * zero exchange. The trade (why it is opt-in): Spark coalesces all
+    * splits of one key tuple into ONE task, so intra-day split
+    * parallelism is given up for the exchange-free plan; right when
+    * the day count dwarfs the cluster, wrong for a single hot day.
+    * Requires a consistent `k=v` layout (partition columns are only
+    * inferred when consistent, so every planned file carries values). */
+  override def outputPartitioning(): V2Partitioning =
+    if (reportPartitioning && partKeys.nonEmpty) plannerListing match {
+      case Some(files) =>
+        val conf = new Configuration(SparkSession.active.sparkContext.hadoopConfiguration)
+        KdcLogTable.confPairs(options).foreach { case (k, v) => conf.set(k, v) }
+        val values = KdcFileLayout.partValuesAll(path, files.map(_.path), partKeys, conf)
+        val partOnly = effectiveFilters.filter(f =>
+          f.references.nonEmpty && f.references.forall(partKeys.contains))
+        val kept = files.filter(st =>
+          KdcFilterEval.matchesPartition(partOnly.toSeq, values(st.path)))
+        val groups = kept.map(st => partKeys.map(values(st.path).getOrElse(_, null))).distinct.size
+        new KeyGroupedPartitioning(
+          partKeys.map(k => Expressions.identity(k)).toArray, math.max(groups, 1))
+      case None => new UnknownPartitioning(0)
+    }
+    else new UnknownPartitioning(0)
+
+  private def reportPartitioning: Boolean =
+    options.get("reportPartitioning").exists(_.toBoolean)
 
   /** Listing backing [[estimateStatistics]]: schema inference's
     * snapshot when the provider handed one over, else ONE lenient walk
@@ -596,7 +679,7 @@ class KdcScan(val path: String, options: Map[String, String],
 
   override def toBatch: Batch =
     new KdcBatch(path, options, partKeys, requiredSchema, effectiveFilters,
-      plannerListing)
+      plannerListing, pushedLimit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KdcMicroBatchStream(path, options, partKeys, requiredSchema, effectiveFilters,
@@ -686,6 +769,7 @@ object KdcBatch {
       else Some(defaultCompressedSplitBytes(compressedSplittable.map(_.len).max,
         spark.sparkContext.defaultParallelism))
 
+    val keyOrder = partKeys.toArray
     kept.flatMap { st =>
       val path = st.path
       val len = st.len
@@ -704,7 +788,7 @@ object KdcBatch {
       val splittable = codecOf(path).forall(
         _.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec])
       if (len == 0 || !splittable)
-        Seq(KdcInputPartition(path.toString, 0, len, hosts(0), values(path)))
+        Seq(KdcInputPartition(path.toString, 0, len, hosts(0), values(path), keyOrder))
       else {
         val maxSize = explicitMax.orElse(
           if (isSplittableCompressed(path)) derivedCompressedMax else None)
@@ -714,12 +798,12 @@ object KdcBatch {
         var remaining = len
         while (remaining.toDouble / splitSize > SplitSlop) {
           val start = len - remaining
-          out += KdcInputPartition(path.toString, start, splitSize, hosts(start), values(path))
+          out += KdcInputPartition(path.toString, start, splitSize, hosts(start), values(path), keyOrder)
           remaining -= splitSize
         }
         if (remaining != 0) {
           val start = len - remaining
-          out += KdcInputPartition(path.toString, start, remaining, hosts(start), values(path))
+          out += KdcInputPartition(path.toString, start, remaining, hosts(start), values(path), keyOrder)
         }
         out.toSeq
       }
@@ -729,7 +813,8 @@ object KdcBatch {
 
 class KdcBatch(path: String, options: Map[String, String], partKeys: Seq[String],
                requiredSchema: StructType, filters: Array[Filter],
-               listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
+               listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None,
+               limit: Option[Int] = None)
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     listingSnapshot match {
@@ -745,24 +830,36 @@ class KdcBatch(path: String, options: Map[String, String], partKeys: Seq[String]
       // partition-only predicates are fully applied at planning (file
       // granularity is exact for them); readers evaluate the rest
       filters.filterNot(f =>
-        f.references.nonEmpty && f.references.forall(partKeys.contains)))
+        f.references.nonEmpty && f.references.forall(partKeys.contains)),
+      limit)
 }
 
 /** One byte range of one log file (serializable — shipped to
-  * executors), carrying the file's partition-column values. */
+  * executors), carrying the file's partition-column values.
+  * `keyOrder` is the layout's partition-column order; it backs
+  * [[HasPartitionKey]] so splits can be key-grouped when the scan
+  * reports [[KeyGroupedPartitioning]] (opt-in — see
+  * [[KdcScan.outputPartitioning]]); Spark never consults
+  * `partitionKey()` otherwise. */
 case class KdcInputPartition(path: String, start: Long, length: Long,
                              locations: Array[String],
-                             partValues: Map[String, String]) extends InputPartition {
+                             partValues: Map[String, String],
+                             keyOrder: Array[String] = Array.empty)
+    extends InputPartition with HasPartitionKey {
   override def preferredLocations(): Array[String] = locations
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyOrder.map(k =>
+      partValues.get(k).map(UTF8String.fromString).orNull: Any))
 }
 
 case class KdcReaderFactory(
     confBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
     fieldNames: Array[String],
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter],
+    limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KdcPartitionReader(partition.asInstanceOf[KdcInputPartition],
-      confBc.value.value, fieldNames, filters)
+      confBc.value.value, fieldNames, filters, limit)
 }
 
 /** Executor-side reader: drives the split-aligned session record
@@ -774,8 +871,13 @@ case class KdcReaderFactory(
 class KdcPartitionReader(part: KdcInputPartition,
                          conf: Configuration,
                          fieldNames: Array[String],
-                         filters: Array[Filter])
+                         filters: Array[Filter],
+                         limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  Option(KdcPartitionReader.openTap.get).foreach(_.add(part.path))
+  private val limitN: Int = limit.getOrElse(Int.MaxValue)
+  private var emitted: Long = 0L
 
   private val split = new FileSplit(new Path(part.path), part.start, part.length, null)
   private val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
@@ -794,6 +896,10 @@ class KdcPartitionReader(part: KdcInputPartition,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    // partial LIMIT pushdown: this split has produced its quota —
+    // stop WITHOUT reading further bytes (Spark re-applies the
+    // global limit, so over-per-split is the only contract needed)
+    if (emitted >= limitN) return false
     while (true) {
       if (sessions.hasNext) {
         val rec = sessions.next()
@@ -808,6 +914,7 @@ class KdcPartitionReader(part: KdcInputPartition,
             i += 1
           }
           current = new GenericInternalRow(vals)
+          emitted += 1
           return true
         }
       } else if (reader.nextKeyValue()) {
@@ -819,7 +926,23 @@ class KdcPartitionReader(part: KdcInputPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = {
+    Option(KdcPartitionReader.emitTap.get).foreach(_.addAndGet(emitted))
+    reader.close()
+  }
+}
+
+/** Test-only observability taps: `null` (the default) costs one
+  * volatile read per reader OPEN/CLOSE — never per row. Specs install
+  * a sink, run, read it back, and uninstall; nothing accumulates when
+  * no tap is set, so a long-lived session carries no growth. */
+object KdcPartitionReader {
+  /** When set, every reader open records its file path. */
+  val openTap = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.ConcurrentLinkedQueue[String]](null)
+  /** When set, every reader close adds its emitted-session count. */
+  val emitTap = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.atomic.AtomicLong](null)
 }
 
 /** Exact evaluation of pushed `sources.Filter`s against a typed

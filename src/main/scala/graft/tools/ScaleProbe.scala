@@ -266,6 +266,59 @@ object ScaleProbe {
       return
     }
 
+    // --kdc-dpp: runtime file pruning at fleet scale — the 100 host= ×
+    // 100 day= layout from --kdc-fleet-list, joined against a
+    // dimension whose filter keeps 3 of the 100 days. Which days
+    // survive is runtime information, so only dynamic partition
+    // pruning (`SupportsRuntimeFiltering` on KdcScan) can skip the
+    // other 9,700 files — the probe counts files actually OPENED via
+    // the reader tap and times the join with DPP on vs off.
+    if (args.contains("--kdc-dpp")) {
+      val root = "target/scratch/kdc_fleet_list"
+      if (!new java.io.File(root).exists()) {
+        val session =
+          "2015-11-22T10:00:00 AS-REQ u@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n" +
+            "2015-11-22T10:00:00 ENC-TS Pre-authentication succeeded -- u@X.ORG\n" +
+            "2015-11-22T10:00:00 sending 752 bytes to IPv4:10.0.0.1\n"
+        for (h <- 0 until 100; d <- 0 until 100) {
+          val f = new java.io.File(f"$root/host=h$h%03d/day=d$d%03d/kdc.log")
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, session.getBytes("UTF-8"))
+        }
+        println(s"[kdc-dpp] wrote 10000 logs under $root")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      val dim = spark.range(0, 100)
+        .selectExpr("format_string('d%03d', id) AS day", "id AS w")
+        .filter(col("w") < 3)
+      def leg(dppOn: Boolean): (Double, Int, Long) = {
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dppOn.toString)
+        val tap = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        graft.kdc.v2.KdcPartitionReader.openTap.set(tap)
+        try {
+          (1 to 2).map { _ =>
+            tap.clear()
+            val t0 = System.nanoTime()
+            val read = spark.read.format("kdclog").option("recursive", "true")
+              .load(root).select(col("client"), col("day"))
+            val n = read.join(dim, "day").count()
+            ((System.nanoTime() - t0) / 1e9,
+              new java.util.HashSet(tap).size(), n)
+          }.minBy(_._1)
+        } finally {
+          graft.kdc.v2.KdcPartitionReader.openTap.set(null)
+          spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        }
+      }
+      val (wOff, fOff, nOff) = leg(dppOn = false)
+      val (wOn, fOn, nOn) = leg(dppOn = true)
+      require(nOn == nOff, s"DPP changed the answer: $nOn vs $nOff")
+      println(f"KDCDPP dpp_off,$wOff%.2f,files_opened=$fOff,rows=$nOff")
+      println(f"KDCDPP dpp_on,$wOn%.2f,files_opened=$fOn,rows=$nOn")
+      spark.stop()
+      return
+    }
+
     // --kdc-tail: the watermarked tail at fleet cadence (r11 verdict
     // task 6) — nFiles (default 400) small logs arriving across ~20
     // AvailableNow micro-batches, event-time advancing one day per

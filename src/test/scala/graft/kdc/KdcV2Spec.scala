@@ -1169,4 +1169,118 @@ class KdcV2Spec extends AnyFunSuite {
     assert(prog.exists(_.batchId >= 1),
       s"expected >= 2 micro-batches, last progress: $prog")
   }
+
+  test("runtime filtering (DPP): a dim-filtered join opens ONLY the matching day's file") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    val read = spark.read.format("kdclog").option("recursive", "true").load(root)
+      .select(col("client"), col("day"))
+    // dimension with a selective filter: only 2015-11-22 survives it —
+    // which days survive is RUNTIME information (the static planner
+    // sees a filter, not its result), so only dynamic pruning can skip
+    // the other day's file. Built over range so the Filter NODE
+    // survives optimization (a Filter over a LocalRelation constant-
+    // folds away, and DPP requires a selective filter on the build
+    // side to fire)
+    val dim = spark.range(0, 4)
+      .selectExpr("concat('2015-11-', cast(21 + id as string)) as day", "id as w")
+      .filter(col("w") === 1)
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aKey = "spark.sql.adaptive.enabled"
+    val savedB = spark.conf.get(bKey)
+    val savedA = spark.conf.get(aKey)
+    spark.conf.set(bKey, (10L << 20).toString)
+    spark.conf.set(aKey, "false") // pin the classic DPP path deterministically
+    val tap = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    graft.kdc.v2.KdcPartitionReader.openTap.set(tap)
+    try {
+      val j = read.join(dim, "day")
+      val rows = j.collect()
+      val want = Sessionizer.sessionize(KdcParseQueries.host1Log.linesIterator).size
+      assert(rows.length == want, s"join lost rows: ${rows.length} vs $want")
+      // the optimizer injected a runtime filter into the V2 scan…
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[KdcScan] => b
+      }
+      assert(scans.nonEmpty && scans.head.runtimeFilters.nonEmpty,
+        s"no runtime filter reached the scan:\n${j.queryExecution.executedPlan}")
+      // …and the effect is whole-FILE: the pruned day was never OPENED
+      val opened = tap.iterator().asScala.toSeq.distinct
+      assert(opened.nonEmpty && opened.forall(_.contains("day=2015-11-22")),
+        s"runtime filter did not prune at file granularity, opened: $opened")
+    } finally {
+      graft.kdc.v2.KdcPartitionReader.openTap.set(null)
+      spark.conf.set(bKey, savedB)
+      spark.conf.set(aKey, savedA)
+    }
+  }
+
+  test("limit pushdown: LIMIT n parses ~n sessions, not the split's whole byte range") {
+    val realm = "SQUILL.DEMENTIA.ORG"
+    val dir = "target/scratch/kdc_v2_limit"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val total = 20000
+    val sb = new StringBuilder
+    var i = 0
+    while (i < total) {
+      val ts = f"2015-11-22T${10 + i % 14}%02d:${i % 60}%02d:${(i * 7) % 60}%02d"
+      sb.append(s"$ts AS-REQ user$i@$realm from IPv4:10.0.0.1 for krbtgt/$realm@$realm\n")
+      sb.append(s"$ts ENC-TS Pre-authentication succeeded -- user$i@$realm using aes256-cts-hmac-sha1-96\n")
+      sb.append(s"$ts sending 752 bytes to IPv4:10.0.0.1\n")
+      i += 1
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "big.log"), sb.toString.getBytes("UTF-8"))
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    graft.kdc.v2.KdcPartitionReader.emitTap.set(emitted)
+    try {
+      val q = spark.read.format("kdclog").load(dir).limit(7)
+      val rows = q.collect()
+      assert(rows.length == 7, s"limit returned ${rows.length} rows")
+      // the builder accepted the limit (partial pushdown)…
+      assert(kdcScan(q).pushedLimit.contains(7),
+        s"limit not pushed into the scan: ${kdcScan(q).pushedLimit}")
+      // …and each split's reader stopped at its quota instead of
+      // parsing all 20k sessions (the pre-pushdown behavior)
+      val n = emitted.get
+      assert(n >= 7 && n <= 64,
+        s"readers emitted $n sessions for LIMIT 7 over $total — early-stop not effective")
+    } finally graft.kdc.v2.KdcPartitionReader.emitTap.set(null)
+  }
+
+  test("reportPartitioning: key-grouped scans aggregate and join day-to-day with ZERO shuffle") {
+    val root = KdcParseQueries.fleetFixtureDir()
+    val vKey = "spark.sql.sources.v2.bucketing.enabled"
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val savedV = spark.conf.get(vKey)
+    val savedB = spark.conf.get(bKey)
+    spark.conf.set(vKey, "true")
+    spark.conf.set(bKey, "-1") // force the join to prove co-partitioning, not broadcast
+    try {
+      def read() = spark.read.format("kdclog")
+        .option("recursive", "true").option("reportPartitioning", "true").load(root)
+      // aggregation clustered on the partition keys: satisfied by the
+      // scan's KeyGroupedPartitioning — no exchange anywhere
+      val agg = read().groupBy(col("host"), col("day")).agg(count(lit(1)).as("n"))
+      val aggRows = agg.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(aggRows.map(t => (t._1, t._2)).sorted.toSeq ==
+        Seq(("hostA", "2015-11-22"), ("hostB", "2015-11-23")))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"key-grouped aggregation still shuffled:\n$aggPlan")
+      // storage-partitioned JOIN: two independent parses of the fleet,
+      // aggregated per (host, day), join co-partitioned with no shuffle
+      val a = read().groupBy(col("host"), col("day")).agg(count(lit(1)).as("n"))
+      val b = read().groupBy(col("host"), col("day")).agg(max(col("ts")).as("last_ts"))
+      val j = a.join(b, Seq("host", "day"))
+      val got = j.collect()
+      assert(got.length == 2, s"SPJ join row count: ${got.length}")
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("ShuffleExchange"),
+        s"storage-partitioned join still shuffled:\n$jPlan")
+    } finally {
+      spark.conf.set(vKey, savedV)
+      spark.conf.set(bKey, savedB)
+    }
+  }
 }
