@@ -44,7 +44,20 @@ object Retrieval {
   /** Generic variant over any (doc_id, text) frame. */
   def bm25TopKOn(df: DataFrame,
                  nQueries: Int = 3, qLen: Int = 4, k: Int = 10,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Ranked(df, nQueries, qLen, k1, b)
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("sc").cast("double"), 4).as("score"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** The shared ranking frame: (query_id, doc_id, sc, rnk) with `sc`
+    * the EXACT summed decimal score (un-rounded — [[mmrTopK]] does
+    * exact decimal arithmetic on it) and `rnk` the (sc desc, doc_id)
+    * row number per query. */
+  private[ops] def bm25Ranked(df: DataFrame,
+                              nQueries: Int, qLen: Int,
+                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = df
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -84,10 +97,6 @@ object Retrieval {
     contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("sc"))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("doc_id"),
-        round(col("sc").cast("double"), 4).as("score"), col("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** WAND/MaxScore-adjacent BM25: candidate docs must match one of
@@ -199,6 +208,89 @@ object Retrieval {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98)
+    * of each query's BM25 top-`pool` candidates: greedily select `k`
+    * docs maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the
+    * diversified top-k a retrieval-augmented pipeline serves when the
+    * plain top-k is near-duplicates of one answer.
+    *
+    * Exactness across engines (the argmax is the hazard — a last-ulp
+    * score divergence flips a selection and cascades): rel is the
+    * BM25 sum's EXACT decimal, sim the 9dp-rounded-decimal embedding
+    * cosine (the bit-matching kernel fold), and λ = 0.7 enters as the
+    * integer-scaled key `7·rel − 3·maxsim` — decimal multiply/
+    * subtract are exact, so both engines order identical values,
+    * doc_id breaking ties.
+    *
+    * Scale posture (100 TB): the corpus-wide work is [[bm25Ranked]]
+    * (one tf shuffle) and ONE embeddings scan against a broadcast
+    * candidate set to land the q·pool² pair-sim frame, which is
+    * persisted — the k−1 greedy rounds iterate on that tiny cached
+    * frame and never touch the corpus again. The sequential data
+    * dependence is inherent to MMR (selection s+1 depends on 1..s);
+    * it is paid on q·pool-sized frames, never corpus-sized ones.
+    * The selected set (≤ q·k rows BY CONSTRUCTION) is collected to
+    * the driver each round and re-enters as a `LocalRelation`, so
+    * every round's plan is cached-frame ⋈ local — left distributed,
+    * each round's plan references the previous round's THREE times
+    * and the lineage compounds into a 3^k-leaf tree (measured: plan
+    * explosion, then driver OOM, at k=5). */
+  def mmrTopK(s: SparkSession, dir: String,
+              nQueries: Int = 3, qLen: Int = 4, pool: Int = 10,
+              k: Int = 5): DataFrame = {
+    // persisted: every greedy round re-reads the candidate frame (and
+    // round r's plan references round r−1's THREE times) — uncached,
+    // the whole corpus-wide BM25 chain would recompute per reference
+    val cand = bm25Ranked(docs(s, dir), nQueries, qLen)
+      .filter(col("rnk") <= pool)
+      .select(col("query_id"), col("doc_id"), col("sc"))
+      .persist()
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = cand.select(col("query_id"), col("doc_id").as("a_id"))
+    val b = cand.select(col("query_id"), col("doc_id").as("b_id"))
+    val pairs = a.join(b, "query_id").filter(col("a_id") =!= col("b_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("va"), col("vb")), 9)
+          .cast("decimal(20,9)").as("sim9"))
+      .persist()
+    val w1 = Window.partitionBy(col("query_id")).orderBy(desc("sc"), col("doc_id"))
+    val first = cand
+      .withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("step"),
+        (lit(7) * col("sc")).cast("decimal(25,9)").as("mmr"))
+    val selSchema = first.schema
+    // bounded greedy state (see scaladoc): ≤ nQueries·k rows, decimal
+    // mmr collected as java BigDecimal so exactness survives the trip
+    val sel = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    sel ++= first.collect()
+    for (step <- 2 to k) {
+      val selDf = s.createDataFrame(
+        java.util.Arrays.asList(sel.toSeq: _*), selSchema)
+      val rem = cand.join(selDf.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      val ms = pairs
+        .join(selDf.select(col("query_id"), col("doc_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim9")).as("maxsim"))
+        .withColumnRenamed("a_id", "doc_id")
+      val wk = Window.partitionBy(col("query_id")).orderBy(desc("mmr"), col("doc_id"))
+      val pick = rem.join(ms, Seq("query_id", "doc_id"))
+        .withColumn("mmr",
+          (lit(7) * col("sc") - lit(3) * col("maxsim")).cast("decimal(25,9)"))
+        .withColumn("r", row_number().over(wk)).filter(col("r") === 1)
+        .select(col("query_id"), col("doc_id"), lit(step.toLong).as("step"), col("mmr"))
+      sel ++= pick.collect()
+    }
+    s.createDataFrame(java.util.Arrays.asList(sel.toSeq: _*), selSchema)
+      .select(col("query_id"), col("doc_id"), col("step"),
+        round(col("mmr").cast("double"), 4).as("mmr"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
   // ------------------------------------------------------------ registry
 
   /** The BM25 ranking CTE chain (through `rnk`) — shared by the
@@ -254,6 +346,44 @@ object Retrieval {
          |         FROM fused)
          |SELECT query_id, doc_id, rrf, CAST(rnk AS BIGINT) AS rnk
          |FROM frnk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+    "retrieval_mmr_topk" -> QueryDef((s, d) => mmrTopK(s, d), Some(
+      s"""WITH RECURSIVE $bm25RankCtes,
+         |cand AS (SELECT query_id, doc_id, sc FROM rnk WHERE rnk <= 10),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+         |            ${OracleSql.roundDecSub(Similarity.cosSqlFor("ea", "eb"), 9)} AS sim9
+         |          FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+         |          JOIN e ea ON ea.vec_id = a.doc_id
+         |          JOIN e eb ON eb.vec_id = b.doc_id),
+         |sel AS (
+         |  SELECT query_id, doc_id, 1 AS step, [doc_id] AS picked,
+         |         CAST(7 * sc AS DECIMAL(25,9)) AS mmr
+         |  FROM (SELECT query_id, doc_id, sc,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS r
+         |        FROM cand) WHERE r = 1
+         |  UNION ALL
+         |  SELECT query_id, doc_id, step, picked, mmr FROM (
+         |    SELECT t.query_id, t.doc_id, t.step, t.picked, t.mmr,
+         |           row_number() OVER (PARTITION BY t.query_id ORDER BY t.mmr DESC, t.doc_id) AS r
+         |    FROM (
+         |      SELECT s.query_id, c.doc_id, s.step + 1 AS step,
+         |             list_append(s.picked, c.doc_id) AS picked,
+         |             CAST(7 * c.sc - 3 * max(p.sim9) AS DECIMAL(25,9)) AS mmr
+         |      FROM sel s
+         |      JOIN cand c ON c.query_id = s.query_id AND NOT list_contains(s.picked, c.doc_id)
+         |      JOIN pairs p ON p.query_id = s.query_id AND p.a_id = c.doc_id
+         |           AND list_contains(s.picked, p.b_id)
+         |      WHERE s.step < 5
+         |      GROUP BY s.query_id, c.doc_id, s.step, s.picked, c.sc
+         |    ) t
+         |  ) WHERE r = 1
+         |)
+         |SELECT query_id, doc_id, CAST(step AS BIGINT) AS step,
+         |       ${OracleSql.round("CAST(mmr AS DOUBLE)", 4)} AS mmr
+         |FROM sel ORDER BY query_id, step""".stripMargin),
+      notes = "MMR diversified re-rank: greedy argmax on the integer-scaled " +
+        "exact-decimal key 7*rel - 3*maxsim, oracle replays the greedy as a " +
+        "recursive CTE carrying the picked-set list"),
     "bm25_topk_pruned" -> QueryDef((s, d) => bm25TopKPruned(s, d), Some(
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
          |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base WHERE len(t) >= 1),

@@ -311,7 +311,65 @@ object Sketches {
            "CASE WHEN k_eff < 32 THEN CAST(k_eff AS DOUBLE) ELSE 31.0 * 9223372036854775808.0 / CAST(kth_hash AS DOUBLE) END", 4)} AS est_users
        |FROM agg""".stripMargin
 
+  /** Count-Min sketch (Cormode & Muthukrishnan '05) point estimates:
+    * d=4 hash rows × w=64 counters; `est(u) = min_j counter[j][h_j(u)]`
+    * with the one-sided guarantee est ≥ true (only overcounts —
+    * collisions ADD). The row surfaces the sketch against the truth
+    * for the `topn` heaviest users: (user_id, n_exact, est, overcount)
+    * — overcount is fully deterministic given the data and the
+    * M61+fmix hash family, so the whole construction hash-checks in
+    * DuckDB (h_j(u) = hash63 of the stringified `u·d + j`, mirrored
+    * with the HUGEINT scalar chain).
+    *
+    * Scale posture: the sketch build is ONE scan with a map-side-
+    * combining groupBy whose key domain is d·w = 256 — per-partition
+    * state is 256 counters regardless of corpus size (THE reason CMS
+    * exists), and the merged sketch is 256 rows. The probe side joins
+    * those 256 rows broadcast. */
+  def cmsUserCounts(s: SparkSession, dir: String, w: Int = 64, d: Int = 4,
+                    topn: Int = 20): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val js = array((0 until d).map(lit): _*)
+    def bucket(u: Column, j: Column): Column =
+      hash63((u * d + j).cast("string")) % w
+    val sketch = ev.select(col("user_id"), explode(js).as("j"))
+      .select(col("j"), bucket(col("user_id"), col("j")).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val probes = exact.orderBy(desc("n_exact"), col("user_id")).limit(topn)
+    probes.select(col("user_id"), col("n_exact"), explode(js).as("j"))
+      .withColumn("bucket", bucket(col("user_id"), col("j")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("user_id"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), col("user_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "sketch_cms_user_counts" -> QueryDef((s, d) => cmsUserCounts(s, d), Some(
+      s"""WITH keys AS (SELECT user_id, j FROM events
+         |             CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+         |${OracleSql.m61FmixScalarCtes("keys", "CAST(user_id * 4 + j AS VARCHAR)", p = "ch")},
+         |sketch AS (SELECT j, (h & 9223372036854775807) % 64 AS bucket, count(*) AS c
+         |           FROM ch GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+         |probes AS (SELECT user_id, n_exact FROM exact
+         |           ORDER BY n_exact DESC, user_id LIMIT 20),
+         |pk AS (SELECT user_id, n_exact, j FROM probes
+         |       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+         |${OracleSql.m61FmixScalarCtes("pk", "CAST(user_id * 4 + j AS VARCHAR)", p = "ph")},
+         |est AS (SELECT p.user_id, p.n_exact, min(s.c) AS est
+         |        FROM (SELECT user_id, n_exact, j,
+         |                (h & 9223372036854775807) % 64 AS bucket FROM ph) p
+         |        JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+         |        GROUP BY 1, 2)
+         |SELECT user_id, n_exact, est, est - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, user_id""".stripMargin),
+      notes = "Count-Min point estimates vs exact truth for the 20 heaviest " +
+        "users; deterministic M61+fmix bucket hashing, so overcounts " +
+        "hash-check cross-engine"),
     "sketch_kmv_users" -> QueryDef((s, d) => kmvUserCardinality(s, d),
       Some(kmvUsersOracleSql)),
     // The streaming row shares the batch oracle VERBATIM: the k-min

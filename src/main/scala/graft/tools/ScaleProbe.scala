@@ -939,7 +939,9 @@ object ScaleProbe {
       "pipeline_pack_nextfit_bpe",// BPE trainer + counts join + pack fold
       "pipeline_pack_semantic",  // seed-broadcast assign + cluster-sharded fold
       "pipeline_pack_report",    // all four pack folds + one summary agg each
-      "media_mp4_meta")          // per-row build+parse, no shuffle before sort
+      "media_mp4_meta",          // per-row build+parse, no shuffle before sort
+      "retrieval_mmr_topk",      // bm25 chain + cached pairs; greedy on local rows
+      "sketch_cms_user_counts")  // 256-counter map-side agg + broadcast probe
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
