@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OracleSql, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,7 +57,32 @@ object Retrieval {
     * row number per query. */
   private[ops] def bm25Ranked(df: DataFrame,
                               nQueries: Int, qLen: Int,
-                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                              k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Parts(df, nQueries, qLen, k1, b).ranked
+
+  /** The BM25 chain's intermediate frames, for operators that extend
+    * it ([[prfTopK]] reuses postings, document frequencies, and the
+    * query-term set). */
+  private[ops] case class Bm25Parts(tf: DataFrame, dfreq: DataFrame,
+                                    q: DataFrame, stats: DataFrame,
+                                    ranked: DataFrame)
+
+  /** Shared +1-smoothed idf; expects `n`/`df` in scope. */
+  private def bm25Idf: Column =
+    log((col("n").cast("double") - col("df") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+
+  /** Shared tf saturation; expects `tf`/`dl`/`stot`/`n` in scope. */
+  private def bm25TfPart(k1: Double, b: Double): Column = {
+    val avgdl = col("stot").cast("double") / col("n").cast("double")
+    (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        ((col("dl").cast("double") / avgdl) * b + (1.0 - b)) * k1)
+  }
+
+  private[ops] def bm25Parts(df: DataFrame,
+                             nQueries: Int, qLen: Int,
+                             k1: Double = 1.2, b: Double = 0.75): Bm25Parts = {
     val base = df
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -73,12 +98,6 @@ object Retrieval {
       .filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(col("t"), 1, qLen))).as("term"))
-    val avgdl = col("stot").cast("double") / col("n").cast("double")
-    val idf = log((col("n").cast("double") - col("df") + 0.5) /
-      (col("df").cast("double") + 0.5) + 1.0)
-    val tfPart = (col("tf").cast("double") * (k1 + 1.0)) /
-      (col("tf").cast("double") +
-        ((col("dl").cast("double") / avgdl) * b + (1.0 - b)) * k1)
     // join ORDER matters at scale: tf ⋈ broadcast(query terms) prunes
     // the posting stream to query terms BEFORE anything joins the
     // document-frequency table (written the other way round, the full
@@ -91,12 +110,13 @@ object Retrieval {
     val contrib = tf.join(broadcast(q), "term")
       .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("c", round(idf * tfPart, 9).cast("decimal(20,9)"))
+      .withColumn("c", round(bm25Idf * bm25TfPart(k1, b), 9).cast("decimal(20,9)"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("sc"), col("doc_id"))
-    contrib.groupBy(col("query_id"), col("doc_id"))
+    val ranked = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("sc"))
       .withColumn("rnk", row_number().over(w).cast("long"))
+    Bm25Parts(tf, dfreq, q, stats, ranked)
   }
 
   /** WAND/MaxScore-adjacent BM25: candidate docs must match one of
@@ -291,6 +311,86 @@ object Retrieval {
       .orderBy(col("query_id"), col("step"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-style, Lavrenko &
+    * Croft '01 relevance models by way of the Indri/Galago RM3
+    * mixture): each query's BM25 top-`fb` documents are assumed
+    * relevant, their terms are weighted by summed normalized-tf × idf,
+    * the top-`m` terms NOT already in the query join it, and the
+    * corpus is rescored once with the expanded query — original terms
+    * weighted 7, expansion terms 3 (the λ=0.7 mixture as exact integer
+    * scaling, the [[mmrTopK]] trick).
+    *
+    * Exactness across engines: feedback term weights are per-(doc,
+    * term) `round9((tf/dl)·idf)` decimals summed exactly; the rescore
+    * reuses BM25's round9-decimal contribution with the integer weight
+    * multiplied in (long × decimal is exact) — so term selection,
+    * scores, and ranks are bit-identical on Spark and DuckDB, ties by
+    * term / doc_id.
+    *
+    * Scale posture (100 TB): the corpus-wide work is the tf shuffle
+    * BM25 already pays, re-run once per scoring pass (within each
+    * pass Spark's exchange reuse dedupes it); everything else is
+    * broadcast-sized — the feedback-doc set (q·fb rows) and expanded
+    * query (q·(qLen+m) rows) are bounded BY CONSTRUCTION and re-enter
+    * as collected LocalRelations (referenced as plans, each
+    * downstream branch re-expands the whole feedback chain — measured
+    * 50 broadcast joins in one plan, ~3× the row's cost), and the df
+    * table prunes to the query terms by semi-join. The rescore is the
+    * SAME pruned posting join as [[bm25Ranked]], just against a
+    * slightly wider term set. */
+  def prfTopK(s: SparkSession, dir: String,
+              nQueries: Int = 3, qLen: Int = 4, fb: Int = 5, m: Int = 3,
+              k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val parts = bm25Parts(docs(s, dir), nQueries, qLen, k1, b)
+    val tf = parts.tf
+    val dfreq = parts.dfreq
+    // feedback docs are ≤ q·fb rows BY CONSTRUCTION — collect them so
+    // the ranked window chain runs once in its own job instead of
+    // re-expanding inside every downstream broadcast branch
+    val fbPlan = parts.ranked.filter(col("rnk") <= fb)
+      .select(col("query_id"), col("doc_id"))
+    val fbDocs = s.createDataFrame(
+      java.util.Arrays.asList(fbPlan.collect().toSeq: _*), fbPlan.schema)
+    val tfFb = tf.join(broadcast(fbDocs), "doc_id")
+    val dfFb = dfreq.join(
+      broadcast(tfFb.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val tw = tfFb.join(broadcast(dfFb), "term")
+      .crossJoin(broadcast(parts.stats))
+      .withColumn("w9", round(col("tf").cast("double") / col("dl").cast("double")
+        * bm25Idf, 9).cast("decimal(20,9)"))
+      .groupBy(col("query_id"), col("term")).agg(sum(col("w9")).as("w"))
+    val wExp = Window.partitionBy(col("query_id")).orderBy(desc("w"), col("term"))
+    val expansion = tw.join(parts.q, Seq("query_id", "term"), "left_anti")
+      .withColumn("r", row_number().over(wExp)).filter(col("r") <= m)
+      .select(col("query_id"), col("term"), lit(3L).as("wt"))
+    // the expanded query is ≤ q·(qLen+m) rows BY CONSTRUCTION —
+    // collect it and re-enter as a LocalRelation. Referenced as a
+    // plan, `eq` re-expands the whole feedback chain (ranked window,
+    // term weights, anti-join) at EVERY reference, and the rescore
+    // below references it twice: measured 50 broadcast joins + 14
+    // replicated stats cross-joins in one plan, ~20 s for a ~2 s row.
+    val eqPlan = parts.q.select(col("query_id"), col("term"), lit(7L).as("wt"))
+      .unionByName(expansion)
+    val eq = s.createDataFrame(
+      java.util.Arrays.asList(eqPlan.collect().toSeq: _*), eqPlan.schema)
+    val dfEq = dfreq.join(
+      broadcast(eq.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val contrib = tf.join(broadcast(eq), "term")
+      .join(broadcast(dfEq), "term")
+      .crossJoin(broadcast(parts.stats))
+      .withColumn("wc", (col("wt") *
+        round(bm25Idf * bm25TfPart(k1, b), 9).cast("decimal(20,9)"))
+        .cast("decimal(25,9)"))
+    val wRnk = Window.partitionBy(col("query_id")).orderBy(desc("sc"), col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("wc")).as("sc"))
+      .withColumn("rnk", row_number().over(wRnk).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("sc").cast("double"), 4).as("score"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------ registry
 
   /** The BM25 ranking CTE chain (through `rnk`) — shared by the
@@ -384,6 +484,41 @@ object Retrieval {
       notes = "MMR diversified re-rank: greedy argmax on the integer-scaled " +
         "exact-decimal key 7*rel - 3*maxsim, oracle replays the greedy as a " +
         "recursive CTE carrying the picked-set list"),
+    "retrieval_prf_topk" -> QueryDef((s, d) => prfTopK(s, d), Some(
+      s"""WITH $bm25RankCtes,
+         |fb AS (SELECT query_id, doc_id FROM rnk WHERE rnk <= 5),
+         |tw AS (SELECT fb.query_id, tf.term,
+         |         SUM(${OracleSql.roundDec(
+                     "(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * " +
+                       "ln((n - df + 0.5) / (df + 0.5) + 1.0)", 9)}) AS w
+         |       FROM tf JOIN fb USING (doc_id) JOIN dfreq USING (term)
+         |       CROSS JOIN stats GROUP BY 1, 2),
+         |twn AS (SELECT tw.query_id, tw.term, tw.w FROM tw
+         |        ANTI JOIN q ON q.query_id = tw.query_id AND q.term = tw.term),
+         |expn AS (SELECT query_id, term, CAST(3 AS BIGINT) AS wt FROM (
+         |           SELECT query_id, term,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY w DESC, term) AS r
+         |           FROM twn) WHERE r <= 3),
+         |eq AS (SELECT query_id, term, CAST(7 AS BIGINT) AS wt FROM q
+         |       UNION ALL SELECT query_id, term, wt FROM expn),
+         |c2 AS (SELECT eq.query_id, tf.doc_id,
+         |         CAST(eq.wt * ${OracleSql.roundDec(
+                     "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+                       "((tf * 2.2) / (tf + (dl / (CAST(stot AS DOUBLE) / n) * 0.75 + 0.25) * 1.2))", 9)}
+         |              AS DECIMAL(25,9)) AS wc
+         |       FROM tf JOIN eq USING (term) JOIN dfreq USING (term)
+         |       CROSS JOIN stats),
+         |sc2 AS (SELECT query_id, doc_id, SUM(wc) AS sc FROM c2 GROUP BY 1, 2),
+         |rnk2 AS (SELECT query_id, doc_id, sc,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sc DESC, doc_id) AS rnk FROM sc2)
+         |SELECT query_id, doc_id, ${OracleSql.round("CAST(sc AS DOUBLE)", 4)} AS score,
+         |       CAST(rnk AS BIGINT) AS rnk
+         |FROM rnk2 WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+      notes = "RM3-style pseudo-relevance feedback: top-5 docs feed top-3 " +
+        "expansion terms by exact-decimal (tf/dl)*idf weight, rescore with " +
+        "7/3 integer-scaled term weights"),
     "bm25_topk_pruned" -> QueryDef((s, d) => bm25TopKPruned(s, d), Some(
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
          |bn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM base WHERE len(t) >= 1),

@@ -329,16 +329,24 @@ object Sketches {
   def cmsUserCounts(s: SparkSession, dir: String, w: Int = 64, d: Int = 4,
                     topn: Int = 20): DataFrame = {
     val ev = Tables(s, dir, "events")
-    val js = array((0 until d).map(lit): _*)
-    def bucket(u: Column, j: Column): Column =
-      hash63((u * d + j).cast("string")) % w
-    val sketch = ev.select(col("user_id"), explode(js).as("j"))
-      .select(col("j"), bucket(col("user_id"), col("j")).as("bucket"))
+    cmsProbe(cmsSketch(ev, w, d), ev, w, d, topn)
+  }
+
+  /** The d·w-row CMS counter frame over any (user_id) events frame —
+    * works unchanged on a STREAMING frame (it is one groupBy count). */
+  private def cmsSketch(ev: DataFrame, w: Int, d: Int): DataFrame =
+    ev.select(col("user_id"), explode(cmsJs(d)).as("j"))
+      .select(col("j"), cmsBucket(col("user_id"), col("j"), w, d).as("bucket"))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Point-estimate the `topn` heaviest users of `ev` against a built
+    * counter frame: (user_id, n_exact, est, overcount). */
+  private def cmsProbe(sketch: DataFrame, ev: DataFrame,
+                       w: Int, d: Int, topn: Int): DataFrame = {
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
     val probes = exact.orderBy(desc("n_exact"), col("user_id")).limit(topn)
-    probes.select(col("user_id"), col("n_exact"), explode(js).as("j"))
-      .withColumn("bucket", bucket(col("user_id"), col("j")))
+    probes.select(col("user_id"), col("n_exact"), explode(cmsJs(d)).as("j"))
+      .withColumn("bucket", cmsBucket(col("user_id"), col("j"), w, d))
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("user_id"), col("n_exact"))
       .agg(min(col("c")).as("est"))
@@ -347,29 +355,64 @@ object Sketches {
       .orderBy(desc("n_exact"), col("user_id"))
   }
 
+  private def cmsJs(d: Int): Column = array((0 until d).map(lit): _*)
+
+  private def cmsBucket(u: Column, j: Column, w: Int, d: Int): Column =
+    hash63((u * d + j).cast("string")) % w
+
+  /** [[cmsUserCounts]] with the SKETCH BUILD run through the real
+    * Structured Streaming micro-batch engine — the continuously-
+    * maintained frequency table an intake dashboard reads. Complete-
+    * mode aggregation whose state is the d·w = 256 counter rows
+    * REGARDLESS of stream length (the CMS point), RocksDB-backed; the
+    * probe side (exact truth for the heaviest users) stays batch.
+    * Like the streaming KMV row, the oracle is the batch row's
+    * VERBATIM: counters are order-independent sums, so engine,
+    * batching, and arrival order must all cancel — that equality is
+    * the check. */
+  def cmsUserCountsStreaming(s: SparkSession, dir: String, w: Int = 64,
+                             d: Int = 4, topn: Int = 20): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val src = s.readStream.schema(ev.schema).parquet(s"$dir/events.parque[t]")
+    val sketch = graft.streaming.StreamingPipeline.runOneShot(
+      cmsSketch(src, w, d), "cms_stream", "complete", Seq("j", "bucket"))
+    cmsProbe(sketch, ev, w, d, topn)
+  }
+
+  private def cmsUsersOracleSql: String =
+    s"""WITH keys AS (SELECT user_id, j FROM events
+       |             CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |${OracleSql.m61FmixScalarCtes("keys", "CAST(user_id * 4 + j AS VARCHAR)", p = "ch")},
+       |sketch AS (SELECT j, (h & 9223372036854775807) % 64 AS bucket, count(*) AS c
+       |           FROM ch GROUP BY 1, 2),
+       |exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+       |probes AS (SELECT user_id, n_exact FROM exact
+       |           ORDER BY n_exact DESC, user_id LIMIT 20),
+       |pk AS (SELECT user_id, n_exact, j FROM probes
+       |       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |${OracleSql.m61FmixScalarCtes("pk", "CAST(user_id * 4 + j AS VARCHAR)", p = "ph")},
+       |est AS (SELECT p.user_id, p.n_exact, min(s.c) AS est
+       |        FROM (SELECT user_id, n_exact, j,
+       |                (h & 9223372036854775807) % 64 AS bucket FROM ph) p
+       |        JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+       |        GROUP BY 1, 2)
+       |SELECT user_id, n_exact, est, est - n_exact AS overcount
+       |FROM est ORDER BY n_exact DESC, user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "sketch_cms_user_counts" -> QueryDef((s, d) => cmsUserCounts(s, d), Some(
-      s"""WITH keys AS (SELECT user_id, j FROM events
-         |             CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
-         |${OracleSql.m61FmixScalarCtes("keys", "CAST(user_id * 4 + j AS VARCHAR)", p = "ch")},
-         |sketch AS (SELECT j, (h & 9223372036854775807) % 64 AS bucket, count(*) AS c
-         |           FROM ch GROUP BY 1, 2),
-         |exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
-         |probes AS (SELECT user_id, n_exact FROM exact
-         |           ORDER BY n_exact DESC, user_id LIMIT 20),
-         |pk AS (SELECT user_id, n_exact, j FROM probes
-         |       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
-         |${OracleSql.m61FmixScalarCtes("pk", "CAST(user_id * 4 + j AS VARCHAR)", p = "ph")},
-         |est AS (SELECT p.user_id, p.n_exact, min(s.c) AS est
-         |        FROM (SELECT user_id, n_exact, j,
-         |                (h & 9223372036854775807) % 64 AS bucket FROM ph) p
-         |        JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
-         |        GROUP BY 1, 2)
-         |SELECT user_id, n_exact, est, est - n_exact AS overcount
-         |FROM est ORDER BY n_exact DESC, user_id""".stripMargin),
+    "sketch_cms_user_counts" -> QueryDef((s, d) => cmsUserCounts(s, d),
+      Some(cmsUsersOracleSql),
       notes = "Count-Min point estimates vs exact truth for the 20 heaviest " +
         "users; deterministic M61+fmix bucket hashing, so overcounts " +
         "hash-check cross-engine"),
+    // Shares the batch oracle VERBATIM: CMS counters are order-
+    // independent sums, so engine, batching, and arrival order must
+    // all cancel — that equality is the check (the KMV contract).
+    "sketch_cms_user_counts_streaming" -> QueryDef(
+      (s, d) => cmsUserCountsStreaming(s, d), Some(cmsUsersOracleSql),
+      notes = "CMS sketch build through the micro-batch engine (complete-" +
+        "mode 256-row state on RocksDB); probe side batch; batch oracle " +
+        "shared verbatim"),
     "sketch_kmv_users" -> QueryDef((s, d) => kmvUserCardinality(s, d),
       Some(kmvUsersOracleSql)),
     // The streaming row shares the batch oracle VERBATIM: the k-min

@@ -941,7 +941,9 @@ object ScaleProbe {
       "pipeline_pack_report",    // all four pack folds + one summary agg each
       "media_mp4_meta",          // per-row build+parse, no shuffle before sort
       "retrieval_mmr_topk",      // bm25 chain + cached pairs; greedy on local rows
-      "sketch_cms_user_counts")  // 256-counter map-side agg + broadcast probe
+      "sketch_cms_user_counts",  // 256-counter map-side agg + broadcast probe
+      "retrieval_prf_topk",      // tf shuffle per pass; bounded sets go local
+      "sketch_cms_user_counts_streaming") // micro-batch 256-row state + batch probe
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
