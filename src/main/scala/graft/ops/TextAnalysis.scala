@@ -1149,11 +1149,202 @@ object TextAnalysis {
        |  ${OracleSql.round("CAST(n_chars AS DOUBLE) / n_bpe_tokens", 4)} AS chars_per_token
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Trainable quality classifier — fixed-iteration batch-gradient
+    * logistic regression separating "curated" sources from the rest
+    * (the GPT-3/CCNet-style learned quality filter: label a trusted
+    * slice 1, the crawl 0, train on cheap text statistics, score
+    * everything). Features per doc: token count, chars-per-token,
+    * type-token ratio, short-token ratio, plus intercept; labels are
+    * `source ∈ curated` — fully derived from the data, no side
+    * channel.
+    *
+    * Exactness across engines (iterative training is the hazard — an
+    * ulp in any gradient compounds through every later step): each
+    * doc's per-feature gradient term `x_j·(y−p)` is a sub-unit double
+    * rounded at 9dp into DECIMAL ([[OracleSql.roundDecSub]] staging on
+    * the DuckDB side), summed exactly; the weight update adds the
+    * 9dp-rounded `lr·(g/n)` to the exact decimal weight; the sigmoid's
+    * `z` is rebuilt each step from the decimal weights cast to double
+    * in a FIXED association. The oracle unrolls the same `iters` steps
+    * as CTE stages. Output: one row per step with post-update weights
+    * and the step-start training accuracy.
+    *
+    * Scale posture (100 TB): the feature pass is one scan persisted as
+    * a 5-doubles-per-doc frame; each iteration is ONE map-side-
+    * combining aggregate to 6 numbers (no shuffle wider than the
+    * 5-value gradient), and the weight state is 5 decimals on the
+    * driver — the classic distributed-GD shape. Scoring the corpus
+    * with the trained weights is a scan-stage expression. */
+  def qualityClassifierTrain(s: SparkSession, dir: String,
+                             iters: Int = 5, lr: Double = 0.5,
+                             curated: Seq[String] = Seq("src0", "src1", "src2", "src3")): DataFrame =
+    qcTrain(s, dir, iters, lr, curated)._3
+
+  /** [[qualityClassifierTrain]]'s APPLY side: score every document
+    * with the trained weights (a scan-stage sigmoid — what actually
+    * runs over 100 TB once training converges) and surface the
+    * `topn` highest-scoring docs with their labels. */
+  def qualityClassifierScores(s: SparkSession, dir: String,
+                              iters: Int = 5, lr: Double = 0.5,
+                              curated: Seq[String] = Seq("src0", "src1", "src2", "src3"),
+                              topn: Int = 20): DataFrame = {
+    val (f, w, _) = qcTrain(s, dir, iters, lr, curated)
+    val z = lit(w(0).doubleValue) +
+      lit(w(1).doubleValue) * col("x1") + lit(w(2).doubleValue) * col("x2") +
+      lit(w(3).doubleValue) * col("x3") + lit(w(4).doubleValue) * col("x4")
+    f.select(col("doc_id"), col("y"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 9).as("p9"))
+      .orderBy(desc("p9"), col("doc_id")).limit(topn)
+      .select(col("doc_id"), col("y"), round(col("p9"), 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+  }
+
+  /** Shared trainer: (persisted feature frame, trained weights,
+    * history frame). */
+  private def qcTrain(s: SparkSession, dir: String, iters: Int, lr: Double,
+                      curated: Seq[String]): (DataFrame, Array[java.math.BigDecimal], DataFrame) = {
+    val f = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"), split(col("text"), " ").as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+      .filter(col("dl") >= 1)
+      .select(col("doc_id"),
+        round(col("dl").cast("double") / 100.0, 9).as("x1"),
+        round(col("n_chars").cast("double") / col("dl").cast("double") / 10.0, 9).as("x2"),
+        round(size(array_distinct(col("t"))).cast("double")
+          / col("dl").cast("double"), 9).as("x3"),
+        round(size(filter(col("t"), w => length(w) <= 3)).cast("double")
+          / col("dl").cast("double"), 9).as("x4"),
+        when(col("source").isin(curated: _*), 1.0).otherwise(0.0).as("y"))
+      .persist()
+    // Spark's round(x, 9) semantics on the driver: shortest-repr
+    // BigDecimal, HALF_UP (the Ivf Lloyd-update recipe)
+    def dec9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    val w = Array.fill(5)(java.math.BigDecimal.ZERO.setScale(9))
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Double, Double, Double, Long, Long)]
+    for (step <- 1 to iters) {
+      val z = lit(w(0).doubleValue) +
+        lit(w(1).doubleValue) * col("x1") + lit(w(2).doubleValue) * col("x2") +
+        lit(w(3).doubleValue) * col("x3") + lit(w(4).doubleValue) * col("x4")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val d = col("y") - p
+      def g(x: Column) = sum(round(x, 9).cast("decimal(20,9)"))
+      val r = f.agg(
+        g(d).as("g0"), g(col("x1") * d).as("g1"), g(col("x2") * d).as("g2"),
+        g(col("x3") * d).as("g3"), g(col("x4") * d).as("g4"),
+        sum(when((p >= 0.5) === (col("y") >= 0.5), 1L).otherwise(0L)).as("ok"),
+        count(lit(1)).as("n")).collect()(0)
+      val n = r.getLong(6)
+      for (j <- 0 until 5)
+        w(j) = w(j).add(dec9(lr * (r.getDecimal(j).doubleValue / n)))
+      hist += ((step.toLong, w(0).doubleValue, w(1).doubleValue,
+        w(2).doubleValue, w(3).doubleValue, w(4).doubleValue,
+        r.getLong(5), n))
+    }
+    import s.implicits._
+    val histDf = hist.toSeq.toDF("step", "rw0", "rw1", "rw2", "rw3", "rw4", "ok", "n")
+      .select(col("step"),
+        round(col("rw0"), 4).as("w0"), round(col("rw1"), 4).as("w1"),
+        round(col("rw2"), 4).as("w2"), round(col("rw3"), 4).as("w3"),
+        round(col("rw4"), 4).as("w4"),
+        round(col("ok").cast("double") / col("n"), 4).as("acc"))
+      .orderBy(col("step"))
+    (f, w, histDf)
+  }
+
+  /** The unrolled-iterations oracle for [[qualityClassifierTrain]]. */
+  private def qualityClassifierOracleSql(iters: Int): String =
+    s"""WITH ${qcOracleCtes(iters)}
+       |${(1 to iters).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS step,
+             |  ${OracleSql.round(s"CAST(w$i.w0 AS DOUBLE)", 4)} AS w0,
+             |  ${OracleSql.round(s"CAST(w$i.w1 AS DOUBLE)", 4)} AS w1,
+             |  ${OracleSql.round(s"CAST(w$i.w2 AS DOUBLE)", 4)} AS w2,
+             |  ${OracleSql.round(s"CAST(w$i.w3 AS DOUBLE)", 4)} AS w3,
+             |  ${OracleSql.round(s"CAST(w$i.w4 AS DOUBLE)", 4)} AS w4,
+             |  ${OracleSql.round(s"CAST(g$i.ok AS DOUBLE) / nn.n", 4)} AS acc
+             |FROM w$i CROSS JOIN g$i CROSS JOIN nn""".stripMargin
+        }.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+
+  /** The scoring oracle for [[qualityClassifierScores]]: the same
+    * unrolled chain, then one sigmoid pass with the final weights. */
+  private def qualityClassifierScoresOracleSql(iters: Int, topn: Int): String =
+    s"""WITH ${qcOracleCtes(iters)},
+       |scored AS (SELECT fx.doc_id, fx.y,
+       |    CAST(${OracleSql.roundDecSub(
+              "1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) + CAST(w.w1 AS DOUBLE) * x1" +
+                " + CAST(w.w2 AS DOUBLE) * x2 + CAST(w.w3 AS DOUBLE) * x3" +
+                " + CAST(w.w4 AS DOUBLE) * x4)))", 9)} AS DOUBLE) AS p9
+       |  FROM fx CROSS JOIN w$iters w),
+       |top AS (SELECT doc_id, y, p9 FROM scored
+       |        ORDER BY p9 DESC, doc_id LIMIT $topn)
+       |SELECT doc_id, CAST(y AS DOUBLE) AS y, ${OracleSql.round("p9", 4)} AS score
+       |FROM top ORDER BY score DESC, doc_id""".stripMargin
+
+  /** Shared CTE chain: features, per-step sigmoid/gradient/update. */
+  private def qcOracleCtes(iters: Int): String = {
+    val feats =
+      """f AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS t,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |      FROM documents WHERE text IS NOT NULL),
+        |fx AS (SELECT doc_id,
+        |         %s AS x1, %s AS x2, %s AS x3, %s AS x4,
+        |         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+        |              THEN 1.0 ELSE 0.0 END AS y
+        |       FROM f WHERE dl >= 1),
+        |nn AS (SELECT count(*) AS n FROM fx),
+        |w0 AS (SELECT CAST(0 AS DECIMAL(20,9)) AS w0, CAST(0 AS DECIMAL(20,9)) AS w1,
+        |              CAST(0 AS DECIMAL(20,9)) AS w2, CAST(0 AS DECIMAL(20,9)) AS w3,
+        |              CAST(0 AS DECIMAL(20,9)) AS w4)""".stripMargin.format(
+        // features are ratios that can sit well below 1 — sub-unit
+        // staging, surfaced back as DOUBLE (Spark's round(x, 9))
+        s"CAST(${OracleSql.roundDecSub("CAST(dl AS DOUBLE) / 100.0", 9)} AS DOUBLE)",
+        s"CAST(${OracleSql.roundDecSub("CAST(n_chars AS DOUBLE) / CAST(dl AS DOUBLE) / 10.0", 9)} AS DOUBLE)",
+        s"CAST(${OracleSql.roundDecSub("CAST(len(list_distinct(t)) AS DOUBLE) / CAST(dl AS DOUBLE)", 9)} AS DOUBLE)",
+        s"CAST(${OracleSql.roundDecSub("CAST(len(list_filter(t, w -> len(w) <= 3)) AS DOUBLE) / CAST(dl AS DOUBLE)", 9)} AS DOUBLE)")
+    val steps = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"
+      def upd(j: Int) =
+        s"CAST(w.w$j + ${OracleSql.roundDecSub(s"0.5 * (CAST(g.g$j AS DOUBLE) / nn.n)", 9)} AS DECIMAL(20,9)) AS w$j"
+      def grad(j: Int, x: String) =
+        s"sum(${OracleSql.roundDecSub(s"$x(y - p)", 9)}) AS g$j"
+      s"""s$i AS (SELECT fx.*,
+         |          1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) + CAST(w.w1 AS DOUBLE) * x1
+         |            + CAST(w.w2 AS DOUBLE) * x2 + CAST(w.w3 AS DOUBLE) * x3
+         |            + CAST(w.w4 AS DOUBLE) * x4))) AS p
+         |        FROM fx CROSS JOIN $pw w),
+         |g$i AS (SELECT ${grad(0, "")}, ${grad(1, "x1 * ")}, ${grad(2, "x2 * ")},
+         |          ${grad(3, "x3 * ")}, ${grad(4, "x4 * ")},
+         |          sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) AS ok
+         |        FROM s$i),
+         |w$i AS (SELECT ${upd(0)}, ${upd(1)}, ${upd(2)}, ${upd(3)}, ${upd(4)}
+         |        FROM $pw w CROSS JOIN g$i g CROSS JOIN nn)""".stripMargin
+    }
+    s"""$feats,
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   private def R(e: String, n: Int): String = OracleSql.round(e, n)
 
   val defs: Map[String, QueryDef] = Map(
+    "quality_classifier_train" -> QueryDef(
+      (s, d) => qualityClassifierTrain(s, d),
+      Some(qualityClassifierOracleSql(5)),
+      notes = "Fixed-iteration batch-GD logistic regression (curated-vs-" +
+        "crawl quality filter): decimal-staged gradients, driver-held " +
+        "weights, oracle unrolls the 5 steps as CTE stages"),
+    "quality_classifier_scores" -> QueryDef(
+      (s, d) => qualityClassifierScores(s, d),
+      Some(qualityClassifierScoresOracleSql(5, 20)),
+      notes = "Apply side of the trained quality filter: scan-stage " +
+        "sigmoid over the corpus with the final weights, top-20 by " +
+        "9dp-rounded score"),
     "text_token_stats" -> QueryDef(tokenStats, Some(
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct,

@@ -943,7 +943,9 @@ object ScaleProbe {
       "retrieval_mmr_topk",      // bm25 chain + cached pairs; greedy on local rows
       "sketch_cms_user_counts",  // 256-counter map-side agg + broadcast probe
       "retrieval_prf_topk",      // tf shuffle per pass; bounded sets go local
-      "sketch_cms_user_counts_streaming") // micro-batch 256-row state + batch probe
+      "sketch_cms_user_counts_streaming", // micro-batch 256-row state + batch probe
+      "quality_classifier_train", // 5 GD iterations, one 6-number agg each
+      "quality_classifier_scores") // trainer + one scan-stage sigmoid pass
     println("query,t1x_sec,t10x_sec,ratio")
     for (q <- queries if only.isEmpty || only(q)) {
       val t1 = time(q, src)
