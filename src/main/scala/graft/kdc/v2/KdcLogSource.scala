@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources
@@ -457,11 +457,12 @@ class KdcScanBuilder(path: String, options: Map[String, String],
                      tableSchema: StructType,
                      listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[KdcTopN] = None
   private val fields = tableSchema.fieldNames.toSet
 
   /** Keep every filter [[KdcFilterEval]] can evaluate exactly on the
@@ -488,9 +489,49 @@ class KdcScanBuilder(path: String, options: Map[String, String],
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Top-N pushdown (`SupportsPushDownTopN`), always PARTIAL: each
+    * split's reader returns only its n best sessions by `ts`, so an
+    * `ORDER BY ts [DESC] LIMIT n` exploration query ("the latest n
+    * authentications in the fleet") ships n rows per split to the
+    * driver's TakeOrdered merge instead of every parsed session.
+    * ONLY `ts` qualifies: it is the one record field with a total
+    * order the reader can maintain (lexical ISO = chronological).
+    * The reader still parses its whole byte range into a BOUNDED
+    * n-row heap rather than stopping early — a session's ts is
+    * OVERWRITTEN by timestamped error detail lines (the reference's
+    * AP-REQ subtlety), so file order is not ts order and an
+    * early-stop would drop true minima. `n` is capped so a mis-sized
+    * LIMIT cannot turn the heap into an executor-memory hazard. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    if (orders.length != 1 || l > KdcScanBuilder.MaxPushedTopN) return false
+    val o = orders(0)
+    val onTs = o.expression() match {
+      case nr: NamedReference => nr.fieldNames().sameElements(Array("ts"))
+      case _ => false
+    }
+    if (!onTs) return false
+    topN = Some(KdcTopN(
+      asc = o.direction() == SortDirection.ASCENDING,
+      nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST,
+      n = l))
+    true
+  }
+
   override def build(): Scan =
-    new KdcScan(path, options, tableSchema, required, pushed, listingSnapshot, limit)
+    new KdcScan(path, options, tableSchema, required, pushed, listingSnapshot,
+      limit, topN)
 }
+
+object KdcScanBuilder {
+  /** Upper bound on a pushed top-N's per-reader heap; Spark itself
+    * only plans TakeOrdered for small limits, so refusing beyond this
+    * just declines the pushdown (the query still runs, unpushed). */
+  val MaxPushedTopN = 100000
+}
+
+/** A pushed `ORDER BY ts LIMIT n` (see [[KdcScanBuilder.pushTopN]]);
+  * serializable — shipped to every reader. */
+case class KdcTopN(asc: Boolean, nullsFirst: Boolean, n: Int)
 
 object KdcScan {
   /** Raw-log bytes per parsed session, from the parse-cost probe
@@ -506,7 +547,8 @@ class KdcScan(val path: String, options: Map[String, String],
               tableSchema: StructType,
               val requiredSchema: StructType, val pushedFilters: Array[Filter],
               listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None,
-              val pushedLimit: Option[Int] = None)
+              val pushedLimit: Option[Int] = None,
+              val pushedTopN: Option[KdcTopN] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -679,7 +721,7 @@ class KdcScan(val path: String, options: Map[String, String],
 
   override def toBatch: Batch =
     new KdcBatch(path, options, partKeys, requiredSchema, effectiveFilters,
-      plannerListing, pushedLimit)
+      plannerListing, pushedLimit, pushedTopN)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KdcMicroBatchStream(path, options, partKeys, requiredSchema, effectiveFilters,
@@ -814,7 +856,8 @@ object KdcBatch {
 class KdcBatch(path: String, options: Map[String, String], partKeys: Seq[String],
                requiredSchema: StructType, filters: Array[Filter],
                listingSnapshot: Option[Seq[KdcFileLayout.KdcFileMeta]] = None,
-               limit: Option[Int] = None)
+               limit: Option[Int] = None,
+               topN: Option[KdcTopN] = None)
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     listingSnapshot match {
@@ -831,7 +874,7 @@ class KdcBatch(path: String, options: Map[String, String], partKeys: Seq[String]
       // granularity is exact for them); readers evaluate the rest
       filters.filterNot(f =>
         f.references.nonEmpty && f.references.forall(partKeys.contains)),
-      limit)
+      limit, topN)
 }
 
 /** One byte range of one log file (serializable — shipped to
@@ -856,10 +899,11 @@ case class KdcReaderFactory(
     confBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
     fieldNames: Array[String],
     filters: Array[Filter],
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None,
+    topN: Option[KdcTopN] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KdcPartitionReader(partition.asInstanceOf[KdcInputPartition],
-      confBc.value.value, fieldNames, filters, limit)
+      confBc.value.value, fieldNames, filters, limit, topN)
 }
 
 /** Executor-side reader: drives the split-aligned session record
@@ -872,7 +916,8 @@ class KdcPartitionReader(part: KdcInputPartition,
                          conf: Configuration,
                          fieldNames: Array[String],
                          filters: Array[Filter],
-                         limit: Option[Int] = None)
+                         limit: Option[Int] = None,
+                         topN: Option[KdcTopN] = None)
     extends PartitionReader[InternalRow] {
 
   Option(KdcPartitionReader.openTap.get).foreach(_.add(part.path))
@@ -895,7 +940,66 @@ class KdcPartitionReader(part: KdcInputPartition,
   private var sessions: Iterator[KdcLogRecord] = Iterator.empty
   private var current: InternalRow = _
 
+  private def buildRow(rec: KdcLogRecord): InternalRow = {
+    val vals = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      vals(i) = extractors(i)(rec) match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  /** Partial top-N pushdown: the whole split is parsed ONCE into a
+    * bounded n-record heap ordered by ts (see
+    * [[KdcScanBuilder.pushTopN]] for why parse-all-keep-n rather than
+    * early-stop), and [[next]] drains the heap. `null` when no top-N
+    * is pushed — the streaming path below runs instead. */
+  private val topRecords: Iterator[KdcLogRecord] = topN match {
+    case None => null
+    case Some(t) =>
+      // "better-first" total order on ts per the pushed SortOrder
+      val better = new java.util.Comparator[KdcLogRecord] {
+        override def compare(a: KdcLogRecord, b: KdcLogRecord): Int = {
+          val (ta, tb) = (a.ts, b.ts)
+          if (ta == null && tb == null) 0
+          else if (ta == null) { if (t.nullsFirst) -1 else 1 }
+          else if (tb == null) { if (t.nullsFirst) 1 else -1 }
+          else { val c = ta.compareTo(tb); if (t.asc) c else -c }
+        }
+      }
+      // root = WORST retained row: evict it when a better one arrives
+      val heap = new java.util.PriorityQueue[KdcLogRecord](
+        math.max(t.n, 1), better.reversed())
+      while (reader.nextKeyValue()) {
+        val it = Sessionizer.sessionize(
+          reader.getCurrentValue.toString.linesIterator)
+        while (it.hasNext) {
+          val rec = it.next()
+          if (KdcFilterEval.matches(filters, rec, part.partValues)) {
+            if (heap.size < t.n) heap.offer(rec)
+            else if (better.compare(rec, heap.peek) < 0) {
+              heap.poll(); heap.offer(rec)
+            }
+          }
+        }
+      }
+      // emission order is irrelevant: partial pushdown keeps Spark's
+      // global sort-and-limit on top
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        heap.iterator()).asScala
+  }
+
   override def next(): Boolean = {
+    if (topRecords != null) {
+      if (!topRecords.hasNext) return false
+      current = buildRow(topRecords.next())
+      emitted += 1
+      return true
+    }
     // partial LIMIT pushdown: this split has produced its quota —
     // stop WITHOUT reading further bytes (Spark re-applies the
     // global limit, so over-per-split is the only contract needed)
@@ -904,16 +1008,7 @@ class KdcPartitionReader(part: KdcInputPartition,
       if (sessions.hasNext) {
         val rec = sessions.next()
         if (KdcFilterEval.matches(filters, rec, part.partValues)) {
-          val vals = new Array[Any](extractors.length)
-          var i = 0
-          while (i < extractors.length) {
-            vals(i) = extractors(i)(rec) match {
-              case s: String => UTF8String.fromString(s)
-              case other => other
-            }
-            i += 1
-          }
-          current = new GenericInternalRow(vals)
+          current = buildRow(rec)
           emitted += 1
           return true
         }

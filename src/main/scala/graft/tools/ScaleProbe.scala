@@ -266,6 +266,50 @@ object ScaleProbe {
       return
     }
 
+    // --kdc-topn: "the latest n sessions in the fleet" — ORDER BY ts
+    // DESC LIMIT 10 over 32 day-partitioned logs of 5,000 sessions
+    // each (160k total). With the pushdown each reader returns its
+    // ≤10-row heap (rows shipped ≤ 10·splits); the control orders by
+    // a non-ts column, which the builder REFUSES, so every parsed
+    // session ships to the sort.
+    if (args.contains("--kdc-topn")) {
+      val root = "target/scratch/kdc_topn_fleet"
+      if (!new java.io.File(root).exists()) {
+        for (d <- 0 until 32) {
+          val sb = new StringBuilder
+          for (i <- 0 until 5000) {
+            val ts = f"2015-11-${1 + d % 28}%02dT${i / 300}%02d:${(i / 5) % 60}%02d:${(i * 7) % 60}%02d"
+            sb.append(s"$ts AS-REQ u$i@X.ORG from IPv4:10.0.0.1 for krbtgt/X.ORG@X.ORG\n")
+            sb.append(s"$ts ENC-TS Pre-authentication succeeded -- u$i@X.ORG\n")
+            sb.append(s"$ts sending 752 bytes to IPv4:10.0.0.1\n")
+          }
+          val f = new java.io.File(f"$root/day=d$d%03d/kdc.log")
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, sb.toString.getBytes("UTF-8"))
+        }
+        println(s"[kdc-topn] wrote 32 x 5000-session logs under $root")
+      }
+      def leg(name: String, sort: org.apache.spark.sql.Column): Unit = {
+        val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+        graft.kdc.v2.KdcPartitionReader.emitTap.set(emitted)
+        try {
+          val (w, n) = (1 to 2).map { _ =>
+            emitted.set(0)
+            val t0 = System.nanoTime()
+            val rows = spark.read.format("kdclog").option("recursive", "true")
+              .load(root).orderBy(sort).limit(10).collect().length
+            require(rows == 10, s"$name returned $rows rows")
+            ((System.nanoTime() - t0) / 1e9, emitted.get)
+          }.minBy(_._1)
+          println(f"KDCTOPN $name,$w%.2f,rows_shipped=$n")
+        } finally graft.kdc.v2.KdcPartitionReader.emitTap.set(null)
+      }
+      leg("ts_pushed", col("ts").desc)
+      leg("client_refused", col("client"))
+      spark.stop()
+      return
+    }
+
     // --kdc-dpp: runtime file pruning at fleet scale — the 100 host= ×
     // 100 day= layout from --kdc-fleet-list, joined against a
     // dimension whose filter keeps 3 of the 100 days. Which days

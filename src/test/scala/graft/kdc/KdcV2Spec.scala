@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.kdc.v2.KdcScan
+import graft.kdc.v2.{KdcScan, KdcScanBuilder, KdcTopN}
 
 /** The DataSourceV2 log table ([[graft.kdc.v2.KdcLogTableProvider]]):
   * result parity with the RDD-based parse paths, predicate pushdown
@@ -1245,6 +1245,68 @@ class KdcV2Spec extends AnyFunSuite {
       val n = emitted.get
       assert(n >= 7 && n <= 64,
         s"readers emitted $n sessions for LIMIT 7 over $total — early-stop not effective")
+    } finally graft.kdc.v2.KdcPartitionReader.emitTap.set(null)
+  }
+
+  test("topN pushdown: ORDER BY ts LIMIT n ships n rows per split, heap survives non-monotonic ts") {
+    val realm = "SQUILL.DEMENTIA.ORG"
+    val dir = "target/scratch/kdc_v2_topn"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // ts DESCENDS in file order: session i carries hour 23-i%14 — the
+    // chronologically-earliest sessions sit at the END of the file, so
+    // an early-stopping "first n" reader would return wrong minima;
+    // only the bounded-heap full parse finds them
+    val total = 2000
+    val sb = new StringBuilder
+    var i = 0
+    while (i < total) {
+      val ts = f"2015-11-22T${23 - i % 14}%02d:${59 - i % 60}%02d:${(i * 7) % 60}%02d"
+      sb.append(s"$ts AS-REQ user$i@$realm from IPv4:10.0.0.1 for krbtgt/$realm@$realm\n")
+      sb.append(s"$ts ENC-TS Pre-authentication succeeded -- user$i@$realm using aes256-cts-hmac-sha1-96\n")
+      sb.append(s"$ts sending 752 bytes to IPv4:10.0.0.1\n")
+      i += 1
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "big.log"), sb.toString.getBytes("UTF-8"))
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    graft.kdc.v2.KdcPartitionReader.emitTap.set(emitted)
+    try {
+      // ASC: earliest 3 — from deep inside the file
+      val asc = spark.read.format("kdclog").load(dir)
+        .orderBy(col("ts")).limit(3).select(col("ts"), col("client"))
+      val ascRows = asc.collect()
+      val t = kdcScan(asc).pushedTopN
+      assert(t.contains(KdcTopN(asc = true, nullsFirst = true, n = 3)),
+        s"topN not pushed: $t")
+      val wantAsc = Sessionizer
+        .sessionize(sb.toString.linesIterator).map(_.ts).toSeq.sorted.take(3)
+      assert(ascRows.map(_.getString(0)).toSeq == wantAsc,
+        s"ASC top-3 wrong: ${ascRows.mkString(", ")}")
+      // the reader emitted its heap, not the whole split
+      assert(emitted.get <= 3L * 4,
+        s"readers emitted ${emitted.get} rows for a pushed top-3")
+      // DESC: the latest 2
+      emitted.set(0)
+      val desc = spark.read.format("kdclog").load(dir)
+        .orderBy(col("ts").desc).limit(2).select(col("ts"))
+      val descRows = desc.collect().map(_.getString(0)).toSeq
+      assert(kdcScan(desc).pushedTopN.exists(p => !p.asc && p.n == 2))
+      val wantDesc = Sessionizer
+        .sessionize(sb.toString.linesIterator).map(_.ts).toSeq
+        .sorted(Ordering[String].reverse).take(2)
+      assert(descRows == wantDesc, s"DESC top-2 wrong: $descRows")
+      // non-ts ordering and oversized limits REFUSE the pushdown
+      // (query still answers, unpushed)
+      val byClient = spark.read.format("kdclog").load(dir)
+        .orderBy(col("client")).limit(2)
+      assert(byClient.collect().length == 2)
+      assert(kdcScan(byClient).pushedTopN.isEmpty,
+        "pushTopN must refuse a non-ts ordering")
+      val huge = spark.read.format("kdclog").load(dir)
+        .orderBy(col("ts")).limit(KdcScanBuilder.MaxPushedTopN + 1)
+      assert(kdcScan(huge).pushedTopN.isEmpty,
+        "pushTopN must refuse an unbounded heap")
     } finally graft.kdc.v2.KdcPartitionReader.emitTap.set(null)
   }
 
