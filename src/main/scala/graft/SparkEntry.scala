@@ -72,7 +72,8 @@ object SparkEntry {
     "kdc_parse_user_stats_streaming", "kdc_parse_user_stats_v2_streaming",
     "kdc_parse_user_stats_v2_watermarked",
     "session_timeout_stats_streaming",
-    "session_window_stats_streaming", "sketch_kmv_users_streaming",
+    "session_window_stats_streaming", "sketch_cms_user_counts_streaming",
+    "sketch_kmv_users_streaming",
     "stream_dedup_delivery", "stream_interval_join", "stream_outer_join",
     "stream_static_enrich", "top_users_streaming",
     "user_first_last_streaming_stateful")
