@@ -1081,35 +1081,65 @@ object Similarity {
 
   private def d9(c: Column): Column = round(c, 9).cast("decimal(12,9)")
 
-  /** The staged covariance (Gram) pass shared by [[pcaPower]] and
-    * [[pcaTopK]] — THE one corpus-sized job of the PCA family: inputs
-    * staged to 9dp DECIMAL(12,9), one (vec_id) self-join absorbed by
-    * partial aggregation into d² = dims² groups, COLLECTED as the
-    * bounded (i, j, c) map the driver-side solver iterates on. */
-  private def stagedCovLocal(s: SparkSession, dir: String)
-      : Map[(Int, Int), java.math.BigDecimal] = {
-    val xs = emb(s, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
-      .select(col("vec_id"), col("i"), d9(col("xv")).as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nn = xs.select(col("vec_id")).distinct()
-      .agg(count(lit(1)).cast("double").as("n"))
-    val s1 = xs.groupBy(col("i")).agg(sum(col("x")).as("s1"))
-    val s2 = xs.as("a").join(xs.as("b"), "vec_id")
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.x") * col("b.x")).as("s2"))
-    val cov = s2
-      .join(s1.select(col("i"), col("s1").as("s1i")), Seq("i"))
-      .join(s1.select(col("i").as("j"), col("s1").as("s1j")), Seq("j"))
-      .crossJoin(broadcast(nn))
-      .select(col("i"), col("j"),
-        d9(col("s2").cast("double") / col("n") -
-          (col("s1i").cast("double") / col("n")) *
-          (col("s1j").cast("double") / col("n"))).as("c"))
+  /** The staged second-moment (Gram) pass shared by [[pcaPower]],
+    * [[pcaTopK]] and [[embeddingWhitening]] — THE one corpus-sized job
+    * of the PCA family, and since round 13 a SINGLE exchange-free
+    * aggregate (optimization guide §2.4 "remove shuffles outright"):
+    * the former formulation exploded to (vec_id, i, x) and SELF-JOINED
+    * on vec_id — two n·d-row exchanges plus a sort-merge join, just to
+    * pair elements of the SAME source row — where a chained double
+    * `posexplode` forms every (i, j) product inside the row with no
+    * exchange at all; map-side partial aggregation absorbs the n·d²
+    * product stream into (d+1)² groups before the one tiny shuffle.
+    *
+    * The appended constant 1.000000000 element makes one aggregate
+    * carry all three moments at once (the former plan ran separate
+    * distinct-count and per-dim-sum jobs):
+    *   s2(i,j) for i,j < d — the staged product sums;
+    *   s2(i,d) = Σ x_i     — the per-dim sums (x·1 is exact);
+    *   s2(d,d) = n         — the row count (1·1 summed; the oracle's
+    *                         `count(*)` — vec_id is the table key).
+    * Every value is an exact decimal sum of the SAME DECIMAL(12,9)
+    * staged terms the former plan summed, so the collected map is
+    * bit-identical. Returns (moments, d). */
+  private def stagedMomentsLocal(s: SparkSession, dir: String)
+      : (Map[(Int, Int), java.math.BigDecimal], Int) = {
+    // Pre-explosion ROUND-ROBIN spread (guide §2.5 "input skew"): the
+    // expensive part is the n·d² product stream AFTER the generators,
+    // and with a small single-split input the exchange-free plan would
+    // run it in ONE task. Exchanging the n un-exploded rows costs
+    // 1/d² of the work it parallelizes (at any scale), and the
+    // decimal sums are exact, so row placement cannot affect results.
+    val staged = emb(s, dir)
+      .filter(col("v").isNotNull)
+      .select(concat(transform(col("v"), x => d9(x)),
+        array(lit(1).cast("decimal(12,9)"))).as("xs"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val moments = staged
+      .select(posexplode(col("xs")).as(Seq("i", "xi")), col("xs"))
+      .select(col("i"), col("xi"), posexplode(col("xs")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("s2"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
-    xs.unpersist(blocking = false)
-    cov
+    val d = moments.keys.map(_._1).max
+    (moments, d)
+  }
+
+  /** Driver-side covariance from the collected moments — the SAME
+    * fixed IEEE expression per entry the former relational pass
+    * evaluated (s2/n − (s1i/n)·(s1j/n), then the 9dp HALF_UP stage),
+    * so the map [[powerSolveLocal]] iterates on is unchanged bit for
+    * bit; only WHERE the d² flops run moved (64×64 arithmetic is not
+    * a distributed job — guide §1.2 step 1). */
+  private def covFromMoments(moments: Map[(Int, Int), java.math.BigDecimal],
+                             d: Int): Map[(Int, Int), java.math.BigDecimal] = {
+    val n = moments((d, d)).doubleValue
+    def s1(i: Int): Double = moments((i, d)).doubleValue
+    (for { i <- 0 until d; j <- 0 until d } yield {
+      val s2 = moments((i, j)).doubleValue
+      (i, j) -> d9d(s2 / n - (s1(i) / n) * (s1(j) / n))
+    }).toMap
   }
 
   /** Shortest-repr HALF_UP 9dp round — the driver-side twin of the
@@ -1164,22 +1194,27 @@ object Similarity {
   /** Shared by [[pcaPower]] (k = 1) and [[pcaTopK]]: Gram pass,
     * k driver-side power solves with Hotelling deflation between
     * them, surfaced as a bounded local relation (k·d rows). */
-  private def pcaComponents(s: SparkSession, dir: String, k: Int,
-                            iterations: Int): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    var cov = stagedCovLocal(s, dir)
+  /** Driver-side k-component solve over a collected covariance:
+    * power iteration per component with Hotelling deflation between.
+    * Returns (component, dim, loading, eigenvalue, var_explained)
+    * tuples — shared by the [[pcaComponents]] DataFrame wrapper and
+    * the whitening row's single-pass formulation. */
+  private def componentsFromCov(
+      cov0: Map[(Int, Int), java.math.BigDecimal], k: Int,
+      iterations: Int): Seq[(Int, Int, Double, Double, Double)] = {
+    var cov = cov0
     val dims = cov.keys.map(_._1).toSeq.distinct.sorted
     // trace of the ORIGINAL covariance: exact decimal diagonal sum,
     // cast to double — identical to the former relational aggregate
     var tr = java.math.BigDecimal.ZERO
     dims.foreach(i => cov.get((i, i)).foreach(c => tr = tr.add(c)))
     val trace = tr.doubleValue
-    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double, Double)]
     for (comp <- 1 to k) {
       val (v, nrm) = powerSolveLocal(cov, dims, iterations)
       dims.foreach { i =>
-        rows += Row(comp, i.toLong, v(i).doubleValue, r6d(nrm), r6d(nrm / trace))
+        rows += ((comp, i, v(i).doubleValue, r6d(nrm), r6d(nrm / trace)))
       }
       if (comp < k)
         // Hotelling deflation: residual = cov − λ·vvᵀ, re-staged to
@@ -1189,11 +1224,21 @@ object Similarity {
           (i, j) -> d9d(c.doubleValue - nrm * v(i).doubleValue * v(j).doubleValue)
         }
     }
+    rows.toSeq
+  }
+
+  private def pcaComponents(s: SparkSession, dir: String, k: Int,
+                            iterations: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (moments, d) = stagedMomentsLocal(s, dir)
+    val rows = componentsFromCov(covFromMoments(moments, d), k, iterations)
+      .map { case (comp, i, loading, eig, ve) => Row(comp, i.toLong, loading, eig, ve) }
     val schema = StructType(Seq(
       StructField("component", IntegerType), StructField("dim", LongType),
       StructField("loading", DoubleType), StructField("eigenvalue", DoubleType),
       StructField("var_explained", DoubleType)))
-    s.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .orderBy(col("component"), col("dim"))
   }
 
@@ -1284,58 +1329,79 @@ object Similarity {
     * — the before/after anisotropy profile a pipeline reads before
     * deciding to ship whitened vectors.
     *
-    * Plan: ONE distributed Gram pass inside the component solve, then
-    * two passes over the exploded (vec, i) frame — projections
-    * (groupBy (vec, comp), exact decimal sums of 9dp-staged terms)
-    * and residuals (projections joined back per vec, same staging) —
-    * with the k·d component relation broadcast both times. The
-    * residual subtraction Σ_c p_c·c_ci is itself a 9dp-staged decimal
-    * sum, so no floating sum ever depends on aggregation order
-    * (the pca/klDivergence determinism recipe throughout). */
+    * Plan (round-13 optimization, guide §2.4/§2.3): ONE distributed
+    * moments pass inside the component solve, then ONE narrow per-row
+    * pass over the embedding table. Mean and components are bounded
+    * driver-side constants (d and k·d doubles) folded in as array
+    * literals, so centering, the k projections, the residual and both
+    * norms are per-row array arithmetic — zero joins, zero
+    * aggregations, zero exchanges beyond the output sort. The former
+    * plan exploded to (vec, i) and re-assembled per-vector values
+    * through FIVE row-shuffling aggregates/joins (43 Exchange nodes
+    * in the formatted plan) — all of it pairing values that started
+    * on the same source row. Every sum is the same exact decimal
+    * fold of the same 9dp-staged DECIMAL(12,9) terms (a left fold of
+    * exact decimals equals the former order-free aggregate), so the
+    * surfaced 6dp values are bit-identical and the oracle SQL is
+    * unchanged. */
   def embeddingWhitening(s: SparkSession, dir: String, k: Int = 3,
                          iterations: Int = 6): DataFrame = {
-    import s.implicits._
-    val comps = pcaComponents(s, dir, k, iterations).collect()
-      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
-    val compDf = broadcast(comps.toSeq.toDF("comp", "i", "cx"))
-    val xs = emb(s, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
-      .select(col("vec_id"), col("i"), d9(col("xv")).as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nn = xs.select(col("vec_id")).distinct()
-      .agg(count(lit(1)).cast("double").as("n"))
-    val mu = xs.groupBy(col("i")).agg(sum(col("x")).as("s1"))
-      .crossJoin(broadcast(nn))
-      .select(col("i"), (col("s1").cast("double") / col("n")).as("mud"))
-    val cen = xs.join(broadcast(mu), Seq("i"))
-      .select(col("vec_id"), col("i"),
-        (col("x").cast("double") - col("mud")).as("yd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val proj = cen.join(compDf, Seq("i"))
-      .groupBy(col("vec_id"), col("comp"))
-      .agg(sum(d9(col("yd") * col("cx"))).as("pj"))
-      .select(col("vec_id"), col("comp"), col("pj").cast("double").as("pjd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nb = cen.groupBy(col("vec_id"))
-      .agg(sqrt(sum(d9(col("yd") * col("yd"))).cast("double")).as("norm_before"))
-    val na = cen.join(proj, Seq("vec_id"))
-      .join(compDf.select(col("comp"), col("i"), col("cx")), Seq("comp", "i"))
-      .groupBy(col("vec_id"), col("i"))
-      .agg(max(col("yd")).as("yd"), sum(d9(col("pjd") * col("cx"))).as("sub"))
-      .withColumn("z", col("yd") - col("sub").cast("double"))
-      .groupBy(col("vec_id"))
-      .agg(sqrt(sum(d9(col("z") * col("z"))).cast("double")).as("norm_after"))
-    val pw = proj.groupBy(col("vec_id"))
-      .agg(
-        sum(when(col("comp") === 1, col("pjd"))).as("p1"),
-        sum(when(col("comp") === 2, col("pjd"))).as("p2"),
-        sum(when(col("comp") === 3, col("pjd"))).as("p3"))
-    nb.join(na, Seq("vec_id")).join(pw, Seq("vec_id"))
-      .select(col("vec_id"),
+    val (moments, d) = stagedMomentsLocal(s, dir)
+    val comps = componentsFromCov(covFromMoments(moments, d), k, iterations)
+    val n = moments((d, d)).doubleValue
+    // mu_i = s1_i / n — the identical IEEE division the former
+    // relational mu computed from the same exact decimal sums
+    val mu: Array[Double] = Array.tabulate(d)(i => moments((i, d)).doubleValue / n)
+    val cArr: Map[Int, Array[Double]] = (1 to k).map { c =>
+      val v = Array.ofDim[Double](d)
+      comps.foreach { case (comp, i, loading, _, _) => if (comp == c) v(i) = loading }
+      c -> v
+    }.toMap
+    // exact decimal left-fold of DECIMAL(12,9) staged terms — equals
+    // the former sum() aggregate (decimal addition is exact and
+    // order-independent). Accumulator precision matters: at (38,9)
+    // each `acc + x` would need precision 39 and Spark's
+    // precision-loss rule re-scales the result to (38,8), silently
+    // rounding away the 9th decimal per step; (28,9) + (12,9) fits in
+    // (29,9) losslessly, and 19 integer digits cannot overflow on d
+    // staged terms of |x| < 1000.
+    def decSum(a: Column): Column =
+      aggregate(a, lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"),
+        (acc, x) => (acc + x).cast("decimal(28,9)"))
+    val ydArr = zip_with(
+      transform(col("v"), x => d9(x).cast("double")), typedLit(mu),
+      (x, m) => x - m)
+    val pCols = (1 to k).map { c =>
+      decSum(zip_with(col("yd"), typedLit(cArr(c)), (y, cx) => d9(y * cx)))
+        .cast("double").as(s"p${c}d")
+    }
+    // z_i = yd_i − (Σ_c d9(p_c·c_ci)) cast to double — the identical
+    // staged three-term decimal sum the former (vec, i)-grouped
+    // aggregate produced (exact decimal addition, any order)
+    val zArr = transform(col("yd"), (y, i) => {
+      val sub = (1 to k).map { c =>
+        d9(col(s"p${c}d") * get(typedLit(cArr(c)), i))
+      }.reduce(_ + _)
+      y - sub.cast("double")
+    })
+    emb(s, dir)
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      // spread the per-row decimal-fold work across cores (the output
+      // sort re-exchanges anyway, so this adds no net exchange over a
+      // single-split input; see stagedMomentsLocal's note)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), ydArr.as("yd"))
+      .select(Seq(col("vec_id"), col("yd")) ++ pCols: _*)
+      .select(Seq(col("vec_id"),
+        sqrt(decSum(transform(col("yd"), y => d9(y * y))).cast("double"))
+          .as("norm_before"),
+        sqrt(decSum(transform(zArr, z => d9(z * z))).cast("double"))
+          .as("norm_after")) ++
+        (1 to k).map(c => col(s"p${c}d")): _*)
+      .select(Seq(col("vec_id"),
         round(col("norm_before"), 6).as("norm_before"),
-        round(col("norm_after"), 6).as("norm_after"),
-        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
-        round(col("p3"), 6).as("p3"))
+        round(col("norm_after"), 6).as("norm_after")) ++
+        (1 to k).map(c => round(col(s"p${c}d"), 6).as(s"p$c")): _*)
       .orderBy(col("vec_id"))
   }
 
