@@ -40,41 +40,146 @@ object Graph {
     * queries, library callers own cleanup). Edges are hashed by src
     * once for all rounds; n_total is folded into the cached deg frame
     * once, not re-broadcast per round. The iteration itself is the
-    * SAME eager-persist [[prLoop]] the bucketed sibling uses: each
-    * round is a persisted DataFrame whose InMemoryTableScan preserves
-    * the previous round's hash(node) layout, so round k+1's
-    * contribution join re-uses it without a new exchange. (The rounds
-    * 6-9 variant truncated lineage with an RDD round-trip plus a
-    * per-round `rdd.count()`; its five driver-synchronized RDD
-    * materializations proved hypersensitive to box contention — the
-    * round-9 gate read it at 32 s min-of-2 while the persist-based
-    * bucketed loop read 7 s in the SAME run — and `createDataFrame`
-    * erased the output partitioning besides.) */
+    * SAME [[prLoop]] the bucketed sibling uses.
+    *
+    * SIZE-GATED HYBRID (the [[Dedup.clustersFromEdges]] precedent):
+    * the decimal staging makes every surfaced value a pure function of
+    * the multiset of inputs — per-edge contributions and per-node
+    * updates round through fixed IEEE/9dp-decimal expressions, sums
+    * are exact decimals — so a driver-local evaluation of the
+    * identical expressions is bit-for-bit the distributed result. Up
+    * to [[maxLocalGraphEdges]] edges (integral node ids) the graph is
+    * collected once and the rounds run as scalar loops: one job, zero
+    * per-round driver synchronization — at bench scale the
+    * distributed loop's cost is ~1 s of scheduling per round over a
+    * KB-sized frame, not compute. Beyond the gate the distributed
+    * loop takes over unchanged (the 100 TB shape; GraphSpec pins
+    * local ≡ distributed ≡ the scalar 9dp reference). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+               damping: Double = 0.85,
+               localGate: Long = maxLocalGraphEdges): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    if (m <= localGate && isIntegral(e0, "src") && isIntegral(e0, "dst")) {
+      val out = pageRankLocal(e0, iterations, damping)
+      e0.unpersist(blocking = false)
+      return out
+    }
+    val e = e0.repartition(col("src")).persist()
     val degBase = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nTotal = degBase.agg(count(lit(1)).as("n_total"))
     val deg = degBase.crossJoin(broadcast(nTotal))
       .repartition(col("node")).persist()
     val result = prLoop(e, deg, iterations, damping)
+    e0.unpersist(blocking = false)
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     result
   }
 
-  /** The shared eager-persist power-iteration loop over prepared
-    * (edge, degree) operands — plain and bucketed PageRank differ ONLY
-    * in how those operands are laid out. Each round persists and
-    * counts the new rank frame, then drops the superseded one, so
-    * exactly one node-sized frame stays cached at a time and every
-    * round's plan is two joins deep over InMemoryTableScans (which,
-    * unlike an RDD round-trip, preserve the output partitioning the
-    * next round's join needs). Returns the persisted, materialized
-    * (node, rank) result — a DataFrame cache, so the repo's
-    * between-queries `clearCache()` contract covers it. */
+  /** Driver-budget gate shared by the fixpoint operators' local paths
+    * — same derivation as [[Dedup.defaultMaxLocalEdges]]: the peak
+    * transient is ~200 bytes/edge (primitive tuple collect, adjacency
+    * index arrays, result rows), so budget a quarter of the driver
+    * heap at that rate, capped at 2²² edges. */
+  private[ops] def maxLocalGraphEdges: Long =
+    math.min(1L << 22, Runtime.getRuntime.maxMemory() / 4 / 200)
+
+  private def isIntegral(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Collect an integral two-column frame as primitive (Long, Long)
+    * tuples (~32 B/edge — never boxed Rows), the local paths' input. */
+  private def collectLongPairs(df: DataFrame, a: String, b: String): Array[(Long, Long)] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(a).cast("long"), col(b).cast("long")).as[(Long, Long)].collect()
+  }
+
+  /** Spark's `round(x, 9)` on a double, verbatim (RoundBase semantics:
+    * shortest-decimal BigDecimal of the double, HALF_UP at 9dp). */
+  private def round9(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Spark's `CAST(x AS DECIMAL(20,9))` of a ≤9dp double, as the
+    * scaled-by-1e9 long (exact for |x| well under 2^52·1e-9 — rank
+    * mass is ≤ 1). */
+  private def toScaled9(d: Double): Long =
+    java.math.BigDecimal.valueOf(d).setScale(9, java.math.RoundingMode.HALF_UP)
+      .movePointRight(9).longValueExact()
+
+  /** Spark's `CAST(decimal(20,9) AS DOUBLE)` of a scaled-by-1e9 long. */
+  private def scaled9ToDouble(v: Long): Double =
+    java.math.BigDecimal.valueOf(v, 9).doubleValue()
+
+  /** Driver-local PageRank over collected edges — the EXACT scalar
+    * evaluation of [[prRound]]'s staged expressions, in evaluation
+    * order: contribution = round9(rank_as_double / outdeg_as_double)
+    * cast decimal(20,9); exact decimal sum per dst (scaled longs);
+    * update = round9((1−d)/n + d·sum_as_double) cast decimal(20,9).
+    * Only called for integral ids (the gate); output ids are cast back
+    * to the input type so the schema matches the distributed path. */
+  private def pageRankLocal(edges: DataFrame, iterations: Int,
+                            damping: Double): DataFrame = {
+    val s = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val es = collectLongPairs(edges, "src", "dst")
+    // CSR over srcs: sort once, slice per node
+    java.util.Arrays.sort(es, Ordering.by((t: (Long, Long)) => t._1))
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < es.length) {
+      if (nodes.isEmpty || nodes.last != es(i)._1) { nodes += es(i)._1; starts += i }
+      i += 1
+    }
+    starts += es.length
+    val n = nodes.length // every node has outdeg ≥ 1 (operator contract)
+    val idx = nodes.zipWithIndex.toMap
+    var rank = Array.fill(n)(toScaled9(round9(1.0 / n.toDouble)))
+    val base = (1.0 - damping) / n.toDouble
+    for (_ <- 1 to iterations) {
+      val sums = new Array[Long](n) // exact decimal sums, scaled 1e9
+      val seen = new Array[Boolean](n)
+      var k = 0
+      while (k < n) {
+        val outdeg = (starts(k + 1) - starts(k)).toDouble
+        val c = toScaled9(round9(scaled9ToDouble(rank(k)) / outdeg))
+        var j = starts(k)
+        while (j < starts(k + 1)) {
+          idx.get(es(j)._2).foreach { d => sums(d) += c; seen(d) = true }
+          j += 1
+        }
+        k += 1
+      }
+      rank = Array.tabulate(n) { d =>
+        val sc = if (seen(d)) scaled9ToDouble(sums(d)) else 0.0
+        toScaled9(round9(base + damping * sc))
+      }
+    }
+    import s.implicits._
+    nodes.indices.map(k =>
+        (nodes(k), new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(rank(k)), 9)))
+      .toDF("node", "rank")
+      .select(col("node").cast(idType).as("node"),
+        col("rank").cast("decimal(20,9)").as("rank"))
+  }
+
+  /** The shared power-iteration loop over prepared (edge, degree)
+    * operands — plain and bucketed PageRank differ ONLY in how those
+    * operands are laid out. Each round is materialized and
+    * lineage-truncated through [[stepCached]] (eager localCheckpoint:
+    * constant plan size, partitioning-preserving leaf, superseded
+    * round released), so every round's plan is two joins deep over a
+    * node-sized leaf. Returns the materialized (node, rank) result. */
   private def prLoop(e: DataFrame, deg: DataFrame,
                      iterations: Int, damping: Double): DataFrame = {
     var p = deg.select(col("node"), col("outdeg"), col("n_total"),
@@ -82,6 +187,14 @@ object Graph {
         .cast("decimal(20,9)").as("rank"))
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
+      // eager persist, NOT stepCached's localCheckpoint: the bucketed
+      // loop's exchange floor rests on InMemoryTableScan preserving
+      // the previous round's hash(node) layout — a LogicalRDD leaf
+      // under AQE reports the pre-final partitioning and re-exchanges
+      // every round (measured +1.6 s on supplier_pagerank_bucketed).
+      // Plan growth is linear in the FIXED small iteration count and
+      // each round references p once, so the exponential hazard the
+      // other loops truncate against does not arise here.
       val stepped = prRound(p, e, deg, damping).persist()
       stepped.count()
       prev.foreach(_.unpersist(blocking = false))
@@ -90,11 +203,10 @@ object Graph {
     }
     // The returned frame is a PROJECTION over the final round's
     // already-materialized cache — re-persisting it would copy the
-    // same node-sized data into a second cache entry and pay a sixth
+    // same node-sized data into a second cache entry and pay an extra
     // materialization job for nothing. The final round's persist IS a
     // DataFrame cache, so the repo's between-queries clearCache()
-    // contract covers it (the round-8 leak concern applied to the
-    // retired loop's RAW RDD blocks, which clearCache never touched).
+    // contract covers it.
     p.select(col("node"), col("rank"))
   }
 
@@ -413,44 +525,117 @@ object Graph {
     * round; the full re-relaxation here keeps the plan a pure
     * join+agg chain, fine for small fixed horizons. */
   def shortestHops(edges: DataFrame, sources: DataFrame,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int,
+                   localGate: Long = maxLocalGraphEdges): DataFrame = {
+    // SIZE-GATED HYBRID (the clustersFromEdges precedent): hop counts
+    // are exact integers — min over relaxation rounds is a pure
+    // function of the edge set — so the local BFS is bit-identical to
+    // the distributed loop and removes maxHops× per-round driver
+    // synchronization at bench scale. Beyond the gate (or non-integral
+    // ids) the distributed relaxation below runs unchanged.
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    if (m <= localGate && isIntegral(e0, "src") && isIntegral(e0, "dst") &&
+        isIntegral(sources.select(col("node")), "node")) {
+      val out = hopsLocal(e0, sources, maxHops)
+      e0.unpersist(blocking = false)
+      return out
+    }
     // Each round references the previous dist twice (relax + union),
     // so a purely declarative loop doubles the lineage per round;
     // every round is therefore materialized and lineage-truncated
     // (see the in-loop comment). Frames are node-cardinality-sized.
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+    val e = e0.repartition(col("src")).persist()
     var dist = sources.select(col("node"), lit(0L).as("hops"))
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to maxHops) {
       val stepped = dist.join(e, col("src") === col("node"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
         .unionAll(dist)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-      // TRUNCATE lineage each round by round-tripping through a
-      // materialized RDD: the union references the previous round
-      // TWICE, so keeping the plan declarative doubles the logical
-      // tree per round — exponential analysis/explain cost at long
-      // horizons even when caching keeps the physical work linear.
-      // The LogicalRDD-backed frame keeps every round's plan constant
-      // size (the standard iterative-algorithm checkpoint pattern),
-      // and the superseded round's cache is dropped as soon as the
-      // new round is materialized, so a long horizon holds exactly
-      // one node-sized frame at a time.
-      val rdd = stepped.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(rdd)
-      dist = edges.sparkSession.createDataFrame(rdd, stepped.schema)
+      // TRUNCATE lineage each round: the union references the previous
+      // round TWICE, so keeping the plan declarative doubles the
+      // logical tree per round — exponential analysis/explain cost at
+      // long horizons even when caching keeps the physical work
+      // linear. The round is materialized through a DataFrame persist
+      // and rebuilt as a LEAF over its own cache entry (stepCached) —
+      // constant plan size, rows stay in the internal cache format
+      // (the retired RDD round-trip converted every row to external
+      // format and erased the output partitioning), and the superseded
+      // round's cache drops as soon as the new round is materialized,
+      // so a long horizon holds exactly one node-sized frame at a
+      // time.
+      val (leaf, cached) = stepCached(stepped, prev)
+      prev = cached
+      dist = leaf
     }
-    // DataFrame-persist the result so clearCache covers it, then drop
-    // the loop's raw RDD cache (clearCache never unpersists raw RDDs)
-    val result = dist.persist()
-    result.count()
-    prevRdd.foreach(_.unpersist(blocking = false))
+    e0.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    result
+    // the final round's checkpoint backs the returned leaf frame
+    dist
+  }
+
+  /** Driver-local BFS — the exact scalar evaluation of the relaxation
+    * loop above: min hops within `maxHops` rounds, unreached nodes
+    * absent, seed rows kept at 0 even when absent from the edge set.
+    * Only called for integral ids (the gate); ids cast back to the
+    * input type. */
+  private def hopsLocal(edges: DataFrame, sources: DataFrame,
+                        maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val es = collectLongPairs(edges, "src", "dst")
+    java.util.Arrays.sort(es, Ordering.by((t: (Long, Long)) => t._1))
+    val srcs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < es.length) {
+      if (srcs.isEmpty || srcs.last != es(i)._1) { srcs += es(i)._1; starts += i }
+      i += 1
+    }
+    starts += es.length
+    val idx = srcs.zipWithIndex.toMap
+    val seeds = sources.select(col("node").cast("long")).collect().map(_.getLong(0))
+    val dist = scala.collection.mutable.LongMap.empty[Long]
+    seeds.foreach(dist.getOrElseUpdate(_, 0L))
+    var frontier: Array[Long] = dist.keys.toArray
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (u <- frontier; k <- idx.get(u); j <- starts(k) until starts(k + 1)) {
+        val v = es(j)._2
+        if (!dist.contains(v)) { dist(v) = h.toLong; next += v }
+      }
+      frontier = next.toArray
+    }
+    import s.implicits._
+    dist.toSeq.sortBy(_._1).toDF("node", "hops")
+      .select(col("node").cast(idType).as("node"), col("hops"))
+  }
+
+  /** One iterative-loop round, materialized and lineage-truncated via
+    * an eager `localCheckpoint` — the shared step of every fixpoint
+    * loop here. The returned frame is a constant-size `LogicalRDD`
+    * leaf that PRESERVES the materialized plan's output partitioning
+    * (so co-partitioned loops keep their exchange floor) and keeps
+    * rows in internal format; the superseded round's checkpoint blocks
+    * are released through [[org.apache.spark.sql.graftbridge
+    * .CheckpointBridge]] once the new round is materialized, so a loop
+    * holds exactly one node-sized frame at a time. (The alternatives
+    * both measured worse: a growing persist chain re-analyzes a
+    * linearly larger tree per round — and an exponentially larger one
+    * when a round references its input twice — while the old `df.rdd`
+    * + `createDataFrame` round-trip converted every row to external
+    * format and erased the partitioning.) `localCheckpoint` trades
+    * executor-loss recovery for speed; these loops run node-sized
+    * frames, and a reliable-checkpoint deployment would swap the call
+    * site, not the loop shape. */
+  private def stepCached(stepped: DataFrame,
+                         prev: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
+    val cp = stepped.localCheckpoint(true)
+    prev.foreach(
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpointed)
+    (cp, Some(cp))
   }
 
   /** Synchronous label propagation over an undirected unique (u < v)
@@ -472,8 +657,21 @@ object Graph {
     * every iterative op here (the vote union references the previous
     * labels twice, so a declarative loop would double the plan per
     * round). Label frames stay node-sized; nothing is collected. */
-  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+                       localGate: Long = maxLocalGraphEdges): DataFrame = {
+    // SIZE-GATED HYBRID: the vote counts are exact integers and the
+    // argmax tie-break is a total order, so the local rounds are
+    // bit-identical to the distributed loop (GraphSpec pins it);
+    // beyond the gate the distributed loop below runs unchanged.
+    val e0 = edges.select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    if (m <= localGate && isIntegral(e0, "u") && isIntegral(e0, "v")) {
+      val out = lpaLocal(e0, rounds)
+      e0.unpersist(blocking = false)
+      return out
+    }
+    val e = e0
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
       // the per-round join looks labels up BY NEIGHBOR: partition once
@@ -482,7 +680,7 @@ object Graph {
       .repartition(col("nbr")).persist()
     var lab = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(lab.select(col("node").as("nbr"), col("lbl")), "nbr")
@@ -496,20 +694,52 @@ object Graph {
       val stepped = votes.groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("lbl"))
-      val rdd = stepped.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(rdd)
-      lab = edges.sparkSession.createDataFrame(rdd, stepped.schema)
+      // lineage-truncated via stepCached (the vote union references
+      // lab twice — a declarative loop would double the plan per
+      // round); the leaf keeps the cache's partitioning and internal
+      // row format, unlike the retired RDD round-trip
+      val (leaf, cached) = stepCached(stepped, prev)
+      prev = cached
+      lab = leaf
     }
-    // DataFrame-persist the result so clearCache covers it, then drop
-    // the loop's raw RDD cache (clearCache never unpersists raw RDDs)
-    val result = lab.persist()
-    result.count()
-    prevRdd.foreach(_.unpersist(blocking = false))
     adj.unpersist(blocking = false)
-    result
+    e0.unpersist(blocking = false)
+    // the final round's checkpoint backs the returned leaf frame
+    lab
+  }
+
+  /** Driver-local synchronous LPA — exact scalar evaluation of the
+    * distributed rounds: per node, integer vote counts over neighbor
+    * labels plus the self-vote, argmax by (count desc, label asc).
+    * Only called for integral ids (the gate). */
+  private def lpaLocal(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val es = collectLongPairs(edges, "u", "v")
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+    for ((u, v) <- es) { add(u, v); add(v, u) }
+    val nodes = adj.keys.toArray.sorted
+    var lbl = scala.collection.mutable.LongMap(nodes.map(n => n -> n): _*)
+    for (_ <- 1 to rounds) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      for (n <- nodes) {
+        val votes = scala.collection.mutable.LongMap.empty[Long]
+        for (nb <- adj(n)) votes(lbl(nb)) = votes.getOrElse(lbl(nb), 0L) + 1L
+        votes(lbl(n)) = votes.getOrElse(lbl(n), 0L) + 1L // self-vote
+        var (bestL, bestC) = (Long.MaxValue, 0L)
+        for ((l, c) <- votes)
+          if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+        next(n) = bestL
+      }
+      lbl = next
+    }
+    import s.implicits._
+    nodes.map(n => (n, lbl(n))).toSeq.toDF("node", "lbl")
+      .select(col("node").cast(idType).as("node"),
+        col("lbl").cast(idType).as("lbl"))
   }
 
   /** Core decomposition by H-INDEX ITERATION (Lü, Zhou, Zhang &
@@ -534,14 +764,27 @@ object Graph {
     * h-index is tie-order-insensitive (equal neighbor values receive
     * consecutive ranks in some order, but max(least(rank, value)) is
     * a function of the multiset). */
-  def corenessHIndex(edges: DataFrame, rounds: Int = 8): DataFrame = {
+  def corenessHIndex(edges: DataFrame, rounds: Int = 8,
+                     localGate: Long = maxLocalGraphEdges): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col("u"), col("v"))
+    // SIZE-GATED HYBRID: the per-node h-index is an exact integer
+    // function of the neighbor-value multiset, so the local rounds are
+    // bit-identical to the distributed loop (GraphSpec pins it);
+    // beyond the gate the distributed loop below runs unchanged.
+    val e0 = edges.select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    if (m <= localGate && isIntegral(e0, "u") && isIntegral(e0, "v")) {
+      val out = kcoreLocal(e0, rounds)
+      e0.unpersist(blocking = false)
+      return out
+    }
+    val e = e0
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
       .repartition(col("nbr")).persist()
     var c = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val nbrc = adj
         .join(c.select(col("node").as("nbr"), col("c")), "nbr")
@@ -553,20 +796,58 @@ object Graph {
           Window.partitionBy(col("node")).orderBy(col("c").desc)))
         .groupBy(col("node"))
         .agg(max(least(col("rn").cast("long"), col("c"))).as("c"))
-      val rdd = stepped.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      prevRdd.foreach(_.unpersist(blocking = false))
-      prevRdd = Some(rdd)
-      c = edges.sparkSession.createDataFrame(rdd, stepped.schema)
+      // lineage-truncated via stepCached — constant plan size per
+      // round, internal-format rows, partitioning preserved (the
+      // retired RDD round-trip paid external-row conversion and a
+      // re-exchange every round)
+      val (leaf, cached) = stepCached(stepped, prev)
+      prev = cached
+      c = leaf
     }
-    // DataFrame-persist the result so clearCache covers it, then drop
-    // the loop's raw RDD cache (clearCache never unpersists raw RDDs)
-    val result = c.persist()
-    result.count()
-    prevRdd.foreach(_.unpersist(blocking = false))
     adj.unpersist(blocking = false)
-    result
+    e0.unpersist(blocking = false)
+    // the final round's checkpoint backs the returned leaf frame
+    c
+  }
+
+  /** Driver-local h-index iteration — exact scalar evaluation of the
+    * distributed rounds: every node starts at its degree; each round
+    * it becomes max over the descending-sorted neighbor values of
+    * min(rank, value). Only called for integral ids (the gate). */
+  private def kcoreLocal(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val es = collectLongPairs(edges, "u", "v")
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+    for ((u, v) <- es) { add(u, v); add(v, u) }
+    val nodes = adj.keys.toArray.sorted
+    var c = scala.collection.mutable.LongMap(
+      nodes.map(n => n -> adj(n).length.toLong): _*)
+    for (_ <- 1 to rounds) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      for (n <- nodes) {
+        val vals = adj(n).map(c).toArray
+        java.util.Arrays.sort(vals)
+        // descending rank i+1 pairs with vals from the top
+        var h = 0L
+        var i = 0
+        while (i < vals.length) {
+          val rank = (i + 1).toLong
+          val v = vals(vals.length - 1 - i)
+          val m = math.min(rank, v)
+          if (m > h) h = m
+          i += 1
+        }
+        next(n) = h
+      }
+      c = next
+    }
+    import s.implicits._
+    nodes.map(n => (n, c(n))).toSeq.toDF("node", "c")
+      .select(col("node").cast(idType).as("node"), col("c"))
   }
 
   /** Driver row: how much of the trade graph the FIRST supplier

@@ -377,6 +377,39 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** The round-13 size-gated local solves must be BIT-IDENTICAL to
+    * the distributed loops they shortcut (the clustersFromEdges
+    * precedent): run each operator twice on the sf0.001 trade graph —
+    * once through the gate (local path fires; the graph is far under
+    * the budget) and once with localGate = 0 (distributed forced) —
+    * and require row-set equality including the decimal rank values. */
+  test("pageRank local path ≡ distributed loop, bit-for-bit") {
+    val e = Graph.tradeEdges(spark, "/root/testdata/sf0.001")
+    val local = Graph.pageRank(e, iterations = 5).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val dist = Graph.pageRank(e, iterations = 5, localGate = 0L).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(local == dist)
+    spark.catalog.clearCache()
+  }
+
+  test("kcore/LPA/hops local paths ≡ distributed loops") {
+    import spark.implicits._
+    val te = Graph.tradeEdges(spark, "/root/testdata/sf0.001")
+    val und = te.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Graph.corenessHIndex(und, rounds = 8)) ==
+      rows(Graph.corenessHIndex(und, rounds = 8, localGate = 0L)))
+    assert(rows(Graph.labelPropagation(und, rounds = 4)) ==
+      rows(Graph.labelPropagation(und, rounds = 4, localGate = 0L)))
+    val seed = Seq(1L).toDF("node")
+    assert(rows(Graph.shortestHops(te, seed, maxHops = 4)) ==
+      rows(Graph.shortestHops(te, seed, maxHops = 4, localGate = 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("LPA refines components: no community ever crosses a component") {
     val dir = "/root/testdata/sf0.001"
     val comp = Graph.supplierComponents(spark, dir)
