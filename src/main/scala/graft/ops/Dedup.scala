@@ -138,10 +138,30 @@ object Dedup {
     * sz counting full sets while n_shared didn't, silently
     * underestimating whenever the guard fired — one implementation
     * here means one place to keep that invariant). */
-  private[ops] def boundedSharedCounts(docsDf: DataFrame, maxBucket: Int): DataFrame = {
-    val sh = shingledOn(docsDf)
-    val posting = sh.select(col("doc_id"),
-      explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
+  private[ops] def boundedSharedCounts(docsDf: DataFrame, maxBucket: Int): DataFrame =
+    boundedSharedCountsPost(
+      shingledOn(docsDf).select(col("doc_id"),
+        explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g")),
+      maxBucket)
+
+  /** One persisted (doc_id, hs: array<bigint>) hashed-shingle frame —
+    * the shared upstream of the jaccard AND simhash legs in the
+    * multi-signal queries: both derive from m61_token_hashes over the
+    * same word 3-gram shingles, and computing the scan→split→shingle→
+    * hash lineage once per composed query (instead of once per leg)
+    * removes a full corpus pass. Cache lifetime: the
+    * [[boundedSharedCounts]] contract. */
+  private def hashedShingles(docsDf: DataFrame): DataFrame =
+    shingledOn(docsDf)
+      .select(col("doc_id"),
+        graft.functions.textFunctions.m61_token_hashes(col("shingles")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[boundedSharedCounts]] over an already-built (doc_id, g) posting
+    * frame — the df-cap anti-join + persisted self-join stay in ONE
+    * implementation (the capped-universe size invariant documented
+    * above lives here and nowhere else). */
+  private def boundedSharedCountsPost(posting: DataFrame, maxBucket: Int): DataFrame = {
     val hot = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBucket)
@@ -172,7 +192,21 @@ object Dedup {
   /** Generic variant over any (doc_id, text) frame. */
   def jaccardPairsOn(docsDf: DataFrame,
                      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
-    boundedSharedCounts(docsDf, maxBucket)
+    jaccardFromCounts(boundedSharedCounts(docsDf, maxBucket), threshold)
+
+  /** Jaccard leg over a shared [[hashedShingles]] frame (multi-signal
+    * composition): identical pipeline, the postings explode off the
+    * persisted hash arrays instead of re-shingling the corpus. */
+  private def jaccardPairsFromHashed(hashed: DataFrame,
+                                     threshold: Double = 0.5,
+                                     maxBucket: Int = 1000): DataFrame =
+    jaccardFromCounts(
+      boundedSharedCountsPost(
+        hashed.select(col("doc_id"), explode(col("hs")).as("g")), maxBucket),
+      threshold)
+
+  private def jaccardFromCounts(counts: DataFrame, threshold: Double): DataFrame =
+    counts
       .withColumn("jac",
         col("n_shared").cast("double") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jac") >= threshold)
@@ -396,13 +430,13 @@ object Dedup {
     val edges = edgesIn
       .union(edgesIn.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // `cached` always points at the PERSISTED frame (unpersist on a
-    // derived projection would be a no-op and leak one cache per round)
-    var cached = edges.select(col("doc_a").as("id"))
+    val labels0 = edges.select(col("doc_a").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+    var labels: DataFrame = labels0
+    // the most recent round's checkpoint — released once superseded
+    var cached: Option[DataFrame] = None
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -426,28 +460,30 @@ object Dedup {
       // cache before the parent is dropped (a take(1)-style check
       // would leave it partially cached and later rounds would
       // recompute through the whole join lineage)
+      // lineage chop: `hopped` appears twice in `next`, so carrying the
+      // Catalyst plan forward would DOUBLE it per round (exponential
+      // analysis/explain cost — measured OOM near round 7). An eager
+      // localCheckpoint truncates it to a constant-size LogicalRDD
+      // leaf that keeps rows in internal format AND preserves the
+      // output partitioning into the next round's joins (the retired
+      // RDD round-trip paid external-row conversion and re-exchange);
+      // the convergence count then reads the checkpoint, not the
+      // join lineage.
       val next = hopped.as("x").join(
           hopped.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
           col("x.label") === col("p.pid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
           least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).count() == 0
       hopped.unpersist() // next is materialized; the intermediate can go
-      cached.unpersist()
-      cached = next
-      // lineage chop: `hopped` appears twice in `next`, so carrying the
-      // Catalyst plan forward would DOUBLE it per round (exponential
-      // analysis/explain cost — measured OOM near round 7). Rebuilding
-      // from the just-materialized cache's RDD makes the next round's
-      // input a leaf plan; the persisted data still backs it.
-      labels = next.sparkSession
-        .createDataFrame(next.select(col("id"), col("label")).rdd,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", next.schema("id").dataType),
-            org.apache.spark.sql.types.StructField("label", next.schema("label").dataType))))
+      cached.foreach(
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistCheckpointed)
+      cached = Some(next)
+      labels = next.select(col("id"), col("label"))
     }
     edges.unpersist()
+    labels0.unpersist(blocking = false) // superseded by round 1's checkpoint
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id")), rounds)
   }
@@ -478,6 +514,13 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.textFunctions.simhash64(
           graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("simhash"))
+
+  /** SimHash leg over a shared [[hashedShingles]] frame (multi-signal
+    * composition): identical bit semantics, the votes fold over the
+    * persisted hash arrays instead of re-shingling the corpus. */
+  private def simhashesFromHashed(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"),
+      graft.functions.textFunctions.simhash64(col("hs")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     *
@@ -537,14 +580,19 @@ object Dedup {
     * Each generator is the already-audited sub-linear plan; the union
     * is pair-graph-sized, ≪ corpus. */
   def multiSignalClusters(s: SparkSession, dir: String): DataFrame = {
-    val j = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // ONE shingle+hash pass feeds both the jaccard and simhash legs
+    // (they share the m61 shingle-hash arrays; r13 optimization —
+    // each leg used to re-run the scan→split→shingle→hash lineage)
+    val hashed = hashedShingles(docs(s, dir))
+    val j = jaccardPairsFromHashed(hashed).select(col("doc_a"), col("doc_b"))
     // maxHamming = 6, NOT 8: the 28-table 2-block candidate scheme is
     // complete only to h ≤ 6 (hamming64Pairs' contract); at 7-8 a pair
     // surfaces only when it happens to share two clean blocks, and a
     // "union of generators" whose simhash leg has incidental recall
     // would overstate the endgame's guarantee. The standalone
     // dedup_simhash_pairs row keeps 8 with that caveat documented.
-    val sh = simhashPairs(s, dir, maxHamming = 6).select(col("doc_a"), col("doc_b"))
+    val sh = hamming64Pairs(simhashesFromHashed(hashed), maxHamming = 6)
+      .select(col("doc_a"), col("doc_b"))
     val se = Similarity.semanticPairs(s, dir).select(col("doc_a"), col("doc_b"))
     // 4th family: CDC chunk coverage at a high-precision bar — the
     // shift-robust evidence (insertion-shifted near-copies) the other
@@ -583,13 +631,16 @@ object Dedup {
       .join(hashes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // one shingle+hash pass for the jaccard AND simhash legs (the
+    // multiSignalClusters sharing, same parameters)
+    val hashed = hashedShingles(docs(s, dir))
     // alphabetical so the (i < j) enumeration yields fam_a < fam_b
     familyAgreementOn(Seq(
       "cdc_coverage" -> cdcCoverPairs(s, dir, threshold = 0.8),
       "exact_truth" -> truth,
-      "jaccard" -> jaccardPairs(s, dir),
+      "jaccard" -> jaccardPairsFromHashed(hashed),
       "semantic" -> Similarity.semanticPairs(s, dir),
-      "simhash" -> simhashPairs(s, dir, maxHamming = 6)))
+      "simhash" -> hamming64Pairs(simhashesFromHashed(hashed), maxHamming = 6)))
   }
 
   /** Generic variant: named (doc_a, doc_b, …) pair frames (extra
