@@ -907,16 +907,128 @@ object TextAnalysis {
     * left-greedy merge over the word-type vocabulary. Returns the
     * final PERSISTED vocabulary (w, freq, sy) — caller owns its
     * unpersist — and the merge table rows. */
-  private def bpeTrainOn(df: DataFrame,
-                         steps: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
-    val words = df.filter(col("text").isNotNull)
+  /** Driver-budget gate for the local BPE rounds: the collected
+    * vocabulary holds (word, freq, symbol array) — ~400 B/type peak
+    * transient — so budget a quarter of the driver heap at that rate,
+    * capped at 2²¹ types. */
+  private def maxLocalTypes: Long =
+    math.min(1L << 21, Runtime.getRuntime.maxMemory() / 4 / 400)
+
+  /** The initial frequency-weighted symbolized vocabulary — ONE corpus
+    * scan (the word-count shuffle), shared by both trainers. */
+  private def bpeVocab0(df: DataFrame): DataFrame =
+    df.filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var prev = words
       .select(col("w"), col("freq"), split(col("w"), "").as("sy"))
+
+  /** The collected vocabulary the local rounds fold over. `sy` comes
+    * from SPARK's own `split(w, '')` (collected, never re-derived
+    * locally), so the local loop cannot diverge on split semantics. */
+  private type LocalVocab = Array[(String, Long, Array[String])]
+
+  /** Collect the persisted vocabulary for the local rounds (only
+    * called under the type gate). */
+  private def collectVocab(vocab: DataFrame): LocalVocab = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    vocab.as[(String, Long, Array[String])].collect()
+  }
+
+  /** UTF-8 byte comparison — Spark's UTF8String (and DuckDB's string)
+    * ordering, which Java's UTF-16 `compareTo` diverges from on
+    * supplementary characters; the local argmax must tie-break in the
+    * engines' order. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Weighted adjacent-pair counts over the local vocabulary, ranked
+    * (n DESC, a, b) in UTF-8 order — the scalar twin of the trainers'
+    * per-round candidate aggregate. */
+  private def localPairCounts(v: LocalVocab): Seq[(String, String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    for ((_, freq, sy) <- v if sy.length >= 2) {
+      var i = 0
+      while (i < sy.length - 1) {
+        val k = (sy(i), sy(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + freq
+        i += 1
+      }
+    }
+    counts.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortWith { case ((a1, b1, n1), (a2, b2, n2)) =>
+        if (n1 != n2) n1 > n2
+        else if (a1 != a2) utf8Lt(a1, a2)
+        else utf8Lt(b1, b2)
+      }
+  }
+
+  /** [[bpeApplyMerge]]'s left-greedy fold, scalar: merge when the
+    * accumulator's last symbol is `a` and the current is `b` (a
+    * self-pair on a run takes alternate positions, exactly like the
+    * Column fold — spec-pinned there, shared semantics here). */
+  private def localApplyMerge(sy: Array[String], a: String, b: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- sy) {
+      if (buf.nonEmpty && buf.last == a && s == b) buf(buf.length - 1) = a + b
+      else buf += s
+    }
+    buf.toArray
+  }
+
+  /** Rebuild the final vocabulary as a frame (LocalRelation — the
+    * downstream stats aggregate over it exactly as they would over
+    * the distributed loop's cache). */
+  private def localVocabFrame(s: SparkSession, v: LocalVocab): DataFrame = {
+    import s.implicits._
+    v.toSeq.toDF("w", "freq", "sy")
+  }
+
+  private[ops] def bpeTrainOn(df: DataFrame, steps: Int,
+                              localGate: Long = maxLocalTypes)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val s = df.sparkSession
+    val vocab0 = bpeVocab0(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = vocab0.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // SIZE-GATED LOCAL ROUNDS (the clustersFromEdges precedent): after
+    // the one corpus scan above, BPE training is a pure function of
+    // the (word, freq) TYPE vocabulary — orders of magnitude smaller
+    // than the corpus, and the reason real BPE trainers are
+    // single-machine programs. Under the gate the rounds fold locally
+    // over Spark's own collected symbol arrays (exact integer counts,
+    // UTF-8-order tie-breaks — bit-identical to the distributed
+    // rounds, spec-pinned); past it the distributed loop below runs
+    // unchanged, one vocab-sized aggregate + merge application per
+    // round (the 100 TB posture either way: the corpus paid ONE
+    // word-count shuffle).
+    if (nTypes <= localGate) {
+      var v = collectVocab(vocab0)
+      vocab0.unpersist(blocking = false)
+      var exhausted = false
+      for (r <- 1 to steps if !exhausted) {
+        val top = localPairCounts(v).headOption
+        if (top.isEmpty) exhausted = true
+        else {
+          val (ma, mb, cnt) = top.get
+          merges += ((r, ma, mb, cnt))
+          v = v.map { case (w, f, sy) => (w, f, localApplyMerge(sy, ma, mb)) }
+        }
+      }
+      return (localVocabFrame(s, v), merges.toSeq)
+    }
+    var prev = vocab0
     var exhausted = false
     for (r <- 1 to steps if !exhausted) {
       val top = prev
@@ -954,16 +1066,40 @@ object TextAnalysis {
     * chains replay. Returns the final persisted vocabulary (caller
     * owns its unpersist) and the merge table with global step
     * numbers. */
-  private def bpeTrainBatchedOn(df: DataFrame, rounds: Int, batch: Int)
+  private[ops] def bpeTrainBatchedOn(df: DataFrame, rounds: Int, batch: Int,
+                                     localGate: Long = maxLocalTypes)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
-    val words = df.filter(col("text").isNotNull)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var prev = words
-      .select(col("w"), col("freq"), split(col("w"), "").as("sy"))
+    val s = df.sparkSession
+    val vocab0 = bpeVocab0(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = vocab0.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // size-gated local rounds — see bpeTrainOn; the rank-window
+    // disjoint selection and the kept-order chained applications are
+    // the same scalar rules the oracle states
+    if (nTypes <= localGate) {
+      var v = collectVocab(vocab0)
+      vocab0.unpersist(blocking = false)
+      var exhausted = false
+      for (_ <- 1 to rounds if !exhausted) {
+        val cand = localPairCounts(v).take(batch)
+        if (cand.isEmpty) exhausted = true
+        else {
+          val seen = scala.collection.mutable.Set.empty[String]
+          val kept = cand.flatMap { case (a, b, n) =>
+            val ok = !seen.contains(a) && !seen.contains(b)
+            seen += a; seen += b
+            if (ok) Some((a, b, n)) else None
+          }
+          kept.foreach { case (a, b, _) =>
+            v = v.map { case (w, f, sy) => (w, f, localApplyMerge(sy, a, b)) }
+          }
+          kept.foreach { case (a, b, n) => merges += ((merges.size + 1, a, b, n)) }
+        }
+      }
+      return (localVocabFrame(s, v), merges.toSeq)
+    }
+    var prev = vocab0
     // Deferred materialization: each round's merged vocabulary is
     // persisted but NOT counted — the next round's candidate
     // aggregate populates the cache as its scan runs, saving one job

@@ -371,4 +371,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val best = rows.filter(_._4 == 1.0).map(_._1).toSet
     assert(best == Set(3L, 6L), s"best per source: $best")
   }
+
+  /** The round-13 size-gated local BPE rounds must be BIT-IDENTICAL
+    * to the distributed loops they shortcut: identical merge tables
+    * AND identical final vocabularies on the sf0.001 corpus
+    * (localGate = 0 forces the distributed leg). */
+  test("BPE local rounds ≡ distributed rounds (plain and batched)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def vocabSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Seq[String])] =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2).toList: Seq[String])).toSet
+    val (vL, mL) = TextAnalysis.bpeTrainOn(docs, steps = 6)
+    val (vD, mD) = TextAnalysis.bpeTrainOn(docs, steps = 6, localGate = 0L)
+    assert(mL == mD)
+    assert(vocabSet(vL) == vocabSet(vD))
+    spark.catalog.clearCache()
+    val (bL, nL) = TextAnalysis.bpeTrainBatchedOn(docs, rounds = 9, batch = 16)
+    val (bD, nD) = TextAnalysis.bpeTrainBatchedOn(docs, rounds = 9, batch = 16, localGate = 0L)
+    assert(nL == nD)
+    assert(vocabSet(bL) == vocabSet(bD))
+    spark.catalog.clearCache()
+  }
 }
