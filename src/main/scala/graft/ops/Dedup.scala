@@ -832,15 +832,31 @@ object Dedup {
     * over it after any batch, and the capped-universe size bookkeeping
     * (the [[boundedSharedCounts]] invariant) must follow. */
   def writePostingIndex(s: SparkSession, existing: DataFrame, path: String,
-                        maxBucket: Int = 1000, nBuckets: Int = 32): Unit = {
+                        maxBucket: Int = 1000, nBuckets: Int = -1): Unit = {
     val ex = existing.select(col("doc_id"), col("text"))
     ex.select(md5(col("text")).as("content_hash")).distinct()
       .write.mode("overwrite").parquet(s"$path/exact")
-    val posting = shingledOn(ex)
+    val posting0 = shingledOn(ex)
       .select(col("doc_id"),
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
-      .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SCALE-ADAPTIVE bucket count (guide §2: derive partitioning from
+    // input size, never a constant tuned for one scale): target
+    // ~100k postings (~1.6 MB) per bucket so a small corpus writes a
+    // handful of files instead of `tasks × 32` splinters, while a big
+    // one keeps pruning granularity; production builds pass an
+    // explicit count sized to their fleet. The CHOSEN count is
+    // recorded in `meta/nbuckets` and every reader resolves it from
+    // there — a reader guessing a different count would mis-prune.
+    val b = if (nBuckets > 0) nBuckets
+      else math.max(1L, math.min(1024L,
+        (posting0.count() + 99999L) / 100000L)).toInt
+    val metaDir = new java.io.File(s"$path/meta")
+    metaDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/meta/nbuckets"),
+      b.toString.getBytes("UTF-8"))
+    val posting = posting0.withColumn("gb", pmod(col("g"), lit(b)).cast("int"))
     try {
       // repartition by the partition column first: otherwise EVERY
       // write task opens a file in EVERY bucket dir (tasks × buckets
@@ -856,14 +872,29 @@ object Dedup {
           Seq("g"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("sz0"))
         .write.mode("overwrite").parquet(s"$path/sizes")
-    } finally posting.unpersist()
+    } finally posting0.unpersist()
   }
+
+  /** The bucket count an index was BUILT with: `meta/nbuckets` when
+    * present, else 32 (every pre-meta index was written at the old
+    * fixed default — resolving anything else would mis-prune). */
+  private def readIndexBuckets(path: String): Int = {
+    val f = new java.io.File(s"$path/meta/nbuckets")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    else 32
+  }
+
+  private def resolveBuckets(path: String, nBuckets: Int): Int =
+    if (nBuckets > 0) nBuckets else readIndexBuckets(path)
 
   /** Ingest-dedup a batch against a [[writePostingIndex]] index —
     * result identical to [[ingestDedupOn]] over (existing ∪ incoming)
     * restricted to cross-side near-pairs, without touching the
-    * existing corpus' text. `maxBucket`/`nBuckets` must match the
-    * index build.
+    * existing corpus' text. `maxBucket` must match the index build;
+    * the bucket count resolves from the index's own `meta/nbuckets`
+    * by default (an explicit `nBuckets` override must match the
+    * build).
     *
     * Union df-cap reconstruction: df_union(g) = df_ex(g) + df_in(g).
     * Grams ABSENT from the batch keep their build-time hot status
@@ -891,13 +922,14 @@ object Dedup {
     * elsewhere in this module). */
   def ingestDedupIndexed(s: SparkSession, path: String, incoming: DataFrame,
                          threshold: Double = 0.5, maxBucket: Int = 1000,
-                         nBuckets: Int = 32,
+                         nBuckets: Int = -1,
                          excludeBatchFrom: Option[Long] = None): DataFrame = {
+    val b = resolveBuckets(path, nBuckets)
     val inc = incoming.select(col("doc_id"), col("text"))
     val inPost = shingledOn(inc)
       .select(col("doc_id"),
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
-      .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
+      .withColumn("gb", pmod(col("g"), lit(b)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBuckets = inPost.select(col("gb")).distinct().collect().map(_.getInt(0))
     val bLits = bBuckets.map(Integer.valueOf)
@@ -1069,15 +1101,16 @@ object Dedup {
     * driver row sharing the compacted loop's oracle). Run
     * [[compactPostingIndex]] every K batches to fold the delta in. */
   def appendToPostingIndex(s: SparkSession, admitted: DataFrame, path: String,
-                           maxBucket: Int = 1000, nBuckets: Int = 32,
+                           maxBucket: Int = 1000, nBuckets: Int = -1,
                            compact: Boolean = true,
                            batchKey: Option[Long] = None): Unit = {
+    val b = resolveBuckets(path, nBuckets)
     val ad = admitted.select(col("doc_id"), col("text"))
     val exact = ad.select(md5(col("text")).as("content_hash")).distinct()
     val posting = shingledOn(ad)
       .select(col("doc_id"),
         explode(graft.functions.textFunctions.m61_token_hashes(col("shingles"))).as("g"))
-      .withColumn("gb", pmod(col("g"), lit(nBuckets)).cast("int"))
+      .withColumn("gb", pmod(col("g"), lit(b)).cast("int"))
       .repartition(col("gb"))
     // the flat (gb=* top-level) and batch-keyed (batch=*/gb=*) delta
     // layouts cannot coexist under one index: partition discovery over
@@ -1310,11 +1343,16 @@ object Dedup {
     * auto-compaction policy fires mid-sequence — appends land in the
     * delta area (compact = false) and [[maybeCompactPostingIndex]]
     * decides after each one. Measured byte ratios (ScaleProbe
-    * --auto-compact, sf0.001 AND sf0.01): one ~25-doc append over the
-    * 400-doc base reads ~0.16-0.17 (parquet per-file overhead floors
-    * small deltas), two accumulate to ~0.30 — so at ratio 0.25 the
-    * first append stays delta, the second triggers the fold, the
-    * third starts a fresh delta that survives the loop. Shares the
+    * --auto-compact at sf0.001/sf0.01/sf0.1, re-taken for the
+    * round-13 scale-adaptive bucket layout whose compact base file
+    * lowered every ratio): one ~25-doc append over the 400-doc base
+    * reads ~0.066-0.075, two accumulate to ~0.13-0.15, three to
+    * ~0.20-0.21 — so at ratio 0.1 the first append stays delta, the
+    * second triggers the fold, the third starts a fresh delta that
+    * survives the loop (the same cadence the pre-r13 layout hit at
+    * 0.25; a threshold left at 0.25 would never fire here and every
+    * later epoch would pay the delta-aware verdict path's ~3×
+    * constant — measured 26 s vs 14 s on this row). Shares the
     * generated multi-epoch oracle with no notion of compaction at
     * all: WHEN the fold runs must be invisible in the verdicts. */
   def ingestEpochsAutoQuery(s: SparkSession, dir: String): DataFrame = {
@@ -1322,7 +1360,7 @@ object Dedup {
       s"target/scratch/ingest_epochs_auto_${s.sparkContext.applicationId}_${ingestScratchSeq.incrementAndGet()}"
     ).getAbsolutePath
     ingestEpochsLoopOn(s, docs(s, dir), path, Seq(400L, 425L, 450L, 475L),
-      compactPerAppend = false, autoCompactRatio = Some(0.25))
+      compactPerAppend = false, autoCompactRatio = Some(0.1))
   }
 
   // ----------------------------------------------- streaming ingest loop

@@ -275,36 +275,56 @@ object Retrieval {
       .select(col("query_id"), col("a_id"), col("b_id"),
         round(Similarity.cosine(col("va"), col("vb")), 9)
           .cast("decimal(20,9)").as("sim9"))
-      .persist()
-    val w1 = Window.partitionBy(col("query_id")).orderBy(desc("sc"), col("doc_id"))
-    val first = cand
-      .withColumn("r", row_number().over(w1)).filter(col("r") === 1)
-      .select(col("query_id"), col("doc_id"), lit(1L).as("step"),
-        (lit(7) * col("sc")).cast("decimal(25,9)").as("mmr"))
-    val selSchema = first.schema
-    // bounded greedy state (see scaladoc): ≤ nQueries·k rows, decimal
-    // mmr collected as java BigDecimal so exactness survives the trip
+    // LOCAL GREEDY over the collected bounded state (guide-§8 "decide
+    // with small rows"): the candidate frame is ≤ q·pool rows and the
+    // pair frame ≤ q·pool² BY CONSTRUCTION (parameters, not data), so
+    // the k-step selection — which is inherently sequential — runs as
+    // scalar decimal arithmetic over ONE collect of each instead of
+    // k driver-synchronized join+window jobs. Every compared value is
+    // an exact decimal (sc from round9 sums, sim9 round9-staged), so
+    // the local picks are bit-identical to the distributed window's
+    // (mmr DESC, doc_id) order; the eligibility rule — a candidate
+    // needs a pair row against some selected doc — mirrors the inner
+    // rem ⋈ maxsim join this replaces.
+    val candRows = cand.collect()
+    val pairRows = pairs.collect()
+    cand.unpersist(blocking = false)
+    def idOf(v: Any): Long = v.asInstanceOf[Number].longValue
+    val simOf = pairRows.map(r => (r.get(0), r.get(1), r.get(2)) -> r.getDecimal(3)).toMap
+    val seven = java.math.BigDecimal.valueOf(7L)
+    val three = java.math.BigDecimal.valueOf(3L)
     val sel = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-    sel ++= first.collect()
-    for (step <- 2 to k) {
-      val selDf = s.createDataFrame(
-        java.util.Arrays.asList(sel.toSeq: _*), selSchema)
-      val rem = cand.join(selDf.select("query_id", "doc_id"),
-        Seq("query_id", "doc_id"), "left_anti")
-      val ms = pairs
-        .join(selDf.select(col("query_id"), col("doc_id").as("b_id")),
-          Seq("query_id", "b_id"))
-        .groupBy(col("query_id"), col("a_id"))
-        .agg(max(col("sim9")).as("maxsim"))
-        .withColumnRenamed("a_id", "doc_id")
-      val wk = Window.partitionBy(col("query_id")).orderBy(desc("mmr"), col("doc_id"))
-      val pick = rem.join(ms, Seq("query_id", "doc_id"))
-        .withColumn("mmr",
-          (lit(7) * col("sc") - lit(3) * col("maxsim")).cast("decimal(25,9)"))
-        .withColumn("r", row_number().over(wk)).filter(col("r") === 1)
-        .select(col("query_id"), col("doc_id"), lit(step.toLong).as("step"), col("mmr"))
-      sel ++= pick.collect()
+    for ((q, csAll) <- candRows.groupBy(_.get(0))) {
+      val remaining = scala.collection.mutable.ArrayBuffer(csAll: _*)
+      def pickBy(score: org.apache.spark.sql.Row => java.math.BigDecimal,
+                 eligible: org.apache.spark.sql.Row => Boolean): Option[org.apache.spark.sql.Row] =
+        remaining.filter(eligible).sortBy(c => (score(c), -idOf(c.get(1))))(
+          Ordering.Tuple2(Ordering.ordered[java.math.BigDecimal], Ordering.Long)).lastOption
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Any]
+      for (step <- 1 to k) {
+        def maxSim(c: org.apache.spark.sql.Row): Option[java.math.BigDecimal] = {
+          val sims = selected.flatMap(b => simOf.get((q, c.get(1), b)))
+          if (sims.isEmpty) None else Some(sims.max(Ordering.ordered[java.math.BigDecimal]))
+        }
+        val pick =
+          if (step == 1) pickBy(_.getDecimal(2), _ => true).map(c => (c, c.getDecimal(2).multiply(seven)))
+          else pickBy(
+            c => c.getDecimal(2).multiply(seven).subtract(maxSim(c).get.multiply(three)),
+            c => maxSim(c).isDefined)
+            .map { c => (c, c.getDecimal(2).multiply(seven).subtract(maxSim(c).get.multiply(three))) }
+        pick.foreach { case (c, mmr) =>
+          sel += org.apache.spark.sql.Row(q, c.get(1), step.toLong, mmr)
+          selected += c.get(1)
+          remaining -= c
+        }
+      }
     }
+    val selSchema = org.apache.spark.sql.types.StructType(Seq(
+      cand.schema("query_id"), cand.schema("doc_id"),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DecimalType(25, 9), nullable = true)))
     s.createDataFrame(java.util.Arrays.asList(sel.toSeq: _*), selSchema)
       .select(col("query_id"), col("doc_id"), col("step"),
         round(col("mmr").cast("double"), 4).as("mmr"))
@@ -342,7 +362,15 @@ object Retrieval {
               nQueries: Int = 3, qLen: Int = 4, fb: Int = 5, m: Int = 3,
               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val parts = bm25Parts(docs(s, dir), nQueries, qLen, k1, b)
-    val tf = parts.tf
+    // PRF runs THREE actions over the BM25 chain (feedback-doc
+    // collect, expanded-query collect, the rescore itself) — without
+    // these persists each one re-tokenizes the corpus and re-shuffles
+    // the tf groupBy from parquet (three full passes for one). The
+    // cached frames are the posting table (hashes/terms + counts, the
+    // same thing the index rows persist) and the 1-row stats; cache
+    // lifetime per the boundedSharedCounts contract.
+    val tf = parts.tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    parts.stats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = parts.dfreq
     // feedback docs are ≤ q·fb rows BY CONSTRUCTION — collect them so
     // the ranked window chain runs once in its own job instead of

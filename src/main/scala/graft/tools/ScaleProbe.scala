@@ -57,10 +57,10 @@ object ScaleProbe {
 
     // --auto-compact: step the 4-epoch batched loop by hand at
     // --sf=<dir>, printing the delta/base byte ratio after every
-    // append and whether the encoded 0.25 cadence fires — the tuning
-    // evidence behind dedup_ingest_epochs_auto's threshold (a single
-    // ~25-doc append floors at ~0.16 from parquet per-file overhead;
-    // two accumulate to ~0.30).
+    // append and whether the encoded 0.1 cadence fires — the tuning
+    // evidence behind dedup_ingest_epochs_auto's threshold (with the
+    // r13 scale-adaptive bucket layout a single ~25-doc append reads
+    // ~0.066-0.075 and two accumulate to ~0.13-0.15 at every SF).
     if (args.contains("--auto-compact")) {
       import graft.ops.Dedup
       val sfDir = args.collectFirst {
@@ -84,7 +84,7 @@ object ScaleProbe {
             Seq("doc_id"), "left_semi")
           Dedup.appendToPostingIndex(spark, admits, path, compact = false)
           val r = Dedup.postingDeltaRatio(path)
-          val fired = Dedup.maybeCompactPostingIndex(spark, path, ratio = 0.25)
+          val fired = Dedup.maybeCompactPostingIndex(spark, path, ratio = 0.1)
           println(f"[auto-compact] sf=$sfDir epoch=${k + 1} ratio=$r%.4f fired=$fired")
         }
       }
