@@ -28,7 +28,17 @@ object Bucketing {
       s.sessionState.conf.warehousePath, table.toLowerCase)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    df
+      // ALIGN the write's partitioning with the bucket spec:
+      // repartition(buckets, key) IS the bucket hash (both are
+      // murmur3(key) mod buckets), so each task holds exactly one
+      // bucket — one file per bucket instead of tasks × buckets
+      // splinters, and the encode parallelizes across buckets instead
+      // of running inside however many partitions the scan happened
+      // to produce (guide §6: small files hurt twice; §2.4: share the
+      // exchange with the layout you need anyway)
+      .repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
@@ -78,7 +88,10 @@ object Bucketing {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      graft.Tables(s, dir, name).write
+      graft.Tables(s, dir, name)
+        // bucket-aligned write — see writeBucketed
+        .repartition(8, col(key))
+        .write
         .mode(SaveMode.Overwrite)
         .bucketBy(8, key)
         .sortBy(key)

@@ -468,6 +468,12 @@ object Graph {
     val table = s"pr_edges_bq_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")}_${prLayoutSeq.incrementAndGet()}"
     val loc = s"target/scratch/bucketed_$table"
     edges.select(col("src"), col("dst"))
+      // bucket-aligned write (Bucketing.writeBucketed's rationale):
+      // repartition(nBuckets, src) IS the bucket hash, so each task
+      // writes exactly its one bucket file — the unaligned write
+      // produced (scan partitions × buckets) splinter files that
+      // every round's bucketed scan then re-listed
+      .repartition(nBuckets, col("src"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "src").sortBy("src")
       .option("path", loc).format("parquet").saveAsTable(table)
