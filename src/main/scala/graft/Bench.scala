@@ -66,6 +66,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 64 MB broadcast threshold (default 10 MB): the default dates
+      // to 1 GB-executor deployments; any executor sized for modern
+      // batch work holds a 64 MB hash relation without pressure, and
+      // the mid-size dimension/edge frames here (strong-tie edges,
+      // posting sizes, split labels) then broadcast instead of
+      // shuffling both sides. Parameterized via env so the driver's
+      // low-core leg and a production deployment can size it to their
+      // own executors; A/B evidence in OPTIMIZATION_r13.md.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -271,8 +271,12 @@ class PlanPinsSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // localGate = 0: this pin is about the DISTRIBUTED loop's shape
+    // (the r13 size-gated local path returns a LocalTableScan whose
+    // constant shape is trivially true)
     def shape(iters: Int): Seq[String] = {
-      val df = ops.Graph.pageRank(ops.Graph.tradeEdges(s2, dir), iters)
+      val df = ops.Graph.pageRank(ops.Graph.tradeEdges(s2, dir), iters,
+        localGate = 0L)
       df.queryExecution.executedPlan.collect { case p => p.nodeName }
     }
     val two = shape(2)
@@ -289,6 +293,9 @@ class PlanPinsSpec extends AnyFunSuite {
       s"final plan does not root on a materialized frame: $two")
     // the full driver row on top adds only the broadcast dim join and
     // the closing sort — still a handful of nodes, zero wide joins
+    // the registered row takes the size-gated LOCAL path at this
+    // scale; its plan is the local relation + broadcast dim join +
+    // closing sort — the exchange bound below holds a fortiori
     val row = SparkEntry.queries("supplier_pagerank")(s2, dir)
     val shuffles = row.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
@@ -431,9 +438,13 @@ class PlanPinsSpec extends AnyFunSuite {
       def nodes(r: Int) = f(r).queryExecution.executedPlan.collect { case p => p.nodeName }
       (nodes(2), nodes(5))
     }
-    val (l2, l5) = shapes(r => ops.Graph.labelPropagation(e, rounds = r))
+    // localGate = 0 forces the distributed loops (the r13 local path
+    // returns a LocalTableScan — trivially constant-shape)
+    val (l2, l5) = shapes(r => ops.Graph.labelPropagation(e, rounds = r,
+      localGate = 0L))
     assert(l2 == l5, s"LPA plan grows with round count:\n2 -> $l2\n5 -> $l5")
-    val (c2, c5) = shapes(r => ops.Graph.corenessHIndex(e, rounds = r))
+    val (c2, c5) = shapes(r => ops.Graph.corenessHIndex(e, rounds = r,
+      localGate = 0L))
     assert(c2 == c5, s"coreness plan grows with round count:\n2 -> $c2\n5 -> $c5")
     assert(l2.exists(n => n.contains("InMemoryTableScan") ||
       n.contains("ExistingRDD") || n.contains("RDDScan")),
